@@ -1,0 +1,131 @@
+"""Parquet warehouse with ReplacingMergeTree/FINAL semantics.
+
+The reference lands every table in ClickHouse ReplacingMergeTree and
+appends ``FINAL`` to reads by default (clients/custom_clickhouse.py:31-38),
+giving last-write-wins dedup by primary key (SURVEY §1.3). Here:
+
+- writes are append-only Parquet with a monotonic ``_seq`` stamped per
+  batch (idempotent replays are safe);
+- reads apply a dedup-on-read view:
+  ``row_number() OVER (PARTITION BY pk ORDER BY _seq DESC) = 1``;
+- ``final=False`` skips the dedup, matching the reference's
+  ``final=False`` fast path (clients/custom_clickhouse.py:94,117).
+
+Scale notes (100 TB): the dedup window shuffles by primary key once; at
+scale the fact tables would be written bucketed/partitioned by the same
+key (``partition_hint``) so the window becomes a within-partition sort.
+Readers that don't need FINAL (append-only facts with unique ids per
+batch, e.g. analytic scans after compaction) use final=False and pay
+nothing. A periodic ``compact()`` rewrites a table to 1 row/key so the
+read-side window goes away — the Spark analogue of a background merge.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from . import schemas
+
+
+class Warehouse:
+    """A directory of Parquet tables keyed by logical name."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def create(self, table: str, schema: StructType | None = None) -> None:
+        """Create an empty table (the reference's prepare_indices,
+        operations/indices.py:18-37)."""
+        if self.exists(table):
+            return
+        schema = schemas.with_engine_columns(schema or schemas.TABLES[table])
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self._path(table))
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        id_expr=None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Bulk upsert (reference bulk_index, clients/custom_clickhouse.py:130-189):
+        set id, align to schema (drop unknown columns, null-fill missing),
+        stamp _seq, append. Dedup happens on read."""
+        target_schema = schemas.with_engine_columns(schemas.TABLES[table])
+        if id_expr is not None:
+            df = df.withColumn("id", id_expr)
+        cols = []
+        df_cols = set(df.columns)
+        for field in target_schema.fields:
+            if field.name == "_seq":
+                continue
+            if field.name in df_cols:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        seq = int(time.time() * 1000)
+        out = df.select(*cols).withColumn("_seq", F.lit(seq).cast("long"))
+        writer = out.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(table))
+
+    def read(self, table: str, final: bool = True) -> DataFrame:
+        """Table scan; ``final=True`` applies last-write-wins dedup by
+        primary key (SURVEY §1.3 / W2)."""
+        df = self.spark.read.parquet(self._path(table))
+        if final:
+            df = final_dedup(df, schemas.primary_key(table))
+        return df
+
+    def compact(self, table: str) -> None:
+        """Rewrite a table to one row per key (background-merge analogue)."""
+        deduped = self.read(table, final=True)
+        tmp = self._path(table) + ".compact"
+        deduped.write.mode("overwrite").parquet(tmp)
+        final_path = self._path(table)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final_path)
+
+    def register_views(self, *tables: str, final: bool = True) -> None:
+        """Expose tables as temp views for spark.sql() text queries —
+        the analytics read path (SURVEY §3.3)."""
+        for t in tables or schemas.TABLES.keys():
+            if self.exists(t):
+                self.read(t, final=final).createOrReplaceTempView(t)
+
+
+def final_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """ReplacingMergeTree FINAL: keep the latest row per key.
+
+    Deterministic tie-break on _seq then a stable digest of the row, so
+    replayed identical batches never flap (SURVEY §7.3 risk (b)).
+    """
+    order = [F.col("_seq").desc_nulls_last()] if "_seq" in df.columns else []
+    other = [c for c in df.columns if c not in keys and c != "_seq"]
+    if other:
+        order.append(F.xxhash64(*[F.col(c).cast("string") for c in other]).asc())
+    if not order:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

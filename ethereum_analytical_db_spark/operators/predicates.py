@@ -1,0 +1,60 @@
+"""Predicate builders mirroring reference utils.py (SURVEY §2.2).
+
+These return Column expressions, so Catalyst pushes them into the
+Parquet scan (PushedFilters) — the Spark-native version of the
+reference's hand-built SQL WHERE strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def make_range_filter(field: str, *ranges: tuple) -> Column:
+    """OR-chain of half-open ranges, reproducing reference
+    utils.py:32-66 (make_range_query):
+
+    (lo, hi)     → field >= lo AND field < hi
+    (lo, None)   → field >= lo
+    (None, hi)   → field < hi
+    (None, None) → field IS NOT NULL
+    """
+    col = F.col(field)
+
+    def one(rng: tuple) -> Column:
+        lo, hi = rng
+        if lo is not None and hi is not None:
+            return (col >= F.lit(lo)) & (col < F.lit(hi))
+        if lo is not None:
+            return col >= F.lit(lo)
+        if hi is not None:
+            return col < F.lit(hi)
+        return col.isNotNull()
+
+    out = one(ranges[0])
+    for rng in ranges[1:]:
+        out = out | one(rng)
+    return out
+
+
+def in_list(field: str, values: list) -> Column:
+    """Contract-whitelist IN filter (reference utils.py:105-107, SURVEY P3)."""
+    return F.col(field).isin(values)
+
+
+def top_level_call(id_field: str = "id") -> Column:
+    """`id LIKE '%.0'` — first trace entry of a transaction
+    (reference examples/sql_balances/balances.sql:23, SURVEY P7)."""
+    return F.col(id_field).endswith(".0")
+
+
+def valid_operation(error: str = "error", parent_error: str = "parent_error") -> Column:
+    """`error IS NULL AND parent_error IS NULL` (SURVEY P8)."""
+    return F.col(error).isNull() & F.col(parent_error).isNull()
+
+
+def topic_equals(topics_field: str, index: int, signature: str) -> Column:
+    """1-based array-element predicate `topics[i] = sig` (SURVEY P9);
+    Spark element_at is 1-based like ClickHouse arrays."""
+    return F.element_at(F.col(topics_field), index) == F.lit(signature)

@@ -1,0 +1,82 @@
+"""Warehouse semantics: FINAL dedup, upsert alignment, composite keys.
+
+Ports the reference's live-ClickHouse client tests
+(tests/clickhouse_tests.py:26-136) to Parquet + dedup-on-read.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from ethereum_analytical_db_spark.catalog import Warehouse, final_dedup
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_final_dedup_last_write_wins(spark, wh):
+    """Double insert returns one row under FINAL, two without —
+    reference tests/clickhouse_tests.py:65-70."""
+    wh.create("block_flag")
+    df1 = spark.createDataFrame([Row(id="1", name="traces_extracted", value=0)])
+    df2 = spark.createDataFrame([Row(id="1", name="traces_extracted", value=1)])
+    wh.write("block_flag", df1)
+    wh.write("block_flag", df2)
+    assert wh.read("block_flag", final=False).count() == 2
+    final = wh.read("block_flag", final=True).collect()
+    assert len(final) == 1
+    assert final[0]["value"] == 1  # later _seq wins
+
+
+def test_composite_key_tables(spark, wh):
+    """block_flag dedups on (id, name) — reference operations/indices.py:7-10."""
+    wh.create("block_flag")
+    rows = [
+        Row(id="1", name="traces_extracted", value=1),
+        Row(id="1", name="events_extracted", value=1),
+    ]
+    wh.write("block_flag", spark.createDataFrame(rows))
+    assert wh.read("block_flag").count() == 2
+
+
+def test_write_schema_alignment(spark, wh):
+    """Unknown columns dropped, missing columns null-filled —
+    reference bulk_index (clients/custom_clickhouse.py:130-150)."""
+    wh.create("block")
+    df = spark.createDataFrame([Row(id="5", number=5, bogus="drop-me")])
+    wh.write("block", df)
+    got = wh.read("block").collect()
+    assert len(got) == 1
+    assert "bogus" not in got[0].asDict()
+    assert got[0]["timestamp"] is None
+
+
+def test_write_id_expr(spark, wh):
+    from pyspark.sql import functions as F
+
+    wh.create("block")
+    df = spark.createDataFrame([Row(number=7)])
+    wh.write("block", df, id_expr=F.col("number").cast("string"))
+    assert wh.read("block").first()["id"] == "7"
+
+
+def test_final_dedup_identical_payload_stable(spark):
+    """Replays with identical payloads keep exactly one deterministic row
+    (SURVEY §1.3: 'plain dropDuplicates suffices when replays write
+    identical payloads')."""
+    df = spark.createDataFrame(
+        [Row(id="a", v=1, _seq=10), Row(id="a", v=1, _seq=10), Row(id="b", v=2, _seq=10)]
+    )
+    out = final_dedup(df, ["id"]).collect()
+    assert sorted((r["id"], r["v"]) for r in out) == [("a", 1), ("b", 2)]
+
+
+def test_compact_reduces_files_and_preserves_final(spark, wh):
+    wh.create("block")
+    for i in range(3):
+        wh.write("block", spark.createDataFrame([Row(id="1", number=i)]))
+    wh.compact("block")
+    rows = wh.read("block", final=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["number"] == 2

@@ -1,0 +1,97 @@
+"""Golden-vector conformance for the scalar function layer.
+
+Vectors come from the reference's own tests
+(tests/token_holders_tests.py:34-58) — SURVEY §5 pattern 2.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.functions import (
+    hex_word_to_float,
+    keccak_selector,
+    register_sql_functions,
+    topic_to_address,
+)
+
+def _word(value: int) -> str:
+    return "0x" + format(value, "064x")
+
+
+# (data hex word, decimals, expected) — reference tests/token_holders_tests.py:34-58
+GOLDEN = [
+    (_word(0x4BF53596C1B5F580000), 18, 22418.8),
+    (_word(1), 18, 1e-18),
+    (_word(0x10000000000000000000000000000000), 0, float(0x10000000000000000000000000000000)),
+]
+
+
+@pytest.mark.parametrize("data,decimals,expected", GOLDEN)
+def test_uint256_golden_vectors(spark, data, decimals, expected):
+    df = spark.createDataFrame([Row(data=data, decimals=decimals)])
+    got = df.select(
+        hex_word_to_float("data", "decimals").alias("v")
+    ).first()["v"]
+    assert got == pytest.approx(expected, rel=1e-12)
+
+
+def test_uint256_exact_python_parity(spark):
+    """For any 64-hex word, result == int(last 32 hex, 16) / 10**decimals
+    computed in float64 — the reference's observable semantics."""
+    import random
+
+    random.seed(7)
+    rows = []
+    for _ in range(50):
+        # stay inside the Decimal128/DECIMAL(38,0) domain: only the LAST
+        # 32 hex chars are decoded, so zero their top byte (< 2^120).
+        # The reference's ClickHouse Decimal128 has the same 1e38 ceiling.
+        word = (
+            "".join(random.choice("0123456789abcdef") for _ in range(32))
+            + "00"
+            + "".join(random.choice("0123456789abcdef") for _ in range(30))
+        )
+        dec = random.choice([0, 6, 8, 18, None])
+        rows.append(Row(data="0x" + word, decimals=dec))
+    df = spark.createDataFrame(rows)
+    out = df.select("data", "decimals", hex_word_to_float("data", "decimals").alias("v")).collect()
+    for r in out:
+        raw = int(r["data"][34:], 16)
+        d = 18 if r["decimals"] is None else r["decimals"]
+        expected = float(raw) / float(10.0 ** d)
+        assert r["v"] == pytest.approx(expected, rel=1e-12), r["data"]
+
+
+def test_uint256_constant_decimals(spark):
+    df = spark.createDataFrame([Row(data="0x" + "0" * 63 + "a")])
+    assert df.select(hex_word_to_float("data", 0).alias("v")).first()["v"] == 10.0
+    # None → coalesce default 18
+    assert df.select(hex_word_to_float("data").alias("v")).first()["v"] == pytest.approx(1e-17)
+
+
+def test_topic_to_address(spark):
+    topics = [
+        "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef",
+        "0x000000000000000000000000a1b2c3d4e5f60718293a4b5c6d7e8f9012345678",
+    ]
+    df = spark.createDataFrame([Row(topics=topics)])
+    got = df.select(topic_to_address("topics", 2).alias("a")).first()["a"]
+    assert got == "0xa1b2c3d4e5f60718293a4b5c6d7e8f9012345678"
+
+
+def test_keccak_selectors_public_constants():
+    assert keccak_selector("transfer(address,uint256)") == "a9059cbb"
+    assert keccak_selector("balanceOf(address)") == "70a08231"
+
+
+def test_sql_function_registration(spark):
+    register_sql_functions(spark)
+    v = spark.sql(
+        "SELECT uint256_value('0x{}', 18) AS v".format("0" * 63 + "1")
+    ).first()["v"]
+    assert v == pytest.approx(1e-18)
+    a = spark.sql(
+        "SELECT topic_address(array('0xsig', '0x000000000000000000000000abcdefabcdefabcdefabcdefabcdefabcdefabcd'), 2) AS a"
+    ).first()["a"]
+    assert a == "0xabcdefabcdefabcdefabcdefabcdefabcdefabcd"
