@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship balances pyramid at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY §2 (plus the
+training-data pipeline pack); ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for each (omitted only for xxhash64-based approximate operators,
+which get rows-only checks and are recall-tested in tests/).
 """
 
 from __future__ import annotations
@@ -13,26 +13,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ethereum_analytical_db_spark.plans.registry import all_queries
+from ethereum_analytical_db_spark.session import tune_session
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    qs = all_queries()
+    return qs["balances_pyramid"].build(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(qdef):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return qdef.build(spark, sf_dir)
+
+        run.__doc__ = qdef.note
+        return run
+
+    return {name: wrap(qdef) for name, qdef in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (same column aliases)."""
+    return {
+        name: qdef.oracle
+        for name, qdef in all_queries().items()
+        if qdef.oracle is not None
+    }

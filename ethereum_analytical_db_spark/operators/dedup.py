@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines (SURVEY north-star
+additions): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup: one hash-groupBy on a 128-bit content digest — the only
+  full shuffle, keyed uniformly (md5), so no skew;
+- n-gram Jaccard: explode distinct shingles → self-join on shingle →
+  pair-count aggregation. The shingle join is the classic inverted-index
+  approach: cost ~ sum over shingles of df(s)^2, NOT n^2 over documents.
+  Hot shingles are capped (``max_shingle_df``) exactly like real systems
+  drop stop-shingles, bounding worst-case skew;
+- MinHash+LSH: per-doc signature of K minima (xxhash64 with K seeds,
+  all JVM-side), banded into B buckets; candidate pairs only join within
+  a (band, bucket-hash) key → shuffle is O(docs×B), never O(n²);
+- SimHash: 64-bit signature via per-bit majority of token hashes,
+  computed with explode + bit-arithmetic aggregation (no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import ngrams_expr
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by exact content digest; emit one canonical id + dup count
+    per distinct content."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold, via a shingle
+    inverted index (exact, no approximation).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed on DISTINCT shingle
+    sets. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"), ngrams_expr(text_col, n).alias("ngrams")
+    ).withColumn("set_size", F.size("ngrams"))
+    exploded = shingled.select("doc", "set_size", F.explode("ngrams").alias("ngram"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("ngram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "ngram", "left_anti")
+    a = exploded.select(
+        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "ngram"
+    )
+    b = exploded.select(
+        F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "ngram"
+    )
+    pairs = (
+        a.join(b, "ngram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jacc = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """K-minima MinHash signature over word n-grams: for each seed k,
+    sig[k] = min over shingles of xxhash64(shingle, k). Pure Column
+    expressions — the K hashes are K array-transform lanes, no UDF."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"), ngrams_expr(text_col, n).alias("ngrams")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("ngrams"), lambda s: F.xxhash64(s, F.lit(k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return shingled.select("doc", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band
+    groups, bucket by the band's hash, emit candidate pairs sharing any
+    bucket. Output: (doc_a, doc_b, bands_in_common)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_rows = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("bands_in_common"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash: per-bit majority vote over token xxhash64 values.
+    explode(words) → for each bit, sum ±1 → reassemble the signature.
+    One shuffle (groupBy id), bit lanes are column expressions."""
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = tokens.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return bit_sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    the standard block-permutation trick: split 64 bits into ``blocks``
+    chunks; any pair within distance d < blocks must share at least one
+    exact chunk → join per chunk, verify Hamming on the full signature."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunk_bits = 64 // blocks
+    mask = (1 << chunk_bits) - 1
+    chunked = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.blk", "c.chunk")
+    a = chunked.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "chunk"
+    )
+    b = chunked.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "chunk"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["blk", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a real 100-TB pipeline would have:
+- brute-force cosine top-k: zip_with + aggregate fold, fully JVM-side —
+  the exact baseline; scales as O(n·d) per query with no shuffle (the
+  query vector is a literal broadcast into the expression);
+- LSH-bucketed (random hyperplanes):
+  bucket = sign-bit string of H hyperplane dot products; candidates
+  share a bucket → shuffle O(n), probes only its bucket. Approximate,
+  recall grows with fewer planes / multiple tables.
+
+For oracle-exact comparisons use ``cosine_topk_exact_decimal`` whose
+sums are DECIMAL (order-independent, bit-identical in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,6)"
+
+
+def _dot(a, b):
+    """Double-precision fold — fast path (deterministic order, single fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    dot = _dot(F.col(vec_col), q)
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    qnorm = float(sum(x * x for x in query_vector)) ** 0.5
+    cos = dot / (norm * F.lit(qnorm))
+    return (
+        embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_exact_decimal(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-grade exact cosine top-k: per-position explode, DECIMAL
+    product sums (order-independent → reproducible across engines).
+
+    ``query`` is a 1-row DataFrame with the same (id_col, vec_col).
+    Output: (vec_id, cosine) top-k excluding the query row itself.
+    """
+    e = embeddings.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    q = query.select(F.posexplode(F.col(vec_col)).alias("pos", "qval"))
+    joined = e.join(F.broadcast(q), "pos")
+    # float → double FIRST (exact widening), then → decimal: Spark's direct
+    # float→decimal cast goes through the float's 7-digit string repr and
+    # would diverge from engines that round the exact binary value
+    # float → double (exact widening) → DECIMAL(12,6): a *defined*
+    # fixed-point dot product. Products are scale-12; sums stay scale-12
+    # with integer part < 2^53, so the final decimal→double cast is a
+    # single correct rounding on every engine. (Scale-18 sums would need a
+    # downscale cast, which Spark rounds but DuckDB truncates.)
+    val = F.col("val").cast("double").cast(DEC)
+    qval = F.col("qval").cast("double").cast(DEC)
+    per_vec = joined.groupBy(id_col).agg(
+        F.sum(val * qval).cast("double").alias("dot"),
+        F.sum(val * val).cast("double").alias("norm2"),
+        F.sum(qval * qval).cast("double").alias("qnorm2"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("norm2")) * F.sqrt(F.col("qnorm2")))
+    qid = query.select(id_col).first()[0]
+    return (
+        per_vec.filter(F.col(id_col) != qid)
+        .select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector an LSH bucket: the sign-bit pattern of dot
+    products with ``planes`` pseudo-random hyperplanes (deterministic,
+    seeded). Returns (id, bucket)."""
+    import random
+
+    rnd = random.Random(seed)
+    bucket_bits = []
+    for p in range(planes):
+        plane = F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(dim)])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket_bits.append(bit.cast("string"))
+    return embeddings.select(
+        F.col(id_col), F.concat(*bucket_bits).alias("bucket")
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only score vectors in the query's hyperplane
+    bucket. At 100 TB the bucketed table is written partitioned by
+    bucket, so a query prunes to one partition."""
+    dim = len(query_vector)
+    bucketed = hyperplane_buckets(embeddings, dim, planes, seed, id_col, vec_col)
+    import random
+
+    rnd = random.Random(seed)
+    qbits = []
+    for p in range(planes):
+        plane = [rnd.gauss(0, 1) for _ in range(dim)]
+        dot = sum(a * b for a, b in zip(query_vector, plane))
+        qbits.append("1" if dot >= 0 else "0")
+    qbucket = "".join(qbits)
+    candidates = embeddings.join(
+        bucketed.filter(F.col("bucket") == qbucket).select(id_col), id_col, "left_semi"
+    )
+    return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)

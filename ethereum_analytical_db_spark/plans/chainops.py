@@ -1,0 +1,110 @@
+"""Chain-shaped scalar-function queries over the synthetic tables:
+hex words are synthesized from integer keys, decoded with the engine's
+F1/F2 expressions, and the oracle verifies against direct arithmetic —
+proving the decode itself, not just string plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import ethereum as eth
+from .registry import register, table
+
+TWO64 = 18446744073709551616.0  # 2**64 — exactly representable in a double
+
+
+@register(
+    "uint256_decode",
+    f"""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS DOUBLE) * {TWO64!r} AS decoded_high,
+           CAST(o_orderkey AS DOUBLE) / POW(10, 18) AS decoded_scaled,
+           CAST(o_orderkey AS DOUBLE) / POW(10, 6) AS decoded_dec6
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    note="F1 uint256-hex decode (reference utils.py:5-20): high-64-bit "
+    "half (value·2^64), decimals=18 scaling, decimals-from-column; oracle "
+    "checks pure arithmetic — multiplying by 2^64 and dividing by 1e18 are "
+    "exact IEEE ops on both engines",
+)
+def uint256_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    # word_high: key shifted into the high 64 bits of the 128-bit window
+    word_high = F.concat(
+        F.lit("0x"),
+        F.lpad(F.lower(F.hex(F.col("o_orderkey"))), 48, "0"),
+        F.lit("0" * 16),
+    )
+    # word_low: key in the low 64 bits
+    word_low = F.concat(
+        F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_orderkey"))), 64, "0")
+    )
+    return orders.select(
+        "o_orderkey",
+        eth.hex_word_to_float(word_high, 0).alias("decoded_high"),
+        eth.hex_word_to_float(word_low, 18).alias("decoded_scaled"),
+        eth.hex_word_to_float(word_low, 6).alias("decoded_dec6"),
+    )
+
+
+@register(
+    "topic_address_extract",
+    """
+    SELECT c_custkey,
+           concat('0x', substring(lpad(lower(hex(c_custkey)), 64, '0'), 25, 40)) AS holder_address
+    FROM customer WHERE c_custkey <= 100
+    """,
+    note="F2 topic→address (reference operations/token_holders.py:27-28): "
+    "concat('0x', substring(topic, 27, 40)); oracle offsets by 2 since the "
+    "synthetic topic carries no '0x' prefix",
+)
+def topic_address_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    topic = F.concat(
+        F.lit("0x"), F.lpad(F.lower(F.hex(F.col("c_custkey"))), 64, "0")
+    )
+    topics = F.array(F.lit(eth.TRANSFER_EVENT_TOPIC), topic)
+    return cust.select(
+        "c_custkey",
+        eth.topic_to_address(topics, 2).alias("holder_address"),
+    )
+
+
+@register(
+    "hex_value_ingest",
+    """
+    SELECT event_id,
+           CAST(event_id * 3 AS DOUBLE) / 1e18 AS ether_value
+    FROM events WHERE event_id % 101 = 0
+    """,
+    note="F6 ingest-side hex→float64 ether (reference "
+    "operations/internal_transactions.py:296-303: int(value_hex, 0)/1e18)",
+)
+def hex_value_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    value_hex = F.concat(F.lit("0x"), F.lower(F.hex(F.col("event_id") * 3)))
+    decoded = F.conv(F.substring(value_hex, 3, 100), 16, 10).cast("double") / F.lit(1e18)
+    return ev.select("event_id", decoded.alias("ether_value"))
+
+
+@register(
+    "supply_clamp",
+    """
+    SELECT p_partkey,
+           LEAST(ROUND(CAST(p_retailprice * 1e15 AS DOUBLE) / POW(10, 2)),
+                 4611686018427387904.0) AS supply
+    FROM part WHERE p_partkey <= 500
+    """,
+    note="F10 total-supply scaling+round+clamp to 2^62 — preserving the "
+    "reference's `1 << 63 - 1` precedence quirk "
+    "(operations/contract_methods.py:12,93-114)",
+)
+def supply_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    supply = F.col("p_retailprice") * F.lit(1e15)
+    return part.select(
+        "p_partkey",
+        eth.supply_rounded(supply, F.lit(2)).alias("supply"),
+    )

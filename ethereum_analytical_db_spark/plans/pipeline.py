@@ -1,0 +1,221 @@
+"""Training-data pipeline queries over documents/embeddings (SURVEY
+north-star additions): dedup, text analysis, similarity search.
+
+Oracle notes: everything SQL-expressible gets a DuckDB oracle built on
+the same deterministic primitives (md5, single-space split, DECIMAL
+sums). MinHash-LSH and SimHash use xxhash64 (Spark-internal) — no
+portable SQL equivalent, so they are rows-only checks; their recall is
+unit-tested against the exact Jaccard operator instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from .registry import register, table
+
+STOPWORDS = ["the", "a", "value", "row", "data"]
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    note="exact dedup via content-digest hash-groupBy; one uniform shuffle",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH shingled AS (
+      SELECT doc_id AS doc, list_distinct(ngrams) AS ngrams
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(words) - 1, 1)),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS ngrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      )
+    ),
+    exploded AS (
+      SELECT doc, len(ngrams) AS set_size, unnest(ngrams) AS ngram FROM shingled
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(count(*) AS DOUBLE) /
+           (any_value(a.set_size) + any_value(b.set_size) - count(*)) AS jaccard
+    FROM exploded a JOIN exploded b ON a.ngram = b.ngram AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING CAST(count(*) AS DOUBLE) /
+           (any_value(a.set_size) + any_value(b.set_size) - count(*)) >= 0.2
+    """,
+    note="exact n-gram Jaccard near-dup pairs via shingle inverted index "
+    "(cost ~ Σ df(shingle)², not n² over docs)",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+@register(
+    "minhash_lsh_candidates",
+    None,  # xxhash64-based — no portable oracle; recall unit-tested vs exact Jaccard
+    note="MinHash(32 hashes)+LSH(8 bands) candidate pairs; shuffle O(docs×bands)",
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs, n=3, num_hashes=32, bands=8)
+
+
+@register(
+    "simhash_near_duplicates",
+    None,  # xxhash64-based — no portable oracle
+    note="SimHash 64-bit signatures + block-permutation Hamming join",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=8, blocks=4)
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS n_stopwords,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_word_len,
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha
+    FROM documents
+    """,
+    note="text quality signals: token count, stopword ratio, mean word "
+    "length, punctuation count — all JVM-side Column exprs",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_words"),
+        text.stopword_count("text", STOPWORDS).alias("n_stopwords"),
+        text.stopword_ratio("text", STOPWORDS).alias("stopword_ratio"),
+        text.mean_word_length("text").alias("mean_word_len"),
+        text.non_alpha_chars("text").alias("non_alpha"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    ms = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({ms})))"
+
+
+# build the nested-CASE argmax mirroring operators.text.predicted_lang
+# (strictly-greater comparisons → earlier language wins ties)
+_scores = {lang: _lang_score_sql(ms) for lang, ms in text.LANG_MARKERS.items()}
+_langs = list(text.LANG_MARKERS.keys())
+_expr = f"'{_langs[0]}'"
+_best = _scores[_langs[0]]
+for _lang in _langs[1:]:
+    _expr = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN '{_lang}' ELSE ({_expr}) END"
+    _best = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN {_scores[_lang]} ELSE ({_best}) END"
+
+LANG_ID_ORACLE = f"""
+    SELECT doc_id, lang, ({_expr}) AS predicted_lang
+    FROM documents
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    LANG_ID_ORACLE,
+    note="language-ID marker-word heuristic (argmax with deterministic "
+    "tie-break), compared against the labeled lang column",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text.predicted_lang("text").alias("predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(text)) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+    FROM documents
+    """,
+    note="document fingerprinting: exact-content md5 + order-insensitive "
+    "bag-of-words md5",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.content_fingerprint("text").alias("content_fp"),
+        text.bag_of_words_fingerprint("text").alias("bow_fp"),
+    )
+
+
+ANN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+q AS (
+  SELECT unnest(embedding) AS qval, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id = 0
+),
+per_vec AS (
+  SELECT e.vec_id,
+         CAST(SUM(CAST(CAST(e.val AS DOUBLE) AS DECIMAL(12,6))
+                * CAST(CAST(q.qval AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(CAST(e.val AS DOUBLE) AS DECIMAL(12,6))
+                * CAST(CAST(e.val AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS norm2,
+         CAST(SUM(CAST(CAST(q.qval AS DOUBLE) AS DECIMAL(12,6))
+                * CAST(CAST(q.qval AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS qnorm2
+  FROM e JOIN q USING (pos)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, dot / (sqrt(norm2) * sqrt(qnorm2)) AS cosine
+FROM per_vec WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    ANN_ORACLE,
+    note="exact cosine top-k vs query vector (vec_id=0), DECIMAL dot "
+    "products for order-independent cross-engine parity; the fast "
+    "double-precision zip_with path is benched separately",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk_exact_decimal(emb, query, k=10)
+
+
+@register(
+    "ann_cosine_lsh",
+    None,  # approximate path — recall unit-tested against brute force
+    note="LSH-bucketed ANN (8 random hyperplanes): prunes to the query's "
+    "bucket before scoring; bucketed layout partition-prunes at scale",
+)
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.cosine_topk_lsh(emb, qvec, k=10, planes=6)
+    return out.filter(F.col("vec_id") != 0)

@@ -1,0 +1,69 @@
+"""Driver-facing query registry.
+
+Each QueryDef pairs a Spark DataFrame builder (spark, sf_dir) → DataFrame
+with the equivalent ANSI SQL a DuckDB oracle runs on the same parquet
+tables. Column names/aliases must match exactly — the driver sorts
+columns by name before hashing values.
+
+Determinism rules used throughout (so value-hashes match DuckDB):
+- double SUM/AVG go through DECIMAL(38,6) (exact, order-independent),
+  cast to DOUBLE only at the end;
+- top-k orderings always carry a unique tie-break key;
+- timestamps stay timestamps (date_trunc), session TZ is UTC.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryDef:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    note: str = ""      # SURVEY §2 operator ids exercised
+
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
+        # map to its microsecond TimestampType; read nanos as long and
+        # convert (truncation matches pandas/duckdb ns→us behavior).
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, note: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryDef]:
+    # import registering modules lazily to avoid cycles
+    from . import analytics, chainops, pipeline, relational  # noqa: F401
+
+    return dict(_REGISTRY)
