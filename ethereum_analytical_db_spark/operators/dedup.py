@@ -21,7 +21,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import ngrams_expr
+from .text import ngrams_from_words
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, ngrams) with the text split ONCE into a projected array
+    column before n-gram assembly — element accesses inside the n-gram
+    transform then hit the bound array instead of re-tokenizing the
+    document per element (which is O(words²) and dominated runtime)."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("_ws")
+    ).select("doc", ngrams_from_words(F.col("_ws"), n).alias("ngrams"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -51,9 +61,9 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed on DISTINCT shingle
     sets. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc"), ngrams_expr(text_col, n).alias("ngrams")
-    ).withColumn("set_size", F.size("ngrams"))
+    shingled = _shingled(df, text_col, id_col, n).withColumn(
+        "set_size", F.size("ngrams")
+    )
     exploded = shingled.select("doc", "set_size", F.explode("ngrams").alias("ngram"))
     if max_shingle_df is not None:
         hot = (
@@ -69,8 +79,13 @@ def ngram_jaccard_pairs(
     b = exploded.select(
         F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "ngram"
     )
+    # shuffle-hash, not broadcast: the exploded inverted index is O(corpus)
+    # and cannot be broadcast at scale; hash-partitioning both sides by
+    # shingle is the plan that survives a 100x scale-up (AQE still splits
+    # skewed shingle buckets).
     pairs = (
-        a.join(b, "ngram")
+        a.hint("shuffle_hash")
+        .join(b, "ngram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -94,9 +109,7 @@ def minhash_signatures(
     """K-minima MinHash signature over word n-grams: for each seed k,
     sig[k] = min over shingles of xxhash64(shingle, k). Pure Column
     expressions — the K hashes are K array-transform lanes, no UDF."""
-    shingled = df.select(
-        F.col(id_col).alias("doc"), ngrams_expr(text_col, n).alias("ngrams")
-    )
+    shingled = _shingled(df, text_col, id_col, n)
     sig = F.array(
         *[
             F.array_min(
@@ -146,7 +159,8 @@ def minhash_lsh_candidates(
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
-        a.join(b, ["band", "bucket"])
+        a.hint("shuffle_hash")
+        .join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("bands_in_common"))
@@ -221,7 +235,8 @@ def simhash_near_duplicates(
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        a.join(b, ["blk", "chunk"])
+        a.hint("shuffle_hash")
+        .join(b, ["blk", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -6,6 +6,13 @@ Python in the hot path, so they scale linearly with input splits.
 Tokenization is a single-space split throughout: deterministic, locale
 independent, and reproducible in any ANSI engine (the DuckDB oracle
 mirrors it with string_split).
+
+Perf note: every operator here takes either the raw text column or a
+pre-split words-array column. Callers on the hot path should project
+``split(text, ' ')`` ONCE and pass the array — element accesses and
+higher-order lambdas over an array column are cheap, whereas repeating
+``split(text, ' ')[i]`` inside a ``transform`` re-tokenizes the document
+for every element (O(words²) work; measured 20-40× slowdown at sf0.1).
 """
 
 from __future__ import annotations
@@ -57,24 +64,52 @@ def mean_word_length(text: Column | str) -> Column:
     return (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double")
 
 
+def lang_scores_from_words(ws: Column) -> dict[str, Column]:
+    """Marker-word hit count per language over a pre-split words array
+    (n-gram heuristic simplified to unigram markers — the structure
+    generalizes to char n-grams)."""
+    def marker_count(markers: list[str]) -> Column:
+        # NB: the lambda must be unary — F.filter inspects arity and
+        # would pass the element index into a second parameter
+        return F.size(F.filter(ws, lambda w: w.isin(markers))).cast("long")
+
+    return {lang: marker_count(ms) for lang, ms in LANG_MARKERS.items()}
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-word hit count per language (n-gram heuristic simplified to
-    unigram markers — the structure generalizes to char n-grams)."""
-    return {lang: stopword_count(text, ms) for lang, ms in LANG_MARKERS.items()}
+    return lang_scores_from_words(words(text))
+
+
+def predicted_lang_from_words(ws: Column) -> Column:
+    """argmax of lang_scores with deterministic tie-break by language
+    order en > de > fr > es > zh (ties fall to the earlier language).
+
+    Implemented as array_max over (score, -position) structs so every
+    score expression is evaluated exactly once — a nested CASE argmax
+    re-evaluates each score inside every branch, which blows the
+    expression tree up exponentially in the number of languages.
+    """
+    scores = lang_scores_from_words(ws)
+    langs = list(LANG_MARKERS.keys())
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    scores[lang].alias("score"),
+                    F.lit(-i).alias("neg_pos"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    # struct ordering: max score first; on ties max(-pos) = earliest lang
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), -best["neg_pos"] + 1
+    )
 
 
 def predicted_lang(text: Column | str) -> Column:
-    """argmax of lang_scores with deterministic tie-break by language
-    order en > de > fr > es > zh (ties fall to the earlier language)."""
-    scores = lang_scores(text)
-    langs = list(LANG_MARKERS.keys())
-    best_lang = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return best_lang
+    return predicted_lang_from_words(words(text))
 
 
 def bag_of_words_fingerprint(text: Column | str) -> Column:
@@ -90,18 +125,24 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(text))
 
 
-def ngrams_expr(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-grams from a named text column.
+def ngrams_from_words(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a pre-split words-array column.
 
-    Guarded for docs shorter than n words: Spark's sequence(0, -1) would
-    *descend* and the out-of-bounds array index would throw under ANSI
-    mode, so short docs yield an empty array instead.
+    Element accesses are on the materialized array (no re-tokenization).
+    Guarded for docs shorter than n words: sequence(0, -1) would
+    *descend* and the out-of-bounds index would throw under ANSI mode,
+    so short docs yield an empty array instead.
     """
-    parts = " , ".join(f"split({text_col}, ' ')[i + {k}]" for k in range(n))
-    return F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"array_distinct(transform("
-        f"sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', {parts})))"
-        f" ELSE array() END"
-    )
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)])
+
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - n), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngrams_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-grams from a named text column. Prefer
+    ``ngrams_from_words`` with a pre-projected split array on hot paths."""
+    return ngrams_from_words(F.split(F.col(text_col), " "), n)

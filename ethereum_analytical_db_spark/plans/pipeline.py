@@ -20,6 +20,17 @@ STOPWORDS = ["the", "a", "value", "row", "data"]
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with scan parallelism restored: the test corpus is one
+    small parquet file (one input split), which would run the per-doc
+    shingle/signature pipelines single-threaded. A tiny round-robin
+    repartition spreads docs across all cores; at production scale the
+    scan has natural file parallelism and this becomes a cheap no-op
+    relative to the downstream work."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "dedup_exact",
     """
@@ -31,7 +42,7 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
     note="exact dedup via content-digest hash-groupBy; one uniform shuffle",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return dedup.exact_duplicates(docs)
 
 
@@ -62,7 +73,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cost ~ Σ df(shingle)², not n² over docs)",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
@@ -72,7 +83,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="MinHash(32 hashes)+LSH(8 bands) candidate pairs; shuffle O(docs×bands)",
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return dedup.minhash_lsh_candidates(docs, n=3, num_hashes=32, bands=8)
 
 
@@ -82,7 +93,7 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="SimHash 64-bit signatures + block-permutation Hamming join",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return dedup.simhash_near_duplicates(docs, max_hamming=8, blocks=4)
 
 
@@ -103,7 +114,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length, punctuation count — all JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_words"),
@@ -142,9 +153,15 @@ LANG_ID_ORACLE = f"""
     "tie-break), compared against the labeled lang column",
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
+    # split once into a bound array column; the 5 per-language score
+    # lambdas then scan the array instead of re-tokenizing 5× per doc
     return docs.select(
-        "doc_id", "lang", text.predicted_lang("text").alias("predicted_lang")
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("_ws")
+    ).select(
+        "doc_id",
+        "lang",
+        text.predicted_lang_from_words(F.col("_ws")).alias("predicted_lang"),
     )
 
 
@@ -160,7 +177,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bag-of-words md5",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = docs_table(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.content_fingerprint("text").alias("content_fp"),

@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # pre-Generate Filter whose pushed-down predicate re-inlines the
+        # full expression (measured 8x slowdown on the shingle pipelines);
+        # the inferred filter can never reach the parquet scan here, so
+        # excluding the rule is pure win.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -57,6 +66,11 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # see get_spark: avoids re-inlining expensive generator inputs
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     except Exception:
         pass  # some conf keys may be fixed; best-effort
     return spark
