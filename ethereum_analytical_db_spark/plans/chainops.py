@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import ethereum as eth
+from ..operators import traces
 from .registry import register, table
 
 TWO64 = 18446744073709551616.0  # 2**64 — exactly representable in a double
@@ -108,3 +109,82 @@ def supply_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         eth.supply_rounded(supply, F.lit(2)).alias("supply"),
     )
+
+
+def _synthetic_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events reshaped into a trace-tree fact: user_id plays the
+    transaction hash, traceAddress depth cycles 0/1/2 off event_id, and
+    'error'-typed events fail. Deterministic, so the DuckDB oracle can
+    rebuild the identical tree in SQL."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    e = F.col("event_id")
+    ta = (
+        F.when(e % 3 == 0, F.array().cast("array<bigint>"))
+        .when(e % 3 == 1, F.array(e % 5))
+        .otherwise(F.array(e % 5, e % 7))
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("tx"),
+        ta.alias("traceAddress"),
+        F.when(F.col("event_type") == "error", F.lit("Reverted")).alias("error"),
+    )
+
+
+_TRACE_CTE = """
+    WITH tr AS (
+      SELECT event_id, user_id AS tx,
+             CASE WHEN event_id % 3 = 0 THEN []::BIGINT[]
+                  WHEN event_id % 3 = 1 THEN [event_id % 5]
+                  ELSE [event_id % 5, event_id % 7] END AS ta,
+             CASE WHEN event_type = 'error' THEN 'Reverted' END AS error
+      FROM events WHERE event_id < 20000
+    )
+"""
+
+
+@register(
+    "trace_id_assignment",
+    _TRACE_CTE
+    + """
+    SELECT event_id,
+           tx || '.' || CAST(row_number() OVER (PARTITION BY tx ORDER BY ta, event_id) - 1 AS VARCHAR) AS id
+    FROM tr
+    """,
+    note="X5 positional trace-id assignment (reference "
+    "operations/internal_transactions.py:235-251) as row_number over "
+    "(tx, canonical trace order); event_id tie-break keeps it total",
+)
+def trace_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _synthetic_traces(spark, sf_dir)
+    out = traces.assign_trace_ids(
+        tr, tx_col="tx", order_col=F.struct("traceAddress", "event_id")
+    )
+    return out.select("event_id", "id")
+
+
+@register(
+    "trace_parent_errors",
+    _TRACE_CTE
+    + """
+    SELECT a.event_id,
+           EXISTS (
+             SELECT 1 FROM tr f
+             WHERE f.tx = a.tx AND f.error IS NOT NULL
+               AND len(f.ta) < len(a.ta)
+               AND a.ta[1:len(f.ta)] = f.ta
+           ) AS parent_error
+    FROM tr a
+    """,
+    note="X4 parent-error propagation (reference trie walk "
+    "operations/internal_transactions.py:253-274) as a strict-prefix "
+    "semi-join within the transaction",
+)
+def trace_parent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _synthetic_traces(spark, sf_dir).withColumn(
+        "id", F.col("event_id").cast("string")
+    )
+    out = traces.propagate_parent_errors(
+        tr, tx_col="tx", trace_addr_col="traceAddress"
+    )
+    return out.select("event_id", "parent_error")

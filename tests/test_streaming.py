@@ -1,0 +1,136 @@
+"""Structured Streaming surfaces (SURVEY §2.9 T5/T8 Spark-native):
+file-source micro-batches → Warehouse upsert via foreachBatch, per-batch
+derived refresh, watermarked windowed aggregation, checkpointed resume."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.catalog import Warehouse
+from ethereum_analytical_db_spark.functions import ethereum as eth
+from ethereum_analytical_db_spark.plans import derived
+from ethereum_analytical_db_spark.streaming import stream as st
+
+EVENT_COLS = (
+    "id string, type string, logIndex int, transactionLogIndex int, data string, "
+    "transactionIndex int, address string, transactionHash string, blockHash string, "
+    "blockNumber int, topics array<string>"
+)
+
+
+def _word(v: int) -> str:
+    return format(v, "064x")
+
+
+def _transfer(i: int, token: str, frm: int, to: int, amount: int) -> Row:
+    return Row(
+        id=f"0x{i}.0",
+        type="mined",
+        logIndex=0,
+        transactionLogIndex=0,
+        data="0x" + _word(amount),
+        transactionIndex=0,
+        address=token,
+        transactionHash=f"0x{i}",
+        blockHash="0xb",
+        blockNumber=i,
+        topics=[eth.TRANSFER_EVENT_TOPIC, "0x" + _word(frm), "0x" + _word(to)],
+    )
+
+
+def test_file_stream_ingest_with_derived_refresh(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create("event")
+    wh.create("contract_description")
+    wh.write(
+        "contract_description",
+        spark.createDataFrame([Row(id="0x01", decimals=18)]),
+    )
+
+    batch1 = spark.createDataFrame(
+        [_transfer(1, "0x01", 0xA, 0xB, 5 * 10**18)], EVENT_COLS
+    )
+    batch1.write.mode("append").parquet(str(src))
+
+    refreshes = []
+
+    def refresh(w: Warehouse, batch_id: int) -> None:
+        tt = derived.token_transactions(
+            w.read("event"), w.read("contract_description")
+        )
+        tt.createOrReplaceTempView("token_transaction")
+        refreshes.append(batch_id)
+
+    schema = spark.createDataFrame([], EVENT_COLS).schema
+    q = st.ingest_to_warehouse(
+        st.stream_from_files(spark, str(src), schema),
+        wh,
+        "event",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        derived_refresh=refresh,
+    )
+    st.run_available_now(q)
+
+    assert wh.read("event").count() == 1
+    assert len(refreshes) >= 1
+    tt = spark.table("token_transaction").collect()
+    assert len(tt) == 1 and tt[0]["value"] == 5.0
+
+    # second pass: only the NEW file is processed (checkpoint = block_flag
+    # analogue); replayed event ids dedup through the warehouse upsert
+    batch2 = spark.createDataFrame(
+        [
+            _transfer(1, "0x01", 0xA, 0xB, 5 * 10**18),  # duplicate id
+            _transfer(2, "0x01", 0xB, 0xA, 2 * 10**18),
+        ],
+        EVENT_COLS,
+    )
+    batch2.write.mode("append").parquet(str(src))
+    q2 = st.ingest_to_warehouse(
+        st.stream_from_files(spark, str(src), schema),
+        wh,
+        "event",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        derived_refresh=refresh,
+    )
+    st.run_available_now(q2)
+    assert wh.read("event").count() == 2  # FINAL dedup collapsed the replay
+    tt2 = {r["id"]: r["value"] for r in spark.table("token_transaction").collect()}
+    assert tt2 == {"0x1.0": 5.0, "0x2.0": 2.0}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(ts=t0 + dt.timedelta(seconds=s), user_id=u)
+        for s, u in [(5, 1), (10, 2), (65, 1), (70, 1), (200, 3)]
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id long").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    schema = spark.createDataFrame([], "ts timestamp, user_id long").schema
+    stream = st.stream_from_files(spark, str(src), schema)
+    counts = st.windowed_counts(stream, ts_col="ts", window="1 minute")
+
+    out_dir = tmp_path / "out"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    st.run_available_now(q)
+    got = {
+        r["window_start"].strftime("%H:%M:%S"): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == {"00:00:00": 2, "00:01:00": 2, "00:03:00": 1}
