@@ -111,6 +111,49 @@ def supply_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "abi_decode_transfer",
+    """
+    SELECT c_custkey,
+           'transfer' AS fn_name,
+           concat('0x', substring(lpad(lower(hex(c_custkey)), 64, '0'), 25, 40)) AS to_addr,
+           CAST(c_custkey * 3 AS VARCHAR) AS amount
+    FROM customer WHERE c_custkey <= 200
+    """,
+    note="F9/X2 ABI calldata decode (reference operations/inputs.py:15-53) "
+    "as an Arrow-batched pandas UDF over a broadcast selector table; "
+    "calldata synthesized as transfer(address,uint256) words from the key",
+)
+def abi_decode_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..functions import abi as abi_mod
+
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    word = F.lpad(F.lower(F.hex(F.col("c_custkey"))), 64, "0")
+    word3 = F.lpad(F.lower(F.hex(F.col("c_custkey") * 3)), 64, "0")
+    calldata = F.concat(F.lit("0xa9059cbb"), word, word3)
+    df = cust.select("c_custkey", calldata.alias("input"))
+    sels = abi_mod.selector_table(
+        _json.dumps(
+            [
+                {
+                    "type": "function",
+                    "name": "transfer",
+                    "inputs": [{"type": "address"}, {"type": "uint256"}],
+                }
+            ]
+        )
+    )
+    out = abi_mod.decode_with_selector_table(df, sels)
+    return out.select(
+        "c_custkey",
+        F.col("decoded.name").alias("fn_name"),
+        F.element_at("decoded.params_value", 1).alias("to_addr"),
+        F.element_at("decoded.params_value", 2).alias("amount"),
+    )
+
+
 def _synthetic_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events reshaped into a trace-tree fact: user_id plays the
     transaction hash, traceAddress depth cycles 0/1/2 off event_id, and

@@ -1,0 +1,61 @@
+"""File sources and sinks (SURVEY §2.1 S14-S16).
+
+- S14 genesis allocations: the reference loads a JSON list of
+  {hash, to, from, blockHash, blockNumber, value} rows and inserts them
+  as block-0 internal transactions
+  (operations/internal_transactions.py:342-361).
+- S15 static token metadata (tokens.json, 627 records) used as a
+  broadcast dim (operations/contract_methods.py:60-70).
+- S16 CSV export: ``INTO OUTFILE ... FORMAT CSVWithNames``
+  (examples/sql_balances/balances.sql:62-63) → single-file CSV with
+  header.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_genesis(spark: SparkSession, path: str) -> DataFrame:
+    """S14: genesis.json → block-0 internal-transaction rows. Values are
+    already decimal wei strings in the file; stored as float64 ether to
+    match the engine's value semantics (F6)."""
+    df = spark.read.option("multiLine", "true").json(path)
+    return df.select(
+        F.col("hash").alias("id"),
+        F.lit(0).cast("long").alias("blockNumber"),
+        F.col("from").alias("from"),
+        F.col("to").alias("to"),
+        (F.col("value").cast("double") / F.lit(1e18)).alias("value"),
+        F.col("blockHash").alias("blockHash"),
+        F.col("hash").alias("transactionHash"),
+        F.lit("call").alias("type"),
+    )
+
+
+def load_token_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """S15: tokens.json static dim (address, symbol, cmc_id, ...) —
+    small enough to broadcast into any join."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True) -> str:
+    """S16: single CSV file with header. ``coalesce(1)`` is deliberate —
+    the reference's OUTFILE is a single file; for TB-scale exports use
+    ``df.write.csv`` un-coalesced instead.
+
+    Returns the final file path.
+    """
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option(
+        "header", str(header).lower()
+    ).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.replace(part, path)
+    shutil.rmtree(tmp)
+    return path

@@ -1,0 +1,279 @@
+"""JSON-RPC chain sources (SURVEY §2.1 S6-S10, §2.10 X1).
+
+The reference pulls traces/transactions/blocks/logs from a Parity node
+with batched HTTP POSTs fanned out over a 3-process pool
+(operations/internal_transactions.py:68-95,134-167,210-233), picks the
+node URL per block range (operations/internal_transactions.py:23-41),
+and reads block timestamps via web3 (operations/blocks.py:52-94).
+
+Spark-first design: the *fetch* is expressed as ``mapInPandas`` over a
+DataFrame of block numbers — each partition opens its own transport and
+pulls its blocks, so a 1000-executor cluster fans out natively (the
+reference's Pool(3) becomes task parallelism). Transports are pluggable:
+``HttpJsonRpcTransport`` (urllib, for a real node) or
+``FileJsonRpcTransport`` (fixture directory, used by tests and the
+driver environment, which has no chain node). Decoding (hex→float ether,
+positional ids, parent errors) happens post-fetch with the engine's
+Column expressions — never per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.traces import assign_trace_ids, propagate_parent_errors
+
+# trace rows come back flattened to these fields (reference
+# operations/internal_transactions.py:276-303 _preprocess)
+TRACE_FIELDS = [
+    "blockNumber", "transactionHash", "traceAddress", "type", "callType",
+    "from", "to", "value_hex", "gas_hex", "gasUsed_hex", "input", "output",
+    "error", "author", "rewardType",
+]
+TRACE_DDL = (
+    "blockNumber long, transactionHash string, traceAddress array<long>, "
+    "type string, callType string, `from` string, `to` string, value_hex string, "
+    "gas_hex string, gasUsed_hex string, input string, output string, "
+    "error string, author string, rewardType string"
+)
+
+
+def pick_host(hosts_by_range: list[tuple[int, int | None, str]], block: int) -> str:
+    """S8: per-block-range host routing (reference
+    operations/internal_transactions.py:23-41). ``None`` end = open."""
+    for lo, hi, url in hosts_by_range:
+        if block >= lo and (hi is None or block < hi):
+            return url
+    raise ValueError(f"no host configured for block {block}")
+
+
+class HttpJsonRpcTransport:
+    """Batched JSON-RPC over HTTP (stdlib urllib; no extra deps)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+
+    def post(self, batch: list[dict]) -> list[dict]:  # pragma: no cover - needs node
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(batch).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read())
+
+
+class FileJsonRpcTransport:
+    """Fixture-backed fake: responses live as ``{method}_{param0}.json``
+    files in a directory. Picklable, so executors can use it inside
+    mapInPandas — the test stand-in for a node cluster."""
+
+    def __init__(self, fixture_dir: str):
+        self.fixture_dir = fixture_dir
+
+    def post(self, batch: list[dict]) -> list[dict]:
+        out = []
+        for req in batch:
+            p0 = str(req["params"][0]) if req.get("params") else ""
+            path = os.path.join(
+                self.fixture_dir, f"{req['method']}_{p0}.json"
+            )
+            if os.path.exists(path):
+                with open(path) as f:
+                    result = json.load(f)
+            else:
+                result = None
+            out.append({"id": req.get("id"), "result": result})
+        return out
+
+
+def _flatten_trace(block_number: int, tx_hash: str | None, raw: dict) -> dict:
+    a = raw.get("action", {})
+    r = raw.get("result") or {}
+    return {
+        "blockNumber": block_number,
+        "transactionHash": tx_hash,
+        "traceAddress": [int(x) for x in raw.get("traceAddress", [])],
+        "type": raw.get("type"),
+        "callType": a.get("callType"),
+        "from": a.get("from"),
+        "to": a.get("to") or a.get("address"),
+        "value_hex": a.get("value"),
+        "gas_hex": a.get("gas"),
+        "gasUsed_hex": r.get("gasUsed"),
+        "input": a.get("input"),
+        "output": r.get("output"),
+        "error": raw.get("error"),
+        "author": a.get("author"),
+        "rewardType": a.get("rewardType"),
+    }
+
+
+def fetch_traces(
+    spark: SparkSession,
+    block_numbers: DataFrame,
+    make_transport,
+    batch_size: int = 10,
+) -> DataFrame:
+    """S6: trace_block per block, batched, partition-parallel.
+
+    ``block_numbers``: DataFrame with a ``number`` column.
+    ``make_transport``: picklable zero-arg factory (or factory taking a
+    block number via pick_host composition) returning a transport.
+    """
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = make_transport()
+        for pdf in batches:
+            nums = [int(n) for n in pdf["number"]]
+            rows: list[dict] = []
+            for off in range(0, len(nums), batch_size):
+                chunk = nums[off : off + batch_size]
+                reqs = [
+                    {
+                        "jsonrpc": "2.0",
+                        "id": i,
+                        "method": "trace_block",
+                        "params": [hex(n)],
+                    }
+                    for i, n in enumerate(chunk)
+                ]
+                for n, resp in zip(chunk, transport.post(reqs)):
+                    for raw in resp.get("result") or []:
+                        rows.append(
+                            _flatten_trace(n, raw.get("transactionHash"), raw)
+                        )
+            yield pd.DataFrame(rows, columns=TRACE_FIELDS) if rows else pd.DataFrame(
+                {f: pd.Series(dtype="object") for f in TRACE_FIELDS}
+            )
+
+    return block_numbers.mapInPandas(fetch, schema=TRACE_DDL)
+
+
+def decode_traces(raw: DataFrame) -> DataFrame:
+    """Reference _preprocess_internal_transaction + id/parent-error steps
+    (operations/internal_transactions.py:235-303): hex value/gasPrice →
+    float64 ether, gasUsed → int, positional ids, parent errors. All
+    Column expressions + the trace-tree operators."""
+    hexv = lambda c: F.conv(F.regexp_replace(c, "^0x", ""), 16, 10)  # noqa: E731
+    df = raw.withColumn(
+        "value", hexv(F.col("value_hex")).cast("double") / F.lit(1e18)
+    ).withColumn("gasUsed", hexv(F.col("gasUsed_hex")).cast("int"))
+    df = assign_trace_ids(
+        df, tx_col="transactionHash", order_col=F.struct("traceAddress")
+    )
+    df = propagate_parent_errors(df)
+    return df.drop("value_hex", "gasUsed_hex")
+
+
+def fetch_block_timestamps(
+    spark: SparkSession,
+    block_numbers: DataFrame,
+    make_transport,
+    genesis_ts: str = "2015-07-30 15:26:13",
+) -> DataFrame:
+    """S9: block → timestamp dim. Block 0 has no timestamp on-node; the
+    reference substitutes ETHEREUM_START_DATE (config.py:61)."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = make_transport()
+        for pdf in batches:
+            nums = [int(n) for n in pdf["number"]]
+            reqs = [
+                {
+                    "jsonrpc": "2.0",
+                    "id": i,
+                    "method": "eth_getBlockByNumber",
+                    "params": [hex(n), False],
+                }
+                for i, n in enumerate(nums)
+            ]
+            rows = []
+            for n, resp in zip(nums, transport.post(reqs)):
+                res = resp.get("result") or {}
+                ts = res.get("timestamp")
+                rows.append(
+                    {"number": n, "ts_unix": int(ts, 16) if ts else None}
+                )
+            yield pd.DataFrame(rows, columns=["number", "ts_unix"])
+
+    fetched = block_numbers.mapInPandas(fetch, schema="number long, ts_unix long")
+    return fetched.select(
+        F.col("number").cast("long").alias("number"),
+        F.when(F.col("number") == 0, F.lit(genesis_ts).cast("timestamp"))
+        .otherwise(F.timestamp_seconds(F.col("ts_unix")))
+        .alias("timestamp"),
+    ).withColumn("id", F.col("number").cast("string"))
+
+
+def fetch_events(
+    spark: SparkSession,
+    ranges: list[tuple[int, int]],
+    make_transport,
+) -> DataFrame:
+    """S10: eth_getLogs per [from, to) block range (reference
+    operations/events.py:37-52 uses web3 filters over
+    EVENTS_RANGE_SIZE-block windows). Ranges fan out one-per-task."""
+    rng = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        max(1, min(len(ranges), spark.sparkContext.defaultParallelism))
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = make_transport()
+        cols = [
+            "address", "topics", "data", "blockNumber", "transactionHash",
+            "transactionLogIndex", "logIndex", "blockHash", "type",
+        ]
+        for pdf in batches:
+            rows = []
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                reqs = [
+                    {
+                        "jsonrpc": "2.0",
+                        "id": 0,
+                        "method": "eth_getLogs",
+                        "params": [f"{lo}-{hi}"],
+                    }
+                ]
+                for resp in transport.post(reqs):
+                    for log in resp.get("result") or []:
+                        rows.append(
+                            {
+                                "address": (log.get("address") or "").lower(),
+                                "topics": log.get("topics", []),
+                                "data": log.get("data"),
+                                "blockNumber": int(str(log["blockNumber"]), 0),
+                                "transactionHash": log.get("transactionHash"),
+                                "transactionLogIndex": int(
+                                    str(log.get("transactionLogIndex", "0x0")), 0
+                                ),
+                                "logIndex": int(str(log.get("logIndex", "0x0")), 0),
+                                "blockHash": log.get("blockHash"),
+                                "type": log.get("type", "mined"),
+                            }
+                        )
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    schema = (
+        "address string, topics array<string>, data string, blockNumber long, "
+        "transactionHash string, transactionLogIndex int, logIndex int, "
+        "blockHash string, type string"
+    )
+    out = rng.mapInPandas(fetch, schema=schema)
+    # event id = '{txHash}.{transactionLogIndex}' (reference operations/events.py:83)
+    return out.withColumn(
+        "id",
+        F.concat_ws(".", F.col("transactionHash"), F.col("transactionLogIndex")),
+    )

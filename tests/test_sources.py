@@ -1,0 +1,194 @@
+"""Source adapters S6-S16: fixture-backed JSON-RPC (partition-parallel
+mapInPandas fetch), HTTP enrichments with injected fetchers, genesis/
+token file loads, CSV export."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.sources import enrich, files, rpc
+
+
+@pytest.fixture()
+def rpc_fixtures(tmp_path):
+    d = tmp_path / "rpc"
+    d.mkdir()
+    # trace_block for blocks 1 and 2 (hex param naming)
+    traces_b1 = [
+        {
+            "transactionHash": "0xT1",
+            "traceAddress": [],
+            "type": "call",
+            "action": {
+                "callType": "call",
+                "from": "0xAA",
+                "to": "0xBB",
+                "value": hex(2 * 10**18),
+                "gas": "0x5208",
+            },
+            "result": {"gasUsed": "0x5208", "output": "0x"},
+        },
+        {
+            "transactionHash": "0xT1",
+            "traceAddress": [0],
+            "type": "call",
+            "action": {
+                "callType": "call",
+                "from": "0xBB",
+                "to": "0xCC",
+                "value": "0x0",
+                "gas": "0x0",
+            },
+            "error": "Reverted",
+        },
+        {
+            "transactionHash": "0xT1",
+            "traceAddress": [0, 0],
+            "type": "call",
+            "action": {"callType": "call", "from": "0xCC", "to": "0xDD", "value": "0x0"},
+        },
+    ]
+    (d / "trace_block_0x1.json").write_text(json.dumps(traces_b1))
+    (d / "trace_block_0x2.json").write_text(json.dumps([]))
+    (d / "eth_getBlockByNumber_0x0.json").write_text(json.dumps({"timestamp": None}))
+    (d / "eth_getBlockByNumber_0x1.json").write_text(
+        json.dumps({"timestamp": hex(1438269988)})
+    )
+    (d / "eth_getLogs_0-5.json").write_text(
+        json.dumps(
+            [
+                {
+                    "address": "0xToKeN",
+                    "topics": ["0xddf2"],
+                    "data": "0x01",
+                    "blockNumber": "0x3",
+                    "transactionHash": "0xT9",
+                    "transactionLogIndex": "0x2",
+                    "logIndex": "0x5",
+                    "blockHash": "0xB3",
+                    "type": "mined",
+                }
+            ]
+        )
+    )
+    return str(d)
+
+
+def test_fetch_and_decode_traces(spark, rpc_fixtures):
+    blocks = spark.createDataFrame([(1,), (2,)], "number long")
+    fixture_dir = rpc_fixtures
+    raw = rpc.fetch_traces(
+        spark, blocks, lambda: rpc.FileJsonRpcTransport(fixture_dir)
+    )
+    decoded = rpc.decode_traces(raw)
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert len(rows) == 3  # block 2 empty
+    assert rows["0xT1.0"]["value"] == 2.0  # wei → float ether
+    assert rows["0xT1.0"]["gasUsed"] == 21000
+    assert rows["0xT1.1"]["error"] == "Reverted"
+    assert rows["0xT1.1"]["parent_error"] is False
+    assert rows["0xT1.2"]["parent_error"] is True  # descendant of the revert
+
+
+def test_fetch_block_timestamps_genesis_default(spark, rpc_fixtures):
+    blocks = spark.createDataFrame([(0,), (1,)], "number long")
+    fixture_dir = rpc_fixtures
+    out = {
+        r["number"]: r["timestamp"]
+        for r in rpc.fetch_block_timestamps(
+            spark, blocks, lambda: rpc.FileJsonRpcTransport(fixture_dir)
+        ).collect()
+    }
+    assert out[0].year == 2015 and out[0].month == 7  # ETHEREUM_START_DATE
+    assert out[1].year == 2015 and out[1].month == 7 and out[1].day == 30
+
+
+def test_fetch_events_builds_ids(spark, rpc_fixtures):
+    fixture_dir = rpc_fixtures
+    out = rpc.fetch_events(
+        spark, [(0, 5)], lambda: rpc.FileJsonRpcTransport(fixture_dir)
+    ).collect()
+    assert len(out) == 1
+    ev = out[0]
+    assert ev["id"] == "0xT9.2"  # txHash.transactionLogIndex
+    assert ev["address"] == "0xtoken"  # lowercased (F8)
+    assert ev["blockNumber"] == 3
+
+
+def test_host_routing():
+    hosts = [(0, 100, "http://archive"), (100, None, "http://head")]
+    assert rpc.pick_host(hosts, 5) == "http://archive"
+    assert rpc.pick_host(hosts, 100) == "http://head"
+    with pytest.raises(ValueError):
+        rpc.pick_host([(10, 20, "x")], 5)
+
+
+def test_contract_constants_fallback(spark):
+    calls = []
+
+    def call(addr, method, rtype):
+        calls.append((addr, method, rtype))
+        if method == "name" and rtype == "string":
+            return None  # force bytes32 fallback
+        if method == "name" and rtype == "bytes32":
+            return "Token32"
+        if method == "decimals":
+            return None  # force placeholder default 18
+        if method == "symbol":
+            return "TKN"
+        if method == "totalSupply":
+            return 1000.0
+        return None
+
+    out = enrich.read_contract_constants(spark, ["0xA"], call).collect()[0]
+    assert out["name"] == "Token32"
+    assert out["decimals"] == 18  # DECIMALS_DEFAULT
+    assert out["symbol"] == "TKN"
+    assert ("0xA", "name", "string") in calls and ("0xA", "name", "bytes32") in calls
+
+
+def test_abi_fetch_records_attempt(spark):
+    out = {
+        r["id"]: r
+        for r in enrich.fetch_contract_abis(
+            spark, ["0xA", "0xB"], lambda a: '[{"name":"transfer"}]' if a == "0xA" else None
+        ).collect()
+    }
+    assert json.loads(out["0xA"]["abi"])[0]["name"] == "transfer"
+    assert out["0xB"]["abi"] is None
+    assert out["0xB"]["abi_extracted"] is True  # attempted → never retried
+
+
+def test_daily_prices_ids(spark):
+    hist = [{"time": 1438300800, "close": 1.5}, {"time": 1438387200, "close": 2.5}]
+    out = enrich.fetch_daily_prices(
+        spark, [("0xA", "ETH")], lambda sym: hist
+    ).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == ["0xA_2015-07-31", "0xA_2015-08-01"]
+
+
+def test_genesis_and_csv_roundtrip(spark, tmp_path):
+    gen = [
+        {
+            "hash": "GENESIS_0",
+            "to": "0xAA",
+            "from": None,
+            "blockHash": "0xG",
+            "blockNumber": 0,
+            "value": str(5 * 10**18),
+        }
+    ]
+    p = tmp_path / "genesis.json"
+    p.write_text(json.dumps(gen))
+    df = files.load_genesis(spark, str(p))
+    row = df.collect()[0]
+    assert row["value"] == 5.0 and row["blockNumber"] == 0
+
+    out_csv = str(tmp_path / "balances.csv")
+    files.export_csv(df.select("id", "to", "value"), out_csv)
+    with open(out_csv) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "id,to,value"
+    assert lines[1].startswith("GENESIS_0,0xAA,5.0")
