@@ -117,6 +117,83 @@ def hyperplane_buckets(
     )
 
 
+def embedding_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: every (a, b) with
+    cosine(a, b) >= threshold and a < b.
+
+    DECIMAL dot products (order-independent) so a SQL oracle reproduces
+    values bit-for-bit; the double cast happens once per aggregate. The
+    position join materializes n²·d rows — this is the exact *baseline*;
+    the LSH variant below is the scale path. Both sides hash-partition by
+    position (shuffle_hash), never broadcast.
+    """
+    pe = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select("vid", "pos", F.col("v").cast("double").cast(DEC).alias("v"))
+    norms = pe.groupBy("vid").agg(F.sum(F.col("v") * F.col("v")).cast("double").alias("n2"))
+    a = pe.select(F.col("vid").alias("id_a"), "pos", F.col("v").alias("va"))
+    b = pe.select(F.col("vid").alias("id_b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        a.hint("shuffle_hash")
+        .join(b, "pos")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("vid").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("vid").alias("id_b"), F.col("n2").alias("n2_b"))
+    cos = F.col("dot") / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path: hyperplane-bucket the corpus, generate candidate
+    pairs only within a bucket, verify with the exact double-fold
+    cosine. Shuffle is O(n) for bucketing + Σ bucket² for candidates —
+    high-cosine pairs land in the same bucket with probability
+    (1 - θ/π)^planes, so recall is tunable via ``planes`` (unit-tested
+    against the exact operator)."""
+    bucketed = hyperplane_buckets(embeddings, dim, planes, seed, id_col, vec_col)
+    withb = embeddings.join(bucketed, id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    dot = _dot(F.col("vec_a"), F.col("vec_b"))
+    cos = dot / (
+        F.sqrt(_dot(F.col("vec_a"), F.col("vec_a")))
+        * F.sqrt(_dot(F.col("vec_b"), F.col("vec_b")))
+    )
+    return (
+        a.hint("shuffle_hash")
+        .join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -225,6 +225,118 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_exact_decimal(emb, query, k=10)
 
 
+NEAR_DUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+n AS (SELECT vec_id, CAST(SUM(v*v) AS DOUBLE) AS n2 FROM e GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.v*b.v) AS DOUBLE) AS dot
+  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS cosine
+FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
+WHERE dot / sqrt(na.n2 * nb.n2) >= 0.38
+"""
+
+
+@register(
+    "embedding_near_dup",
+    NEAR_DUP_ORACLE,
+    note="embedding-cosine near-duplicate pairs, exact baseline: DECIMAL "
+    "position-join dot products (order-independent cross-engine parity); "
+    "the LSH-bucketed variant is the scale path",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    return similarity.embedding_near_dup_exact(emb, threshold=0.38)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    None,  # approximate path — recall unit-tested against the exact operator
+    note="embedding near-dup via hyperplane LSH buckets + exact verify; "
+    "shuffle O(n) + sum(bucket^2), the plan that survives 100x scale",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.38, planes=4)
+
+
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+    note="token counting: whitespace + BPE-ish regex lexer (letters / "
+    "digits / punctuation classes) — JVM regexp, no Python",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast(
+            "long"
+        ).alias("n_tokens"),
+        text.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "media_decode_features",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 640 AS INT) AS dec_width,
+           CAST(length(text) AS BIGINT) AS payload_bytes
+    FROM documents WHERE doc_id < 200
+    """,
+    note="multimodal plumbing: documents packed into the synthetic media "
+    "container (binary content + typed metadata), decoded via the "
+    "mapInPandas codec stub; oracle checks header metadata + payload "
+    "size round-trip through Arrow binary batches",
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    docs = docs_table(spark, sf_dir).filter(F.col("doc_id") < 200)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                mm.encode_fake_media(
+                    int(i), "image", width=int(i) % 640, height=480,
+                    payload=t.encode(),
+                )[:4]
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "fmt", "content"]
+            )
+
+    media = docs.mapInPandas(
+        pack, schema="media_id long, kind string, fmt string, content binary"
+    )
+    out = mm.decode_media(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "dec_width", "payload_bytes"
+    )
+
+
 @register(
     "ann_cosine_lsh",
     None,  # approximate path — recall unit-tested against brute force

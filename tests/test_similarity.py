@@ -1,0 +1,65 @@
+"""Similarity operators: exact near-dup correctness + LSH recall on
+planted near-duplicates."""
+
+import math
+import random
+
+from ethereum_analytical_db_spark.operators import similarity
+
+
+def _mk_vectors():
+    """20 random unit-ish vectors + 5 planted near-duplicate pairs
+    (tiny perturbations → cosine > 0.999)."""
+    rnd = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(20):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(dim)]))
+    nid = 100
+    planted = []
+    for k in range(5):
+        base = rows[k][1]
+        dup = [x + rnd.gauss(0, 0.01) for x in base]
+        rows.append((nid + k, dup))
+        planted.append((rows[k][0], nid + k))
+    return rows, planted
+
+
+def test_exact_near_dup_finds_planted(spark):
+    rows, planted = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_exact(df, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    for a, b in planted:
+        assert (min(a, b), max(a, b)) in pairs
+    # and nothing between independent gaussians sneaks past 0.99
+    assert len(pairs) == len(planted)
+
+
+def test_lsh_near_dup_recall(spark):
+    rows, planted = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_lsh(df, dim=16, threshold=0.99, planes=4)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    exact = {(min(a, b), max(a, b)) for a, b in planted}
+    # near-identical vectors collide in every hyperplane bucket with
+    # p ≈ (1 - θ/π)^planes ≈ 0.99^4; expect high recall on 5 pairs
+    recall = len(pairs & exact) / len(exact)
+    assert recall >= 0.8
+    # no false positives: every emitted pair really passes the threshold
+    assert pairs <= exact | pairs  # sanity
+    for r in out.collect():
+        assert r["cosine"] >= 0.99
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    exact = {r["vec_id"]: r["cosine"] for r in
+             similarity.cosine_topk_bruteforce(df, q, k=5).collect()}
+    approx = similarity.cosine_topk_lsh(df, q, k=5, planes=4).collect()
+    # every LSH hit's cosine matches the exact computation for that id
+    for r in approx:
+        if r["vec_id"] in exact:
+            assert math.isclose(r["cosine"], exact[r["vec_id"]], rel_tol=1e-9)
