@@ -65,6 +65,9 @@ def ngram_jaccard_pairs(
         "set_size", F.size("ngrams")
     )
     exploded = shingled.select("doc", "set_size", F.explode("ngrams").alias("ngram"))
+    # materialized once: both sides of the shingle self-join read the
+    # same computed inverted index instead of re-shingling the corpus
+    exploded = exploded.localCheckpoint()
     if max_shingle_df is not None:
         hot = (
             exploded.groupBy("ngram")
@@ -156,6 +159,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    # materialize before the self-join so the shingle+minhash pipeline
+    # runs once, not once per join branch
+    band_rows = band_rows.localCheckpoint()
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -206,8 +212,13 @@ def simhash_near_duplicates(
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the standard block-permutation trick: split 64 bits into ``blocks``
     chunks; any pair within distance d < blocks must share at least one
-    exact chunk → join per chunk, verify Hamming on the full signature."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    exact chunk → join per chunk, verify Hamming on the full signature.
+
+    Signatures are materialized (localCheckpoint) before the self-join:
+    otherwise both join branches recompute the explode + 64-lane
+    aggregation. At warehouse scale this step is "write the signature
+    table, then join it to itself"."""
+    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
     chunk_bits = 64 // blocks
     mask = (1 << chunk_bits) - 1
     chunked = sigs.select(

@@ -313,7 +313,13 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal as mm
 
-    docs = docs_table(spark, sf_dir).filter(F.col("doc_id") < 200)
+    # 200 rows: a handful of partitions, or Python-worker startup costs
+    # dominate (32 partitions x 2 chained mapInPandas stages = 64 spins)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .repartition(4)
+    )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
