@@ -1,0 +1,79 @@
+"""Dedup operators: exact Jaccard correctness on hand-computed sets,
+MinHash-LSH recall against the exact operator, SimHash behavior on
+near-identical documents."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.operators import dedup
+
+
+def _corpus(spark):
+    """40 random-word docs + 6 near-duplicate pairs (small edits)."""
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(60))))
+    planted = []
+    for k in range(6):
+        words = rows[k][1].split()
+        words[5] = "edited"
+        words[17] = "also"
+        rows.append((100 + k, " ".join(words)))
+        planted.append((k, 100 + k))
+    return spark.createDataFrame(rows, "doc_id long, text string"), planted
+
+
+def test_exact_duplicates_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r["canonical_id"]: r["dup_count"] for r in dedup.exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_hand_computed(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c x}
+    # intersection 1, union 3 → jaccard 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], "doc_id long, text string"
+    )
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_jaccard_short_docs_no_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "a b c")], "doc_id long, text string"
+    )
+    assert dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).count() == 0
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    df, planted = _corpus(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert len(exact) >= len(planted)  # all planted pairs are >0.5 jaccard
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(df, n=3, num_hashes=32, bands=8).collect()
+    }
+    # banding theory: P(candidate) = 1-(1-s^4)^8 ≈ 0.97 at s=0.7
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.8
+
+
+def test_simhash_near_identical_docs_close(spark):
+    df, planted = _corpus(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4).collect()
+    }
+    hits = sum(1 for p in planted if p in pairs)
+    assert hits >= len(planted) - 1  # near-identical docs collide in simhash
