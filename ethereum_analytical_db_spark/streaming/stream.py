@@ -105,3 +105,35 @@ def run_available_now(query: StreamingQuery, timeout_s: float = 120.0) -> None:
         raise TimeoutError("streaming query did not drain in time")
     if query.exception() is not None:  # pragma: no cover
         raise query.exception()
+
+
+def poll_until(
+    query: StreamingQuery,
+    predicate,
+    timeout_s: float = 90.0,
+    interval_s: float = 1.0,
+) -> bool:
+    """Poll ``predicate()`` while the query runs, then stop the query.
+
+    The drain barrier for STATEFUL queries: with processing-time
+    timeouts Spark schedules state-cleanup batches on every trigger
+    forever, so neither AvailableNow termination nor
+    processAllAvailable() ever quiesces — observing the sink until the
+    expected condition holds is the reliable pattern.
+    Returns whether the predicate became true before the deadline.
+    """
+    import time
+
+    deadline = time.time() + timeout_s
+    ok = False
+    try:
+        while time.time() < deadline:
+            if query.exception() is not None:  # pragma: no cover
+                raise query.exception()
+            if predicate():
+                ok = True
+                break
+            time.sleep(interval_s)
+    finally:
+        query.stop()
+    return ok
