@@ -1,0 +1,437 @@
+"""ClickHouse-dialect SQL → Spark SQL translation layer.
+
+The reference serves its entire analytics read path as hand-written
+ClickHouse SQL text (reference examples/sql_balances/balances.sql:1-63,
+examples/sql_balances/token_balances.sql:1-14, the three
+grafana/dashboards/*.json query sets, and the gas-price notebook cell 6).
+A user switching to this engine should be able to replay that text
+verbatim. This module translates the dialect constructs that text uses
+into Spark SQL (SURVEY §4.2.3):
+
+- ``ANY [LEFT|INNER] JOIN <rhs> USING k1, k2`` → standard join against a
+  deterministically key-deduped right side (ClickHouse ANY JOIN keeps at
+  most one right match per key; reference semantics at
+  clients/custom_clickhouse.py usage sites, SURVEY §2.3 preamble);
+- ``FROM t FINAL`` → ``FROM t`` (reads in this engine already go through
+  the warehouse's last-write-wins dedup view, SURVEY §1.3 — register
+  views with ``final=True`` reads);
+- reserved words ``from`` / ``to`` used as column names (ClickHouse
+  allows them bare; Spark needs backticks);
+- ``count()`` → ``count(*)``;
+- ``quantile(q)(x)`` / ``quantileExact(q)(x)`` → ``percentile_approx`` /
+  ``percentile`` (ClickHouse quantile is approximate, SURVEY A7);
+- 1-based array indexing ``topics[1]`` → ``element_at(topics, 1)``
+  (Spark bracket indexing is 0-based; element_at matches ClickHouse);
+- select-list alias referenced from WHERE (ClickHouse substitutes
+  aliases into WHERE, e.g. ``income - outcome AS balance …
+  WHERE balance > 0.01`` in token_balances.sql:12) → the alias's
+  expression is substituted into the predicate;
+- ``INTO OUTFILE '<path>' FORMAT CSVWithNames`` → stripped; the runner
+  writes the CSV (SURVEY S16);
+- Grafana macros ``$timeFilter`` / ``$timeSeries`` / ``$table`` /
+  ``$dateCol`` → caller-provided substitutions;
+- cast functions ``toFloat64/toInt32/toInt64/toDate/toDateTime`` →
+  registered Spark SQL functions (``register_dialect_functions``),
+  which inline at analysis time — whole-stage codegen, no Python.
+
+Everything here is text/token manipulation on the driver; the resulting
+plan is plain Spark SQL, so Catalyst optimizes it like any native query.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TOKEN_RE = re.compile(
+    r"""
+      '(?:[^']|'')*'              # single-quoted string
+    | `[^`]*`                     # backticked identifier
+    | \$\w+                       # grafana macro (substitute before tokenize)
+    | \d+\.\d+|\.\d+|\d+          # numbers
+    | !=|<>|>=|<=|==|\|\|
+    | [A-Za-z_][A-Za-z0-9_]*
+    | \S                          # any punctuation char
+    """,
+    re.X,
+)
+
+# tokens that may precede `from`/`to` when used as a COLUMN name
+_COL_PREV = {"select", "distinct", ",", "(", "by", "where", "and", "or", "not", "using"}
+_RESERVED_COLS = {"from", "to"}
+_CLAUSE_STARTERS = {"where", "group", "order", "limit", "having", "union", "settings"}
+
+
+def _tokenize(sql: str) -> list[str]:
+    return _TOKEN_RE.findall(sql)
+
+
+def _lower(tok: str) -> str:
+    return tok.lower()
+
+
+def _is_ident(tok: str) -> bool:
+    return bool(re.match(r"^[A-Za-z_`][A-Za-z0-9_`]*$", tok))
+
+
+@dataclass
+class Translated:
+    sql: str
+    outfile: str | None = None
+    outformat: str | None = None
+
+
+def _strip_outfile(tokens: list[str]) -> tuple[list[str], str | None, str | None]:
+    """Remove trailing INTO OUTFILE '<path>' [FORMAT <fmt>]."""
+    outfile = outformat = None
+    for i in range(len(tokens) - 1):
+        if _lower(tokens[i]) == "into" and _lower(tokens[i + 1]) == "outfile":
+            if i + 2 < len(tokens) and tokens[i + 2].startswith("'"):
+                outfile = tokens[i + 2][1:-1]
+            j = i + 3
+            if j < len(tokens) and _lower(tokens[j]) == "format":
+                if j + 1 < len(tokens):
+                    outformat = tokens[j + 1]
+            return tokens[:i], outfile, outformat
+    return tokens, outfile, outformat
+
+
+def _quote_reserved_columns(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    for i, tok in enumerate(tokens):
+        low = _lower(tok)
+        if low in _RESERVED_COLS:
+            prev = _lower(tokens[i - 1]) if i > 0 else ""
+            nxt = _lower(tokens[i + 1]) if i + 1 < len(tokens) else ""
+            if prev in _COL_PREV or nxt == "as":
+                out.append(f"`{low}`")
+                continue
+        out.append(tok)
+    return out
+
+
+def _rewrite_count_empty(tokens: list[str]) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            _lower(tokens[i]) == "count"
+            and i + 2 < len(tokens)
+            and tokens[i + 1] == "("
+            and tokens[i + 2] == ")"
+        ):
+            out += ["count", "(", "*", ")"]
+            i += 3
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _balanced(tokens: list[str], start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start``."""
+    depth = 0
+    for i in range(start, len(tokens)):
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in ClickHouse SQL")
+
+
+def _rewrite_quantile(tokens: list[str]) -> list[str]:
+    """quantile(q)(expr) → percentile_approx(expr, q);
+    quantileExact(q)(expr) → percentile(expr, q)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        low = _lower(tokens[i])
+        if low in ("quantile", "quantileexact") and i + 1 < len(tokens) and tokens[i + 1] == "(":
+            qend = _balanced(tokens, i + 1)
+            qtoks = tokens[i + 2 : qend - 1]
+            if qend < len(tokens) and tokens[qend] == "(":
+                eend = _balanced(tokens, qend)
+                etoks = tokens[qend + 1 : eend - 1]
+                fn = "percentile_approx" if low == "quantile" else "percentile"
+                out += [fn, "("] + etoks + [","] + qtoks + [")"]
+                i = eend
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _rewrite_array_index(tokens: list[str]) -> list[str]:
+    """ident[N] (1-based, ClickHouse) → element_at(ident, N) (also 1-based)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            _is_ident(tokens[i])
+            and i + 3 < len(tokens)
+            and tokens[i + 1] == "["
+            and re.match(r"^\d+$", tokens[i + 2])
+            and tokens[i + 3] == "]"
+        ):
+            out += ["element_at", "(", tokens[i], ",", tokens[i + 2], ")"]
+            i += 4
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _strip_final(tokens: list[str]) -> list[str]:
+    """Drop the FINAL table modifier — warehouse reads are pre-deduped
+    (eads.catalog.Warehouse.read applies last-write-wins by default)."""
+    return [t for i, t in enumerate(tokens) if not (_lower(t) == "final" and (i == 0 or tokens[i - 1] != "."))]
+
+
+def _capture_right_side(tokens: list[str], i: int) -> tuple[list[str], int]:
+    """Right side of a JOIN: a parenthesized subquery or a (dotted) table name."""
+    if tokens[i] == "(":
+        end = _balanced(tokens, i)
+        return tokens[i:end], end
+    # table name, possibly db.table
+    end = i + 1
+    while end + 1 < len(tokens) and tokens[end] == "." and _is_ident(tokens[end + 1]):
+        end += 2
+    return tokens[i:end], end
+
+
+def _rewrite_any_joins(tokens: list[str]) -> list[str]:
+    """ANY [LEFT|INNER] JOIN rhs USING k1, k2 →
+    <type> JOIN (key-deduped rhs) USING (k1, k2).
+
+    ClickHouse ANY JOIN keeps at most one right-side match per key.
+    Reproduced with row_number() over the USING keys; with duplicate
+    right keys the reference's pick is arbitrary, ours is
+    arbitrary-but-single too (SURVEY §7.3 risk (b))."""
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(tokens)):
+            if _lower(tokens[i]) != "any":
+                continue
+            j = i + 1
+            jtype: list[str] = []
+            if j < len(tokens) and _lower(tokens[j]) in ("left", "inner"):
+                jtype = [tokens[j]]
+                j += 1
+            if j >= len(tokens) or _lower(tokens[j]) != "join":
+                continue
+            j += 1
+            right, j = _capture_right_side(tokens, j)
+            if j >= len(tokens) or _lower(tokens[j]) != "using":
+                # ANY JOIN without USING: just drop ANY (inner-match semantics)
+                tokens = tokens[:i] + jtype + ["JOIN"] + right + tokens[j:]
+                changed = True
+                break
+            j += 1
+            # capture keys: parenthesized or bare comma list
+            keys: list[str] = []
+            if tokens[j] == "(":
+                end = _balanced(tokens, j)
+                keys = [t for t in tokens[j + 1 : end - 1] if t != ","]
+                j = end
+            else:
+                while j < len(tokens) and _is_ident(tokens[j]) and _lower(tokens[j]) not in _CLAUSE_STARTERS:
+                    keys.append(tokens[j])
+                    j += 1
+                    if j < len(tokens) and tokens[j] == ",":
+                        j += 1
+                    else:
+                        break
+            keylist: list[str] = []
+            for k in keys:
+                if keylist:
+                    keylist.append(",")
+                keylist.append(k)
+            wrapper = (
+                ["(", "SELECT", "*", "EXCEPT", "(", "__rn", ")", "FROM", "(",
+                 "SELECT", "*", ",", "row_number", "(", ")", "OVER", "(",
+                 "PARTITION", "BY"] + keylist + ["ORDER", "BY"] + keylist
+                + [")", "AS", "__rn", "FROM"] + right + [")", "WHERE", "__rn", "=", "1", ")"]
+            )
+            tokens = (
+                tokens[:i] + jtype + ["JOIN"] + wrapper + ["USING", "("] + keylist + [")"] + tokens[j:]
+            )
+            changed = True
+            break
+    return tokens
+
+
+def _parenthesize_bare_using(tokens: list[str]) -> list[str]:
+    """JOIN … USING k1, k2 (ClickHouse allows bare lists) → USING (k1, k2)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if _lower(tokens[i]) == "using" and i + 1 < len(tokens) and tokens[i + 1] != "(":
+            keys: list[str] = []
+            j = i + 1
+            while j < len(tokens) and _is_ident(tokens[j]) and _lower(tokens[j]) not in _CLAUSE_STARTERS:
+                keys.append(tokens[j])
+                j += 1
+                if j < len(tokens) and tokens[j] == ",":
+                    j += 1
+                else:
+                    break
+            if keys:
+                out.append("USING")
+                out.append("(")
+                for n, k in enumerate(keys):
+                    if n:
+                        out.append(",")
+                    out.append(k)
+                out.append(")")
+                i = j
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _substitute_where_aliases(tokens: list[str]) -> list[str]:
+    """ClickHouse resolves select-list aliases inside WHERE (post-agg filter
+    idiom, token_balances.sql:12). Spark does not — substitute the alias's
+    defining expression into the top-level WHERE clause."""
+    # top-level select list: depth-0 SELECT … FROM
+    depth = 0
+    sel_start = sel_end = None
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            low = _lower(t)
+            if low == "select" and sel_start is None:
+                sel_start = i + 1
+            elif low == "from" and sel_start is not None and sel_end is None:
+                sel_end = i
+                break
+    if sel_start is None or sel_end is None:
+        return tokens
+    # aliases: split select list on depth-0 commas; entries ending "AS ident"
+    aliases: dict[str, list[str]] = {}
+    part: list[str] = []
+    d = 0
+    for t in tokens[sel_start:sel_end] + [","]:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if t == "," and d == 0:
+            if len(part) >= 3 and _lower(part[-2]) == "as" and _is_ident(part[-1]):
+                aliases[_lower(part[-1])] = part[:-2]
+            part = []
+        else:
+            part.append(t)
+    if not aliases:
+        return tokens
+    # top-level WHERE clause
+    depth = 0
+    w_start = w_end = None
+    for i in range(sel_end, len(tokens)):
+        t = tokens[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            low = _lower(t)
+            if low == "where" and w_start is None:
+                w_start = i + 1
+            elif w_start is not None and low in ("group", "order", "limit", "having", "union"):
+                w_end = i
+                break
+    if w_start is None:
+        return tokens
+    if w_end is None:
+        w_end = len(tokens)
+    clause: list[str] = []
+    d = 0
+    for i in range(w_start, w_end):
+        t = tokens[i]
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        low = _lower(t)
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+        prev = tokens[i - 1] if i > 0 else ""
+        # only substitute at clause depth 0 — identifiers inside IN
+        # (SELECT …) subqueries resolve in their own scope
+        if d == 0 and low in aliases and nxt != "(" and prev != ".":
+            clause += ["("] + aliases[low] + [")"]
+        else:
+            clause.append(t)
+    return tokens[:w_start] + clause + tokens[w_end:]
+
+
+def translate(sql: str, macros: dict[str, str] | None = None) -> Translated:
+    """Translate one ClickHouse-dialect query into Spark SQL text."""
+    if macros:
+        for name, repl in macros.items():
+            sql = sql.replace(f"${name}", repl)
+    tokens = _tokenize(sql)
+    tokens, outfile, outformat = _strip_outfile(tokens)
+    tokens = _strip_final(tokens)
+    tokens = _rewrite_count_empty(tokens)
+    tokens = _rewrite_quantile(tokens)
+    tokens = _rewrite_array_index(tokens)
+    tokens = _quote_reserved_columns(tokens)
+    tokens = _rewrite_any_joins(tokens)
+    tokens = _parenthesize_bare_using(tokens)
+    tokens = _substitute_where_aliases(tokens)
+    return Translated(sql=" ".join(tokens), outfile=outfile, outformat=outformat)
+
+
+def register_dialect_functions(spark: SparkSession) -> None:
+    """ClickHouse cast/scalar function names as Spark SQL functions.
+
+    SQL-macro functions inline during analysis (still whole-stage
+    codegen). STRING params let both numeric and string args coerce the
+    way ClickHouse's loose casts do (e.g. toInt32(id) on a String id,
+    reference utils.py:204-209)."""
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toFloat64(x STRING) RETURNS DOUBLE RETURN CAST(x AS DOUBLE)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toFloat32(x STRING) RETURNS FLOAT RETURN CAST(x AS FLOAT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt32(x STRING) RETURNS INT RETURN CAST(CAST(x AS DOUBLE) AS INT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt64(x STRING) RETURNS BIGINT RETURN CAST(CAST(x AS DOUBLE) AS BIGINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toUInt8(x STRING) RETURNS TINYINT RETURN CAST(CAST(x AS DOUBLE) AS TINYINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDate(x TIMESTAMP) RETURNS DATE RETURN CAST(x AS DATE)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDateTime(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)")
+
+
+class ClickHouseCompat:
+    """Runner: registered eth_* views + dialect translation + CSV sink.
+
+    Usage::
+
+        compat = ClickHouseCompat(spark)
+        compat.register_table("eth_internal_transaction", itx_df)
+        df = compat.sql(clickhouse_sql_text, macros={"timeFilter": "1=1"})
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        register_dialect_functions(spark)
+        from ..functions.ethereum import register_sql_functions
+
+        register_sql_functions(spark)
+
+    def register_table(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def sql(self, text: str, macros: dict[str, str] | None = None) -> DataFrame:
+        t = translate(text, macros)
+        df = self.spark.sql(t.sql)
+        if t.outfile:
+            from ..sources.files import export_csv
+
+            export_csv(df, t.outfile)
+        return df

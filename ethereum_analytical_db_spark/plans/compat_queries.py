@@ -1,0 +1,157 @@
+"""Oracle-checked queries that exercise the ClickHouse-dialect
+translation layer (eads.compat) end-to-end: the Spark side runs
+*ClickHouse SQL text* — the same dialect the reference's analytics
+surface is written in (examples/sql_balances/token_balances.sql:1-14,
+grafana/dashboards/ethereum.json top-k queries) — through
+``translate()``; the DuckDB oracle runs the equivalent ANSI SQL.
+
+Dialect constructs covered under value-hash checking: ANY INNER JOIN
+with bare USING lists, reserved ``from``/``to`` column names, ``count()``,
+``toFloat64``, select-alias reference in WHERE, FINAL stripping, Grafana
+``$macros``, IN-subqueries.
+
+Determinism: view-level ``CAST(value AS DECIMAL(38,6))`` makes sums
+order-independent; top-k orderings carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..compat import ClickHouseCompat
+from .registry import register, table
+
+_COMPAT_CACHE: dict[int, ClickHouseCompat] = {}
+
+
+def _compat(spark: SparkSession) -> ClickHouseCompat:
+    key = id(spark)
+    if key not in _COMPAT_CACHE:
+        _COMPAT_CACHE[key] = ClickHouseCompat(spark)
+    return _COMPAT_CACHE[key]
+
+
+def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
+    """Shape the driver's events table into eth_* views (pseudo-addresses
+    from ids, token = event_type) for the dialect queries."""
+    c = _compat(spark)
+    ev = table(spark, sf_dir, "events")
+    c.register_table(
+        "eth_token_transaction",
+        ev.selectExpr(
+            "event_type AS token",
+            "CAST(user_id AS STRING) AS `to`",
+            "CAST(event_id % 50 AS STRING) AS `from`",
+            "CAST(value AS DECIMAL(38,6)) AS value",
+        ),
+    )
+    c.register_table(
+        "eth_internal_transaction",
+        ev.selectExpr(
+            "CAST(event_id % 50 AS STRING) AS `from`",
+            "CAST(user_id AS STRING) AS `to`",
+            "CAST(event_id % 97 AS INT) AS blockNumber",
+        ),
+    )
+    c.register_table(
+        "eth_contract",
+        ev.filter("event_type = 'purchase'")
+        .selectExpr("CAST(user_id AS STRING) AS address")
+        .distinct(),
+    )
+    c.register_table(
+        "eth_internal_transaction_blocks",
+        ev.selectExpr("CAST(event_id % 97 AS INT) AS number").distinct(),
+    )
+    return c
+
+
+TOKEN_BALANCES_CH = """
+SELECT token, address, toFloat64(income) - toFloat64(outcome) AS balance FROM (
+    SELECT token, from AS address, sum(value) AS outcome
+    FROM eth_token_transaction FINAL
+    GROUP BY token, from
+)
+ANY INNER JOIN (
+    SELECT token, to AS address, sum(value) AS income
+    FROM eth_token_transaction FINAL
+    GROUP BY token, to
+)
+USING token, address
+WHERE balance > 0.01 OR balance < -0.01
+"""
+
+TOKEN_BALANCES_ORACLE = """
+WITH t AS (
+  SELECT event_type AS token,
+         CAST(user_id AS VARCHAR) AS to_addr,
+         CAST(event_id % 50 AS VARCHAR) AS from_addr,
+         CAST(value AS DECIMAL(38,6)) AS value
+  FROM events
+),
+o AS (SELECT token, from_addr AS address, SUM(value) AS outcome FROM t GROUP BY 1, 2),
+i AS (SELECT token, to_addr AS address, SUM(value) AS income FROM t GROUP BY 1, 2)
+SELECT o.token, o.address,
+       CAST(i.income AS DOUBLE) - CAST(o.outcome AS DOUBLE) AS balance
+FROM o JOIN i ON o.token = i.token AND o.address = i.address
+WHERE CAST(i.income AS DOUBLE) - CAST(o.outcome AS DOUBLE) > 0.01
+   OR CAST(i.income AS DOUBLE) - CAST(o.outcome AS DOUBLE) < -0.01
+"""
+
+
+@register(
+    "compat_token_balances",
+    TOKEN_BALANCES_ORACLE,
+    note="ClickHouse-dialect text via eads.compat.translate: ANY INNER JOIN "
+    "bare USING, reserved from/to, alias-in-WHERE, FINAL, toFloat64 "
+    "(reference examples/sql_balances/token_balances.sql:1-14, SURVEY §4.2.3)",
+)
+def compat_token_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(TOKEN_BALANCES_CH)
+
+
+TOPK_CALLS_CH = """
+SELECT from AS address, toFloat64(count()) AS calls
+FROM eth_internal_transaction
+WHERE to IN(SELECT address FROM eth_contract)
+AND blockNumber IN(
+  SELECT number
+  FROM eth_internal_transaction_blocks
+  WHERE ($timeFilter)
+)
+GROUP BY from
+ORDER BY calls DESC, address ASC
+LIMIT 10
+"""
+
+TOPK_CALLS_ORACLE = """
+WITH itx AS (
+  SELECT CAST(event_id % 50 AS VARCHAR) AS from_addr,
+         CAST(user_id AS VARCHAR) AS to_addr,
+         CAST(event_id % 97 AS INT) AS blockNumber
+  FROM events
+),
+contracts AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address FROM events WHERE event_type = 'purchase'
+)
+SELECT from_addr AS address, CAST(COUNT(*) AS DOUBLE) AS calls
+FROM itx
+WHERE to_addr IN (SELECT address FROM contracts)
+  AND blockNumber < 60
+GROUP BY from_addr
+ORDER BY calls DESC, address ASC
+LIMIT 10
+"""
+
+
+@register(
+    "compat_grafana_topk",
+    TOPK_CALLS_ORACLE,
+    note="ClickHouse-dialect Grafana-style top-k via eads.compat: count(), "
+    "toFloat64, IN-subqueries, $timeFilter macro, reserved from/to "
+    "(reference grafana/dashboards/ethereum.json calls_sended query)",
+)
+def compat_grafana_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(TOPK_CALLS_CH, macros={"timeFilter": "number < 60"})

@@ -64,6 +64,6 @@ def register(name: str, oracle: str | None, note: str = ""):
 
 def all_queries() -> dict[str, QueryDef]:
     # import registering modules lazily to avoid cycles
-    from . import analytics, chainops, pipeline, relational  # noqa: F401
+    from . import analytics, chainops, compat_queries, pipeline, relational  # noqa: F401
 
     return dict(_REGISTRY)

@@ -1,0 +1,161 @@
+"""ClickHouse-dialect SQL translation layer (eads.compat).
+
+Covers the dialect constructs the reference's analytics surface uses
+(SURVEY §3.3, §4.2.3): ANY JOIN single-match semantics, FINAL, reserved
+from/to columns, count(), quantile(q)(x), 1-based array indexing,
+alias-in-WHERE, INTO OUTFILE, Grafana macros, toFloat64-family casts.
+"""
+
+import os
+
+import pytest
+
+from ethereum_analytical_db_spark.compat import ClickHouseCompat, translate
+
+
+# ------------------------------------------------------------ pure translate
+
+
+def test_translate_count_and_quantile():
+    t = translate("SELECT count(), quantile(0.5)(gasPrice) AS med FROM t")
+    assert "count ( * )" in t.sql
+    assert "percentile_approx ( gasPrice , 0.5 )" in t.sql
+
+
+def test_translate_quantile_exact():
+    t = translate("SELECT quantileExact(0.2)(x) AS p FROM t")
+    assert "percentile ( x , 0.2 )" in t.sql
+
+
+def test_translate_array_index_is_one_based():
+    t = translate("SELECT topics[1] FROM t WHERE topics[2] = '0xabc'")
+    assert "element_at ( topics , 1 )" in t.sql
+    assert "element_at ( topics , 2 )" in t.sql
+    assert "[" not in t.sql
+
+
+def test_translate_reserved_columns_quoted():
+    t = translate("SELECT from AS a, to AS b FROM t WHERE to IN(SELECT x FROM u) GROUP BY from")
+    assert "`from` AS a" in t.sql
+    assert "`to` AS b" in t.sql
+    assert "WHERE `to` IN" in t.sql
+    assert "GROUP BY `from`" in t.sql
+    # the FROM keywords survive unquoted
+    assert "FROM t" in t.sql and "FROM u" in t.sql
+
+
+def test_translate_final_stripped_and_outfile_captured():
+    t = translate(
+        "SELECT a FROM t FINAL INTO OUTFILE 'out.csv' FORMAT CSVWithNames"
+    )
+    assert "FINAL" not in t.sql.upper().replace("FINAL", "FINAL")  # no FINAL token
+    assert "final" not in t.sql.lower().split()
+    assert t.outfile == "out.csv"
+    assert t.outformat == "CSVWithNames"
+
+
+def test_translate_macros():
+    t = translate("SELECT 1 FROM b WHERE $timeFilter", macros={"timeFilter": "n < 5"})
+    assert "n < 5" in t.sql
+
+
+def test_translate_alias_in_where_substituted_only_at_top_level():
+    t = translate(
+        "SELECT x - y AS bal FROM t WHERE bal > 1 AND z IN(SELECT bal FROM u)"
+    )
+    # top-level use substituted, subquery-scope use untouched
+    assert "( x - y ) > 1" in t.sql
+    assert "SELECT bal FROM u" in t.sql
+
+
+# ------------------------------------------------------------ live execution
+
+
+@pytest.fixture(scope="module")
+def compat(spark):
+    return ClickHouseCompat(spark)
+
+
+def test_any_left_join_single_match(spark, compat):
+    left = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "id string")
+    right = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k2", 3)], "id string, v int"
+    )
+    compat.register_table("any_l", left)
+    compat.register_table("any_r", right)
+    rows = compat.sql("SELECT id, v FROM any_l ANY LEFT JOIN any_r USING id").collect()
+    by_id = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == 3  # exactly one row per left key, duplicates collapsed
+    assert by_id["k1"] in (1, 2)
+    assert by_id["k2"] == 3
+    assert by_id["k3"] is None
+
+
+def test_any_inner_join_multikey_and_alias_where(spark, compat):
+    ttx = spark.createDataFrame(
+        [("tokA", "u1", "u2", 5.0), ("tokA", "u2", "u1", 3.0),
+         ("tokA", "u1", "u3", 2.0), ("tokB", "u3", "u1", 7.0)],
+        "token string, `to` string, `from` string, value double",
+    )
+    compat.register_table("ttx_fix", ttx)
+    q = """
+    SELECT token, address, income - outcome AS balance FROM (
+        SELECT token, from AS address, sum(value) AS outcome
+        FROM ttx_fix GROUP BY token, from
+    )
+    ANY INNER JOIN (
+        SELECT token, to AS address, sum(value) AS income
+        FROM ttx_fix GROUP BY token, to
+    )
+    USING token, address
+    WHERE balance > 0.01
+    """
+    rows = compat.sql(q).collect()
+    assert len(rows) == 1
+    assert rows[0]["token"] == "tokA" and rows[0]["address"] == "u1"
+    assert rows[0]["balance"] == pytest.approx(4.0)  # income 7 - outcome 3
+
+
+def test_grafana_style_query_with_macros_and_casts(spark, compat):
+    itx = spark.createDataFrame(
+        [("u1", "c1", 10), ("u2", "c1", 11), ("u1", "c2", 12), ("u9", "w1", 13)],
+        "`from` string, `to` string, blockNumber int",
+    )
+    compat.register_table("itx_fix", itx)
+    compat.register_table(
+        "contract_fix", spark.createDataFrame([("c1",), ("c2",)], "address string")
+    )
+    compat.register_table(
+        "block_fix", spark.createDataFrame([(10,), (11,), (12,), (13,)], "number int")
+    )
+    q = """
+    SELECT from AS address, toFloat64(count()) AS calls
+    FROM itx_fix FINAL
+    WHERE to IN(SELECT address FROM contract_fix)
+    AND blockNumber IN(SELECT number FROM block_fix WHERE ($timeFilter))
+    GROUP BY from
+    ORDER BY calls DESC, address ASC
+    LIMIT 10
+    """
+    rows = compat.sql(q, macros={"timeFilter": "number <= 12"}).collect()
+    assert [(r["address"], r["calls"]) for r in rows] == [("u1", 2.0), ("u2", 1.0)]
+
+
+def test_dialect_cast_functions(spark, compat):
+    row = spark.sql(
+        "SELECT toFloat64('1.5') AS a, toInt32('7') AS b, toInt64(9) AS c, "
+        "toDate(TIMESTAMP '2020-05-01 13:00:00') AS d"
+    ).first()
+    assert row["a"] == 1.5 and row["b"] == 7 and row["c"] == 9
+    assert str(row["d"]) == "2020-05-01"
+
+
+def test_outfile_written(spark, compat, tmp_path):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    compat.register_table("out_fix", df)
+    path = os.path.join(str(tmp_path), "o.csv")
+    compat.sql(f"SELECT k, v FROM out_fix INTO OUTFILE '{path}' FORMAT CSVWithNames")
+    with open(path) as fh:
+        content = fh.read()
+    assert content.splitlines()[0] == "k,v"
+    assert "a,1" in content
