@@ -194,6 +194,113 @@ def embedding_near_dup_lsh(
     )
 
 
+def _centroid_score(vec_col: Column, centroid: list[float]) -> Column:
+    """argmax surrogate for nearest-centroid: v·c − |c|²/2 (equivalent to
+    argmin squared euclidean distance, |v|² constant per row)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    half_norm2 = sum(x * x for x in centroid) / 2.0
+    return _dot(vec_col, c) - F.lit(half_norm2)
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed k-means (Lloyd) for an IVF index.
+
+    - init: the ``n_centroids`` vectors with smallest ``xxhash64(id)``
+      (a seeded, order-independent sample — stable across partitionings);
+    - assign: per-row argmax over k JVM-side fold expressions
+      (``array_position(scores, array_max(scores))`` — whole-stage
+      codegen, no Python per row);
+    - update: ``posexplode`` + ``groupBy(cluster, pos).avg`` — one shuffle
+      of k·dim aggregates per iteration; only k·dim floats ever reach the
+      driver. Empty clusters keep their previous centroid.
+
+    At 100 TB: k and dim are small (centroids are broadcast literals in
+    the plan); each iteration is one scan + one k·dim-sized shuffle.
+    """
+    init_rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    for _ in range(iterations):
+        scores = F.array(*[_centroid_score(F.col(vec_col), c) for c in centroids])
+        cluster = F.array_position(scores, F.array_max(scores)).cast("int")
+        assigned = embeddings.select(
+            cluster.alias("__cluster"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        means = (
+            assigned.groupBy("__cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["__cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [new[i + 1][p] for p in sorted(new[i + 1])] if (i + 1) in new else c
+            for i, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster) assignment against a trained centroid set. At
+    scale, write this partitioned by ``cluster`` so probes prune files."""
+    scores = F.array(*[_centroid_score(F.col(vec_col), c) for c in centroids])
+    cluster = F.array_position(scores, F.array_max(scores)).cast("int")
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), cluster.alias("cluster")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` clusters whose
+    centroids are nearest the query, brute-force cosine inside them.
+
+    Scan fraction ≈ nprobe / n_centroids; recall grows with nprobe
+    (nprobe = n_centroids degrades to exact — property used by the unit
+    test). Pass a pre-trained ``centroids`` list to skip training (the
+    production path: train once, reuse per query)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, iterations, id_col, vec_col
+        )
+    # driver-side: nprobe nearest centroids to the query vector
+    def score(c: list[float]) -> float:
+        return sum(a * b for a, b in zip(query_vector, c)) - sum(x * x for x in c) / 2.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))[:nprobe]
+    probe_ids = [i + 1 for i in probe]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    candidates = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vector: list[float],

@@ -354,3 +354,20 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = similarity.cosine_topk_lsh(emb, qvec, k=10, planes=6)
     return out.filter(F.col("vec_id") != 0)
+
+
+@register(
+    "ann_cosine_ivf",
+    None,  # approximate path — recall unit-tested against brute force
+    note="IVF ANN: deterministic distributed k-means centroids (JVM-side "
+    "argmax assignment, k·dim-sized updates), nprobe cluster pruning — "
+    "scan fraction ≈ nprobe/n_centroids; at scale the assignment table "
+    "is written partitioned by cluster so probes prune files",
+)
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = similarity.cosine_topk_ivf(
+        emb, qvec, k=10, n_centroids=8, nprobe=3, iterations=2
+    )
+    return out.filter(F.col("vec_id") != 0)

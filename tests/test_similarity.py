@@ -63,3 +63,40 @@ def test_lsh_topk_subset_of_bruteforce_universe(spark):
     for r in approx:
         if r["vec_id"] in exact:
             assert math.isclose(r["cosine"], exact[r["vec_id"]], rel_tol=1e-9)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, q, k=5).collect()]
+    # probing every cluster degrades IVF to exact search
+    ivf = [r["vec_id"] for r in similarity.cosine_topk_ivf(
+        df, q, k=5, n_centroids=4, nprobe=4, iterations=2).collect()]
+    assert ivf == exact
+
+
+def test_ivf_pruned_probe_recall(spark):
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    exact = set(r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, q, k=3).collect())
+    got = set(r["vec_id"] for r in similarity.cosine_topk_ivf(
+        df, q, k=3, n_centroids=4, nprobe=2, iterations=2).collect())
+    # the query row itself (cosine 1.0) must survive pruning: its own
+    # cluster is always the closest centroid probe
+    assert rows[0][0] in got
+    assert len(got & exact) >= 2  # high overlap with exact top-3
+
+
+def test_ivf_centroids_deterministic(spark):
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = similarity.ivf_train_centroids(df, n_centroids=4, iterations=2)
+    c2 = similarity.ivf_train_centroids(
+        df.repartition(7), n_centroids=4, iterations=2)
+    # same centroids regardless of partitioning (hash-sampled init,
+    # order-independent mean updates)
+    for a, b in zip(c1, c2):
+        for x, y in zip(a, b):
+            assert abs(x - y) < 1e-9
