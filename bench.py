@@ -36,6 +36,9 @@ def main() -> None:
     qs = all_queries()
     # JVM/codegen warm-up so the first measured query isn't charged for it
     qs["pricing_summary"].build(spark, sf_dir).collect()
+    # Python-worker/Arrow warm-up: the first mapInPandas in a session pays
+    # worker daemon spin-up; don't charge it to whichever query runs first
+    spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
 
     timings: dict[str, float] = {}
     for name, qdef in sorted(qs.items()):

@@ -186,17 +186,20 @@ def simhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
+    # per-bit set count n_b = sum((h >> b) & 1) — branch-free lanes;
+    # majority vote is 2·n_b > n_tokens (≡ the classic ±1 sum > 0)
     bit_sums = tokens.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
             for b in range(bits)
-        ]
+        ],
     )
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return bit_sums.select("doc", sig.alias("simhash"))

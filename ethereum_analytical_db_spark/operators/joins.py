@@ -20,15 +20,29 @@ from pyspark.sql import functions as F
 
 
 def _dedup_right(right: DataFrame, keys: list[str], order_by: list | None) -> DataFrame:
-    if order_by:
-        order = [F.col(c).asc() if isinstance(c, str) else c for c in order_by]
-    else:
+    # Fast path (order_by is None or plain column names): pick the winner
+    # with min(struct(order_cols…, remaining_cols…)) — a hash aggregate
+    # with map-side partial combine, no per-partition sort, and the input
+    # collapses to one row per key BEFORE the shuffle. Struct comparison
+    # is field-by-field with nulls-first, matching the window's default
+    # asc ordering; ties on order_by break deterministically by the
+    # remaining columns (the window pick on full-row ties is arbitrary
+    # anyway — SURVEY §7.3 risk (b)).
+    if order_by is None or all(isinstance(c, str) for c in order_by):
         other = [c for c in right.columns if c not in keys]
-        order = (
-            [F.xxhash64(*[F.col(c).cast("string") for c in other]).asc()]
-            if other
-            else [F.lit(1).asc()]
+        if not other:
+            return right.dropDuplicates(keys)
+        lead = [c for c in (order_by or []) if c not in keys]
+        rest = [c for c in other if c not in lead]
+        packed = right.groupBy(*keys).agg(
+            F.min(F.struct(*[F.col(c) for c in lead + rest])).alias("__s")
         )
+        expanded = packed.select(
+            *keys, *[F.col(f"__s.{c}").alias(c) for c in lead + rest]
+        )
+        return expanded.select(*right.columns)
+    # expression orderings (e.g. desc(), casts) keep the window form
+    order = [F.col(c).asc() if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         right.withColumn("__rn", F.row_number().over(w))

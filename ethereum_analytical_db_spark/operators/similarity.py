@@ -117,6 +117,29 @@ def hyperplane_buckets(
     )
 
 
+_DEC_ZERO = "0"
+
+
+def _dec_dot(a, b):
+    """Exact fixed-point dot product: DECIMAL(12,6) elementwise products
+    accumulated in DECIMAL(38,12). Decimal arithmetic is exact, so the
+    result is identical in ANY summation order — a SQL oracle's SUM over
+    an unnested position join reproduces it bit-for-bit, while we stay on
+    the cheap no-shuffle zip_with path."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    # accumulator DECIMAL(30,12): products are DECIMAL(25,12) with tiny
+    # integer parts (unit-ish vectors), so acc+v (→ DECIMAL(32,12)) and
+    # the cast back are both exact — scale never reduced, no rounding
+    zero = F.lit(_DEC_ZERO).cast("decimal(30,12)")
+    return F.aggregate(prods, zero, lambda acc, v: (acc + v).cast("decimal(30,12)"))
+
+
+def _as_dec_vec(vec_col) -> Column:
+    # float → double FIRST (exact widening), then → decimal; the direct
+    # float→decimal cast goes through the float's 7-digit string repr
+    return F.transform(vec_col, lambda x: x.cast("double").cast(DEC))
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -126,32 +149,56 @@ def embedding_near_dup_exact(
     """Embedding-cosine near-duplicate pairs, exact: every (a, b) with
     cosine(a, b) >= threshold and a < b.
 
-    DECIMAL dot products (order-independent) so a SQL oracle reproduces
-    values bit-for-bit; the double cast happens once per aggregate. The
-    position join materializes n²·d rows — this is the exact *baseline*;
-    the LSH variant below is the scale path. Both sides hash-partition by
-    position (shuffle_hash), never broadcast.
+    Two phases:
+    1. candidate generation — each task scores its rows against the full
+       broadcast unit-vector matrix with one numpy gemm (block
+       nested-loop; the O(n²·d) flops run as BLAS, not per-row), keeping
+       pairs above ``threshold − 1e-6``. The double round-off of a
+       64-term dot is ~1e-14, so no true pair can be missed;
+    2. exact verification — candidates join back (broadcast) to
+       DECIMAL-cast vectors; the reported cosine is an exact fixed-point
+       fold (order-independent → bit-identical in a SQL oracle).
+
+    The full-matrix broadcast makes this the *small-corpus exact
+    baseline* by construction; LSH/IVF below are the scale paths.
     """
-    pe = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("pos", "v"),
-    ).select("vid", "pos", F.col("v").cast("double").cast(DEC).alias("v"))
-    norms = pe.groupBy("vid").agg(F.sum(F.col("v") * F.col("v")).cast("double").alias("n2"))
-    a = pe.select(F.col("vid").alias("id_a"), "pos", F.col("v").alias("va"))
-    b = pe.select(F.col("vid").alias("id_b"), "pos", F.col("v").alias("vb"))
-    dots = (
-        a.hint("shuffle_hash")
-        .join(b, "pos")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).cast("double").alias("dot"))
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
+    ).withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double"))
+
+    all_rows = embeddings.select(F.col(id_col), F.col(vec_col)).collect()
+    ids_all = np.array([r[id_col] for r in all_rows], dtype=np.int64)
+    mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
+    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids_all, unit))
+    thr = threshold - 1e-6
+
+    def candidates(batches):
+        ids_full, unit_full = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vu = v / np.sqrt((v * v).sum(axis=1))[:, None]
+            sims = vu @ unit_full.T
+            ai, bj = np.nonzero(sims >= thr)
+            ia, ib = pdf[id_col].to_numpy()[ai], ids_full[bj]
+            keep = ia < ib
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        candidates, schema="id_a long, id_b long"
     )
-    na = norms.select(F.col("vid").alias("id_a"), F.col("n2").alias("n2_a"))
-    nb = norms.select(F.col("vid").alias("id_b"), F.col("n2").alias("n2_b"))
-    cos = F.col("dot") / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    a = base.select(F.col("vid").alias("id_a"), F.col("dv").alias("dva"), F.col("n2").alias("n2_a"))
+    b = base.select(F.col("vid").alias("id_b"), F.col("dv").alias("dvb"), F.col("n2").alias("n2_b"))
+    dot = _dec_dot(F.col("dva"), F.col("dvb")).cast("double")
+    cos = dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        cands.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
@@ -173,18 +220,23 @@ def embedding_near_dup_lsh(
     (1 - θ/π)^planes, so recall is tunable via ``planes`` (unit-tested
     against the exact operator)."""
     bucketed = hyperplane_buckets(embeddings, dim, planes, seed, id_col, vec_col)
-    withb = embeddings.join(bucketed, id_col)
+    # one pass computes bucket + norm² per vector, materialized so the
+    # self-join's two branches don't re-run the hyperplane folds
+    withb = (
+        embeddings.join(bucketed, id_col)
+        .withColumn("n2", _dot(F.col(vec_col), F.col(vec_col)))
+        .localCheckpoint(eager=False)
+    )
     a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("n2").alias("n2_a"), "bucket",
     )
     b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("n2").alias("n2_b"), "bucket",
     )
-    dot = _dot(F.col("vec_a"), F.col("vec_b"))
-    cos = dot / (
-        F.sqrt(_dot(F.col("vec_a"), F.col("vec_a")))
-        * F.sqrt(_dot(F.col("vec_b"), F.col("vec_b")))
-    )
+    # norms precomputed per vector → one fold per candidate pair, not three
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     return (
         a.hint("shuffle_hash")
         .join(b, "bucket")
@@ -194,12 +246,45 @@ def embedding_near_dup_lsh(
     )
 
 
-def _centroid_score(vec_col: Column, centroid: list[float]) -> Column:
-    """argmax surrogate for nearest-centroid: v·c − |c|²/2 (equivalent to
-    argmin squared euclidean distance, |v|² constant per row)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    half_norm2 = sum(x * x for x in centroid) / 2.0
-    return _dot(vec_col, c) - F.lit(half_norm2)
+def _assign_clusters(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cluster): nearest-centroid assignment, Arrow-batched
+    numpy matmul (one BLAS gemm per batch against the broadcast k×dim
+    centroid matrix — the k·dim·n flops run vectorized, not per-row).
+
+    Score is v·c − |c|²/2 (argmax ≡ argmin squared euclidean distance,
+    |v|² constant per row); ties pick the lowest cluster id (numpy
+    argmax first-occurrence), deterministically. Cluster ids are
+    1-based."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
+    offsets = (cmat * cmat).sum(axis=1) / 2.0  # |c|²/2 per centroid
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((cmat, offsets))
+
+    src = embeddings.select(F.col(id_col), F.col(vec_col))
+
+    def run(batches):
+        mat, off = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            scores = v @ mat.T - off  # n × k
+            pdf = pdf.copy()
+            pdf["cluster"] = (scores.argmax(axis=1) + 1).astype("int32")
+            yield pdf
+
+    schema = f"{src.schema[id_col].dataType.simpleString()}"
+    return src.mapInPandas(
+        run,
+        schema=f"`{id_col}` {schema}, `{vec_col}` array<float>, cluster int",
+    )
 
 
 def ivf_train_centroids(
@@ -213,15 +298,14 @@ def ivf_train_centroids(
 
     - init: the ``n_centroids`` vectors with smallest ``xxhash64(id)``
       (a seeded, order-independent sample — stable across partitionings);
-    - assign: per-row argmax over k JVM-side fold expressions
-      (``array_position(scores, array_max(scores))`` — whole-stage
-      codegen, no Python per row);
+    - assign: Arrow-batched numpy gemm against the broadcast k×dim
+      centroid matrix (``_assign_clusters``);
     - update: ``posexplode`` + ``groupBy(cluster, pos).avg`` — one shuffle
       of k·dim aggregates per iteration; only k·dim floats ever reach the
       driver. Empty clusters keep their previous centroid.
 
-    At 100 TB: k and dim are small (centroids are broadcast literals in
-    the plan); each iteration is one scan + one k·dim-sized shuffle.
+    At 100 TB: centroids are a broadcast k·dim matrix; each iteration is
+    one scan + one k·dim-sized shuffle.
     """
     init_rows = (
         embeddings.select(F.col(id_col), F.col(vec_col))
@@ -231,10 +315,9 @@ def ivf_train_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
     for _ in range(iterations):
-        scores = F.array(*[_centroid_score(F.col(vec_col), c) for c in centroids])
-        cluster = F.array_position(scores, F.array_max(scores)).cast("int")
-        assigned = embeddings.select(
-            cluster.alias("__cluster"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+        assigned = _assign_clusters(embeddings, centroids, id_col, vec_col).select(
+            F.col("cluster").alias("__cluster"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
         )
         means = (
             assigned.groupBy("__cluster", "pos")
@@ -259,11 +342,7 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, vec, cluster) assignment against a trained centroid set. At
     scale, write this partitioned by ``cluster`` so probes prune files."""
-    scores = F.array(*[_centroid_score(F.col(vec_col), c) for c in centroids])
-    cluster = F.array_position(scores, F.array_max(scores)).cast("int")
-    return embeddings.select(
-        F.col(id_col), F.col(vec_col), cluster.alias("cluster")
-    )
+    return _assign_clusters(embeddings, centroids, id_col, vec_col)
 
 
 def cosine_topk_ivf(

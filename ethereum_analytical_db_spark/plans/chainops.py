@@ -133,7 +133,10 @@ def abi_decode_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     word = F.lpad(F.lower(F.hex(F.col("c_custkey"))), 64, "0")
     word3 = F.lpad(F.lower(F.hex(F.col("c_custkey") * 3)), 64, "0")
     calldata = F.concat(F.lit("0xa9059cbb"), word, word3)
-    df = cust.select("c_custkey", calldata.alias("input"))
+    # ≤200 rows reach the pandas UDF — shuffle them into one Arrow batch
+    # (repartition, NOT coalesce: coalesce would collapse the parquet scan
+    # itself to one task; at real scale default partitioning is right)
+    df = cust.select("c_custkey", calldata.alias("input")).repartition(1)
     sels = abi_mod.selector_table(
         _json.dumps(
             [
