@@ -110,18 +110,20 @@ def minhash_signatures(
     num_hashes: int = 32,
 ) -> DataFrame:
     """K-minima MinHash signature over word n-grams: for each seed k,
-    sig[k] = min over shingles of xxhash64(shingle, k). Pure Column
-    expressions — the K hashes are K array-transform lanes, no UDF."""
+    sig[k] = min over shingles of xxhash64(shingle, k).
+
+    Shape: explode shingles, then K ``min(xxhash64(s, k))`` aggregation
+    lanes — whole-stage-codegen hash functions with map-side partial
+    combine (each partition collapses to one row per doc before the
+    shuffle), instead of K interpreted array-transform lambdas per row."""
     shingled = _shingled(df, text_col, id_col, n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("ngrams"), lambda s: F.xxhash64(s, F.lit(k)))
-            )
-            for k in range(num_hashes)
-        ]
+    ex = shingled.select("doc", F.explode("ngrams").alias("s"))
+    mins = ex.groupBy("doc").agg(
+        *[F.min(F.xxhash64("s", F.lit(k))).alias(f"m{k}") for k in range(num_hashes)]
     )
-    return shingled.select("doc", sig.alias("signature"))
+    return mins.select(
+        "doc", F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(

@@ -21,13 +21,14 @@ from pyspark.sql import functions as F
 
 def _dedup_right(right: DataFrame, keys: list[str], order_by: list | None) -> DataFrame:
     # Fast path (order_by is None or plain column names): pick the winner
-    # with min(struct(order_cols…, remaining_cols…)) — a hash aggregate
-    # with map-side partial combine, no per-partition sort, and the input
-    # collapses to one row per key BEFORE the shuffle. Struct comparison
-    # is field-by-field with nulls-first, matching the window's default
-    # asc ordering; ties on order_by break deterministically by the
-    # remaining columns (the window pick on full-row ties is arbitrary
-    # anyway — SURVEY §7.3 risk (b)).
+    # with min(struct(order_cols…, remaining_cols…)). Struct min compiles
+    # to SortAggregate, but WITH map-side partial combine — the input
+    # collapses to one row per key BEFORE the shuffle (the window form
+    # shuffles every duplicate row, then sorts). Struct comparison is
+    # field-by-field with nulls-first, matching the window's default asc
+    # ordering; ties on order_by break deterministically by the remaining
+    # columns (the window pick on full-row ties is arbitrary anyway —
+    # SURVEY §7.3 risk (b)).
     if order_by is None or all(isinstance(c, str) for c in order_by):
         other = [c for c in right.columns if c not in keys]
         if not other:
