@@ -45,9 +45,12 @@ class Warehouse:
 
     def exists(self, table: str) -> bool:
         p = self._path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for _dir, _sub, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def create(self, table: str, schema: StructType | None = None) -> None:
         """Create an empty table (the reference's prepare_indices,
@@ -64,10 +67,20 @@ class Warehouse:
         df: DataFrame,
         id_expr=None,
         partition_by: list[str] | None = None,
+        block_partition: str | None = None,
+        block_range_size: int = 100_000,
     ) -> None:
         """Bulk upsert (reference bulk_index, clients/custom_clickhouse.py:130-189):
         set id, align to schema (drop unknown columns, null-fill missing),
-        stamp _seq, append. Dedup happens on read."""
+        stamp _seq, append. Dedup happens on read.
+
+        ``block_partition``: name of a numeric column (e.g. blockNumber)
+        to derive a ``_block_range`` hive partition from — block/time
+        predicates then prune whole directories at the scan (the Spark
+        form of the reference's per-host block-range routing,
+        utils.py:32-66). Essential at 100 TB: incremental sync touches
+        only the tail partition, FINAL dedup never shuffles across
+        ranges (an id never spans two blocks)."""
         target_schema = schemas.with_engine_columns(schemas.TABLES[table])
         if id_expr is not None:
             df = df.withColumn("id", id_expr)
@@ -82,6 +95,11 @@ class Warehouse:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         seq = int(time.time() * 1000)
         out = df.select(*cols).withColumn("_seq", F.lit(seq).cast("long"))
+        if block_partition is not None:
+            out = out.withColumn(
+                "_block_range", block_range(block_partition, block_range_size)
+            )
+            partition_by = ["_block_range"] + (partition_by or [])
         writer = out.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -109,6 +127,12 @@ class Warehouse:
         for t in tables or schemas.TABLES.keys():
             if self.exists(t):
                 self.read(t, final=final).createOrReplaceTempView(t)
+
+
+def block_range(col: str, size: int = 100_000):
+    """Partition bucket for a block-number-like column:
+    floor(col / size) * size, as a long."""
+    return (F.floor(F.col(col) / size) * size).cast("long")
 
 
 def final_dedup(df: DataFrame, keys: list[str]) -> DataFrame:

@@ -58,3 +58,25 @@ def topic_equals(topics_field: str, index: int, signature: str) -> Column:
     """1-based array-element predicate `topics[i] = sig` (SURVEY P9);
     Spark element_at is 1-based like ClickHouse arrays."""
     return F.element_at(F.col(topics_field), index) == F.lit(signature)
+
+
+def count_distinct_skewproof(df, keys, value_col: str, out_col: str):
+    """Exact count(DISTINCT value) per key, skew-proof (SURVEY A4 at
+    100 TB scale).
+
+    A direct ``countDistinct`` keeps every distinct value of a hot key
+    in one final-aggregation task. This two-phase form first dedups on
+    (keys, value) — that shuffle is keyed by the PAIR, so a hot key's
+    values spread across the cluster — then counts the survivors per
+    key, where partial counting compresses map-side. Same exact result,
+    bounded per-task state.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 (local for Column ns)
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )

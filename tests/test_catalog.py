@@ -80,3 +80,40 @@ def test_compact_reduces_files_and_preserves_final(spark, wh):
     rows = wh.read("block", final=False).collect()
     assert len(rows) == 1
     assert rows[0]["number"] == 2
+
+
+def test_block_range_partitioned_write_prunes(spark, tmp_path):
+    """block_partition derives a hive partition; block predicates become
+    partition pruning (PartitionFilters in the scan)."""
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rows = spark.createDataFrame(
+        [(i, f"2020-01-01 00:00:{i % 60:02d}") for i in range(0, 250_000, 10_000)],
+        "number long, ts string",
+    ).selectExpr("number", "CAST(ts AS TIMESTAMP) AS timestamp")
+    wh.write("block", rows, id_expr=rows.number.cast("string"),
+             block_partition="number")
+    import os
+    parts = sorted(p for p in os.listdir(tmp_path / "block") if p.startswith("_block_range="))
+    assert parts == ["_block_range=0", "_block_range=100000", "_block_range=200000"]
+
+    got = wh.read("block").filter("number >= 200000")
+    assert got.count() == 5  # 200k..240k
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_block_range" in plan  # partition column participates in pruning
+
+
+def test_count_distinct_skewproof_matches_exact(spark):
+    from pyspark.sql import functions as F
+    from ethereum_analytical_db_spark.operators.predicates import (
+        count_distinct_skewproof,
+    )
+
+    df = spark.createDataFrame(
+        [("hot", v % 7) for v in range(100)] + [("cold", 1), ("cold", 2)],
+        "k string, v int",
+    )
+    got = {r["k"]: r["n"] for r in count_distinct_skewproof(df, "k", "v", "n").collect()}
+    want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    assert got == want == {"hot": 7, "cold": 2}
