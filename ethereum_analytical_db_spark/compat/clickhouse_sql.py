@@ -413,6 +413,9 @@ def register_dialect_functions(spark: SparkSession) -> None:
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toUInt8(x STRING) RETURNS TINYINT RETURN CAST(CAST(x AS DOUBLE) AS TINYINT)")
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDate(x TIMESTAMP) RETURNS DATE RETURN CAST(x AS DATE)")
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDateTime(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)")
+    # Grafana's $timeSeries macro expands to intDiv(toUInt32(ts), N) * N
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION intDiv(x DOUBLE, y DOUBLE) RETURNS BIGINT RETURN CAST(x / y AS BIGINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toUInt32(x TIMESTAMP) RETURNS BIGINT RETURN unix_timestamp(x)")
 
 
 class ClickHouseCompat:

@@ -63,6 +63,7 @@ def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
         "eth_internal_transaction_blocks",
         ev.selectExpr("CAST(event_id % 97 AS INT) AS number").distinct(),
     )
+    c.register_table("eth_events", ev.select("event_id", "ts", "event_type"))
     return c
 
 
@@ -241,3 +242,39 @@ LIMIT 10
 def compat_grafana_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
     return c.sql(TOPK_CALLS_CH, macros={"timeFilter": "number < 60"})
+
+
+TIMESERIES_CH = """
+SELECT $timeSeries AS t, count() AS n
+FROM eth_events
+WHERE $timeFilter
+GROUP BY t
+ORDER BY t
+"""
+
+TIMESERIES_ORACLE = """
+SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS t,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "compat_grafana_timeseries",
+    TIMESERIES_ORACLE,
+    note="Grafana $timeSeries/$timeFilter macro expansion via eads.compat: "
+    "intDiv(toUInt32(ts), N) * N six-hour buckets, count() "
+    "(reference grafana/dashboards/ethereum.json time-series panels, A9)",
+)
+def compat_grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(
+        TIMESERIES_CH,
+        macros={
+            "timeSeries": "intDiv(toUInt32(ts), 21600) * 21600",
+            "timeFilter": "ts >= toDateTime('2024-01-02 00:00:00')",
+        },
+    )
