@@ -1,0 +1,46 @@
+"""Driver contract (__spark_entry__): entry/queries/oracle_sql shape.
+
+The driver smoke-checks entry() at sf0.001 and replays queries() against
+oracle_sql() in DuckDB at sf0.01 — this test pins the contract pieces
+that would fail silently: key alignment, buildability of every
+registered plan, and a non-empty flagship result.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+def test_entry_flagship_runs(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"address", "balance", "balance_floored"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 45  # full SURVEY §2 + training-data pack + compat
+    # every oracle is non-trivial SQL text
+    for name, sql in oracles.items():
+        assert "SELECT" in sql.upper(), name
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata not present")
+def test_every_query_builds_and_analyzes(spark):
+    """qdef.build() runs Catalyst analysis — catches schema drift /
+    unresolved columns across the whole registry in one pass."""
+    qs = entry_mod.queries()
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        assert len(df.schema.fields) > 0, name
