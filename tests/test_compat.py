@@ -159,3 +159,19 @@ def test_outfile_written(spark, compat, tmp_path):
         content = fh.read()
     assert content.splitlines()[0] == "k,v"
     assert "a,1" in content
+
+
+def test_translate_is_neutral_on_ansi_sql():
+    """Plain ANSI queries (no dialect constructs) pass through with only
+    whitespace normalization — the translator never rewrites semantics
+    it doesn't own."""
+    for q in [
+        "SELECT a, sum(b) AS s FROM t WHERE a > 1 GROUP BY a ORDER BY s DESC LIMIT 5",
+        "SELECT x.k, y.v FROM x JOIN y ON x.k = y.k WHERE y.v IS NOT NULL",
+        "SELECT count(*) FROM t HAVING count(*) > 0",
+        "WITH c AS (SELECT 1 AS one) SELECT one FROM c",
+    ]:
+        t = translate(q)
+        # token stream identical — only inter-token whitespace may change
+        assert t.sql.replace(" ", "") == q.replace(" ", "")
+        assert t.outfile is None

@@ -95,3 +95,38 @@ def test_sql_function_registration(spark):
         "SELECT topic_address(array('0xsig', '0x000000000000000000000000abcdefabcdefabcdefabcdefabcdefabcdefabcd'), 2) AS a"
     ).first()["a"]
     assert a == "0xabcdefabcdefabcdefabcdefabcdefabcdefabcd"
+
+
+def test_uint256_hypothesis_property(spark):
+    """Property: for arbitrary hex blobs (any length, incl. degenerate
+    < 35 chars) and decimals, the decode equals the reference's Python
+    semantics: int(data[34:], 16) / 10**coalesce(decimals, 18), with
+    empty slices decoding to 0 (ClickHouse reinterpret-of-empty).
+    Batched: one Spark job per example list."""
+    from hypothesis import given, settings, strategies as st
+
+    hexchars = "0123456789abcdef"
+    word = st.text(alphabet=hexchars, min_size=0, max_size=63).map(lambda s: "0x" + s)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(word, st.one_of(st.none(), st.integers(0, 30))),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def check(cases):
+        rows = [Row(data=d, decimals=dec) for d, dec in cases]
+        df = spark.createDataFrame(rows, "data string, decimals int")
+        out = df.select(
+            "data", "decimals", hex_word_to_float("data", "decimals").alias("v")
+        ).collect()
+        for r in out:
+            tail = r["data"][34:]
+            raw = int(tail, 16) if tail else 0
+            d = 18 if r["decimals"] is None else r["decimals"]
+            expected = float(raw) / float(10.0**d)
+            assert r["v"] == pytest.approx(expected, rel=1e-12, abs=1e-300), r["data"]
+
+    check()
