@@ -371,3 +371,43 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qvec, k=10, n_centroids=8, nprobe=3, iterations=2
     )
     return out.filter(F.col("vec_id") != 0)
+
+
+SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 28800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, s
+"""
+
+
+@register(
+    "sessionize_gap",
+    SESSIONIZE_ORACLE,
+    note="gap-based sessionization, batch window form (lag + running sum "
+    "— beyond the reference, SURVEY §2.5 notes it has no lead/lag); the "
+    "streaming twin is eads.streaming.stateful.sessionize "
+    "(applyInPandasWithState), same semantics at batch boundaries",
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import sessionize_batch
+
+    ev = table(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev, gap_seconds=28800, ts_col="ts", key_col="user_id",
+        value_col="value", id_col="event_id",
+    )

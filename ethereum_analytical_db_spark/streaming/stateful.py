@@ -100,3 +100,49 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str | None = None,
+):
+    """Batch form of gap sessionization, window-function shape: a new
+    session starts where the gap to the previous event (per key, event
+    time) exceeds ``gap_seconds``; session number is the running count
+    of session starts. Same semantics as the streaming ``sessionize``
+    at batch boundaries, fully SQL-expressible (lag + cumulative sum —
+    both absent from the reference, SURVEY §2.5 "no lead/lag").
+
+    Scale: both windows partition by the session key — one shuffle,
+    reused by the final aggregation; per-key state is the window frame,
+    spill-safe.
+    """
+    from pyspark.sql import Window, functions as F
+
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.col(ts_col).cast("long") - prev.cast("long") > F.lit(gap_seconds))
+    )
+    sess = F.sum(is_new.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.withColumn("__sess", sess)
+        .groupBy(F.col(key_col), F.col("__sess"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events", "total_value")
+    )

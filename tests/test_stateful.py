@@ -54,3 +54,24 @@ def test_sessionize_gap_and_timeout(spark, tmp_path):
         (1, 1, 1.0, 16),  # user 1 session B: 1000s, timeout-flushed
         (2, 2, 3.5, 0),   # user 2: merged across micro-batches
     }
+
+
+def test_sessionize_batch_hand_vectors(spark):
+    rows = [
+        _ev(1, 0), _ev(1, 100), _ev(1, 500),      # gaps 100, 400 → split at 400>300
+        _ev(2, 0), _ev(2, 1000),                   # two sessions
+        _ev(3, 50),                                # singleton
+    ]
+    df = spark.createDataFrame(rows)
+    out = stateful.sessionize_batch(df, gap_seconds=300)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in out.collect()
+    }
+    t = lambda sec: T0 + dt.timedelta(seconds=sec)  # noqa: E731
+    assert got == {
+        (1, t(0), 2),
+        (1, t(500), 1),
+        (2, t(0), 1),
+        (2, t(1000), 1),
+        (3, t(50), 1),
+    }
