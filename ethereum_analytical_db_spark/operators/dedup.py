@@ -258,3 +258,64 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph → (doc,
+    component), component = MIN doc id reachable. The step real dedup
+    pipelines run after pair generation: a near-dup CLUSTER keeps one
+    canonical doc.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes min(own label, neighbors' labels); converges in O(graph
+    diameter) rounds (near-dup clusters are small and dense, so 2-4
+    rounds in practice — the loop exits early on a converged round via
+    one cheap count per iteration). Each round is one join + one
+    aggregate, both shuffling on node id; labels are localCheckpointed
+    so the lineage (and its re-execution) doesn't grow per round.
+
+    Deterministic: min() over ids, no ordering sensitivity.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionAll(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.doc)
+            .groupBy(F.col("d").alias("doc2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc"), F.col("label").alias("component"))

@@ -411,3 +411,75 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, gap_seconds=28800, ts_col="ts", key_col="user_id",
         value_col="value", id_col="event_id",
     )
+
+
+COMPONENTS_ORACLE = """
+WITH RECURSIVE shingled AS (
+  SELECT doc_id AS doc, list_distinct(ngrams) AS ngrams
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(words) - 1, 1)),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS ngrams
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  )
+),
+exploded AS (
+  SELECT doc, len(ngrams) AS set_size, unnest(ngrams) AS ngram FROM shingled
+),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b
+  FROM exploded a JOIN exploded b ON a.ngram = b.ngram AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING CAST(count(*) AS DOUBLE) /
+         (any_value(a.set_size) + any_value(b.set_size) - count(*)) >= 0.2
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+nodes AS (SELECT DISTINCT s AS doc FROM edges),
+reach(doc, r) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.d, r.r FROM edges e JOIN reach r ON e.s = r.doc
+)
+SELECT doc, MIN(r) AS component FROM reach GROUP BY doc
+"""
+
+
+@register(
+    "dedup_components",
+    COMPONENTS_ORACLE,
+    note="near-dup clustering: connected components (iterative min-label "
+    "propagation, converges in O(diameter) joins) over the exact Jaccard "
+    "pair graph — the canonical-doc selection step real dedup pipelines "
+    "run after pair generation; oracle is a recursive-CTE closure",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
+SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'f333' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "dataset_split",
+    SPLIT_ORACLE,
+    note="deterministic train/valid/test split (90/5/5) by salted-md5 "
+    "bucket — engine-portable (md5 prefix compare), shuffle-free, "
+    "re-salting gives an independent split",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")

@@ -77,3 +77,19 @@ def test_simhash_near_identical_docs_close(spark):
     }
     hits = sum(1 for p in planted if p in pairs)
     assert hits >= len(planted) - 1  # near-identical docs collide in simhash
+
+
+def test_connected_components_hand_graph(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 5)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (5, 1),         # chain 1-2-3-5
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
