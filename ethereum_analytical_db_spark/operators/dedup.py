@@ -299,23 +299,23 @@ def connected_components(
             .groupBy(F.col("d").alias("doc2"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the merge: one join computes
+        # the new label AND the convergence delta (no second join, no
+        # separate materialization job — the count() realizes the lazy
+        # checkpoint)
+        merged = (
             labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
             .select(
                 "doc",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("__old")).count()
+        labels = merged.select("doc", "label")
         if changed == 0:
             break
     return labels.select(F.col("doc"), F.col("label").alias("component"))
