@@ -483,3 +483,43 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+VOCAB_ORACLE = """
+SELECT word,
+       COUNT(*) AS cf,
+       COUNT(DISTINCT doc) AS df
+FROM (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY cf DESC, word ASC
+LIMIT 100
+"""
+
+
+@register(
+    "vocabulary_topk",
+    VOCAB_ORACLE,
+    note="corpus vocabulary: collection frequency + document frequency "
+    "per token, top-100 (A3/A4-style aggregates over the documents "
+    "table; df uses the skew-proof two-phase distinct shape — hot "
+    "stopwords spread across the cluster on the (word, doc) pair)",
+)
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    tokens = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    cf = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("cf"))
+    # exact df via the skew-proof two-phase distinct (predicates module
+    # documents the pattern): dedup on (word, doc), then count per word
+    df_ = (
+        tokens.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        cf.join(df_, "word")
+        .orderBy(F.col("cf").desc(), F.col("word").asc())
+        .limit(100)
+    )
