@@ -23,7 +23,6 @@ read-side window goes away — the Spark analogue of a background merge.
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,6 +41,40 @@ class Warehouse:
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    def _next_seq(self, table: str) -> int:
+        """Monotonic per-table batch sequence for last-write-wins dedup.
+
+        Wall-clock milliseconds can collide (two batches in the same ms
+        would tie and final_dedup's hash tie-break could keep the older
+        row), so the counter is persisted in a ``_SEQ`` sidecar file
+        (underscore-prefixed → invisible to the Parquet reader, like
+        ``_SUCCESS``). If the sidecar is missing (fresh checkout,
+        post-compact), it reseeds from ``max(_seq)`` in the table.
+        Single-writer per table, matching the reference's one-ETL-process
+        model; a multi-writer deployment would route this through a
+        coordination service or per-writer disjoint ranges.
+        """
+        seq_file = os.path.join(self._path(table), "_SEQ")
+        last = None
+        if os.path.isfile(seq_file):
+            try:
+                last = int(open(seq_file).read().strip())
+            except ValueError:
+                last = None
+        if last is None:
+            if self.exists(table):
+                df = self.spark.read.parquet(self._path(table))
+                last = (
+                    df.agg(F.max("_seq")).first()[0] if "_seq" in df.columns else 0
+                ) or 0
+            else:
+                last = 0
+        nxt = last + 1
+        os.makedirs(self._path(table), exist_ok=True)
+        with open(seq_file, "w") as f:
+            f.write(str(nxt))
+        return nxt
 
     def exists(self, table: str) -> bool:
         p = self._path(table)
@@ -93,7 +126,7 @@ class Warehouse:
                 cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
             else:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-        seq = int(time.time() * 1000)
+        seq = self._next_seq(table)
         out = df.select(*cols).withColumn("_seq", F.lit(seq).cast("long"))
         if block_partition is not None:
             out = out.withColumn(

@@ -259,10 +259,15 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
                 if keylist:
                     keylist.append(",")
                 keylist.append(k)
+            # ClickHouse ANY JOIN keeps an *arbitrary* right row per key;
+            # we pick deterministically (stable digest of the whole row,
+            # same convention as catalog.final_dedup) so translated
+            # queries with duplicate right keys are stable across runs.
+            digest = ["xxhash64", "(", "struct", "(", "*", ")", ")"]
             wrapper = (
                 ["(", "SELECT", "*", "EXCEPT", "(", "__rn", ")", "FROM", "(",
                  "SELECT", "*", ",", "row_number", "(", ")", "OVER", "(",
-                 "PARTITION", "BY"] + keylist + ["ORDER", "BY"] + keylist
+                 "PARTITION", "BY"] + keylist + ["ORDER", "BY"] + digest
                 + [")", "AS", "__rn", "FROM"] + right + [")", "WHERE", "__rn", "=", "1", ")"]
             )
             tokens = (

@@ -56,9 +56,12 @@ def propagate_parent_errors(
     prefix, same transaction) failed.
 
     Requires unique ``id_col`` per row (the engine's trace ids are).
-    Returns df + boolean ``out_col`` (True iff a failing strict-prefix
-    ancestor exists; the failing row itself is NOT marked, matching the
-    reference's shortest_prefix != node check).
+    Returns df + boolean ``out_col``: True iff a failing strict-prefix
+    ancestor exists, NULL otherwise. The failing row itself is NOT
+    marked (the reference's shortest_prefix != node check), and clean
+    rows stay NULL — the reference's Nullable(UInt8) tri-state, which
+    downstream consumers (derived.contracts, the balances SQL) filter
+    with ``parent_error IS NULL``.
     """
     failing = df.filter(F.col(error_col).isNotNull()).select(
         F.col(tx_col).alias("_ftx"), F.col(trace_addr_col).alias("_fta")
@@ -76,6 +79,6 @@ def propagate_parent_errors(
     )
     return (
         df.join(victims, df[id_col] == victims["_vid"], "left")
-        .withColumn(out_col, F.coalesce(F.col("_pe"), F.lit(False)))
+        .withColumn(out_col, F.col("_pe"))
         .drop("_vid", "_pe")
     )

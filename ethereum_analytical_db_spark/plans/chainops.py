@@ -214,17 +214,18 @@ def trace_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRACE_CTE
     + """
     SELECT a.event_id,
-           EXISTS (
+           CASE WHEN EXISTS (
              SELECT 1 FROM tr f
              WHERE f.tx = a.tx AND f.error IS NOT NULL
                AND len(f.ta) < len(a.ta)
                AND a.ta[1:len(f.ta)] = f.ta
-           ) AS parent_error
+           ) THEN TRUE END AS parent_error
     FROM tr a
     """,
     note="X4 parent-error propagation (reference trie walk "
     "operations/internal_transactions.py:253-274) as a strict-prefix "
-    "semi-join within the transaction",
+    "semi-join within the transaction; clean rows stay NULL "
+    "(Nullable(UInt8) tri-state, schema/schema.py:28)",
 )
 def trace_parent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _synthetic_traces(spark, sf_dir).withColumn(

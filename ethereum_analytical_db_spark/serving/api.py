@@ -31,12 +31,15 @@ WITH universe AS (
 ),
 income AS (
   SELECT `to` AS address, SUM(value) AS v FROM internal_transaction
-  WHERE type != 'reward' AND error IS NULL AND parent_error IS NOT TRUE
+  WHERE type != 'reward' AND error IS NULL
+    AND (parent_error IS NULL OR CAST(parent_error AS INT) = 0)
   GROUP BY `to`
 ),
 outcome AS (
   SELECT `from` AS address, SUM(value) AS v FROM internal_transaction
-  WHERE error IS NULL AND parent_error IS NOT TRUE GROUP BY `from`
+  WHERE error IS NULL
+    AND (parent_error IS NULL OR CAST(parent_error AS INT) = 0)
+  GROUP BY `from`
 ),
 reward AS (
   SELECT author AS address, SUM(value) AS v FROM internal_transaction

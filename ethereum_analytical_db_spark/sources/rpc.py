@@ -79,12 +79,25 @@ class FileJsonRpcTransport:
     def __init__(self, fixture_dir: str):
         self.fixture_dir = fixture_dir
 
+    @staticmethod
+    def _fixture_key(req: dict) -> str:
+        """First request param → fixture-file key. eth_getLogs sends a
+        real filter object ({fromBlock, toBlock} hex, inclusive); its
+        fixture key is the engine's half-open '{lo}-{hi}' range form."""
+        if not req.get("params"):
+            return ""
+        p0 = req["params"][0]
+        if isinstance(p0, dict) and "fromBlock" in p0:
+            lo = int(str(p0["fromBlock"]), 16)
+            hi = int(str(p0["toBlock"]), 16) + 1
+            return f"{lo}-{hi}"
+        return str(p0)
+
     def post(self, batch: list[dict]) -> list[dict]:
         out = []
         for req in batch:
-            p0 = str(req["params"][0]) if req.get("params") else ""
             path = os.path.join(
-                self.fixture_dir, f"{req['method']}_{p0}.json"
+                self.fixture_dir, f"{req['method']}_{self._fixture_key(req)}.json"
             )
             if os.path.exists(path):
                 with open(path) as f:
@@ -93,6 +106,16 @@ class FileJsonRpcTransport:
                 result = None
             out.append({"id": req.get("id"), "result": result})
         return out
+
+
+def _post_matched(transport, reqs: list[dict]) -> list[dict]:
+    """POST a batch and realign responses to request order by ``id`` —
+    JSON-RPC 2.0 batch responses are NOT guaranteed ordered, so a
+    positional zip could attribute results to the wrong block."""
+    by_id = {
+        r.get("id"): r for r in transport.post(reqs) if isinstance(r, dict)
+    }
+    return [by_id.get(req["id"], {}) for req in reqs]
 
 
 def _flatten_trace(block_number: int, tx_hash: str | None, raw: dict) -> dict:
@@ -146,7 +169,7 @@ def fetch_traces(
                     }
                     for i, n in enumerate(chunk)
                 ]
-                for n, resp in zip(chunk, transport.post(reqs)):
+                for n, resp in zip(chunk, _post_matched(transport, reqs)):
                     for raw in resp.get("result") or []:
                         rows.append(
                             _flatten_trace(n, raw.get("transactionHash"), raw)
@@ -197,7 +220,7 @@ def fetch_block_timestamps(
                 for i, n in enumerate(nums)
             ]
             rows = []
-            for n, resp in zip(nums, transport.post(reqs)):
+            for n, resp in zip(nums, _post_matched(transport, reqs)):
                 res = resp.get("result") or {}
                 ts = res.get("timestamp")
                 rows.append(
@@ -235,15 +258,19 @@ def fetch_events(
         for pdf in batches:
             rows = []
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                # real eth_getLogs filter object; ranges here are
+                # half-open [lo, hi) so toBlock (inclusive) = hi - 1
                 reqs = [
                     {
                         "jsonrpc": "2.0",
                         "id": 0,
                         "method": "eth_getLogs",
-                        "params": [f"{lo}-{hi}"],
+                        "params": [
+                            {"fromBlock": hex(int(lo)), "toBlock": hex(int(hi) - 1)}
+                        ],
                     }
                 ]
-                for resp in transport.post(reqs):
+                for resp in _post_matched(transport, reqs):
                     for log in resp.get("result") or []:
                         rows.append(
                             {

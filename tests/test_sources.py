@@ -87,7 +87,7 @@ def test_fetch_and_decode_traces(spark, rpc_fixtures):
     assert rows["0xT1.0"]["value"] == 2.0  # wei → float ether
     assert rows["0xT1.0"]["gasUsed"] == 21000
     assert rows["0xT1.1"]["error"] == "Reverted"
-    assert rows["0xT1.1"]["parent_error"] is False
+    assert rows["0xT1.1"]["parent_error"] is None
     assert rows["0xT1.2"]["parent_error"] is True  # descendant of the revert
 
 

@@ -56,9 +56,9 @@ def test_trace_ids_enumerate_within_tx(spark):
 
 
 def test_parent_error_marks_descendants_only(spark):
-    # [0] fails → [0,1] and [0,1,2] poisoned; [1] and root untouched;
-    # the failing row itself is NOT marked (reference shortest_prefix
-    # excludes the node itself)
+    # [0] fails → [0,1] and [0,1,2] poisoned; [1] and root stay NULL
+    # (reference Nullable(UInt8) tri-state); the failing row itself is
+    # NOT marked (reference shortest_prefix excludes the node itself)
     df = make_traces(
         spark,
         [
@@ -75,11 +75,11 @@ def test_parent_error_marks_descendants_only(spark):
         for r in propagate_parent_errors(df).collect()
     }
     assert out == {
-        (): False,
-        (0,): False,
+        (): None,
+        (0,): None,
         (0, 1): True,
         (0, 1, 2): True,
-        (1,): False,
+        (1,): None,
     }
 
 
@@ -93,7 +93,7 @@ def test_parent_error_no_cross_tx_leak(spark):
     )
     df = assign_trace_ids(df)
     out = {r["transactionHash"]: r["parent_error"] for r in propagate_parent_errors(df).collect()}
-    assert out == {"0xA": False, "0xB": False}
+    assert out == {"0xA": None, "0xB": None}
 
 
 def test_root_failure_poisons_whole_tree(spark):
@@ -110,4 +110,4 @@ def test_root_failure_poisons_whole_tree(spark):
         tuple(r["traceAddress"]): r["parent_error"]
         for r in propagate_parent_errors(df).collect()
     }
-    assert out == {(): False, (0,): True, (2, 3): True}
+    assert out == {(): None, (0,): True, (2, 3): True}
