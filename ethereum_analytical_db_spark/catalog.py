@@ -71,10 +71,22 @@ class Warehouse:
             else:
                 last = 0
         nxt = last + 1
-        os.makedirs(self._path(table), exist_ok=True)
-        with open(seq_file, "w") as f:
-            f.write(str(nxt))
+        self._write_seq_sidecar(table, nxt)
         return nxt
+
+    def _write_seq_sidecar(self, table: str, value: int) -> None:
+        """Atomic sidecar update: write a temp file, then os.replace() —
+        a crash mid-write can never leave a truncated-but-parsable value
+        (e.g. '1' from '12') that would re-issue a used seq and break
+        last-write-wins replay safety."""
+        os.makedirs(self._path(table), exist_ok=True)
+        seq_file = os.path.join(self._path(table), "_SEQ")
+        tmp = seq_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(value))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, seq_file)
 
     def exists(self, table: str) -> bool:
         p = self._path(table)
@@ -147,12 +159,23 @@ class Warehouse:
         return df
 
     def compact(self, table: str) -> None:
-        """Rewrite a table to one row per key (background-merge analogue)."""
+        """Rewrite a table to one row per key (background-merge analogue).
+
+        The final overwrite deletes the ``_SEQ`` sidecar with the rest of
+        the directory, so it is rewritten from the compacted frame's own
+        max(_seq) — otherwise the next write() would reseed via a
+        full-table scan (a full scan per post-compact write at 100 TB).
+        """
         deduped = self.read(table, final=True)
         tmp = self._path(table) + ".compact"
         deduped.write.mode("overwrite").parquet(tmp)
+        compacted = self.spark.read.parquet(tmp)
+        max_seq = 0
+        if "_seq" in compacted.columns:
+            max_seq = compacted.agg(F.max("_seq")).first()[0] or 0
         final_path = self._path(table)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final_path)
+        compacted.write.mode("overwrite").parquet(final_path)
+        self._write_seq_sidecar(table, int(max_seq))
 
     def register_views(self, *tables: str, final: bool = True) -> None:
         """Expose tables as temp views for spark.sql() text queries —

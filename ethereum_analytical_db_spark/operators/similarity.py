@@ -145,22 +145,28 @@ def embedding_near_dup_exact(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact: every (a, b) with
-    cosine(a, b) >= threshold and a < b.
+    cosine(a, b) >= threshold and a < b. Fully distributed — nothing is
+    collected to or broadcast from the driver.
 
     Two phases:
-    1. candidate generation — each task scores its rows against the full
-       broadcast unit-vector matrix with one numpy gemm (block
-       nested-loop; the O(n²·d) flops run as BLAS, not per-row), keeping
-       pairs above ``threshold − 1e-6``. The double round-off of a
-       64-term dot is ~1e-14, so no true pair can be missed;
-    2. exact verification — candidates join back (broadcast) to
-       DECIMAL-cast vectors; the reported cosine is an exact fixed-point
-       fold (order-independent → bit-identical in a SQL oracle).
+    1. candidate generation — block nested-loop: each vector hashes into
+       one of ``blocks`` buckets; every unordered bucket pair (i, j)
+       forms one task that gemms bucket i against bucket j (numpy BLAS,
+       not per-row), keeping pairs above ``threshold − 1e-6``. The
+       double round-off of a 64-term dot is ~1e-14, so no true pair can
+       be missed. Shuffle is O(n·blocks) rows; peak task memory is two
+       buckets (~2n/blocks vectors) — ``blocks`` scales it down;
+    2. exact verification — candidates join back (shuffle joins keyed on
+       the ids; the candidate set is tiny) to DECIMAL-cast vectors; the
+       reported cosine is an exact fixed-point fold (order-independent →
+       bit-identical in a SQL oracle).
 
-    The full-matrix broadcast makes this the *small-corpus exact
-    baseline* by construction; LSH/IVF below are the scale paths.
+    Still the O(n²·d / cluster) *exact baseline*: cost grows
+    quadratically no matter the blocking. LSH below is the scale path —
+    same verify phase, candidates from bucket collisions instead.
     """
     import numpy as np
     import pandas as pd
@@ -169,36 +175,67 @@ def embedding_near_dup_exact(
         F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
     ).withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double"))
 
-    all_rows = embeddings.select(F.col(id_col), F.col(vec_col)).collect()
-    ids_all = np.array([r[id_col] for r in all_rows], dtype=np.int64)
-    mat = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
-    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids_all, unit))
     thr = threshold - 1e-6
+    src = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    # replicate each row to every unordered block pair it participates in:
+    # row in block b → groups (min(b,o), max(b,o)) for o in 0..blocks-1.
+    # Each unordered pair occurs in exactly one group, so candidates never
+    # duplicate across tasks.
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(o)).alias("i"),
+                F.greatest(F.col("blk"), F.lit(o)).alias("j"),
+            )
+            for o in range(blocks)
+        ]
+    )
+    repl = src.select("vid", "v", "blk", F.explode(pair_keys).alias("p")).select(
+        "vid", "v", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j")
+    )
 
-    def candidates(batches):
-        ids_full, unit_full = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            vu = v / np.sqrt((v * v).sum(axis=1))[:, None]
-            sims = vu @ unit_full.T
+    def gemm_block_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        i, j = int(key[0]), int(key[1])
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        ids = pdf["vid"].to_numpy()
+        left = pdf["blk"].to_numpy() == i
+        if i == j:
+            # within-block: both orders appear, keep the a < b one
+            sims = unit @ unit.T
             ai, bj = np.nonzero(sims >= thr)
-            ia, ib = pdf[id_col].to_numpy()[ai], ids_full[bj]
+            ia, ib = ids[ai], ids[bj]
             keep = ia < ib
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep]})
+            ia, ib = ia[keep], ib[keep]
+        else:
+            # cross-block: each pair appears ONCE as (left, right) —
+            # normalize to (min, max) instead of filtering, or pairs
+            # whose smaller id sits in the right block would be lost
+            right = ~left
+            if not left.any() or not right.any():
+                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            sims = unit[left] @ unit[right].T
+            ai, bj = np.nonzero(sims >= thr)
+            la, rb = ids[left][ai], ids[right][bj]
+            ia, ib = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    cands = embeddings.select(id_col, vec_col).mapInPandas(
-        candidates, schema="id_a long, id_b long"
+    cands = repl.groupBy("i", "j").applyInPandas(
+        gemm_block_pair, schema="id_a long, id_b long"
     )
     a = base.select(F.col("vid").alias("id_a"), F.col("dv").alias("dva"), F.col("n2").alias("n2_a"))
     b = base.select(F.col("vid").alias("id_b"), F.col("dv").alias("dvb"), F.col("n2").alias("n2_b"))
     dot = _dec_dot(F.col("dva"), F.col("dvb")).cast("double")
     cos = dot / F.sqrt(F.col("n2_a") * F.col("n2_b"))
     return (
-        cands.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cands.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -21,14 +21,18 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with scan parallelism restored: the test corpus is one
-    small parquet file (one input split), which would run the per-doc
-    shingle/signature pipelines single-threaded. A tiny round-robin
-    repartition spreads docs across all cores; at production scale the
-    scan has natural file parallelism and this becomes a cheap no-op
-    relative to the downstream work."""
+    """documents with scan parallelism restored IF the scan lacks it: the
+    test corpus is one small parquet file (one input split), which would
+    run the per-doc shingle/signature pipelines single-threaded, so a
+    round-robin repartition spreads docs across all cores. At production
+    scale the scan has natural file parallelism (>= defaultParallelism
+    splits) and the repartition is skipped entirely — no Exchange before
+    the first projection, the scan's own partitioning flows through."""
     docs = table(spark, sf_dir, "documents")
-    return docs.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
 
 
 @register(
@@ -46,10 +50,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(docs)
 
 
-@register(
-    "ngram_jaccard_pairs",
-    """
-    WITH shingled AS (
+# stop-shingle cap for the flagship dedup queries: shingles appearing in
+# more than this many documents are dropped from the inverted index before
+# the self-join (they carry no near-dup signal and make the join quadratic
+# on the hot key — the cap is what bounds worst-case skew at 100 TB)
+MAX_SHINGLE_DF = 64
+
+# the capped inverted index, shared by the pair query and the components
+# oracle: set sizes stay the FULL distinct-shingle counts (denominator
+# semantics unchanged); only the intersection is computed over capped
+# shingles — mirroring operators.dedup.ngram_jaccard_pairs(max_shingle_df)
+_JACCARD_PAIRS_CTE = f"""
+    shingled AS (
       SELECT doc_id AS doc, list_distinct(ngrams) AS ngrams
       FROM (
         SELECT doc_id,
@@ -60,21 +72,41 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     exploded AS (
       SELECT doc, len(ngrams) AS set_size, unnest(ngrams) AS ngram FROM shingled
+    ),
+    shingle_df AS (
+      SELECT ngram FROM exploded GROUP BY ngram HAVING count(*) <= {MAX_SHINGLE_DF}
+    ),
+    kept AS (
+      SELECT e.doc, e.set_size, e.ngram FROM exploded e
+      JOIN shingle_df USING (ngram)
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(count(*) AS DOUBLE) /
+             (any_value(a.set_size) + any_value(b.set_size) - count(*)) AS jaccard
+      FROM kept a JOIN kept b ON a.ngram = b.ngram AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+      HAVING CAST(count(*) AS DOUBLE) /
+             (any_value(a.set_size) + any_value(b.set_size) - count(*)) >= 0.2
     )
-    SELECT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(count(*) AS DOUBLE) /
-           (any_value(a.set_size) + any_value(b.set_size) - count(*)) AS jaccard
-    FROM exploded a JOIN exploded b ON a.ngram = b.ngram AND a.doc < b.doc
-    GROUP BY a.doc, b.doc
-    HAVING CAST(count(*) AS DOUBLE) /
-           (any_value(a.set_size) + any_value(b.set_size) - count(*)) >= 0.2
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_JACCARD_PAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     note="exact n-gram Jaccard near-dup pairs via shingle inverted index "
-    "(cost ~ Σ df(shingle)², not n² over docs)",
+    "(cost ~ Σ df(shingle)², not n² over docs); stop-shingles with "
+    f"df > {MAX_SHINGLE_DF} are dropped before the self-join (skew cap)",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
 
 
 @register(
@@ -413,26 +445,8 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COMPONENTS_ORACLE = """
-WITH RECURSIVE shingled AS (
-  SELECT doc_id AS doc, list_distinct(ngrams) AS ngrams
-  FROM (
-    SELECT doc_id,
-           list_transform(range(1, greatest(len(words) - 1, 1)),
-                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS ngrams
-    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-  )
-),
-exploded AS (
-  SELECT doc, len(ngrams) AS set_size, unnest(ngrams) AS ngram FROM shingled
-),
-pairs AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b
-  FROM exploded a JOIN exploded b ON a.ngram = b.ngram AND a.doc < b.doc
-  GROUP BY a.doc, b.doc
-  HAVING CAST(count(*) AS DOUBLE) /
-         (any_value(a.set_size) + any_value(b.set_size) - count(*)) >= 0.2
-),
+COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTE},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
   UNION
@@ -454,11 +468,14 @@ SELECT doc, MIN(r) AS component FROM reach GROUP BY doc
     note="near-dup clustering: connected components (iterative min-label "
     "propagation, converges in O(diameter) joins) over the exact Jaccard "
     "pair graph — the canonical-doc selection step real dedup pipelines "
-    "run after pair generation; oracle is a recursive-CTE closure",
+    "run after pair generation; oracle is a recursive-CTE closure; the "
+    f"pair graph uses the df <= {MAX_SHINGLE_DF} stop-shingle cap",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_shingle_df=MAX_SHINGLE_DF
+    )
     return dedup.connected_components(pairs)
 
 

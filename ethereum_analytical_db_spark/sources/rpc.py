@@ -88,8 +88,14 @@ class FileJsonRpcTransport:
             return ""
         p0 = req["params"][0]
         if isinstance(p0, dict) and "fromBlock" in p0:
-            lo = int(str(p0["fromBlock"]), 16)
-            hi = int(str(p0["toBlock"]), 16) + 1
+            try:
+                # block *tags* ('latest', 'earliest', …) aren't hex
+                # quantities; fall through to a fixture miss rather than
+                # crashing the executor task on int(x, 16)
+                lo = int(str(p0["fromBlock"]), 16)
+                hi = int(str(p0["toBlock"]), 16) + 1
+            except (ValueError, TypeError, KeyError):
+                return str(p0)
             return f"{lo}-{hi}"
         return str(p0)
 
@@ -111,11 +117,31 @@ class FileJsonRpcTransport:
 def _post_matched(transport, reqs: list[dict]) -> list[dict]:
     """POST a batch and realign responses to request order by ``id`` —
     JSON-RPC 2.0 batch responses are NOT guaranteed ordered, so a
-    positional zip could attribute results to the wrong block."""
+    positional zip could attribute results to the wrong block.
+
+    A missing response id or an ``error`` member raises instead of
+    degrading to an empty result: 'node rejected/rate-limited the call'
+    must stay distinguishable from 'block genuinely has no traces/logs',
+    or a flaky node silently drops data. Spark's task retry
+    (``spark.task.maxFailures``) is the retry loop (SURVEY T6)."""
     by_id = {
         r.get("id"): r for r in transport.post(reqs) if isinstance(r, dict)
     }
-    return [by_id.get(req["id"], {}) for req in reqs]
+    out = []
+    for req in reqs:
+        resp = by_id.get(req["id"])
+        if resp is None:
+            raise RuntimeError(
+                f"JSON-RPC batch response missing id {req['id']!r} "
+                f"(method {req.get('method')})"
+            )
+        if resp.get("error") is not None:
+            raise RuntimeError(
+                f"JSON-RPC error for id {req['id']!r} "
+                f"(method {req.get('method')}): {resp['error']!r}"
+            )
+        out.append(resp)
+    return out
 
 
 def _flatten_trace(block_number: int, tx_hash: str | None, raw: dict) -> dict:

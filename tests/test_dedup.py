@@ -79,6 +79,34 @@ def test_simhash_near_identical_docs_close(spark):
     assert hits >= len(planted) - 1  # near-identical docs collide in simhash
 
 
+def test_hot_shingle_cap_bounds_join(spark):
+    """A stop-shingle present in EVERY doc would make the inverted-index
+    self-join quadratic over the corpus; the df cap drops it while true
+    near-dup pairs (sharing many low-df shingles) survive."""
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(30):
+        # every doc starts with the same hot 3 words → one shared shingle
+        body = " ".join(rnd.choice(vocab) for _ in range(40))
+        rows.append((i, "hot stop shingle " + body))
+    words = rows[0][1].split()
+    words[10] = "edited"
+    rows.append((100, " ".join(words)))  # near-dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5, max_shingle_df=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (0, 100) in got
+    # and the capped inverted index contains NO row for the hot shingle:
+    # every pair besides the planted one came only from low-df shingles
+    uncapped = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0)
+    # without the cap, the universal shingle links every doc pair
+    assert uncapped.count() >= 30 * 31 / 2
+    low = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_df=5)
+    assert low.count() < uncapped.count()
+
+
 def test_connected_components_hand_graph(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 5)],

@@ -36,6 +36,26 @@ def test_exact_near_dup_finds_planted(spark):
     assert len(pairs) == len(planted)
 
 
+def test_exact_near_dup_block_count_invariant(spark):
+    """The block-pair decomposition is partition math, not semantics:
+    any ``blocks`` value yields the identical pair set (each unordered
+    block pair lands in exactly one task)."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expect = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 12))
+        for r in similarity.embedding_near_dup_exact(df, threshold=0.99, blocks=8).collect()
+    }
+    for blocks in (1, 3):
+        got = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 12))
+            for r in similarity.embedding_near_dup_exact(
+                df, threshold=0.99, blocks=blocks
+            ).collect()
+        }
+        assert got == expect
+
+
 def test_lsh_near_dup_recall(spark):
     rows, planted = _mk_vectors()
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

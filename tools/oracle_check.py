@@ -29,7 +29,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # normalize missing markers first: Spark's toPandas yields
+            # None, DuckDB's fetchdf yields NaN — both must stringify
+            # identically or every nullable non-numeric column "differs"
+            df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
