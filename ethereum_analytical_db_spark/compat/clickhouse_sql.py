@@ -58,7 +58,7 @@ _TOKEN_RE = re.compile(
       '(?:[^']|'')*'              # single-quoted string
     | `[^`]*`                     # backticked identifier
     | \$\w+                       # grafana macro (substitute before tokenize)
-    | \d+\.\d+|\.\d+|\d+          # numbers
+    | (?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?   # numbers incl. 1e9 / 2.5E-3
     | !=|<>|>=|<=|==|\|\|
     | [A-Za-z_][A-Za-z0-9_]*
     | \S                          # any punctuation char
@@ -310,9 +310,24 @@ def _parenthesize_bare_using(tokens: list[str]) -> list[str]:
 
 def _substitute_where_aliases(tokens: list[str]) -> list[str]:
     """ClickHouse resolves select-list aliases inside WHERE (post-agg filter
-    idiom, token_balances.sql:12). Spark does not — substitute the alias's
-    defining expression into the top-level WHERE clause."""
-    # top-level select list: depth-0 SELECT … FROM
+    idiom, token_balances.sql:12; pre-agg bucket filter, gas notebook
+    cell 6 ``WHERE (block > …)``). Spark does not — substitute the
+    alias's defining expression into the WHERE clause, recursively for
+    every subquery level (each level's aliases scope only to itself)."""
+    # recurse into parenthesized groups first, so nested SELECTs get
+    # their own alias substitution before this level's pass
+    rec: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i] == "(":
+            end = _balanced(tokens, i)
+            rec += ["("] + _substitute_where_aliases(tokens[i + 1 : end - 1]) + [")"]
+            i = end
+        else:
+            rec.append(tokens[i])
+            i += 1
+    tokens = rec
+    # this level's select list: depth-0 SELECT … FROM
     depth = 0
     sel_start = sel_end = None
     for i, t in enumerate(tokens):
@@ -366,23 +381,34 @@ def _substitute_where_aliases(tokens: list[str]) -> list[str]:
         return tokens
     if w_end is None:
         w_end = len(tokens)
-    clause: list[str] = []
-    d = 0
-    for i in range(w_start, w_end):
-        t = tokens[i]
-        if t == "(":
-            d += 1
-        elif t == ")":
-            d -= 1
-        low = _lower(t)
-        nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
-        prev = tokens[i - 1] if i > 0 else ""
-        # only substitute at clause depth 0 — identifiers inside IN
-        # (SELECT …) subqueries resolve in their own scope
-        if d == 0 and low in aliases and nxt != "(" and prev != ".":
-            clause += ["("] + aliases[low] + [")"]
-        else:
-            clause.append(t)
+    def subst(ctoks: list[str]) -> list[str]:
+        """Alias substitution inside a predicate: descends into
+        parenthesized expression groups (``(block > 1000)``) but leaves
+        subqueries (``IN (SELECT …)``) untouched — identifiers there
+        resolve in their own scope."""
+        res: list[str] = []
+        k = 0
+        while k < len(ctoks):
+            t = ctoks[k]
+            if t == "(":
+                end = _balanced(ctoks, k)
+                if k + 1 < end - 1 and _lower(ctoks[k + 1]) == "select":
+                    res += ctoks[k:end]
+                else:
+                    res += ["("] + subst(ctoks[k + 1 : end - 1]) + [")"]
+                k = end
+                continue
+            low = _lower(t)
+            nxt = ctoks[k + 1] if k + 1 < len(ctoks) else ""
+            prev = ctoks[k - 1] if k > 0 else ""
+            if low in aliases and nxt != "(" and prev != ".":
+                res += ["("] + aliases[low] + [")"]
+            else:
+                res.append(t)
+            k += 1
+        return res
+
+    clause = subst(tokens[w_start:w_end])
     return tokens[:w_start] + clause + tokens[w_end:]
 
 

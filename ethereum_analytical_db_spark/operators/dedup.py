@@ -260,6 +260,92 @@ def simhash_near_duplicates(
     )
 
 
+def connected_components_twophase(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) → (doc, component), component = MIN reachable id.
+
+    Converges in O(log n) rounds on ANY graph shape — the alternative to
+    ``connected_components`` (min-label propagation, O(diameter) rounds)
+    for adversarial long-chain graphs. Per round: two groupBy-min +
+    two joins, all shuffling on node id; edge set never grows beyond the
+    input (stars only shrink it).
+
+    - large-star: every node's neighbors LARGER than it re-attach to the
+      minimum of its neighborhood (incl. itself);
+    - small-star: edges are directed larger→smaller; each node and its
+      smaller neighbors re-attach to the neighborhood minimum.
+
+    ``stats``: optional dict; receives {"rounds": n} for observability
+    (the chain-graph test asserts the O(log n) bound through it).
+    """
+    edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        # large-star
+        sym = cur.unionAll(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger→smaller directed edges
+        dirred = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = (
+            dirred.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        small = (
+            dirred.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins2.select(F.col("u"), F.col("m").alias("v")))
+        )
+        new = (
+            small.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # converged when the (distinct) edge set is unchanged: same size
+        # and nothing in new that wasn't in cur
+        n_new = new.count()
+        if n_new == cur.count() and new.exceptAll(cur).isEmpty():
+            cur = new
+            break
+        cur = new
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (
+        cur.unionAll(roots)
+        .distinct()
+        .select(F.col("u").alias("doc"), F.col("v").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -170,27 +170,10 @@ def token_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- dashboards
 
 
-@register(
-    "top10_senders",
-    """
-    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS eth_sended
-    FROM events WHERE event_type = 'purchase'
-    GROUP BY user_id
-    ORDER BY eth_sended DESC, user_id ASC
-    LIMIT 10
-    """,
-    note="O1 top-10 by aggregate (grafana/dashboards/ethereum.json); "
-    "TakeOrderedAndProject, no full sort",
-)
-def top10_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(_dsum(F.col("value")).alias("eth_sended"))
-        .orderBy(F.col("eth_sended").desc(), F.col("user_id").asc())
-        .limit(10)
-    )
+# (the former `top10_senders` query was folded into `top10_with_names`,
+# which exercises the same O1 top-k-by-aggregate shape plus the J11 name
+# join — one registry slot instead of two under the driver's 50-query
+# correctness window)
 
 
 @register(

@@ -50,18 +50,32 @@ def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
         ev.selectExpr(
             "CAST(event_id % 50 AS STRING) AS `from`",
             "CAST(user_id AS STRING) AS `to`",
-            "CAST(event_id % 97 AS INT) AS blockNumber",
+            "CAST(event_id AS BIGINT) AS blockNumber",
+            "value AS gasPrice",
+            "value",
+            "CASE WHEN event_id % 7 = 0 THEN 'create' ELSE 'call' END AS type",
+            "concat(CAST(event_id AS STRING), '.', CAST(event_id % 3 AS STRING)) AS id",
         ),
     )
     c.register_table(
         "eth_contract",
-        ev.filter("event_type = 'purchase'")
-        .selectExpr("CAST(user_id AS STRING) AS address")
+        # a strict SUBSET of addresses (user_id % 3 = 0): the notebook's
+        # wallet-to-wallet filter `to NOT IN contracts` must keep rows
+        ev.filter("event_type = 'purchase' AND user_id % 3 = 0")
+        .selectExpr(
+            "CAST(user_id AS STRING) AS address",
+            "CAST(user_id % 97 AS BIGINT) AS blockNumber",
+            "CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS TINYINT) AS standard_erc20",
+        )
         .distinct(),
     )
     c.register_table(
         "eth_internal_transaction_blocks",
-        ev.selectExpr("CAST(event_id % 97 AS INT) AS number").distinct(),
+        ev.selectExpr("CAST(event_id AS BIGINT) AS number").distinct(),
+    )
+    c.register_table(
+        "eth_block",
+        ev.selectExpr("CAST(event_id AS BIGINT) AS number", "ts AS timestamp"),
     )
     c.register_table("eth_events", ev.select("event_id", "ts", "event_type"))
     return c
@@ -216,16 +230,17 @@ TOPK_CALLS_ORACLE = """
 WITH itx AS (
   SELECT CAST(event_id % 50 AS VARCHAR) AS from_addr,
          CAST(user_id AS VARCHAR) AS to_addr,
-         CAST(event_id % 97 AS INT) AS blockNumber
+         CAST(event_id AS BIGINT) AS blockNumber
   FROM events
 ),
 contracts AS (
-  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address FROM events WHERE event_type = 'purchase'
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address
+  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
 )
 SELECT from_addr AS address, CAST(COUNT(*) AS DOUBLE) AS calls
 FROM itx
 WHERE to_addr IN (SELECT address FROM contracts)
-  AND blockNumber < 60
+  AND blockNumber < 6000
 GROUP BY from_addr
 ORDER BY calls DESC, address ASC
 LIMIT 10
@@ -241,7 +256,7 @@ LIMIT 10
 )
 def compat_grafana_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
-    return c.sql(TOPK_CALLS_CH, macros={"timeFilter": "number < 60"})
+    return c.sql(TOPK_CALLS_CH, macros={"timeFilter": "number < 6000"})
 
 
 TIMESERIES_CH = """
@@ -278,3 +293,129 @@ def compat_grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timeFilter": "ts >= toDateTime('2024-01-02 00:00:00')",
         },
     )
+
+
+# The gas-price notebook's cell-6 SQL (reference examples/
+# gas_price_estimation/gas_price_estimation.ipynb), replayed verbatim
+# through the dialect layer with three documented adaptations:
+# - block > 1000 instead of > 6500000 (the synthetic chain is shorter);
+# - quantileExact instead of quantile: ClickHouse quantile() is a
+#   sampling reservoir — non-deterministic by design, so NO oracle could
+#   hash-match it; quantileExact → Spark percentile ↔ DuckDB
+#   quantile_cont (both exact interpolated, R-7);
+# - explicit aliases on the quantile columns (the notebook reads
+#   positional tuples; the correctness harness compares by column name).
+NOTEBOOK_GAS_CH = """
+SELECT *
+FROM (
+    SELECT toInt64(blockNumber / 1000) * 1000 AS block,
+           quantileExact(0.5)(gasPrice) * 1e9 AS p50_gwei,
+           quantileExact(0.2)(gasPrice) * 1e9 AS p20_gwei
+    FROM eth_internal_transaction
+    WHERE
+        (block > 1000)
+    AND
+        to NOT IN (SELECT address FROM eth_contract)
+    AND
+        value > 0
+    AND
+        type = 'call'
+    AND
+        id LIKE '%.0'
+    GROUP BY block
+)
+ANY INNER JOIN (
+    SELECT number AS block, timestamp
+    FROM eth_block
+)
+USING block
+"""
+
+NOTEBOOK_GAS_ORACLE = """
+WITH itx AS (
+  SELECT CAST(event_id AS BIGINT) AS blockNumber,
+         value AS gasPrice,
+         CAST(user_id AS VARCHAR) AS to_addr,
+         value AS val,
+         CASE WHEN event_id % 7 = 0 THEN 'create' ELSE 'call' END AS typ,
+         CAST(event_id AS VARCHAR) || '.' || CAST(event_id % 3 AS VARCHAR) AS tid
+  FROM events
+),
+contracts AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address
+  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+),
+g AS (
+  SELECT CAST(FLOOR(blockNumber / 1000) * 1000 AS BIGINT) AS block,
+         quantile_cont(gasPrice, 0.5) * 1e9 AS p50_gwei,
+         quantile_cont(gasPrice, 0.2) * 1e9 AS p20_gwei
+  FROM itx
+  WHERE CAST(FLOOR(blockNumber / 1000) * 1000 AS BIGINT) > 1000
+    AND to_addr NOT IN (SELECT address FROM contracts)
+    AND val > 0 AND typ = 'call' AND tid LIKE '%.0'
+  GROUP BY 1
+)
+SELECT g.block, g.p50_gwei, g.p20_gwei, b.timestamp
+FROM g
+JOIN (SELECT CAST(event_id AS BIGINT) AS block, ts AS timestamp FROM events) b
+  USING (block)
+"""
+
+
+@register(
+    "compat_notebook_gas",
+    NOTEBOOK_GAS_ORACLE,
+    note="gas-price notebook cell-6 SQL replay via eads.compat (reference "
+    "examples/gas_price_estimation/gas_price_estimation.ipynb): A10 "
+    "toInt64(blockNumber/1000)*1000 bucketing, A7 quantile()() per "
+    "bucket, select-alias reference in WHERE, J13 to NOT IN contracts, "
+    "P7 top-level-call `id LIKE '%.0'`, P10 type filter, J10 ANY INNER "
+    "JOIN USING to block timestamps",
+)
+def compat_notebook_gas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(NOTEBOOK_GAS_CH)
+
+
+# insights.json's most structured stat panel: ERC-20 contract count in
+# the dashboard's time window (reference grafana/dashboards/insights.json
+# "New ERC20 Tokens" panel). count(*) is aliased for the name-based
+# comparator; the reference panel reads a positional scalar.
+INSIGHTS_ERC20_CH = """
+SELECT count(*) AS n
+FROM eth_contract
+WHERE blockNumber in(
+  SELECT number
+  FROM eth_block
+  WHERE $timeFilter
+)
+AND standard_erc20 = 1
+"""
+
+INSIGHTS_ERC20_ORACLE = """
+WITH contracts AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
+         CAST(user_id % 97 AS BIGINT) AS blockNumber,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS standard_erc20
+  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+)
+SELECT count(*) AS n
+FROM contracts
+WHERE blockNumber IN (
+  SELECT CAST(event_id AS BIGINT) FROM events WHERE event_id < 50
+)
+AND standard_erc20 = 1
+"""
+
+
+@register(
+    "compat_insights_erc20",
+    INSIGHTS_ERC20_ORACLE,
+    note="insights.json dashboard replay via eads.compat (reference "
+    "grafana/dashboards/insights.json New-ERC20-Tokens stat panel): S3 "
+    "scalar count, nested IN-subquery over eth_block with $timeFilter, "
+    "standard_erc20 flag predicate",
+)
+def compat_insights_erc20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(INSIGHTS_ERC20_CH, macros={"timeFilter": "number < 50"})

@@ -64,6 +64,15 @@ def register(name: str, oracle: str | None, note: str = ""):
 
 def all_queries() -> dict[str, QueryDef]:
     # import registering modules lazily to avoid cycles
-    from . import analytics, chainops, compat_queries, pipeline, relational  # noqa: F401
+    from . import analytics, chainops, compat_queries, derived_queries, pipeline, relational  # noqa: F401
 
-    return dict(_REGISTRY)
+    # Oracle-checked queries first (stable within each tier): the driver's
+    # correctness harness records the first 50 registry entries, so the
+    # hash-checked queries must all land inside that window. The rows-only
+    # approximate operators (xxhash64-based — no portable SQL oracle) sort
+    # last; their correctness evidence is the recall suite in tests/, and
+    # they still run in bench.py. Guarded by
+    # tests/test_entry.py::test_oracle_queries_fit_correctness_window.
+    return dict(
+        sorted(_REGISTRY.items(), key=lambda kv: kv[1].oracle is None)
+    )

@@ -61,19 +61,10 @@ def range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "in_list_filter",
-    """
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
-    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-    """,
-    note="P3 whitelist IN filter (reference utils.py:105-107)",
-)
-def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    return cust.filter(in_list("c_mktsegment", ["BUILDING", "MACHINERY"])).select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
+# (the former standalone `in_list_filter` query was folded into
+# `union_all_universe` below — its orders leg now carries the P3
+# whitelist IN predicate — freeing a slot in the driver's 50-query
+# correctness window; operators.predicates.in_list remains unit-tested)
 
 
 @register(
@@ -335,18 +326,30 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT address) AS BIGINT) AS distinct_addresses
     FROM (
       SELECT o_custkey AS address FROM orders
+      WHERE o_orderstatus IN ('F', 'O')
       UNION ALL
       SELECT c_custkey AS address FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
       UNION ALL
       SELECT user_id AS address FROM events
     )
     """,
     note="U1/A8 UNION ALL of three key columns + distinct "
-    "(reference balances.sql:8-17 address universe)",
+    "(reference balances.sql:8-17 address universe); the orders/customer "
+    "legs carry P3 whitelist IN filters (reference utils.py:105-107), "
+    "pushed into the Parquet scans",
 )
 def union_all_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("address"))
-    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("address"))
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(in_list("o_orderstatus", ["F", "O"]))
+        .select(F.col("o_custkey").alias("address"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(in_list("c_mktsegment", ["BUILDING", "MACHINERY"]))
+        .select(F.col("c_custkey").alias("address"))
+    )
     ev = table(spark, sf_dir, "events").select(F.col("user_id").alias("address"))
     u = orders.unionAll(cust).unionAll(ev)
     return u.agg(

@@ -112,12 +112,36 @@ def test_connected_components_hand_graph(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 5)],
         "doc_a long, doc_b long",
     )
-    got = {
-        (r["doc"], r["component"])
-        for r in dedup.connected_components(pairs).collect()
-    }
-    assert got == {
+    expect = {
         (1, 1), (2, 1), (3, 1), (5, 1),         # chain 1-2-3-5
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    got = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == expect
+    # the two-phase implementation agrees on the same graph
+    got2 = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components_twophase(pairs).collect()
+    }
+    assert got2 == expect
+
+
+def test_twophase_chain_converges_in_log_rounds(spark):
+    """A 64-node chain is the adversarial case for min-label propagation
+    (O(diameter) = 63 rounds); large-star/small-star contracts it in
+    O(log n) rounds."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    out = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components_twophase(pairs, stats=stats).collect()
+    }
+    assert out == {(i, 0) for i in range(n)}
+    assert stats["rounds"] <= 12, stats
