@@ -171,10 +171,6 @@ def embedding_near_dup_exact(
     import numpy as np
     import pandas as pd
 
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
-    ).withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double"))
-
     thr = threshold - 1e-6
     src = embeddings.select(
         F.col(id_col).alias("vid"),
@@ -200,7 +196,7 @@ def embedding_near_dup_exact(
         "vid", "v", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j")
     )
 
-    def gemm_block_pair(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def gemm_block_pair(key, pdf):
         i, j = int(key[0]), int(key[1])
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
@@ -228,6 +224,23 @@ def embedding_near_dup_exact(
 
     cands = repl.groupBy("i", "j").applyInPandas(
         gemm_block_pair, schema="id_a long, id_b long"
+    ).localCheckpoint(eager=False)
+
+    # exact DECIMAL verification only for vectors that appear in a
+    # candidate pair — the fixed-point fold is interpreted (not codegen),
+    # so restricting it to the near-dup subset instead of the whole
+    # corpus is the difference between O(candidates·d) and O(n·d)
+    member_ids = (
+        cands.select(F.col("id_a").alias("vid"))
+        .unionAll(cands.select(F.col("id_b").alias("vid")))
+        .distinct()
+    )
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
+        )
+        .join(member_ids, "vid", "left_semi")
+        .withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double"))
     )
     a = base.select(F.col("vid").alias("id_a"), F.col("dv").alias("dva"), F.col("n2").alias("n2_a"))
     b = base.select(F.col("vid").alias("id_b"), F.col("dv").alias("dvb"), F.col("n2").alias("n2_b"))
@@ -250,35 +263,62 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scale path: hyperplane-bucket the corpus, generate candidate
-    pairs only within a bucket, verify with the exact double-fold
-    cosine. Shuffle is O(n) for bucketing + Σ bucket² for candidates —
-    high-cosine pairs land in the same bucket with probability
+    """Scale path: hyperplane-bucket the corpus, score pairs only WITHIN
+    a bucket. High-cosine pairs share every sign bit with probability
     (1 - θ/π)^planes, so recall is tunable via ``planes`` (unit-tested
-    against the exact operator)."""
-    bucketed = hyperplane_buckets(embeddings, dim, planes, seed, id_col, vec_col)
-    # one pass computes bucket + norm² per vector, materialized so the
-    # self-join's two branches don't re-run the hyperplane folds
-    withb = (
-        embeddings.join(bucketed, id_col)
-        .withColumn("n2", _dot(F.col(vec_col), F.col(vec_col)))
-        .localCheckpoint(eager=False)
+    against the exact operator).
+
+    Shape: one Arrow pass assigns buckets (sign-bit pattern of the
+    plane gemm — same convention as ``hyperplane_buckets``), one shuffle
+    groups each bucket onto a task, one numpy gemm per bucket scores its
+    pairs (BLAS flops, not an interpreted per-pair fold — the previous
+    zip_with verify was 10× slower and dominated the suite). Shuffle is
+    O(n) rows; flops Σ bucket². At 100 TB: write the table partitioned
+    by bucket and this becomes a per-partition local operation. A
+    pathologically hot bucket is one big task (applyInPandas groups
+    don't AQE-split) — add planes, or band like MinHash, to shrink it.
+    """
+    import numpy as np
+    import pandas as pd
+    import random
+
+    rnd = random.Random(seed)
+    plane_mat = np.asarray(
+        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
     )
-    a = withb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        F.col("n2").alias("n2_a"), "bucket",
-    )
-    b = withb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        F.col("n2").alias("n2_b"), "bucket",
-    )
-    # norms precomputed per vector → one fold per candidate pair, not three
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / F.sqrt(F.col("n2_a") * F.col("n2_b"))
+    bc = embeddings.sparkSession.sparkContext.broadcast(plane_mat)
+    thr = threshold - 1e-6
+
+    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    def assign(batches):
+        pm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            bits = (v @ pm.T >= 0).astype(np.int64)
+            pdf = pdf.copy()
+            pdf["bucket"] = bits @ (1 << np.arange(pm.shape[0], dtype=np.int64))
+            yield pdf
+
+    withb = src.mapInPandas(assign, schema="vid long, v array<float>, bucket long")
+
+    def gemm_bucket(key, pdf):
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        sims = unit @ unit.T
+        ai, bj = np.nonzero(sims >= thr)
+        ids = pdf["vid"].to_numpy()
+        ia, ib = ids[ai], ids[bj]
+        keep = ia < ib
+        return pd.DataFrame(
+            {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ai, bj][keep]}
+        )
+
     return (
-        a.hint("shuffle_hash")
-        .join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        withb.groupBy("bucket")
+        .applyInPandas(gemm_bucket, schema="id_a long, id_b long, cosine double")
         .filter(F.col("cosine") >= threshold)
     )
 
