@@ -80,7 +80,8 @@ def topic_to_address(topics: Column | str, index: int) -> Column:
     ``index`` is 1-based like ClickHouse array access.
     Reference: operations/token_holders.py:27-28, operations/bancor_trades.py:34-36.
     """
-    topic = F.element_at(_col(topics), index)
+    # null-safe get: a short topics array gives NULL (not an ANSI error)
+    topic = F.get(_col(topics), index - 1)
     return F.concat(F.lit("0x"), F.substring(topic, 27, 40))
 
 

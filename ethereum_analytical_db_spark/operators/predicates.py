@@ -55,9 +55,16 @@ def valid_operation(error: str = "error", parent_error: str = "parent_error") ->
 
 
 def topic_equals(topics_field: str, index: int, signature: str) -> Column:
-    """1-based array-element predicate `topics[i] = sig` (SURVEY P9);
-    Spark element_at is 1-based like ClickHouse arrays."""
-    return F.element_at(F.col(topics_field), index) == F.lit(signature)
+    """1-based array-element predicate `topics[i] = sig` (SURVEY P9).
+
+    Uses 0-based null-safe ``F.get`` rather than ``element_at``: a log
+    row with fewer topics yields NULL (predicate false) instead of an
+    ANSI out-of-bounds error — one malformed event can't fail a 100-TB
+    scan, matching ClickHouse's default-value behavior for topics[N].
+    (``element_at(array(<non-foldable>), i)`` inside a Filter also trips
+    a Janino codegen fault — "isNull_N is not an rvalue" — that silently
+    drops the whole stage to interpreted mode; ``get`` compiles.)"""
+    return F.get(F.col(topics_field), index - 1) == F.lit(signature)
 
 
 def count_distinct_skewproof(df, keys, value_col: str, out_col: str):

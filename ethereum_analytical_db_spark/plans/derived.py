@@ -92,7 +92,7 @@ def bancor_trades(
     conv = conv.join(F.broadcast(converter_addresses), on="address", how="left_semi")
 
     def topic_addr(i: int):
-        t = F.element_at(F.col("topics"), i)
+        t = F.get(F.col("topics"), i - 1)
         return F.concat(F.lit("0x"), t.substr(F.lit(27), F.length(t)))
 
     conv = conv.select(
