@@ -20,8 +20,10 @@ into Spark SQL (SURVEY §4.2.3):
 - ``count()`` → ``count(*)``;
 - ``quantile(q)(x)`` / ``quantileExact(q)(x)`` → ``percentile_approx`` /
   ``percentile`` (ClickHouse quantile is approximate, SURVEY A7);
-- 1-based array indexing ``topics[1]`` → ``element_at(topics, 1)``
-  (Spark bracket indexing is 0-based; element_at matches ClickHouse);
+- 1-based array indexing ``topics[1]`` → ``try_element_at(topics, 1)``
+  (Spark bracket indexing is 0-based; try_element_at matches ClickHouse's
+  1-based access and degrades out-of-range to NULL instead of an ANSI
+  error — closest to ClickHouse's default-value behavior);
 - select-list alias referenced from WHERE (ClickHouse substitutes
   aliases into WHERE, e.g. ``income - outcome AS balance …
   WHERE balance > 0.01`` in token_balances.sql:12) → the alias's
@@ -174,7 +176,9 @@ def _rewrite_quantile(tokens: list[str]) -> list[str]:
 
 
 def _rewrite_array_index(tokens: list[str]) -> list[str]:
-    """ident[N] (1-based, ClickHouse) → element_at(ident, N) (also 1-based)."""
+    """ident[N] (1-based, ClickHouse) → try_element_at(ident, N): 1-based
+    like ClickHouse, NULL (not an ANSI error) when the row's array is
+    shorter than N — one short topics array cannot fail a whole scan."""
     out: list[str] = []
     i = 0
     while i < len(tokens):
@@ -185,7 +189,7 @@ def _rewrite_array_index(tokens: list[str]) -> list[str]:
             and re.match(r"^\d+$", tokens[i + 2])
             and tokens[i + 3] == "]"
         ):
-            out += ["element_at", "(", tokens[i], ",", tokens[i + 2], ")"]
+            out += ["try_element_at", "(", tokens[i], ",", tokens[i + 2], ")"]
             i += 4
         else:
             out.append(tokens[i])

@@ -17,6 +17,8 @@ for every element (O(words²) work; measured 20-40× slowdown at sf0.1).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -80,8 +82,29 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return lang_scores_from_words(words(text))
 
 
-def predicted_lang_from_words(ws: Column) -> Column:
-    """argmax of lang_scores with deterministic tie-break by language
+def _marker_regex(markers: list[str]) -> str:
+    """Regex counting space-delimited tokens equal to any marker —
+    identical counts to filtering ``split(text, ' ')`` by membership
+    (the trailing delimiter is a lookahead, so consecutive marker
+    tokens each match)."""
+    alt = "|".join(re.escape(m) for m in markers)
+    return f"(?:^| )(?:{alt})(?= |$)"
+
+
+def lang_scores_from_text(text: Column | str) -> dict[str, Column]:
+    """Marker hit counts via ``regexp_count`` on the raw text — stays in
+    whole-stage codegen, unlike the array higher-order-function form
+    (``F.filter`` lambdas are interpreted expressions; at sf0.1 the HOF
+    argmax was the single most expensive part of the lang-ID query)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {
+        lang: F.regexp_count(text, F.lit(_marker_regex(ms))).cast("long")
+        for lang, ms in LANG_MARKERS.items()
+    }
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """argmax of lang scores with deterministic tie-break by language
     order en > de > fr > es > zh (ties fall to the earlier language).
 
     Implemented as array_max over (score, -position) structs so every
@@ -89,7 +112,6 @@ def predicted_lang_from_words(ws: Column) -> Column:
     re-evaluates each score inside every branch, which blows the
     expression tree up exponentially in the number of languages.
     """
-    scores = lang_scores_from_words(ws)
     langs = list(LANG_MARKERS.keys())
     best = F.array_max(
         F.array(
@@ -108,8 +130,17 @@ def predicted_lang_from_words(ws: Column) -> Column:
     )
 
 
+def predicted_lang_from_words(ws: Column) -> Column:
+    return _argmax_lang(lang_scores_from_words(ws))
+
+
+def predicted_lang_from_text(text: Column | str) -> Column:
+    """Codegen path: regexp marker counts on raw text, no array HOFs."""
+    return _argmax_lang(lang_scores_from_text(text))
+
+
 def predicted_lang(text: Column | str) -> Column:
-    return predicted_lang_from_words(words(text))
+    return predicted_lang_from_text(text)
 
 
 def bag_of_words_fingerprint(text: Column | str) -> Column:

@@ -186,14 +186,12 @@ LANG_ID_ORACLE = f"""
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
-    # split once into a bound array column; the 5 per-language score
-    # lambdas then scan the array instead of re-tokenizing 5× per doc
+    # regexp_count marker scoring on raw text: whole-stage codegen,
+    # vs the interpreted array-HOF form (F.filter lambdas) it replaced
     return docs.select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("_ws")
-    ).select(
         "doc_id",
         "lang",
-        text.predicted_lang_from_words(F.col("_ws")).alias("predicted_lang"),
+        text.predicted_lang_from_text(F.col("text")).alias("predicted_lang"),
     )
 
 

@@ -29,8 +29,8 @@ def test_translate_quantile_exact():
 
 def test_translate_array_index_is_one_based():
     t = translate("SELECT topics[1] FROM t WHERE topics[2] = '0xabc'")
-    assert "element_at ( topics , 1 )" in t.sql
-    assert "element_at ( topics , 2 )" in t.sql
+    assert "try_element_at ( topics , 1 )" in t.sql
+    assert "try_element_at ( topics , 2 )" in t.sql
     assert "[" not in t.sql
 
 
