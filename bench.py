@@ -11,6 +11,7 @@ timing covers scan → compute → result transfer, not just planning.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -56,6 +57,12 @@ def main() -> None:
             df = qdef.build(spark, sf_dir)
             n = len(df.toPandas())
             samples.append(time.perf_counter() - t0)
+            # release localCheckpoint blocks: the py4j refs pin the
+            # checkpointed RDDs until Python GC runs, so a 5×55-query
+            # session otherwise accumulates hundreds of persisted blocks
+            # (measured: 5 → 23 persistentRDDs in 5 runs of one query)
+            del df
+            gc.collect()
         samples.sort()
         med = samples[len(samples) // 2] if runs % 2 else (
             samples[runs // 2 - 1] + samples[runs // 2]

@@ -15,7 +15,7 @@ sums are DECIMAL (order-independent, bit-identical in any engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEC = "decimal(12,6)"
@@ -422,6 +422,19 @@ def ivf_assign(
     return _assign_clusters(embeddings, centroids, id_col, vec_col)
 
 
+def _probe_clusters(
+    query_vector: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side: 1-based ids of the ``nprobe`` centroids nearest the
+    query (same v·c − |c|²/2 score as assignment; ties → lower id)."""
+
+    def score(c: list[float]) -> float:
+        return sum(a * b for a, b in zip(query_vector, c)) - sum(x * x for x in c) / 2.0
+
+    probe = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))[:nprobe]
+    return [i + 1 for i in probe]
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_vector: list[float],
@@ -444,17 +457,50 @@ def cosine_topk_ivf(
         centroids = ivf_train_centroids(
             embeddings, n_centroids, iterations, id_col, vec_col
         )
-    # driver-side: nprobe nearest centroids to the query vector
-    def score(c: list[float]) -> float:
-        return sum(a * b for a, b in zip(query_vector, c)) - sum(x * x for x in c) / 2.0
-
-    probe = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))[:nprobe]
-    probe_ids = [i + 1 for i in probe]
+    probe_ids = _probe_clusters(query_vector, centroids, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("cluster").isin(probe_ids)).select(
         id_col, vec_col
     )
     return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)
+
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the assignment table written as Parquet
+    PARTITIONED BY cluster — one directory per inverted list. This is
+    the 100 TB layout the in-session ``cosine_topk_ivf`` only simulates:
+    a probe becomes a partition-pruned scan that never opens the other
+    clusters' files (`test_similarity.py` asserts inputFiles shrink)."""
+    ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def cosine_topk_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_vector: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized IVF index: `cluster IN (probe ids)` is a
+    partition filter on the cluster-partitioned layout, so the scan reads
+    ~nprobe/n_centroids of the files. Train once (``ivf_train_centroids``),
+    write once (``ivf_index_write``), probe per query."""
+    probe_ids = _probe_clusters(query_vector, centroids, nprobe)
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
+    return cosine_topk_bruteforce(
+        scan.select(id_col, vec_col), query_vector, k, id_col, vec_col
+    )
 
 
 def cosine_topk_lsh(

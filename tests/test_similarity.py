@@ -4,6 +4,8 @@ planted near-duplicates."""
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from ethereum_analytical_db_spark.operators import similarity
 
 
@@ -120,3 +122,39 @@ def test_ivf_centroids_deterministic(spark):
     for a, b in zip(c1, c2):
         for x, y in zip(a, b):
             assert abs(x - y) < 1e-9
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized index layout: probing reads ONLY the probed
+    clusters' files (partition pruning), and returns the same rows as
+    the in-session IVF with identical centroids."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    cents = similarity.ivf_train_centroids(df, n_centroids=4, iterations=2)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(df, path, cents)
+
+    full = spark.read.parquet(path)
+    assert set(full.select("cluster").distinct().toPandas()["cluster"]) > {1}
+
+    probed = similarity.cosine_topk_ivf_index(
+        spark, path, q, cents, k=3, nprobe=1
+    )
+    # pruning is physical: the cluster predicate lands in the scan's
+    # PartitionFilters (directory-level pruning on the cluster=N layout),
+    # not in a post-scan Filter
+    pruned_scan = spark.read.parquet(path).filter(
+        F.col("cluster").isin(similarity._probe_clusters(q, cents, 1))
+    )
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, plan
+    assert "cluster" in pf[1][:200], plan
+
+    insession = similarity.cosine_topk_ivf(
+        df, q, k=3, n_centroids=4, nprobe=1, centroids=cents
+    )
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in probed.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in insession.collect()]
+    assert got == want
