@@ -117,6 +117,46 @@ def hyperplane_buckets(
     )
 
 
+def _plane_matrix(dim: int, planes: int, seed: int):
+    """planes × dim Gaussian hyperplane matrix, deterministic in seed
+    (same draw order as ``hyperplane_buckets`` — row-major per plane)."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(seed)
+    return np.asarray([[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)])
+
+
+def _assign_sign_buckets(
+    embeddings: DataFrame, plane_mat, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, bucket long): integer sign-bit bucket per vector — one
+    Arrow-batched numpy gemm per batch against the broadcast plane
+    matrix (shared by the LSH near-dup and LSH top-k paths)."""
+    import numpy as np
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(plane_mat)
+    src = embeddings.select(F.col(id_col), F.col(vec_col))
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        pm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            bits = (v @ pm.T >= 0).astype(np.int64)
+            pdf = pdf.copy()
+            pdf["bucket"] = bits @ (1 << np.arange(pm.shape[0], dtype=np.int64))
+            yield pdf
+
+    return src.mapInPandas(
+        run,
+        schema=f"`{id_col}` {id_type}, `{vec_col}` array<float>, bucket long",
+    )
+
+
 _DEC_ZERO = "0"
 
 
@@ -280,29 +320,14 @@ def embedding_near_dup_lsh(
     """
     import numpy as np
     import pandas as pd
-    import random
 
-    rnd = random.Random(seed)
-    plane_mat = np.asarray(
-        [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
-    )
-    bc = embeddings.sparkSession.sparkContext.broadcast(plane_mat)
     thr = threshold - 1e-6
-
-    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-
-    def assign(batches):
-        pm = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            bits = (v @ pm.T >= 0).astype(np.int64)
-            pdf = pdf.copy()
-            pdf["bucket"] = bits @ (1 << np.arange(pm.shape[0], dtype=np.int64))
-            yield pdf
-
-    withb = src.mapInPandas(assign, schema="vid long, v array<float>, bucket long")
+    withb = _assign_sign_buckets(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        _plane_matrix(dim, planes, seed),
+        "vid",
+        "v",
+    )
 
     def gemm_bucket(key, pdf):
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
@@ -476,7 +501,8 @@ def ivf_index_write(
     PARTITIONED BY cluster — one directory per inverted list. This is
     the 100 TB layout the in-session ``cosine_topk_ivf`` only simulates:
     a probe becomes a partition-pruned scan that never opens the other
-    clusters' files (`test_similarity.py` asserts inputFiles shrink)."""
+    clusters' files (`test_similarity.py` asserts the cluster predicate
+    lands in the scan's PartitionFilters)."""
     ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path)
@@ -514,19 +540,17 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: only score vectors in the query's hyperplane
     bucket. At 100 TB the bucketed table is written partitioned by
-    bucket, so a query prunes to one partition."""
-    dim = len(query_vector)
-    bucketed = hyperplane_buckets(embeddings, dim, planes, seed, id_col, vec_col)
-    import random
+    bucket, so a query prunes to one partition.
 
-    rnd = random.Random(seed)
-    qbits = []
-    for p in range(planes):
-        plane = [rnd.gauss(0, 1) for _ in range(dim)]
-        dot = sum(a * b for a, b in zip(query_vector, plane))
-        qbits.append("1" if dot >= 0 else "0")
-    qbucket = "".join(qbits)
-    candidates = embeddings.join(
-        bucketed.filter(F.col("bucket") == qbucket).select(id_col), id_col, "left_semi"
-    )
+    Bucket assignment is the shared numpy sign-bit gemm (same planes and
+    sign convention as ``hyperplane_buckets``' string form, one Arrow
+    pass instead of ``planes`` interpreted folds per row)."""
+    import numpy as np
+
+    dim = len(query_vector)
+    pm = _plane_matrix(dim, planes, seed)
+    qbits = (np.asarray(query_vector, dtype=np.float64) @ pm.T >= 0).astype(np.int64)
+    qbucket = int(qbits @ (1 << np.arange(planes, dtype=np.int64)))
+    assigned = _assign_sign_buckets(embeddings, pm, id_col, vec_col)
+    candidates = assigned.filter(F.col("bucket") == qbucket).select(id_col, vec_col)
     return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)
