@@ -145,3 +145,49 @@ def test_twophase_chain_converges_in_log_rounds(spark):
     }
     assert out == {(i, 0) for i in range(n)}
     assert stats["rounds"] <= 12, stats
+
+
+def test_connected_components_random_graph_agreement(spark):
+    """Both implementations label every node with the MIN reachable id,
+    so on ANY graph their outputs must be identical — checked on seeded
+    random graphs with mixed shapes (isolated pairs, chains, cliques,
+    a high-degree star) and against a pure-Python union-find oracle."""
+    import random
+
+    for seed in (11, 23):
+        rnd = random.Random(seed)
+        nodes = list(range(60))
+        edges = set()
+        for _ in range(45):
+            a, b = rnd.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        edges.add((0, 59))  # long-range edge
+
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {n for e in edges for n in e}
+        want = {(n, find(n)) for n in touched}
+
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        got_minlabel = {
+            (r["doc"], r["component"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        got_star = {
+            (r["doc"], r["component"])
+            for r in dedup.connected_components_twophase(pairs).collect()
+        }
+        assert got_minlabel == want, f"min-label differs (seed {seed})"
+        assert got_star == want, f"two-phase differs (seed {seed})"
