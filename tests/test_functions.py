@@ -130,3 +130,28 @@ def test_uint256_hypothesis_property(spark):
             assert r["v"] == pytest.approx(expected, rel=1e-12, abs=1e-300), r["data"]
 
     check()
+
+
+def test_poison_rows_degrade_not_raise(spark):
+    """The 100 TB poison-row contract (SCALE.md): malformed hex blobs,
+    empty/short/NULL topics arrays — every one degrades to NULL/0/false
+    under ANSI mode; none may raise and fail a scan."""
+    from ethereum_analytical_db_spark.operators.predicates import topic_equals
+
+    blobs = spark.createDataFrame(
+        [("0x" + "zz" * 32,), ("0x",), ("0xabc",), (None,), ("garbage",)],
+        "data string",
+    )
+    vals = [
+        r["v"] for r in blobs.select(hex_word_to_float("data", 18).alias("v")).collect()
+    ]
+    assert vals == [0.0, 0.0, 0.0, None, 0.0]
+
+    topics = spark.createDataFrame(
+        [([],), (["0xonly"],), (None,)], "topics array<string>"
+    )
+    addrs = [
+        r["a"] for r in topics.select(topic_to_address("topics", 3).alias("a")).collect()
+    ]
+    assert addrs == [None, None, None]
+    assert topics.filter(topic_equals("topics", 1, "0xsig")).count() == 0
