@@ -529,6 +529,50 @@ def cosine_topk_ivf_index(
     )
 
 
+def lsh_index_write(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH layout: vectors written as Parquet PARTITIONED
+    BY their sign-bit bucket. A top-k probe (``cosine_topk_lsh_index``)
+    or a near-dup pass then reads only the probed bucket's directory —
+    the partition-pruned form of the in-session bucket shuffle. The
+    plane matrix is fully determined by (dim, planes, seed), so the
+    reader needs no sidecar."""
+    _assign_sign_buckets(
+        embeddings, _plane_matrix(dim, planes, seed), id_col, vec_col
+    ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def cosine_topk_lsh_index(
+    spark: SparkSession,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized LSH index: `bucket = <query bucket>` is a
+    partition filter on the bucket-partitioned layout — the scan opens
+    one directory out of 2^planes."""
+    import numpy as np
+
+    pm = _plane_matrix(len(query_vector), planes, seed)
+    qbits = (np.asarray(query_vector, dtype=np.float64) @ pm.T >= 0).astype(np.int64)
+    qbucket = int(qbits @ (1 << np.arange(planes, dtype=np.int64)))
+    scan = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    return cosine_topk_bruteforce(
+        scan.select(id_col, vec_col), query_vector, k, id_col, vec_col
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_vector: list[float],

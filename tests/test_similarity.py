@@ -158,3 +158,32 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     got = [(r["vec_id"], round(r["cosine"], 9)) for r in probed.collect()]
     want = [(r["vec_id"], round(r["cosine"], 9)) for r in insession.collect()]
     assert got == want
+
+
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """Bucket-partitioned LSH layout: probing is a partition-pruned scan
+    and returns exactly what the in-session LSH top-k returns."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    path = str(tmp_path / "lsh_index")
+    similarity.lsh_index_write(df, path, dim=len(q), planes=4)
+
+    probed = similarity.cosine_topk_lsh_index(spark, path, q, k=5, planes=4)
+    insession = similarity.cosine_topk_lsh(df, q, k=5, planes=4)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in probed.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in insession.collect()]
+    assert got == want
+    assert rows[0][0] in {v for v, _ in got}  # the query row survives
+
+    import numpy as np
+
+    pm = similarity._plane_matrix(len(q), 4, 42)
+    qb = int(
+        ((np.asarray(q) @ pm.T >= 0).astype(np.int64)
+         @ (1 << np.arange(4, dtype=np.int64)))
+    )
+    pruned = spark.read.parquet(path).filter(F.col("bucket") == qb)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "bucket" in pf[1][:200], plan
