@@ -302,6 +302,7 @@ def embedding_near_dup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_blocks: int = 1,
 ) -> DataFrame:
     """Scale path: hyperplane-bucket the corpus, score pairs only WITHIN
     a bucket. High-cosine pairs share every sign bit with probability
@@ -314,10 +315,14 @@ def embedding_near_dup_lsh(
     pairs (BLAS flops, not an interpreted per-pair fold — the previous
     zip_with verify was 10× slower and dominated the suite). Shuffle is
     O(n) rows; flops Σ bucket². At 100 TB: write the table partitioned
-    by bucket and this becomes a per-partition local operation. A
-    pathologically hot bucket is one big task (applyInPandas groups
-    don't AQE-split) — add planes, or band like MinHash, to shrink it.
-    """
+    by bucket and this becomes a per-partition local operation.
+
+    ``sub_blocks``: a pathologically hot bucket (skewed corpus, few
+    planes) is otherwise one big task — applyInPandas groups don't
+    AQE-split. Setting ``sub_blocks=S`` decomposes every bucket into the
+    S·(S+1)/2 unordered sub-block pairs of the exact operator's scheme,
+    bounding task memory at ~2·bucket/S vectors for an S× replication of
+    the shuffle. Identical output for any value (unit-tested)."""
     import numpy as np
     import pandas as pd
 
@@ -329,21 +334,74 @@ def embedding_near_dup_lsh(
         "v",
     )
 
-    def gemm_bucket(key, pdf):
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-        sims = unit @ unit.T
-        ai, bj = np.nonzero(sims >= thr)
-        ids = pdf["vid"].to_numpy()
-        ia, ib = ids[ai], ids[bj]
-        keep = ia < ib
-        return pd.DataFrame(
-            {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ai, bj][keep]}
+    if sub_blocks <= 1:
+
+        def gemm_bucket(key, pdf):
+            mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+            sims = unit @ unit.T
+            ai, bj = np.nonzero(sims >= thr)
+            ids = pdf["vid"].to_numpy()
+            ia, ib = ids[ai], ids[bj]
+            keep = ia < ib
+            return pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ai, bj][keep]}
+            )
+
+        return (
+            withb.groupBy("bucket")
+            .applyInPandas(gemm_bucket, schema="id_a long, id_b long, cosine double")
+            .filter(F.col("cosine") >= threshold)
         )
 
+    # hot-bucket decomposition: replicate each row to every unordered
+    # sub-block pair it participates in; each (bucket, i, j) is one task
+    src = withb.withColumn(
+        "blk",
+        F.pmod(F.xxhash64(F.col("vid").cast("string")), F.lit(sub_blocks)).cast("int"),
+    )
+    pair_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(o)).alias("i"),
+                F.greatest(F.col("blk"), F.lit(o)).alias("j"),
+            )
+            for o in range(sub_blocks)
+        ]
+    )
+    repl = src.select(
+        "vid", "v", "bucket", "blk", F.explode(pair_keys).alias("p")
+    ).select("vid", "v", "bucket", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+
+    def gemm_bucket_pair(key, pdf):
+        i, j = int(key[1]), int(key[2])
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        ids = pdf["vid"].to_numpy()
+        left = pdf["blk"].to_numpy() == i
+        if i == j:
+            sims = unit @ unit.T
+            ai, bj = np.nonzero(sims >= thr)
+            ia, ib, cs = ids[ai], ids[bj], sims[ai, bj]
+            keep = ia < ib
+            ia, ib, cs = ia[keep], ib[keep], cs[keep]
+        else:
+            # cross-block pairs appear ONCE — normalize to (min, max)
+            right = ~left
+            if not left.any() or not right.any():
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            sims = unit[left] @ unit[right].T
+            ai, bj = np.nonzero(sims >= thr)
+            la, rb = ids[left][ai], ids[right][bj]
+            ia, ib = np.minimum(la, rb), np.maximum(la, rb)
+            cs = sims[ai, bj]
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
     return (
-        withb.groupBy("bucket")
-        .applyInPandas(gemm_bucket, schema="id_a long, id_b long, cosine double")
+        repl.groupBy("bucket", "i", "j")
+        .applyInPandas(gemm_bucket_pair, schema="id_a long, id_b long, cosine double")
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -187,3 +187,25 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "bucket" in pf[1][:200], plan
+
+
+def test_lsh_near_dup_sub_block_invariant(spark):
+    """Hot-bucket decomposition is partition math, not semantics: any
+    sub_blocks value yields the identical (pair, cosine) set."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expect = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 12))
+        for r in similarity.embedding_near_dup_lsh(
+            df, dim=16, threshold=0.99, planes=4
+        ).collect()
+    }
+    assert expect  # fixture plants near-dups; empty would vacuously pass
+    for s in (2, 5):
+        got = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 12))
+            for r in similarity.embedding_near_dup_lsh(
+                df, dim=16, threshold=0.99, planes=4, sub_blocks=s
+            ).collect()
+        }
+        assert got == expect, f"sub_blocks={s}"
