@@ -53,6 +53,17 @@ def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
     )
 
 
+def repetition_ratio(text: Column | str) -> Column:
+    """Duplicated-word fraction: 1 − distinct_words/words. The standard
+    cheap repetition filter for pretraining corpora (boilerplate and
+    keyword-stuffed pages score high). Exact-integer division + one
+    subtraction → bit-identical in any IEEE engine."""
+    ws = words(text)
+    return F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast(
+        "double"
+    )
+
+
 def non_alpha_chars(text: Column | str) -> Column:
     """Count of characters outside [a-z0-9 ] — a punctuation/noise signal."""
     text = F.col(text) if isinstance(text, str) else text

@@ -139,11 +139,14 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              / len(string_split(text, ' ')) AS stopword_ratio,
            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
              / len(string_split(text, ' ')) AS mean_word_len,
-           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha,
+           1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS repetition_ratio
     FROM documents
     """,
     note="text quality signals: token count, stopword ratio, mean word "
-    "length, punctuation count — all JVM-side Column exprs",
+    "length, punctuation count, duplicated-word repetition ratio — all "
+    "JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
@@ -154,6 +157,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_ratio("text", STOPWORDS).alias("stopword_ratio"),
         text.mean_word_length("text").alias("mean_word_len"),
         text.non_alpha_chars("text").alias("non_alpha"),
+        text.repetition_ratio("text").alias("repetition_ratio"),
     )
 
 
