@@ -167,6 +167,48 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(text))
 
 
+def top_ngram_share(
+    df, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(id, top_ngram_share): occurrence share of the single most
+    frequent word n-gram per document — the Gopher-style repetition
+    filter (a doc whose top 2-gram covers a large fraction of its
+    2-grams is boilerplate or keyword stuffing).
+
+    DataFrame-level (needs per-doc gram counting, not a pure projection):
+    explode n-grams → count per (doc, gram) → max/sum per doc. Both
+    shuffles are keyed by high-cardinality doc(-gram) keys — skew-safe;
+    partial aggregation compresses map-side. Docs shorter than ``n``
+    words score 0.0."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(F.col("_ws"), i + k + 1) for k in range(n)]
+        )
+
+    grams = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.size("_ws") >= n,
+            F.transform(F.sequence(F.lit(0), F.size("_ws") - n), gram),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    counts = grams.select(F.col(id_col), F.explode("grams").alias("g")).groupBy(
+        id_col, "g"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_ngram_share")
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("top_ngram_share"), F.lit(0.0)).alias("top_ngram_share"),
+    )
+
+
 def ngrams_from_words(ws: Column, n: int = 3) -> Column:
     """Distinct word n-grams from a pre-split words-array column.
 
