@@ -406,6 +406,43 @@ def embedding_near_dup_lsh(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: (id, scale float,
+    qvec array<tinyint>) with element ≈ round(v/scale), scale =
+    max|v|/127. Cuts embedding storage 4× (the dominant table at
+    100 TB); cosine after dequantization is within ~1/127 per axis —
+    fine for LSH/IVF candidate generation, with exact rescoring on the
+    float originals for the final ranking. Pure Column expressions."""
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return embeddings.select(
+        F.col(id_col),
+        scale.cast("float").alias("scale"),
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+        .alias("qvec"),
+    )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: (id, vec array<float>) with
+    element = qvec[i] · scale."""
+    s = F.col("scale").cast("double")
+    return quantized.select(
+        F.col(id_col),
+        F.transform(F.col("qvec"), lambda q: (q.cast("double") * s).cast("float"))
+        .alias(vec_col),
+    )
+
+
 def _assign_clusters(
     embeddings: DataFrame,
     centroids: list[list[float]],

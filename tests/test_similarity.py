@@ -209,3 +209,33 @@ def test_lsh_near_dup_sub_block_invariant(spark):
             ).collect()
         }
         assert got == expect, f"sub_blocks={s}"
+
+
+def test_int8_quantization_roundtrip(spark):
+    """4x-storage int8 quantization: qvec is tinyint, round-trip error
+    is bounded by scale/2 per element, and brute-force top-k on the
+    dequantized vectors agrees with the float originals on this corpus."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_embeddings(df)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+
+    deq = similarity.dequantize_embeddings(q)
+    joined = (
+        df.alias("o").join(deq.alias("d"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+        .collect()
+    )
+    for r in joined:
+        bound = r["scale"] / 2 + 1e-6
+        for a, b in zip(r["o.embedding"] if "o.embedding" in r else r[1], r[2]):
+            assert abs(a - b) <= bound
+
+    # ~1/127-per-axis error can reorder near-ties (the planted dups sit
+    # at cosine ≈ 0.9998), so assert rank stability, not exact order:
+    # the query row stays top-1 and the top-5 sets overlap heavily
+    qv = rows[0][1]
+    want = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, qv, k=5).collect()]
+    got = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(deq, qv, k=5).collect()]
+    assert got[0] == want[0] == rows[0][0]
+    assert len(set(got) & set(want)) >= 4
