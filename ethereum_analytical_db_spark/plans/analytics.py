@@ -231,14 +231,16 @@ def avg_gas_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gas_price_percentiles",
     """
     SELECT CAST(FLOOR(event_id / 1000) * 1000 AS BIGINT) AS bucket,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.2) AS p20
+           CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+           CAST(quantile_cont(value, 0.2) AS REAL) AS p20
     FROM events
     GROUP BY 1 ORDER BY bucket
     """,
     note="A7 quantile(0.5)/(0.2) per block bucket + A10 division bucketing "
     "(gas_price_estimation notebook cell 6); exact interpolated percentile "
-    "both sides (R-7)",
+    "both sides (R-7), float32-cast because the two engines' linear "
+    "interpolation can differ in the last double ulp (~1e-15 — observed "
+    "at sf0.1)",
 )
 def gas_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -246,8 +248,8 @@ def gas_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(bucket)
         .agg(
-            F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
-            F.percentile(F.col("value"), F.lit(0.2)).alias("p20"),
+            F.percentile(F.col("value"), F.lit(0.5)).cast("float").alias("p50"),
+            F.percentile(F.col("value"), F.lit(0.2)).cast("float").alias("p20"),
         )
         .orderBy("bucket")
     )

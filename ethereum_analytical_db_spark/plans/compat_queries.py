@@ -302,7 +302,11 @@ def compat_grafana_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - quantileExact instead of quantile: ClickHouse quantile() is a
 #   sampling reservoir — non-deterministic by design, so NO oracle could
 #   hash-match it; quantileExact → Spark percentile ↔ DuckDB
-#   quantile_cont (both exact interpolated, R-7);
+#   quantile_cont (both exact interpolated, R-7). Latent exposure:
+#   the two engines' interpolation can differ in the last double ulp
+#   on some distributions (observed for gas_price_percentiles at
+#   sf0.1, fixed there by a float32 cast); this replay keeps the
+#   notebook SQL verbatim, so the risk is accepted for fidelity;
 # - explicit aliases on the quantile columns (the notebook reads
 #   positional tuples; the correctness harness compares by column name).
 NOTEBOOK_GAS_CH = """
