@@ -93,33 +93,9 @@ def cosine_topk_exact_decimal(
     )
 
 
-def hyperplane_buckets(
-    embeddings: DataFrame,
-    dim: int,
-    planes: int = 8,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector an LSH bucket: the sign-bit pattern of dot
-    products with ``planes`` pseudo-random hyperplanes (deterministic,
-    seeded). Returns (id, bucket)."""
-    import random
-
-    rnd = random.Random(seed)
-    bucket_bits = []
-    for p in range(planes):
-        plane = F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(dim)])
-        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket_bits.append(bit.cast("string"))
-    return embeddings.select(
-        F.col(id_col), F.concat(*bucket_bits).alias("bucket")
-    )
-
-
 def _plane_matrix(dim: int, planes: int, seed: int):
     """planes × dim Gaussian hyperplane matrix, deterministic in seed
-    (same draw order as ``hyperplane_buckets`` — row-major per plane)."""
+    (row-major: plane p's components drawn before plane p+1's)."""
     import random
 
     import numpy as np
@@ -310,7 +286,7 @@ def embedding_near_dup_lsh(
     against the exact operator).
 
     Shape: one Arrow pass assigns buckets (sign-bit pattern of the
-    plane gemm — same convention as ``hyperplane_buckets``), one shuffle
+    plane gemm), one shuffle
     groups each bucket onto a task, one numpy gemm per bucket scores its
     pairs (BLAS flops, not an interpreted per-pair fold — the previous
     zip_with verify was 10× slower and dominated the suite). Shuffle is
@@ -681,9 +657,8 @@ def cosine_topk_lsh(
     bucket. At 100 TB the bucketed table is written partitioned by
     bucket, so a query prunes to one partition.
 
-    Bucket assignment is the shared numpy sign-bit gemm (same planes and
-    sign convention as ``hyperplane_buckets``' string form, one Arrow
-    pass instead of ``planes`` interpreted folds per row)."""
+    Bucket assignment is the shared numpy sign-bit gemm — one Arrow
+    pass instead of ``planes`` interpreted folds per row."""
     import numpy as np
 
     dim = len(query_vector)
