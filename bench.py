@@ -1,9 +1,16 @@
 """Benchmark: run the registry's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints exactly ONE compact JSON line as the LAST stdout line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>, ...}
+
+The capture that records this line keeps only the final ~2000 chars of
+output (round 3's line with 55 per-query timings + spreads exceeded that
+and was head-truncated into unparseability), so the stdout line carries
+only the summary. Full per-query medians + spreads + row counts go to
+BENCH_DETAIL.json next to this script, and a one-row-per-run history is
+appended to BENCH_HISTORY.jsonl so cross-round regressions are
+attributable without archaeology.
 
 Each query is materialized end-to-end (toPandas through Arrow), so the
 timing covers scan → compute → result transfer, not just planning.
@@ -76,20 +83,50 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": runs,
-                "stat": "median",
-                "spread": spreads,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "registry_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": runs,
+        "stat": "median",
+        "spread": spreads,
+        "cpus": cpus,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {"ts": round(time.time(), 1), **detail}, separators=(",", ":")
+            )
+            + "\n"
         )
-    )
+
+    # The driver keeps only the final ~2000 chars of stdout, so the line
+    # must be compact AND last. Spreads live in BENCH_DETAIL.json only;
+    # 55 queries at 3 decimals measures ~1.7k chars. If the registry ever
+    # grows past the capture window, degrade to summary-only rather than
+    # emit a head-truncated (unparseable) line.
+    summary = {
+        "metric": "registry_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_val,
+        "runs_per_query": runs,
+        "stat": "median",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary["queries"] = "see BENCH_DETAIL.json"
+        line = json.dumps(summary, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

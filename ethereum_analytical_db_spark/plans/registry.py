@@ -47,6 +47,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division: (ts / 1000) in double loses ULPs on big
             # nanosecond values and rounds a microsecond off vs DuckDB
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # micros-with-no-timezone parquet arrives as TIMESTAMP_NTZ,
+            # which Spark 4 refuses to cast to long (breaking epoch
+            # arithmetic downstream); under the UTC session zone the
+            # wall-clock values are identical, so normalize to the
+            # session-zoned TimestampType every consumer was written for
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
