@@ -23,6 +23,7 @@ read-side window goes away — the Spark analogue of a background merge.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -176,6 +177,7 @@ class Warehouse:
         final_path = self._path(table)
         compacted.write.mode("overwrite").parquet(final_path)
         self._write_seq_sidecar(table, int(max_seq))
+        shutil.rmtree(tmp, ignore_errors=True)
 
     def register_views(self, *tables: str, final: bool = True) -> None:
         """Expose tables as temp views for spark.sql() text queries —

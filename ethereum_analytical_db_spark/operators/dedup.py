@@ -336,6 +336,13 @@ def connected_components_twophase(
             cur = new
             break
         cur = new
+    else:
+        # O(log n) convergence means this never fires legitimately —
+        # returning the unconverged labeling would be silently wrong
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in "
+            f"{max_iterations} rounds"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     roots = cur.select(F.col("v").alias("u"), F.col("v")).distinct()

@@ -15,7 +15,7 @@ sums are DECIMAL (order-independent, bit-identical in any engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEC = "decimal(12,6)"
@@ -115,6 +115,11 @@ def _assign_sign_buckets(
     bc = embeddings.sparkSession.sparkContext.broadcast(plane_mat)
     src = embeddings.select(F.col(id_col), F.col(vec_col))
     id_type = src.schema[id_col].dataType.simpleString()
+    # carry the input vector element type through: pinning array<float>
+    # would silently truncate array<double> embeddings to float32, and
+    # cosines near the threshold could diverge past the documented LSH
+    # recall approximation
+    vec_type = src.schema[vec_col].dataType.simpleString()
 
     def run(batches):
         pm = bc.value
@@ -129,7 +134,7 @@ def _assign_sign_buckets(
 
     return src.mapInPandas(
         run,
-        schema=f"`{id_col}` {id_type}, `{vec_col}` array<float>, bucket long",
+        schema=f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, bucket long",
     )
 
 
@@ -561,6 +566,47 @@ def cosine_topk_ivf(
     return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)
 
 
+# Index metadata sidecar: probes that recompute bucket/cluster routing
+# from caller-supplied parameters would silently read the wrong partition
+# if those parameters differ from what the index was built with. The
+# writers record the build parameters in an underscore-prefixed JSON file
+# INSIDE the index directory (parquet scans ignore `_*` files); the probe
+# functions validate before pruning. Local-fs I/O here — at cluster scale
+# the same file rides on the object store next to _SUCCESS.
+_INDEX_META = "_INDEX_META.json"
+
+
+def _centroid_digest(centroids: list[list[float]]) -> str:
+    import hashlib
+    import json as _json
+
+    return hashlib.sha256(
+        _json.dumps([[float(x) for x in c] for c in centroids]).encode()
+    ).hexdigest()
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _INDEX_META), "w") as f:
+        _json.dump(meta, f)
+
+
+def _read_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, _INDEX_META)
+    if not _os.path.exists(meta_path):
+        raise ValueError(
+            f"no {_INDEX_META} sidecar at {path}: index was not written by "
+            "ivf_index_write/lsh_index_write, cannot validate probe parameters"
+        )
+    with open(meta_path) as f:
+        return _json.load(f)
+
+
 def ivf_index_write(
     embeddings: DataFrame,
     path: str,
@@ -577,6 +623,15 @@ def ivf_index_write(
     ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(path)
+    _write_index_meta(
+        path,
+        {
+            "kind": "ivf",
+            "dim": len(centroids[0]),
+            "n_centroids": len(centroids),
+            "centroid_digest": _centroid_digest(centroids),
+        },
+    )
 
 
 def cosine_topk_ivf_index(
@@ -593,6 +648,14 @@ def cosine_topk_ivf_index(
     partition filter on the cluster-partitioned layout, so the scan reads
     ~nprobe/n_centroids of the files. Train once (``ivf_train_centroids``),
     write once (``ivf_index_write``), probe per query."""
+    meta = _read_index_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {path} is {meta.get('kind')!r}, not ivf")
+    if meta.get("centroid_digest") != _centroid_digest(centroids):
+        raise ValueError(
+            f"centroids do not match the ones the index at {path} was "
+            "built with — a probe would prune to the wrong clusters"
+        )
     probe_ids = _probe_clusters(query_vector, centroids, nprobe)
     scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe_ids))
     return cosine_topk_bruteforce(
@@ -613,11 +676,15 @@ def lsh_index_write(
     BY their sign-bit bucket. A top-k probe (``cosine_topk_lsh_index``)
     or a near-dup pass then reads only the probed bucket's directory —
     the partition-pruned form of the in-session bucket shuffle. The
-    plane matrix is fully determined by (dim, planes, seed), so the
-    reader needs no sidecar."""
+    plane matrix is fully determined by (dim, planes, seed); those three
+    are recorded in the sidecar so a probe with mismatched parameters
+    fails loudly instead of reading the wrong bucket."""
     _assign_sign_buckets(
         embeddings, _plane_matrix(dim, planes, seed), id_col, vec_col
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+    _write_index_meta(
+        path, {"kind": "lsh", "dim": dim, "planes": planes, "seed": seed}
+    )
 
 
 def cosine_topk_lsh_index(
@@ -635,6 +702,17 @@ def cosine_topk_lsh_index(
     one directory out of 2^planes."""
     import numpy as np
 
+    meta = _read_index_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"index at {path} is {meta.get('kind')!r}, not lsh")
+    built = (meta.get("dim"), meta.get("planes"), meta.get("seed"))
+    probing = (len(query_vector), planes, seed)
+    if built != probing:
+        raise ValueError(
+            f"probe parameters (dim, planes, seed)={probing} do not match "
+            f"the index at {path} built with {built} — the query would "
+            "hash into the wrong bucket"
+        )
     pm = _plane_matrix(len(query_vector), planes, seed)
     qbits = (np.asarray(query_vector, dtype=np.float64) @ pm.T >= 0).astype(np.int64)
     qbucket = int(qbits @ (1 << np.arange(planes, dtype=np.int64)))

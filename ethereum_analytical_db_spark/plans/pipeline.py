@@ -296,9 +296,13 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle O(n) + sum(bucket^2), the plan that survives 100x scale",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # same guard as docs_table: only restore parallelism when the scan is
+    # a single small file; at production scale the scan's own file splits
+    # flow straight into bucket assignment with no Exchange
+    emb = table(spark, sf_dir, "embeddings")
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < target:
+        emb = emb.repartition(target)
     return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.38, planes=4)
 
 

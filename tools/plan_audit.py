@@ -38,9 +38,11 @@ FORBIDDEN = {
 
 # queries whose Parquet fact scan must carry a pushed/data filter —
 # a missing PushedFilters/DataFilters entry here means a pushdown broke
+# union_all_universe carries the IN-list filters on its orders/customer
+# legs (the standalone in_list_filter query was folded into it)
 MUST_PUSH = {
     "range_predicate",
-    "in_list_filter",
+    "union_all_universe",
     "scan_projection",
 }
 
@@ -60,6 +62,11 @@ def audit(name: str, plan: str) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    registered = set(entry_mod.queries())
+    stale = MUST_PUSH - registered
+    if stale:  # a renamed/removed query must not silently skip its gate
+        print(f"STALE MUST_PUSH entries (not in registry): {sorted(stale)}")
+        return 1
     spark = get_spark(app_name="plan_audit", cpus=4)
     spark.sparkContext.setLogLevel("ERROR")
 
