@@ -35,13 +35,15 @@ from ..operators.traces import assign_trace_ids, propagate_parent_errors
 TRACE_FIELDS = [
     "blockNumber", "transactionHash", "traceAddress", "type", "callType",
     "from", "to", "value_hex", "gas_hex", "gasUsed_hex", "input", "output",
-    "error", "author", "rewardType",
+    "error", "author", "rewardType", "address", "code", "init",
+    "refundAddress", "balance",
 ]
 TRACE_DDL = (
     "blockNumber long, transactionHash string, traceAddress array<long>, "
     "type string, callType string, `from` string, `to` string, value_hex string, "
     "gas_hex string, gasUsed_hex string, input string, output string, "
-    "error string, author string, rewardType string"
+    "error string, author string, rewardType string, address string, "
+    "code string, init string, refundAddress string, balance string"
 )
 
 
@@ -163,6 +165,14 @@ def _flatten_trace(block_number: int, tx_hash: str | None, raw: dict) -> dict:
         "error": raw.get("error"),
         "author": a.get("author"),
         "rewardType": a.get("rewardType"),
+        # create traces: deployed address + runtime code live in result,
+        # init code in action (the fields derived.contracts keys off;
+        # reference operations/contract_transactions.py create handling)
+        "address": r.get("address"),
+        "code": r.get("code"),
+        "init": a.get("init"),
+        "refundAddress": a.get("refundAddress"),
+        "balance": a.get("balance"),
     }
 
 
