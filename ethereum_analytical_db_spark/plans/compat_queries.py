@@ -70,6 +70,26 @@ def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
         .distinct(),
     )
     c.register_table(
+        "eth_contract_description",
+        # a strict subset of eth_contract addresses (% 6 ⊂ % 3): the
+        # insights descriptions panel counts described contracts only
+        ev.filter("event_type = 'purchase' AND user_id % 6 = 0")
+        .selectExpr(
+            "CAST(user_id AS STRING) AS id",
+            "CAST(user_id % 19 AS TINYINT) AS decimals",
+        )
+        .distinct(),
+    )
+    c.register_table(
+        "eth_event",
+        # several events per block (mod fold), Int32 blockNumber like the
+        # reference eth_event schema — the panel toInt32()s eth_block.number
+        ev.selectExpr(
+            "CAST(event_id % 300 AS INT) AS blockNumber",
+            "event_type AS address",
+        ),
+    )
+    c.register_table(
         "eth_internal_transaction_blocks",
         ev.selectExpr("CAST(event_id AS BIGINT) AS number").distinct(),
     )
@@ -423,3 +443,88 @@ AND standard_erc20 = 1
 def compat_insights_erc20(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
     return c.sql(INSIGHTS_ERC20_CH, macros={"timeFilter": "number < 50"})
+
+
+# insights.json "ERC20 token descriptions" / "Contract ABIs" panels share
+# this shape: a two-level nested IN — described ids ⊂ window contracts ⊂
+# window blocks (reference grafana/dashboards/insights.json rows[0])
+INSIGHTS_DESCR_CH = """
+SELECT count(*) AS n
+FROM eth_contract_description
+WHERE id in(
+  SELECT address
+  FROM eth_contract
+  WHERE blockNumber in(
+    SELECT number
+    FROM eth_block
+    WHERE $timeFilter
+  )
+)
+"""
+
+INSIGHTS_DESCR_ORACLE = """
+WITH contracts AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
+         CAST(user_id % 97 AS BIGINT) AS blockNumber
+  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+),
+descr AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
+  FROM events WHERE event_type = 'purchase' AND user_id % 6 = 0
+)
+SELECT count(*) AS n
+FROM descr
+WHERE id IN (
+  SELECT address FROM contracts
+  WHERE blockNumber IN (
+    SELECT CAST(event_id AS BIGINT) FROM events WHERE event_id < 50
+  )
+)
+"""
+
+
+@register(
+    "compat_insights_descriptions",
+    INSIGHTS_DESCR_ORACLE,
+    note="insights.json ERC20-token-descriptions / Contract-ABIs panel "
+    "shape (reference grafana/dashboards/insights.json): S3 scalar count "
+    "behind a TWO-level nested IN (descriptions ⊂ window contracts ⊂ "
+    "window blocks) — J12 semi-join chain after translation",
+)
+def compat_insights_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(INSIGHTS_DESCR_CH, macros={"timeFilter": "number < 50"})
+
+
+# insights.json "Total events" / "ERC20 transactions" panels: the count
+# IN-subquery with the dashboard's toInt32() cast on eth_block.number
+# (eth_event.blockNumber is Int32 in the reference schema)
+INSIGHTS_EVENTS_CH = """
+SELECT count(*) AS n
+FROM eth_event
+WHERE blockNumber in(
+  SELECT toInt32(number)
+  FROM eth_block
+  WHERE $timeFilter
+)
+"""
+
+INSIGHTS_EVENTS_ORACLE = """
+SELECT count(*) AS n
+FROM (SELECT CAST(event_id % 300 AS INT) AS blockNumber FROM events) e
+WHERE blockNumber IN (
+  SELECT CAST(event_id AS INT) FROM events WHERE event_id < 50
+)
+"""
+
+
+@register(
+    "compat_insights_events",
+    INSIGHTS_EVENTS_ORACLE,
+    note="insights.json Total-events / ERC20-transactions panel shape "
+    "(reference grafana/dashboards/insights.json): S3 scalar count, "
+    "IN-subquery with the dashboard's toInt32(number) cast (F14)",
+)
+def compat_insights_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _register_eth_views(spark, sf_dir)
+    return c.sql(INSIGHTS_EVENTS_CH, macros={"timeFilter": "number < 50"})
