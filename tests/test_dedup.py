@@ -147,6 +147,18 @@ def test_twophase_chain_converges_in_log_rounds(spark):
     assert stats["rounds"] <= 12, stats
 
 
+def test_twophase_raises_when_unconverged(spark):
+    """Exhausting max_iterations without the fixed point must raise, not
+    return a plausible-but-wrong labeling."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components_twophase(pairs, max_iterations=1)
+
+
 def test_connected_components_random_graph_agreement(spark):
     """Both implementations label every node with the MIN reachable id,
     so on ANY graph their outputs must be identical — checked on seeded

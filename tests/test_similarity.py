@@ -189,6 +189,48 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
     assert len(pf) == 2 and "bucket" in pf[1][:200], plan
 
 
+def test_index_sidecar_validates_probe_parameters(spark, tmp_path):
+    """A probe whose parameters differ from what the index was built with
+    must fail loudly, not silently read the wrong partition."""
+    import pytest
+
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    lsh_path = str(tmp_path / "lsh")
+    similarity.lsh_index_write(df, lsh_path, dim=len(q), planes=4, seed=42)
+    with pytest.raises(ValueError, match="planes, seed"):
+        similarity.cosine_topk_lsh_index(spark, lsh_path, q, planes=8)
+    with pytest.raises(ValueError, match="planes, seed"):
+        similarity.cosine_topk_lsh_index(spark, lsh_path, q, planes=4, seed=7)
+
+    cents = similarity.ivf_train_centroids(df, n_centroids=4, iterations=1)
+    ivf_path = str(tmp_path / "ivf")
+    similarity.ivf_index_write(df, ivf_path, cents)
+    other = [[c + 1.0 for c in cent] for cent in cents]
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.cosine_topk_ivf_index(spark, ivf_path, q, other)
+    # cross-kind probe: an LSH probe on an IVF index is a usage bug
+    with pytest.raises(ValueError, match="not lsh"):
+        similarity.cosine_topk_lsh_index(spark, ivf_path, q, planes=4)
+    # unmanaged directory (no sidecar) is rejected too
+    bare = str(tmp_path / "bare")
+    df.write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        similarity.cosine_topk_lsh_index(spark, bare, q, planes=4)
+
+
+def test_assign_sign_buckets_preserves_double_vectors(spark):
+    """array<double> embeddings must flow through bucket assignment
+    without float32 truncation."""
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pm = similarity._plane_matrix(len(rows[0][1]), 4, 42)
+    out = similarity._assign_sign_buckets(df, pm, "vec_id", "embedding")
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+
+
 def test_lsh_near_dup_sub_block_invariant(spark):
     """Hot-bucket decomposition is partition math, not semantics: any
     sub_blocks value yields the identical (pair, cosine) set."""
