@@ -17,6 +17,7 @@ order-independent; top-k orderings carry a unique tie-break key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..compat import ClickHouseCompat
 from .registry import register, table
@@ -528,3 +529,36 @@ WHERE blockNumber IN (
 def compat_insights_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
     return c.sql(INSIGHTS_EVENTS_CH, macros={"timeFilter": "number < 50"})
+
+
+# notebook cell 10 (reference examples/gas_price_estimation/
+# gas_price_estimation.ipynb: gas_stats_df["dayofweek"] = ....dt.dayofweek
+# etc.): the model's date features, computed engine-side instead of in
+# pandas. pandas .dt.dayofweek is Monday=0 — Spark's weekday() matches it
+# directly; DuckDB's isodow() is Monday=1, hence the -1.
+DATE_FEATURES_ORACLE = """
+SELECT CAST(event_id AS BIGINT) AS block,
+       CAST(day(ts) AS INT) AS dayofmonth,
+       CAST(isodow(ts) - 1 AS INT) AS dayofweek,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(minute(ts) AS INT) AS minute
+FROM events
+"""
+
+
+@register(
+    "compat_notebook_date_features",
+    DATE_FEATURES_ORACLE,
+    note="notebook cell-10 date-feature extraction (SURVEY F16): "
+    "dayofmonth/dayofweek/hour/minute in the pandas convention "
+    "(Monday=0), as Column expressions over the block timestamps",
+)
+def compat_notebook_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("long").alias("block"),
+        F.dayofmonth("ts").alias("dayofmonth"),
+        F.weekday("ts").alias("dayofweek"),
+        F.hour("ts").alias("hour"),
+        F.minute("ts").alias("minute"),
+    )

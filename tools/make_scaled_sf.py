@@ -1,0 +1,116 @@
+"""Synthesize a scaled testdata directory from sf0.1 by replicating each
+table K times with disjoint key spaces — the empirical scale-up check
+behind SCALE.md (VERDICT r3 item 7).
+
+Design goals (so sf0.1→sfK ratios measure the ENGINE, not an artifact):
+- fact keys are offset per replica so join fan-outs stay 1:1 (orderkey /
+  custkey / partkey / suppkey move together; fixed dims region/nation
+  keep their TPC-H cardinality);
+- document text gets a replica token interleaved between words, making
+  every 3-gram shingle replica-unique: the near-dup inverted index grows
+  linearly (K identical copies of each doc would grow hot shingle
+  buckets K-fold and the intra-bucket pair graph K^2-fold — superlinear
+  by construction, not an engine property);
+- embeddings get a deterministic per-replica sign-flip pattern: within a
+  replica all pairwise cosines are EXACTLY preserved (cos(a*s, b*s) =
+  cos(a, b) for s in {±1}^d), across replicas they decorrelate, so
+  near-dup pair counts and ANN workload scale linearly.
+
+Usage: python tools/make_scaled_sf.py [out_dir] [K] [src_dir]
+Defaults: /tmp/sf1 10 /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+
+# per-table key-offset plan: (column, stride) pairs; stride must exceed
+# the column's max in the source so replica key spaces are disjoint
+OFFSETS = {
+    "customer": [("c_custkey", 1_000_000)],
+    "orders": [("o_orderkey", 10_000_000), ("o_custkey", 1_000_000)],
+    "lineitem": [
+        ("l_orderkey", 10_000_000),
+        ("l_partkey", 1_000_000),
+        ("l_suppkey", 100_000),
+    ],
+    "part": [("p_partkey", 1_000_000)],
+    "supplier": [("s_suppkey", 100_000)],
+    "events": [("event_id", 10_000_000), ("user_id", 1_000_000)],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else SRC_DEFAULT
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE reps AS SELECT unnest(range({k})) AS r")
+
+    def emit(table: str, select: str) -> None:
+        path = f"{out}/{table}.parquet"
+        con.execute(
+            f"COPY ({select}) TO '{path}' (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for t in COPY_AS_IS:
+        emit(t, f"SELECT * FROM '{src}/{t}.parquet'")
+
+    for t, offs in OFFSETS.items():
+        cols = con.execute(
+            f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0"
+        ).description
+        names = [c[0] for c in cols]
+        off_map = dict(offs)
+        exprs = []
+        for name in names:
+            if name in off_map:
+                exprs.append(f"{name} + r * {off_map[name]} AS {name}")
+            else:
+                exprs.append(name)
+        emit(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet', reps")
+
+    # documents: replica-unique shingles via an interleaved replica token
+    emit(
+        "documents",
+        f"""
+        SELECT doc_id + r * 10_000_000 AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE replace(text, ' ', ' q' || r || ' ') END AS text,
+               lang, source,
+               CAST(length(CASE WHEN r = 0 THEN text
+                    ELSE replace(text, ' ', ' q' || r || ' ') END) AS BIGINT)
+                   AS n_chars
+        FROM '{src}/documents.parquet', reps
+        """,
+    )
+
+    # embeddings: per-replica deterministic sign flips (r=0 unchanged)
+    emit(
+        "embeddings",
+        f"""
+        SELECT vec_id + r * 10_000_000 AS vec_id,
+               CASE WHEN r = 0 THEN embedding ELSE
+                 list_transform(
+                   list_zip(embedding, range(1, len(embedding) + 1)),
+                   p -> CAST(p[1] * (CASE WHEN hash(r * 1000 + p[2]) % 2 = 0
+                                         THEN 1 ELSE -1 END) AS FLOAT)
+                 )
+               END AS embedding,
+               label
+        FROM '{src}/embeddings.parquet', reps
+        """,
+    )
+
+
+if __name__ == "__main__":
+    main()
