@@ -176,6 +176,29 @@ def cmd_export_csv(wh: Warehouse, args) -> int:
     return 0
 
 
+def cmd_extract_blocks(wh: Warehouse, args) -> int:
+    factory = make_transport_factory(args)
+    extract_blocks(wh, factory, _latest_block(args, factory))
+    return 0
+
+
+def cmd_extract_traces(wh: Warehouse, args) -> int:
+    extract_traces(wh, make_transport_factory(args))
+    return 0
+
+
+def cmd_extract_events(wh: Warehouse, args) -> int:
+    extract_events(wh, make_transport_factory(args), args.range_size)
+    return 0
+
+
+def cmd_prepare_views(wh: Warehouse, args) -> int:
+    """prepare-contracts-view + prepare-erc-transactions-view in one:
+    refresh the derived tables from whatever raw tables exist."""
+    derived_refresh(wh)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ethereum_analytical_db_spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
@@ -183,8 +206,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("prepare", help="create the warehouse tables + views")
+    sub.add_parser(
+        "prepare-views", help="refresh derived tables (contracts, token txs)"
+    )
 
-    for name in ("sync-once", "sync"):
+    for name in ("sync-once", "sync", "extract-blocks", "extract-traces",
+                 "extract-events"):
         sp = sub.add_parser(name, help=f"{name} over the JSON-RPC sources")
         sp.add_argument("--fixtures", help="FileJsonRpcTransport fixture dir")
         sp.add_argument("--rpc-url", help="HTTP JSON-RPC endpoint")
@@ -205,9 +232,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 COMMANDS = {
     "prepare": cmd_prepare,
+    "prepare-views": cmd_prepare_views,
     "sync-once": cmd_sync_once,
     "sync": cmd_sync,
     "export-csv": cmd_export_csv,
+    "extract-blocks": cmd_extract_blocks,
+    "extract-traces": cmd_extract_traces,
+    "extract-events": cmd_extract_events,
 }
 
 

@@ -111,3 +111,25 @@ def test_cli_fixture_sync_end_to_end(spark, tmp_path):
     with open(out) as f:
         rows = list(csv.DictReader(f))
     assert {r["number"] for r in rows} == {"0", "1", "2"}
+
+
+def test_cli_per_stage_commands(spark, tmp_path):
+    """The reference's individual extract-* commands compose to the same
+    state one sync-once pass reaches."""
+    fixtures = tmp_path / "rpc"
+    _write_fixtures(fixtures)
+    whdir = str(tmp_path / "wh")
+    base = ["--warehouse", whdir, "--cpus", "4"]
+    fx = ["--fixtures", str(fixtures)]
+
+    assert main(base + ["prepare"]) == 0
+    assert main(base + ["extract-blocks"] + fx) == 0
+    assert main(base + ["extract-traces"] + fx) == 0
+    assert main(base + ["extract-events"] + fx) == 0
+    assert main(base + ["prepare-views"]) == 0
+
+    wh = Warehouse(spark, whdir)
+    assert wh.read("block").count() == 3
+    assert wh.read("internal_transaction").count() == 2
+    assert wh.read("event").count() == 1
+    assert wh.read("contract").count() == 1
