@@ -6,15 +6,26 @@ Design goals (so sf0.1→sfK ratios measure the ENGINE, not an artifact):
 - fact keys are offset per replica so join fan-outs stay 1:1 (orderkey /
   custkey / partkey / suppkey move together; fixed dims region/nation
   keep their TPC-H cardinality);
-- document text gets a replica token interleaved between words, making
-  every 3-gram shingle replica-unique: the near-dup inverted index grows
-  linearly (K identical copies of each doc would grow hot shingle
-  buckets K-fold and the intra-bucket pair graph K^2-fold — superlinear
-  by construction, not an engine property);
+- document text gets a per-replica suffix appended to EVERY word: every
+  word and 3-gram shingle becomes replica-unique (the near-dup inverted
+  index grows linearly) while the token-count DISTRIBUTION is exactly
+  preserved. The first cut interleaved one replica token between words
+  instead — that token then made up half of every doc's token mass,
+  biasing every SimHash bit the same way within a replica, collapsing
+  all signatures together and blowing the chunk self-join up
+  quadratically (observed: simhash_near_duplicates 2.3 s → >240 s at
+  10×). Per-word suffixing just remaps each word's hash, so within-
+  replica similarity structure matches the source corpus;
 - embeddings get a deterministic per-replica sign-flip pattern: within a
   replica all pairwise cosines are EXACTLY preserved (cos(a*s, b*s) =
   cos(a, b) for s in {±1}^d), across replicas they decorrelate, so
-  near-dup pair counts and ANN workload scale linearly.
+  near-dup pair counts and ANN workload scale linearly;
+- every table is written ORDER BY its offset primary key: the cross
+  join otherwise interleaves replicas, putting rows from every key range
+  into every parquet row group — min/max stats then prune nothing and a
+  selective scan (e.g. the constant-size `event_id < 4000` fixture cap)
+  degrades to a full decode. Sorted-by-key is the realistic layout (the
+  engine's own writes partition by block range for the same reason).
 
 Usage: python tools/make_scaled_sf.py [out_dir] [K] [src_dir]
 Defaults: /tmp/sf1 10 /root/testdata/sf0.1
@@ -77,20 +88,32 @@ def main() -> None:
                 exprs.append(f"{name} + r * {off_map[name]} AS {name}")
             else:
                 exprs.append(name)
-        emit(t, f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet', reps")
+        key = offs[0][0]
+        emit(
+            t,
+            f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet', reps "
+            f"ORDER BY {key}",
+        )
 
-    # documents: replica-unique shingles via an interleaved replica token
+    # documents: replica-unique words/shingles via a per-word suffix
+    # (token-count distribution preserved — see module docstring)
     emit(
         "documents",
         f"""
-        SELECT doc_id + r * 10_000_000 AS doc_id,
-               CASE WHEN r = 0 THEN text
-                    ELSE replace(text, ' ', ' q' || r || ' ') END AS text,
-               lang, source,
-               CAST(length(CASE WHEN r = 0 THEN text
-                    ELSE replace(text, ' ', ' q' || r || ' ') END) AS BIGINT)
-                   AS n_chars
-        FROM '{src}/documents.parquet', reps
+        WITH scaled AS (
+          SELECT doc_id + r * 10_000_000 AS doc_id,
+                 CASE WHEN r = 0 THEN text ELSE
+                   array_to_string(
+                     list_transform(string_split(text, ' '),
+                                    w -> w || 'q' || r),
+                     ' ')
+                 END AS text,
+                 lang, source
+          FROM '{src}/documents.parquet', reps
+        )
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM scaled ORDER BY doc_id
         """,
     )
 
@@ -108,6 +131,7 @@ def main() -> None:
                END AS embedding,
                label
         FROM '{src}/embeddings.parquet', reps
+        ORDER BY vec_id
         """,
     )
 
