@@ -213,6 +213,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the standard block-permutation trick: split 64 bits into ``blocks``
@@ -222,7 +223,17 @@ def simhash_near_duplicates(
     Signatures are materialized (localCheckpoint) before the self-join:
     otherwise both join branches recompute the explode + 64-lane
     aggregation. At warehouse scale this step is "write the signature
-    table, then join it to itself"."""
+    table, then join it to itself".
+
+    ``max_chunk_df``: optional hot-bucket cap, the SimHash analogue of
+    the shingle-df cap (``ngram_jaccard_pairs``): chunk values shared by
+    more than this many docs are dropped from the candidate join. On a
+    skewed corpus (boilerplate-dominated, a stopword that swamps the
+    per-bit vote) one chunk value can collect a large fraction of all
+    docs and the self-join on it is O(bucket²) — at 100 TB that single
+    bucket is the job. A pair is lost only if ALL its shared chunks are
+    hot, i.e. both docs sit entirely inside degenerate clusters; the
+    default (None) keeps exact candidate semantics."""
     sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
     chunk_bits = 64 // blocks
     mask = (1 << chunk_bits) - 1
@@ -243,6 +254,14 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("doc", "simhash", "c.blk", "c.chunk")
+    if max_chunk_df is not None:
+        hot = (
+            chunked.groupBy("blk", "chunk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_chunk_df)
+            .drop("df")
+        )
+        chunked = chunked.join(hot, ["blk", "chunk"], "left_anti")
     a = chunked.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "chunk"
     )

@@ -79,6 +79,29 @@ def test_simhash_near_identical_docs_close(spark):
     assert hits >= len(planted) - 1  # near-identical docs collide in simhash
 
 
+def test_simhash_chunk_cap_subsets_and_bounds(spark):
+    """The hot-chunk cap only ever REMOVES candidate pairs (subset
+    property), and a cap of 0 removes them all; planted near-identical
+    pairs survive a generous cap because their shared chunks are cold."""
+    df, planted = _corpus(spark)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_duplicates(
+            df, max_hamming=12, blocks=4, max_chunk_df=10
+        ).collect()
+    }
+    assert capped <= full
+    assert sum(1 for p in planted if p in capped) >= len(planted) - 1
+    none_left = dedup.simhash_near_duplicates(
+        df, max_hamming=12, blocks=4, max_chunk_df=0
+    )
+    assert none_left.count() == 0
+
+
 def test_hot_shingle_cap_bounds_join(spark):
     """A stop-shingle present in EVERY doc would make the inverted-index
     self-join quadratic over the corpus; the df cap drops it while true
