@@ -380,7 +380,11 @@ g AS (
     AND val > 0 AND typ = 'call' AND tid LIKE '%.0'
   GROUP BY 1
 )
-SELECT g.block, g.p50_gwei, g.p20_gwei, b.timestamp
+SELECT g.block, g.p50_gwei, g.p20_gwei, b.timestamp,
+       CAST(day(b.timestamp) AS INT) AS dayofmonth,
+       CAST(isodow(b.timestamp) - 1 AS INT) AS dayofweek,
+       CAST(hour(b.timestamp) AS INT) AS hour,
+       CAST(minute(b.timestamp) AS INT) AS minute
 FROM g
 JOIN (SELECT CAST(event_id AS BIGINT) AS block, ts AS timestamp FROM events) b
   USING (block)
@@ -395,11 +399,21 @@ JOIN (SELECT CAST(event_id AS BIGINT) AS block, ts AS timestamp FROM events) b
     "toInt64(blockNumber/1000)*1000 bucketing, A7 quantile()() per "
     "bucket, select-alias reference in WHERE, J13 to NOT IN contracts, "
     "P7 top-level-call `id LIKE '%.0'`, P10 type filter, J10 ANY INNER "
-    "JOIN USING to block timestamps",
+    "JOIN USING to block timestamps; plus cell 10's model date features "
+    "(SURVEY F16 — dayofmonth/dayofweek/hour/minute in the pandas "
+    "Monday=0 convention, computed on the joined datetime exactly as "
+    "gas_stats_df['datetime'].dt.* does)",
 )
 def compat_notebook_gas(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
-    return c.sql(NOTEBOOK_GAS_CH)
+    df = c.sql(NOTEBOOK_GAS_CH)
+    return df.select(
+        "*",
+        F.dayofmonth("timestamp").alias("dayofmonth"),
+        F.weekday("timestamp").alias("dayofweek"),
+        F.hour("timestamp").alias("hour"),
+        F.minute("timestamp").alias("minute"),
+    )
 
 
 # insights.json's most structured stat panel: ERC-20 contract count in
@@ -417,33 +431,6 @@ WHERE blockNumber in(
 AND standard_erc20 = 1
 """
 
-INSIGHTS_ERC20_ORACLE = """
-WITH contracts AS (
-  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
-         CAST(user_id % 97 AS BIGINT) AS blockNumber,
-         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS standard_erc20
-  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
-)
-SELECT count(*) AS n
-FROM contracts
-WHERE blockNumber IN (
-  SELECT CAST(event_id AS BIGINT) FROM events WHERE event_id < 50
-)
-AND standard_erc20 = 1
-"""
-
-
-@register(
-    "compat_insights_erc20",
-    INSIGHTS_ERC20_ORACLE,
-    note="insights.json dashboard replay via eads.compat (reference "
-    "grafana/dashboards/insights.json New-ERC20-Tokens stat panel): S3 "
-    "scalar count, nested IN-subquery over eth_block with $timeFilter, "
-    "standard_erc20 flag predicate",
-)
-def compat_insights_erc20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _register_eth_views(spark, sf_dir)
-    return c.sql(INSIGHTS_ERC20_CH, macros={"timeFilter": "number < 50"})
 
 
 # insights.json "ERC20 token descriptions" / "Contract ABIs" panels share
@@ -463,40 +450,6 @@ WHERE id in(
 )
 """
 
-INSIGHTS_DESCR_ORACLE = """
-WITH contracts AS (
-  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
-         CAST(user_id % 97 AS BIGINT) AS blockNumber
-  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
-),
-descr AS (
-  SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
-  FROM events WHERE event_type = 'purchase' AND user_id % 6 = 0
-)
-SELECT count(*) AS n
-FROM descr
-WHERE id IN (
-  SELECT address FROM contracts
-  WHERE blockNumber IN (
-    SELECT CAST(event_id AS BIGINT) FROM events WHERE event_id < 50
-  )
-)
-"""
-
-
-@register(
-    "compat_insights_descriptions",
-    INSIGHTS_DESCR_ORACLE,
-    note="insights.json ERC20-token-descriptions / Contract-ABIs panel "
-    "shape (reference grafana/dashboards/insights.json): S3 scalar count "
-    "behind a TWO-level nested IN (descriptions ⊂ window contracts ⊂ "
-    "window blocks) — J12 semi-join chain after translation",
-)
-def compat_insights_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _register_eth_views(spark, sf_dir)
-    return c.sql(INSIGHTS_DESCR_CH, macros={"timeFilter": "number < 50"})
-
-
 # insights.json "Total events" / "ERC20 transactions" panels: the count
 # IN-subquery with the dashboard's toInt32() cast on eth_block.number
 # (eth_event.blockNumber is Int32 in the reference schema)
@@ -510,55 +463,64 @@ WHERE blockNumber in(
 )
 """
 
-INSIGHTS_EVENTS_ORACLE = """
-SELECT count(*) AS n
-FROM (SELECT CAST(event_id % 300 AS INT) AS blockNumber FROM events) e
-WHERE blockNumber IN (
-  SELECT CAST(event_id AS INT) FROM events WHERE event_id < 50
+# one row, one column per panel family — three scalar subqueries cross-
+# joined (each subquery is the verbatim oracle of its panel's shape)
+INSIGHTS_PANELS_ORACLE = """
+WITH contracts AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS address,
+         CAST(user_id % 97 AS BIGINT) AS blockNumber,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS standard_erc20
+  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+),
+descr AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS id
+  FROM events WHERE event_type = 'purchase' AND user_id % 6 = 0
+),
+win_blocks AS (
+  SELECT CAST(event_id AS BIGINT) AS number FROM events WHERE event_id < 50
 )
+SELECT
+  (SELECT count(*) FROM contracts
+   WHERE blockNumber IN (SELECT number FROM win_blocks)
+     AND standard_erc20 = 1) AS n_erc20,
+  (SELECT count(*) FROM descr
+   WHERE id IN (SELECT address FROM contracts
+                WHERE blockNumber IN (SELECT number FROM win_blocks))) AS n_descr,
+  (SELECT count(*)
+   FROM (SELECT CAST(event_id % 300 AS INT) AS blockNumber FROM events) e
+   WHERE blockNumber IN (SELECT CAST(number AS INT) FROM win_blocks)) AS n_events
 """
 
 
 @register(
-    "compat_insights_events",
-    INSIGHTS_EVENTS_ORACLE,
-    note="insights.json Total-events / ERC20-transactions panel shape "
-    "(reference grafana/dashboards/insights.json): S3 scalar count, "
-    "IN-subquery with the dashboard's toInt32(number) cast (F14)",
+    "compat_insights_panels",
+    INSIGHTS_PANELS_ORACLE,
+    note="insights.json dashboard replay via eads.compat (reference "
+    "grafana/dashboards/insights.json): the three distinct stat-panel "
+    "shapes in one row — New-ERC20-Tokens (S3 scalar count + nested IN "
+    "over eth_block + flag predicate), ERC20-token-descriptions / "
+    "Contract-ABIs (TWO-level nested IN, J12 semi-join chain), and "
+    "Total-events / ERC20-transactions (IN-subquery with the "
+    "dashboard's toInt32(number) cast, F14); each panel SQL runs "
+    "through the ClickHouse-dialect translator unmodified",
 )
-def compat_insights_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compat_insights_panels(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _register_eth_views(spark, sf_dir)
-    return c.sql(INSIGHTS_EVENTS_CH, macros={"timeFilter": "number < 50"})
-
-
-# notebook cell 10 (reference examples/gas_price_estimation/
-# gas_price_estimation.ipynb: gas_stats_df["dayofweek"] = ....dt.dayofweek
-# etc.): the model's date features, computed engine-side instead of in
-# pandas. pandas .dt.dayofweek is Monday=0 — Spark's weekday() matches it
-# directly; DuckDB's isodow() is Monday=1, hence the -1.
-DATE_FEATURES_ORACLE = """
-SELECT CAST(event_id AS BIGINT) AS block,
-       CAST(day(ts) AS INT) AS dayofmonth,
-       CAST(isodow(ts) - 1 AS INT) AS dayofweek,
-       CAST(hour(ts) AS INT) AS hour,
-       CAST(minute(ts) AS INT) AS minute
-FROM events
-"""
-
-
-@register(
-    "compat_notebook_date_features",
-    DATE_FEATURES_ORACLE,
-    note="notebook cell-10 date-feature extraction (SURVEY F16): "
-    "dayofmonth/dayofweek/hour/minute in the pandas convention "
-    "(Monday=0), as Column expressions over the block timestamps",
-)
-def compat_notebook_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_id").cast("long").alias("block"),
-        F.dayofmonth("ts").alias("dayofmonth"),
-        F.weekday("ts").alias("dayofweek"),
-        F.hour("ts").alias("hour"),
-        F.minute("ts").alias("minute"),
+    macros = {"timeFilter": "number < 50"}
+    erc20 = c.sql(INSIGHTS_ERC20_CH, macros=macros)
+    descr = c.sql(INSIGHTS_DESCR_CH, macros=macros)
+    events = c.sql(INSIGHTS_EVENTS_CH, macros=macros)
+    # union + pivot, not a join: combining three 1-row scalars through a
+    # join degenerates to BroadcastNestedLoopJoin (a constant key folds
+    # away), which the plan-audit gate forbids; a labeled union with a
+    # fixed-values pivot is one exchange-free aggregation
+    labeled = (
+        erc20.select(F.lit("n_erc20").alias("k"), "n")
+        .unionAll(descr.select(F.lit("n_descr").alias("k"), "n"))
+        .unionAll(events.select(F.lit("n_events").alias("k"), "n"))
+    )
+    return (
+        labeled.groupBy()
+        .pivot("k", ["n_erc20", "n_descr", "n_events"])
+        .sum("n")
     )
