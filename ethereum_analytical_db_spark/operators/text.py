@@ -230,3 +230,39 @@ def ngrams_expr(text_col: str, n: int = 3) -> Column:
     """Distinct word n-grams from a named text column. Prefer
     ``ngrams_from_words`` with a pre-projected split array on hot paths."""
     return ngrams_from_words(F.split(F.col(text_col), " "), n)
+
+
+# PII scrubbing (training-data hygiene pass): regex redaction of the
+# high-volume identifier classes, JVM-side regexp only. The patterns are
+# deliberately simple/deterministic (this is a data-pipeline scrub, not
+# a compliance guarantee) and are applied most-specific-first so an
+# email's host part is not half-eaten by the IP pattern.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the tld bound keeps 'a@b' word-noise unredacted
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad; \b bounds stop partial matches inside longer numbers
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    # +country / separator-tolerant digit runs, 9+ digits total
+    "phone": r"\+?\d[\d() -]{7,}\d\b",
+}
+PII_ORDER = ["email", "ipv4", "phone"]
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-class match counts on the RAW text (count before redacting:
+    the email pattern consumes characters the later patterns would
+    otherwise double-count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(c, F.lit(PII_PATTERNS[kind]))
+        for kind in PII_ORDER
+    }
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact each PII class to a typed placeholder ('[EMAIL]', '[IPV4]',
+    '[PHONE]'), applied in PII_ORDER."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return c

@@ -306,6 +306,44 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.38, planes=4)
 
 
+@register(
+    "decontaminate_benchmark",
+    None,  # driver's 50-entry oracle window is full — the overlap math
+    # is engine-vs-engine checked against DuckDB in tests/test_decontam.py
+    note="benchmark decontamination: docs whose 8-gram overlap with a "
+    "held-out eval slice (doc_id % 97 == 0) exceeds 10% are dropped; "
+    "broadcast benchmark shingle set, one semi-join + one per-doc agg",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import decontam
+
+    docs = docs_table(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = decontam.decontaminate(train, bench, n=8, max_overlap=0.1)
+    # one aggregation, no scalar-combining join (plan-audit gate)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "pii_scrub_stats",
+    None,  # window-capped; pattern parity with DuckDB RE2 is tested in
+    # tests/test_decontam.py::test_pii_counts_and_scrub
+    note="PII scrubbing pass: per-class regexp counts (email/ipv4/phone) "
+    "+ typed-placeholder redaction, all JVM regexp — no Python",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    counts = text.pii_counts("text")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.length(text.pii_scrub("text")).alias("scrubbed_len"),
+    )
+
+
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 

@@ -1,0 +1,138 @@
+"""Benchmark decontamination + PII scrubbing (training-data hygiene
+pack): planted-contamination behavior, and a DuckDB cross-check of the
+overlap math on the same synthetic corpus (these operators are
+registered rows-only — the driver's 50-entry correctness window is full
+— so the engine-vs-engine check lives here instead)."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.operators import decontam, text as t
+
+
+def _mk_corpus(spark):
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    bench_rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(30))) for i in range(5)
+    ]
+    docs = []
+    for i in range(20):
+        docs.append((i, " ".join(rnd.choice(vocab) for _ in range(40))))
+    # doc 100: verbatim copy of a benchmark doc (fully contaminated)
+    docs.append((100, bench_rows[0][1]))
+    # doc 101: half benchmark words, half fresh (partially contaminated)
+    half = bench_rows[1][1].split()[:15]
+    docs.append((101, " ".join(half + [rnd.choice(vocab) for _ in range(15)])))
+    # doc 102: shorter than n words (no shingles — must survive)
+    docs.append((102, "tiny doc"))
+    bench = spark.createDataFrame(bench_rows, "bid long, text string")
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    return corpus, bench, bench_rows, docs
+
+
+def test_planted_contamination_flagged_and_dropped(spark):
+    corpus, bench, _, docs = _mk_corpus(spark)
+    scores = {
+        r["doc"]: r["overlap_frac"]
+        for r in decontam.benchmark_ngram_overlap(corpus, bench, n=8).collect()
+    }
+    assert scores[100] == pytest.approx(1.0)
+    assert scores[101] > 0.2
+    assert 102 not in scores  # sub-n-word doc produces no shingles
+    clean_scores = [v for k, v in scores.items() if k < 100]
+    assert max(clean_scores) < 0.05  # random docs share no 8-gram
+
+    kept = decontam.decontaminate(corpus, bench, n=8, max_overlap=0.1)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 100 not in kept_ids and 101 not in kept_ids
+    assert 102 in kept_ids and all(i in kept_ids for i in range(20))
+
+
+def test_overlap_matches_duckdb(spark):
+    """Engine-vs-engine: the same shingle/overlap math in DuckDB SQL."""
+    corpus, bench, bench_rows, docs = _mk_corpus(spark)
+    got = {
+        (r["doc"], r["n_shingles"], r["n_hit"])
+        for r in decontam.benchmark_ngram_overlap(corpus, bench, n=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    con.execute("CREATE TABLE bench (bid BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH shingle AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(words) - 6, 1)),
+                   i -> list_aggregate(words[i:i+7], 'string_agg', ' ')
+                 ))) AS ngram
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs)
+          WHERE len(words) >= 8
+        ),
+        bshingle AS (
+          SELECT DISTINCT unnest(list_transform(
+                   range(1, greatest(len(words) - 6, 1)),
+                   i -> list_aggregate(words[i:i+7], 'string_agg', ' ')
+                 )) AS ngram
+          FROM (SELECT string_split(text, ' ') AS words FROM bench)
+          WHERE len(words) >= 8
+        )
+        SELECT s.doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM shingle s LEFT JOIN bshingle b USING (ngram)
+        GROUP BY s.doc_id
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_pii_counts_and_scrub(spark):
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (1, "call +1 (555) 123-4567 twice"),
+        (2, "clean text with no identifiers at all"),
+        (3, "two mails a@b.io c@d.org and ip 192.168.0.255"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = t.pii_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("email"),
+            counts["ipv4"].alias("ipv4"),
+            counts["phone"].alias("phone"),
+            t.pii_scrub("text").alias("scrubbed"),
+        ).collect()
+    }
+    assert (out[0]["email"], out[0]["ipv4"]) == (1, 1)
+    assert out[1]["phone"] == 1
+    assert (out[2]["email"], out[2]["ipv4"], out[2]["phone"]) == (0, 0, 0)
+    assert (out[3]["email"], out[3]["ipv4"]) == (2, 1)
+    assert "[EMAIL]" in out[0]["scrubbed"] and "[IPV4]" in out[0]["scrubbed"]
+    assert "@" not in out[3]["scrubbed"]
+    assert "[PHONE]" in out[1]["scrubbed"]
+    assert out[2]["scrubbed"] == rows[2][1]  # clean text untouched
+
+    # engine-vs-engine on the email/ipv4 counters (RE2-compatible)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    for kind in ("email", "ipv4"):
+        want = dict(
+            con.execute(
+                "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM d",
+                [t.PII_PATTERNS[kind]],
+            ).fetchall()
+        )
+        assert {k: v[kind] for k, v in out.items()} == want
