@@ -163,6 +163,46 @@ def test_bancor_trades_decode(spark):
     assert r["return"] == pytest.approx(ret / 10**6)
 
 
+def test_bancor_trades_reference_decimals_goldens(spark):
+    """Ported verbatim from reference tests/bancor_trades_tests.py:84-123
+    (test_extract_values_with_decimals): amount 100·10^16 with
+    decimals=16 → 100; return for a token with NO description decodes
+    with the default 18 decimals (100·10^18 → 100); return 100 with
+    decimals=0 → 100. The event data is amount-word + return-word +
+    a third (ignored) word, as _create_conversion_event builds it."""
+    def conv_event(i, from_tok, to_tok, amount, ret):
+        return _event(
+            hex(i), f"0xtx{i}", 10, "0x0",
+            [eth.BANCOR_CONVERSION_TOPIC,
+             "0x" + _word(from_tok), "0x" + _word(to_tok), "0x" + _word(1)],
+            "0x" + _word(amount) + _word(ret) + _word(10),
+        )
+
+    events = spark.createDataFrame([
+        conv_event(0, 0x1, 0x2, 100 * 10**16, 100),
+        conv_event(1, 0x1, 0x3, 100 * 10**16, 100 * 10**18),
+    ])
+    contracts_df = spark.createDataFrame(
+        [Row(address="0x0", standard_bancor_converter=1)]
+    )
+    addr = lambda v: "0x" + format(v, "040x")  # noqa: E731
+    descriptions = spark.createDataFrame([
+        Row(id=addr(0x1), decimals=16),
+        Row(id=addr(0x2), decimals=0),
+        # 0x3 deliberately absent → default 18 decimals
+    ])
+    got = {
+        r["id"]: r
+        for r in derived.bancor_trades(events, contracts_df, descriptions).collect()
+    }
+    assert got["0x0"]["from_token"] == addr(0x1)
+    assert got["0x0"]["to_token"] == addr(0x2)
+    assert got["0x0"]["amount"] == pytest.approx(100.0)
+    assert got["0x0"]["return"] == pytest.approx(100.0)
+    assert got["0x1"]["amount"] == pytest.approx(100.0)
+    assert got["0x1"]["return"] == pytest.approx(100.0)
+
+
 def test_bancor_trades_non_converter_excluded(spark):
     events = spark.createDataFrame([
         _event(
