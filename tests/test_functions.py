@@ -155,3 +155,24 @@ def test_poison_rows_degrade_not_raise(spark):
     ]
     assert addrs == [None, None, None]
     assert topics.filter(topic_equals("topics", 1, "0xsig")).count() == 0
+
+
+def test_supply_clamp_reference_golden(spark):
+    """Reference tests/contract_methods_tests.py:61-63
+    (test_round_supply_big_value): _round_supply(MAX_TOTAL_SUPPLY + 100,
+    decimals=0) clamps to MAX_TOTAL_SUPPLY = 1 << 63 - 1 (the preserved
+    operator-precedence quirk: 2^62, not 2^63 - 1)."""
+    from ethereum_analytical_db_spark.functions.ethereum import (
+        MAX_TOTAL_SUPPLY,
+        supply_rounded,
+    )
+
+    assert MAX_TOTAL_SUPPLY == 1 << 63 - 1 == 2**62
+    df = spark.createDataFrame(
+        [(float(MAX_TOTAL_SUPPLY + 100), 0), (1234.4, 0), (1234.6e18, 18)],
+        "supply double, decimals int",
+    )
+    got = [
+        r["s"] for r in df.select(supply_rounded("supply", "decimals").alias("s")).collect()
+    ]
+    assert got == [float(MAX_TOTAL_SUPPLY), 1234.0, 1235.0]
