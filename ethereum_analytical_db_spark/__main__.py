@@ -157,6 +157,11 @@ def cmd_prepare(wh: Warehouse, args) -> int:
 
 
 def cmd_sync_once(wh: Warehouse, args) -> int:
+    if getattr(args, "full", False):
+        # reference start-full (synchronize_full): re-extract everything —
+        # drop the processed-flags table so every block is unprocessed
+        # again; data writes stay idempotent upserts by id
+        wh.drop("block_flag")
     build_pipeline(wh, args).run_once()
     print("sync pass complete")
     return 0
@@ -220,6 +225,12 @@ def build_parser() -> argparse.ArgumentParser:
             help="chain head override (else eth_blockNumber)",
         )
         sp.add_argument("--range-size", type=int, default=1000)
+        if name == "sync-once":
+            sp.add_argument(
+                "--full", action="store_true",
+                help="re-extract everything (reference start-full): "
+                "clears the block flags first",
+            )
         if name == "sync":
             sp.add_argument("--sleep", type=float, default=10.0)
             sp.add_argument("--max-passes", type=int, default=None)

@@ -98,6 +98,11 @@ class Warehouse:
                 return True
         return False
 
+    def drop(self, table: str) -> None:
+        """Remove a table directory entirely (the reference's DROP TABLE,
+        tests/test_utils.py prepare_indices drop/recreate cycle)."""
+        shutil.rmtree(self._path(table), ignore_errors=True)
+
     def create(self, table: str, schema: StructType | None = None) -> None:
         """Create an empty table (the reference's prepare_indices,
         operations/indices.py:18-37)."""

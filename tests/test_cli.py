@@ -133,3 +133,9 @@ def test_cli_per_stage_commands(spark, tmp_path):
     assert wh.read("internal_transaction").count() == 2
     assert wh.read("event").count() == 1
     assert wh.read("contract").count() == 1
+
+    # start-full analogue: --full clears flags and re-extracts; upsert
+    # dedup keeps the table at the same row count
+    assert main(base + ["sync-once", "--full"] + fx) == 0
+    assert wh.read("internal_transaction").count() == 2
+    assert wh.read("block_flag").filter("name = 'traces_extracted'").count() == 3
