@@ -38,8 +38,10 @@ def _file_transport(fixture_dir: str) -> rpc.FileJsonRpcTransport:
     return rpc.FileJsonRpcTransport(fixture_dir)
 
 
-def _http_transport(url: str) -> rpc.HttpJsonRpcTransport:
-    return rpc.HttpJsonRpcTransport(url)
+def _http_transport(url: str) -> rpc.RetryTransport:
+    # real-node path gets the bounded-backoff retry wrapper (T6); the
+    # fixture transport is deterministic and needs none
+    return rpc.RetryTransport(rpc.HttpJsonRpcTransport(url))
 
 
 def make_transport_factory(args):

@@ -56,6 +56,45 @@ def pick_host(hosts_by_range: list[tuple[int, int | None, str]], block: int) -> 
     raise ValueError(f"no host configured for block {block}")
 
 
+class RetryTransport:
+    """T6: the reference's ``repeat_on_exception`` retry-forever wrapper
+    (utils.py:22-30 — sleep 5, retry; tests/utils_tests.py:26-41) as a
+    composable transport decorator, with two deliberate deviations:
+
+    - bounded attempts (default 5), not forever: at cluster scale an
+      unbounded per-task retry loop turns one dead endpoint into a hung
+      job; after the wrapper gives up, Spark's own task retry
+      (``spark.task.maxFailures``) takes over — retries then land on a
+      different executor, which the in-process loop can never do;
+    - exponential backoff with a cap instead of a flat sleep.
+
+    Picklable (factory composition) so it wraps transports inside
+    mapInPandas workers.
+    """
+
+    def __init__(self, inner, attempts: int = 5, base_sleep_s: float = 1.0,
+                 max_sleep_s: float = 30.0, sleep=None):
+        self.inner = inner
+        self.attempts = attempts
+        self.base_sleep_s = base_sleep_s
+        self.max_sleep_s = max_sleep_s
+        self._sleep = sleep  # injectable for tests; None → time.sleep
+
+    def post(self, batch: list[dict]) -> list[dict]:
+        import time as _time
+
+        sleep = self._sleep or _time.sleep
+        last: Exception | None = None
+        for i in range(self.attempts):
+            try:
+                return self.inner.post(batch)
+            except Exception as exc:  # noqa: BLE001 - transport boundary
+                last = exc
+                if i + 1 < self.attempts:
+                    sleep(min(self.base_sleep_s * 2**i, self.max_sleep_s))
+        raise last  # type: ignore[misc]  # attempts >= 1 always sets it
+
+
 class HttpJsonRpcTransport:
     """Batched JSON-RPC over HTTP (stdlib urllib; no extra deps)."""
 

@@ -192,3 +192,34 @@ def test_genesis_and_csv_roundtrip(spark, tmp_path):
         lines = f.read().strip().splitlines()
     assert lines[0] == "id,to,value"
     assert lines[1].startswith("GENESIS_0,0xAA,5.0")
+
+
+def test_retry_transport_bounded_backoff():
+    """T6 (reference utils.py:22-30 repeat_on_exception, bounded here):
+    transient failures retry with exponential backoff; a persistent
+    failure surfaces the last error after `attempts` tries."""
+    class Flaky:
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.calls = 0
+
+        def post(self, batch):
+            self.calls += 1
+            if self.calls <= self.fail_times:
+                raise ConnectionError(f"boom {self.calls}")
+            return [{"id": r["id"], "result": "ok"} for r in batch]
+
+    sleeps = []
+    t = rpc.RetryTransport(Flaky(2), attempts=5, base_sleep_s=1.0,
+                           sleep=sleeps.append)
+    out = t.post([{"id": 0}])
+    assert out == [{"id": 0, "result": "ok"}]
+    assert sleeps == [1.0, 2.0]  # exponential
+
+    sleeps2 = []
+    t2 = rpc.RetryTransport(Flaky(99), attempts=3, base_sleep_s=1.0,
+                            sleep=sleeps2.append)
+    import pytest
+    with pytest.raises(ConnectionError, match="boom 3"):
+        t2.post([{"id": 0}])
+    assert sleeps2 == [1.0, 2.0]  # no sleep after the final attempt
