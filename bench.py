@@ -57,19 +57,27 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, qdef in sorted(qs.items()):
         samples, n = [], 0
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = qdef.build(spark, sf_dir)
-            n = len(df.toPandas())
-            samples.append(time.perf_counter() - t0)
-            # release localCheckpoint blocks: the py4j refs pin the
-            # checkpointed RDDs until Python GC runs, so a 5×55-query
-            # session otherwise accumulates hundreds of persisted blocks
-            # (measured: 5 → 23 persistentRDDs in 5 runs of one query)
-            del df
-            gc.collect()
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = qdef.build(spark, sf_dir)
+                n = len(df.toPandas())
+                samples.append(time.perf_counter() - t0)
+                # release localCheckpoint blocks: the py4j refs pin the
+                # checkpointed RDDs until Python GC runs, so a 5×55-query
+                # session otherwise accumulates hundreds of persisted blocks
+                # (measured: 5 → 23 persistentRDDs in 5 runs of one query)
+                del df
+                gc.collect()
+        except Exception as exc:  # noqa: BLE001 - one broken query must
+            # not cost the round its whole perf record: mark and move on
+            # (the summary line still parses; the error names the query)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         samples.sort()
         med = samples[len(samples) // 2] if runs % 2 else (
             samples[runs // 2 - 1] + samples[runs // 2]
@@ -94,6 +102,7 @@ def main() -> None:
         "stat": "median",
         "spread": spreads,
         "cpus": cpus,
+        "errors": errors,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -121,6 +130,8 @@ def main() -> None:
         "runs_per_query": runs,
         "stat": "median",
     }
+    if errors:
+        summary["errors"] = sorted(errors)
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
         summary["queries"] = "see BENCH_DETAIL.json"
