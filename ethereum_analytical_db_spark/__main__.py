@@ -103,7 +103,14 @@ def extract_traces(wh: Warehouse, factory) -> None:
     if todo.isEmpty():
         return
     raw = rpc.fetch_traces(wh.spark, todo.select("number"), factory)
-    wh.write("internal_transaction", rpc.decode_traces(raw))
+    # block-range hive partitioning: incremental sync appends only tail
+    # directories and block predicates prune at the scan (catalog.py
+    # write() docstring — the 100 TB layout, on the production path)
+    wh.write(
+        "internal_transaction",
+        rpc.decode_traces(raw),
+        block_partition="blockNumber",
+    )
     inc.write_block_flags(wh, todo.select("id"), "traces_extracted")
 
 
@@ -117,7 +124,7 @@ def extract_events(wh: Warehouse, factory, range_size: int) -> None:
         return
     ranges = inc.block_ranges(todo, range_size)
     events = rpc.fetch_events(wh.spark, ranges, factory)
-    wh.write("event", events)
+    wh.write("event", events, block_partition="blockNumber")
     inc.write_block_flags(wh, todo.select("id"), "events_extracted")
 
 
