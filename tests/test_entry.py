@@ -61,3 +61,28 @@ def test_every_query_builds_and_analyzes(spark):
     for name, fn in qs.items():
         df = fn(spark, SF)
         assert len(df.schema.fields) > 0, name
+
+
+def test_bench_summary_line_fits_driver_tail_capture():
+    """The driver keeps only the final ~2000 chars of bench.py stdout
+    (round 3's full line was head-truncated into unparseability). The
+    compact summary for the CURRENT registry must fit with margin;
+    bench.py degrades to summary-only past 1900, but tripping that
+    fallback silently drops per-query timings from the driver record —
+    fail here first so the registry growth is a conscious choice."""
+    import json
+
+    names = sorted(entry_mod.queries())
+    line = json.dumps(
+        {
+            "metric": "registry_suite_total_sec",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {n: 99.999 for n in names},
+            "sf": 0.1,
+            "runs_per_query": 5,
+            "stat": "median",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"{len(line)} chars for {len(names)} queries"
