@@ -113,6 +113,24 @@ def test_cli_fixture_sync_end_to_end(spark, tmp_path):
     assert {r["number"] for r in rows} == {"0", "1", "2"}
 
 
+def test_cli_sync_loop_bounded(spark, tmp_path):
+    """`sync --max-passes 2 --sleep 0` drives the run_forever loop twice
+    and converges to the same steady state as two sync-once passes."""
+    fixtures = tmp_path / "rpc"
+    _write_fixtures(fixtures)
+    whdir = str(tmp_path / "wh")
+    base = ["--warehouse", whdir, "--cpus", "4"]
+
+    assert main(base + ["prepare"]) == 0
+    assert main(
+        base
+        + ["sync", "--fixtures", str(fixtures), "--max-passes", "2", "--sleep", "0"]
+    ) == 0
+    wh = Warehouse(spark, whdir)
+    assert wh.read("internal_transaction").count() == 2
+    assert wh.read("block_flag").filter("name = 'traces_extracted'").count() == 3
+
+
 def test_cli_per_stage_commands(spark, tmp_path):
     """The reference's individual extract-* commands compose to the same
     state one sync-once pass reaches."""
