@@ -144,9 +144,12 @@ def derived_refresh(wh: Warehouse) -> None:
 
 def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
     factory = make_transport_factory(args)
-    head = _latest_block(args, factory)
+    # resolve the chain head lazily INSIDE the blocks stage so a looping
+    # `sync` re-reads eth_blockNumber each pass and keeps ingesting blocks
+    # mined after startup (reference synchronize re-reads the max block per
+    # pass); an explicit --max-block still pins it
     stages = [
-        ("blocks", lambda w: extract_blocks(w, factory, head)),
+        ("blocks", lambda w: extract_blocks(w, factory, _latest_block(args, factory))),
         ("traces", lambda w: extract_traces(w, factory)),
         ("events", lambda w: extract_events(w, factory, args.range_size)),
     ]

@@ -242,8 +242,16 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     # dotted quad; \b bounds stop partial matches inside longer numbers
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    # +country / separator-tolerant digit runs, 9+ digits total
-    "phone": r"\+?\d[\d() -]{7,}\d\b",
+    # a match must be anchored by a '+' prefix, a parenthesized group, or
+    # hyphen grouping — plain space-separated digit runs ('2021 2022 2023',
+    # numeric table rows) are NOT phones and must survive the scrub. Three
+    # RE2-compatible branches (no lookaround, so the DuckDB oracle runs the
+    # identical pattern); the {6,14} span caps total match length.
+    "phone": (
+        r"\+\d[\d() -]{6,14}\d"  # +international, separator-tolerant
+        r"|\(\d{2,4}\)[ -]?\d{2,4}[ -]?\d{2,4}(?:[ -]?\d{2,4})?"  # (area) form
+        r"|\d{2,4}(?:-\d{2,4}){1,2}-\d{3,4}"  # hyphen-grouped, >=2 hyphens
+    ),
 }
 PII_ORDER = ["email", "ipv4", "phone"]
 

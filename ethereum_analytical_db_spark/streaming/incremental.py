@@ -180,4 +180,7 @@ class SyncPipeline:
     ) -> None:  # pragma: no cover - loop shell; run_once is the tested unit
         while max_passes is None or self.passes < max_passes:
             self.run_once()
-            time.sleep(sleep_s)
+            # sleep only between passes — a bounded run exits immediately
+            # after its final pass instead of blocking sleep_s for nothing
+            if max_passes is None or self.passes < max_passes:
+                time.sleep(sleep_s)

@@ -102,6 +102,10 @@ def test_pii_counts_and_scrub(spark):
         (1, "call +1 (555) 123-4567 twice"),
         (2, "clean text with no identifiers at all"),
         (3, "two mails a@b.io c@d.org and ip 192.168.0.255"),
+        # space-separated digit runs are NOT phones (round-4 advice: the
+        # old separator class swallowed year lists / numeric table rows)
+        (4, "years 2021 2022 2023 and row 10 250 3700 42"),
+        (5, "dial (020) 7946 0958 or 555-123-4567"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     counts = t.pii_counts("text")
@@ -123,12 +127,16 @@ def test_pii_counts_and_scrub(spark):
     assert "@" not in out[3]["scrubbed"]
     assert "[PHONE]" in out[1]["scrubbed"]
     assert out[2]["scrubbed"] == rows[2][1]  # clean text untouched
+    # clean numeric text must come through the scrub byte-identical
+    assert out[4]["phone"] == 0 and out[4]["scrubbed"] == rows[4][1]
+    assert out[5]["phone"] == 2
+    assert out[5]["scrubbed"] == "dial [PHONE] or [PHONE]"
 
-    # engine-vs-engine on the email/ipv4 counters (RE2-compatible)
+    # engine-vs-engine on all three counters (patterns are RE2-compatible)
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO d VALUES (?, ?)", rows)
-    for kind in ("email", "ipv4"):
+    for kind in ("email", "ipv4", "phone"):
         want = dict(
             con.execute(
                 "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM d",
