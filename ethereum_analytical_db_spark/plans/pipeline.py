@@ -308,11 +308,35 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminate_benchmark",
-    None,  # driver's 50-entry oracle window is full — the overlap math
-    # is engine-vs-engine checked against DuckDB in tests/test_decontam.py
-    note="benchmark decontamination: docs whose 8-gram overlap with a "
-    "held-out eval slice (doc_id % 97 == 0) exceeds 10% are dropped; "
-    "broadcast benchmark shingle set, one semi-join + one per-doc agg",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    bshingle AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, greatest(len(words) - 6, 1)),
+               i -> list_aggregate(words[i:i+7], 'string_agg', ' ')
+             )) AS ngram
+      FROM words WHERE doc_id % 97 = 0 AND len(words) >= 8
+    ),
+    shingle AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(words) - 6, 1)),
+               i -> list_aggregate(words[i:i+7], 'string_agg', ' ')
+             ))) AS ngram
+      FROM words WHERE doc_id % 97 <> 0 AND len(words) >= 8
+    )
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           SUM(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END) <= 0.1 * COUNT(*) AS kept
+    FROM shingle s LEFT JOIN bshingle b USING (ngram)
+    GROUP BY s.doc_id
+    """,
+    note="benchmark decontamination: per-doc 8-gram overlap against a "
+    "held-out eval slice (doc_id % 97 == 0); kept = overlap <= 10% (the "
+    "drop criterion of operators/decontam.decontaminate). Broadcast "
+    "benchmark shingle set, one semi-join + one per-doc agg; integer "
+    "hit/shingle counts so the cross-engine hash is float-free",
 )
 def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import decontam
@@ -320,27 +344,51 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    kept = decontam.decontaminate(train, bench, n=8, max_overlap=0.1)
-    # one aggregation, no scalar-combining join (plan-audit gate)
-    return kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    scores = decontam.benchmark_ngram_overlap(train, bench, n=8)
+    return scores.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        # same integer-vs-integer form as the oracle (not frac <= 0.1):
+        # identical IEEE ops on both engines, no division rounding in play
+        (F.col("n_hit") <= F.lit(0.1) * F.col("n_shingles")).alias("kept"),
+    )
+
+
+# the PII patterns are RE2-compatible by design (no lookaround /
+# backreferences), so the DuckDB oracle runs the IDENTICAL pattern text —
+# any Java-vs-RE2 semantic drift in them fails the driver's hash check
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{text.PII_PATTERNS['email']}', '[EMAIL]', 'g'), "
+    f"'{text.PII_PATTERNS['ipv4']}', '[IPV4]', 'g'), "
+    f"'{text.PII_PATTERNS['phone']}', '[PHONE]', 'g')"
+)
 
 
 @register(
     "pii_scrub_stats",
-    None,  # window-capped; pattern parity with DuckDB RE2 is tested in
-    # tests/test_decontam.py::test_pii_counts_and_scrub
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(length({_PII_SCRUB_SQL}) AS BIGINT) AS scrubbed_len
+    FROM documents
+    """,
     note="PII scrubbing pass: per-class regexp counts (email/ipv4/phone) "
-    "+ typed-placeholder redaction, all JVM regexp — no Python",
+    "+ typed-placeholder redaction, all JVM regexp — no Python; oracle "
+    "replays the same RE2-safe patterns in DuckDB",
 )
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     counts = text.pii_counts("text")
     return docs.select(
         "doc_id",
-        counts["email"].alias("n_email"),
-        counts["ipv4"].alias("n_ipv4"),
-        counts["phone"].alias("n_phone"),
-        F.length(text.pii_scrub("text")).alias("scrubbed_len"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+        F.length(text.pii_scrub("text")).cast("long").alias("scrubbed_len"),
     )
 
 
