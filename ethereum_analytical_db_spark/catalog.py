@@ -164,6 +164,65 @@ class Warehouse:
             df = final_dedup(df, schemas.primary_key(table))
         return df
 
+    def iterate(self, table: str, per: int = 1000, fields: list[str] | None = None,
+                final: bool = True):
+        """S2: paginated cursor scan (reference ``iterate()``,
+        clients/custom_clickhouse.py:94-128 — ``execute_iter`` with
+        ``max_block_size``): yield lists of Rows of at most ``per``.
+
+        DRIVER-SIDE CONVENIENCE, deliberately not the engine's hot path:
+        every row funnels through the driver one partition at a time
+        (``toLocalIterator``), which is exactly the anti-pattern the
+        native design replaces with partitioned execution — use the
+        DataFrame API (or ``foreachBatch`` for sinks) for anything that
+        should scale. It exists because the reference exposes a cursor
+        and some consumers (small exports, admin scripts) genuinely want
+        one; prefetchPartitions keeps at most one extra partition in
+        flight, so driver memory is bounded by the partition size, not
+        the table."""
+        df = self.read(table, final=final)
+        if fields:
+            df = df.select(*fields)
+        chunk: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            chunk.append(row)
+            if len(chunk) >= per:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
+    def export_jdbc(
+        self,
+        table: str,
+        url: str,
+        dbtable: str | None = None,
+        mode: str = "append",
+        options: dict[str, str] | None = None,
+        final: bool = True,
+        writer=None,
+    ):
+        """Optional JDBC sink seam — BASELINE's stated architecture is
+        "Parquet + ClickHouse connector for analytics"; in production the
+        url points at a ClickHouse JDBC endpoint (or any JDBC target) and
+        this ships the FINAL-deduped table there. ``writer`` is the
+        injectable boundary for tests/alternate drivers: a callable
+        ``(df, url, dbtable, mode, options)``; the default drives Spark's
+        built-in JDBC writer (per-partition batched INSERTs — the write
+        itself is distributed, nothing funnels through the driver). The
+        engine-internal ``_seq`` column never leaves the warehouse."""
+        df = self.read(table, final=final)
+        if "_seq" in df.columns:
+            df = df.drop("_seq")
+        dbtable = dbtable or table
+        options = options or {}
+        if writer is not None:
+            return writer(df, url, dbtable, mode, options)
+        w = df.write.format("jdbc").option("url", url).option("dbtable", dbtable)
+        for k, v in options.items():
+            w = w.option(k, v)
+        return w.mode(mode).save()
+
     def compact(self, table: str) -> None:
         """Rewrite a table to one row per key (background-merge analogue).
 

@@ -117,3 +117,77 @@ def test_count_distinct_skewproof_matches_exact(spark):
     got = {r["k"]: r["n"] for r in count_distinct_skewproof(df, "k", "v", "n").collect()}
     want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
     assert got == want == {"hot": 7, "cold": 2}
+
+
+def test_iterate_cursor_matches_full_read(spark, wh):
+    """S2 cursor helper (reference iterate(),
+    clients/custom_clickhouse.py:94-128): chunked iteration covers
+    exactly the FINAL-deduped rows, chunks respect `per`."""
+    wh.create("block_flag")
+    rows = [Row(id=str(i), name="traces_extracted", value=i) for i in range(25)]
+    wh.write("block_flag", spark.createDataFrame(rows))
+    # one overwrite so FINAL semantics are in play during iteration
+    wh.write(
+        "block_flag",
+        spark.createDataFrame([Row(id="0", name="traces_extracted", value=99)]),
+    )
+    chunks = list(wh.iterate("block_flag", per=10, fields=["id", "value"]))
+    assert [len(c) for c in chunks[:-1]] == [10, 10]  # full chunks first
+    assert sum(len(c) for c in chunks) == 25
+    got = {r["id"]: r["value"] for c in chunks for r in c}
+    want = {
+        r["id"]: r["value"]
+        for r in wh.read("block_flag").select("id", "value").collect()
+    }
+    assert got == want and got["0"] == 99
+
+
+def test_export_jdbc_writer_seam_records_statement(spark, wh):
+    """The injectable writer boundary: no _seq leakage, FINAL dedup
+    applied, url/dbtable/mode/options pass through."""
+    wh.create("block_flag")
+    wh.write("block_flag", spark.createDataFrame(
+        [Row(id="1", name="n", value=0)]))
+    wh.write("block_flag", spark.createDataFrame(
+        [Row(id="1", name="n", value=7)]))
+    recorded = {}
+
+    def fake_writer(df, url, dbtable, mode, options):
+        recorded.update(
+            url=url, dbtable=dbtable, mode=mode, options=options,
+            rows=[r.asDict() for r in df.collect()], cols=df.columns,
+        )
+
+    wh.export_jdbc(
+        "block_flag", "jdbc:clickhouse://ch:8123/db", dbtable="eth_block_flag",
+        mode="overwrite", options={"driver": "x.Driver"}, writer=fake_writer,
+    )
+    assert recorded["url"] == "jdbc:clickhouse://ch:8123/db"
+    assert recorded["dbtable"] == "eth_block_flag"
+    assert recorded["mode"] == "overwrite"
+    assert recorded["options"] == {"driver": "x.Driver"}
+    assert "_seq" not in recorded["cols"]
+    assert recorded["rows"] == [{"id": "1", "name": "n", "value": 7}]
+
+
+def test_export_jdbc_roundtrip_embedded_derby(spark, wh):
+    """End-to-end through Spark's real JDBC writer against the embedded
+    Derby that ships in Spark's jars — an actual in-memory JDBC target,
+    no fake (the sandbox has no ClickHouse; the production url swap is
+    config, not code)."""
+    wh.create("block_flag")
+    rows = [Row(id=str(i), name="traces_extracted", value=i) for i in range(8)]
+    wh.write("block_flag", spark.createDataFrame(rows))
+    url = "jdbc:derby:memory:whtest;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    wh.export_jdbc("block_flag", url, dbtable="flags", mode="overwrite", options=opts)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", "jdbc:derby:memory:whtest")
+        .option("dbtable", "flags")
+        .options(**opts)
+        .load()
+    )
+    got = {(r["id"], r["name"], r["value"]) for r in back.collect()}
+    assert got == {(str(i), "traces_extracted", i) for i in range(8)}
+    assert "_seq" not in back.columns
