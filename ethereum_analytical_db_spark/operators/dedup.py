@@ -430,4 +430,14 @@ def connected_components(
         labels = merged.select("doc", "label")
         if changed == 0:
             break
+    else:
+        # O(diameter) didn't fit the budget (adversarial long-path
+        # component). Returning the partial labeling would silently split
+        # one real component into many — fail loudly and point at the
+        # O(log n) variant, same contract as connected_components_twophase.
+        raise RuntimeError(
+            f"connected_components (min-label) did not converge in "
+            f"{max_iterations} rounds — graph diameter exceeds the budget; "
+            "use connected_components_twophase for long-chain graphs"
+        )
     return labels.select(F.col("doc"), F.col("label").alias("component"))

@@ -15,10 +15,30 @@ sums are DECIMAL (order-independent, bit-identical in any engine).
 
 from __future__ import annotations
 
+from pyspark import AccumulatorParam
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEC = "decimal(12,6)"
+
+
+class _MaxAccumulatorParam(AccumulatorParam):
+    """Accumulator merging by max — records the LARGEST per-task group a
+    grouped-Pandas operator actually received, so skew bounds are
+    asserted from real execution, not inferred from the plan."""
+
+    def zero(self, value):
+        return value
+
+    def addInPlace(self, a, b):
+        return max(a, b)
+
+
+def max_group_accumulator(sc, initial: int = 0):
+    """Build a max-merging accumulator for ``group_size_acc`` hooks
+    (skew observability: tests and monitoring read ``acc.value`` after an
+    action to get the hottest task's input row count)."""
+    return sc.accumulator(initial, _MaxAccumulatorParam())
 
 
 def _dot(a, b):
@@ -284,11 +304,16 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_blocks: int = 1,
+    group_size_acc=None,
 ) -> DataFrame:
     """Scale path: hyperplane-bucket the corpus, score pairs only WITHIN
     a bucket. High-cosine pairs share every sign bit with probability
     (1 - θ/π)^planes, so recall is tunable via ``planes`` (unit-tested
     against the exact operator).
+
+    ``group_size_acc``: optional ``max_group_accumulator`` — every gemm
+    task records its input row count, so the adversarial-skew tests (and
+    production monitoring) can assert the hottest task stayed bounded.
 
     Shape: one Arrow pass assigns buckets (sign-bit pattern of the
     plane gemm), one shuffle
@@ -318,6 +343,8 @@ def embedding_near_dup_lsh(
     if sub_blocks <= 1:
 
         def gemm_bucket(key, pdf):
+            if group_size_acc is not None:
+                group_size_acc.add(len(pdf))
             mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
             sims = unit @ unit.T
@@ -355,6 +382,8 @@ def embedding_near_dup_lsh(
     ).select("vid", "v", "bucket", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
 
     def gemm_bucket_pair(key, pdf):
+        if group_size_acc is not None:
+            group_size_acc.add(len(pdf))
         i, j = int(key[1]), int(key[2])
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
