@@ -105,7 +105,13 @@ def main() -> None:
         "errors": errors,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_DETAIL: alternate detail path for off-default
+    # scale runs (e.g. the sf1 scaling measurement → SCALE_SF1_DETAIL.json)
+    # so they never clobber the driver-read sf0.1 BENCH_DETAIL.json
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
     with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:

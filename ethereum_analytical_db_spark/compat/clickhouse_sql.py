@@ -39,6 +39,15 @@ into Spark SQL (SURVEY §4.2.3):
 Everything here is text/token manipulation on the driver; the resulting
 plan is plain Spark SQL, so Catalyst optimizes it like any native query.
 
+This is a TOKEN REWRITER over a documented grammar, not a full
+ClickHouse parser: it covers every construct the reference's analytics
+corpus uses (the README "ClickHouse SQL compatibility" section lists
+them). Known-unhandled constructs (PREWHERE, SAMPLE, GLOBAL/ASOF joins,
+WITH TOTALS, LIMIT BY, ARRAY JOIN / arrayJoin, non-literal array
+subscripts) are rejected with ``UnsupportedClickHouseSQL`` at translate
+time rather than passed through; unknown ClickHouse *functions* reach
+Spark's analyzer and fail loudly there as unresolved functions.
+
 Documented deviation: ClickHouse with the default ``join_use_nulls = 0``
 fills non-matched LEFT JOIN columns with type defaults (0, ''); the
 translated Spark query follows ANSI semantics (NULL), i.e. behaves like
@@ -84,6 +93,74 @@ def _lower(tok: str) -> str:
 
 def _is_ident(tok: str) -> bool:
     return bool(re.match(r"^[A-Za-z_`][A-Za-z0-9_`]*$", tok))
+
+
+class UnsupportedClickHouseSQL(ValueError):
+    """A ClickHouse construct outside the supported grammar (README
+    "ClickHouse SQL compatibility"). Raised at translation time so the
+    query fails LOUDLY with the construct named, instead of either a
+    cryptic Spark parse error or — worse — a silent semantic shift
+    (e.g. a non-literal 1-based subscript sliding to 0-based)."""
+
+
+# Constructs the translator knows it does NOT handle. Conservative by
+# design: these keywords never appear as identifiers in the reference's
+# analytics corpus, so rejecting them outright cannot false-positive
+# there, and anything outside the corpus gets a named error instead of a
+# pass-through mistranslation.
+_REJECT_TOKENS = {
+    "prewhere": "PREWHERE (use WHERE; Spark has no scan-stage predicate split)",
+    "sample": "SAMPLE clause (use TABLESAMPLE in native Spark SQL)",
+    "global": "GLOBAL join modifier (Spark distributes joins itself)",
+    "asof": "ASOF JOIN (not used by the reference corpus; express as a window)",
+    "totals": "WITH TOTALS (compute the rollup row with a separate aggregate)",
+    "arrayjoin": "arrayJoin() (use LATERAL VIEW explode / the explode() function)",
+}
+
+
+def _reject_unsupported(tokens: list[str]) -> None:
+    for i, t in enumerate(tokens):
+        low = _lower(t)
+        nxt = _lower(tokens[i + 1]) if i + 1 < len(tokens) else ""
+        if low in _REJECT_TOKENS:
+            raise UnsupportedClickHouseSQL(
+                f"unsupported ClickHouse construct: {_REJECT_TOKENS[low]}"
+            )
+        if low == "array" and nxt == "join":
+            raise UnsupportedClickHouseSQL(
+                "unsupported ClickHouse construct: ARRAY JOIN clause "
+                "(use LATERAL VIEW explode)"
+            )
+        # LIMIT n [, m] BY col — ClickHouse per-group limit
+        if low == "limit":
+            j = i + 1
+            while j < len(tokens) and (
+                re.match(r"^\d+$", tokens[j]) or tokens[j] == ","
+            ):
+                j += 1
+            if j < len(tokens) and _lower(tokens[j]) == "by":
+                raise UnsupportedClickHouseSQL(
+                    "unsupported ClickHouse construct: LIMIT ... BY "
+                    "(express as row_number() OVER a window)"
+                )
+        # ident[expr] with a NON-literal subscript: the literal form is
+        # rewritten to 1-based try_element_at; letting a column subscript
+        # through would run 0-based in Spark — an off-by-one that returns
+        # plausible wrong data. Refuse instead.
+        if (
+            _is_ident(t)
+            and nxt == "["
+            and not (
+                i + 3 < len(tokens)
+                and re.match(r"^\d+$", tokens[i + 2])
+                and tokens[i + 3] == "]"
+            )
+        ):
+            raise UnsupportedClickHouseSQL(
+                "unsupported ClickHouse construct: non-literal array "
+                "subscript (ClickHouse is 1-based, Spark 0-based — write "
+                "try_element_at(arr, expr) explicitly)"
+            )
 
 
 @dataclass
@@ -422,6 +499,7 @@ def translate(sql: str, macros: dict[str, str] | None = None) -> Translated:
         for name, repl in macros.items():
             sql = sql.replace(f"${name}", repl)
     tokens = _tokenize(sql)
+    _reject_unsupported(tokens)
     tokens, outfile, outformat = _strip_outfile(tokens)
     tokens = _strip_final(tokens)
     tokens = _rewrite_count_empty(tokens)

@@ -175,3 +175,32 @@ def test_translate_is_neutral_on_ansi_sql():
         # token stream identical — only inter-token whitespace may change
         assert t.sql.replace(" ", "") == q.replace(" ", "")
         assert t.outfile is None
+
+
+def test_unsupported_constructs_fail_loudly():
+    """Outside-the-grammar ClickHouse constructs raise a NAMED error at
+    translate time — never a pass-through mistranslation (round-4 review:
+    'document the envelope, fail loudly outside it')."""
+    from ethereum_analytical_db_spark.compat.clickhouse_sql import (
+        UnsupportedClickHouseSQL,
+    )
+
+    bad = [
+        "SELECT x FROM t PREWHERE x > 1",
+        "SELECT x FROM t SAMPLE 0.1",
+        "SELECT * FROM a GLOBAL ANY LEFT JOIN b USING k",
+        "SELECT * FROM a ASOF JOIN b ON a.t >= b.t",
+        "SELECT k, count() FROM t GROUP BY k WITH TOTALS",
+        "SELECT x FROM t ORDER BY x LIMIT 2 BY k",
+        "SELECT arrayJoin(topics) FROM eth_event",
+        "SELECT * FROM t ARRAY JOIN arr",
+        # non-literal subscript: 1-based vs 0-based silent off-by-one
+        "SELECT topics[n] FROM eth_event",
+    ]
+    for q in bad:
+        with pytest.raises(UnsupportedClickHouseSQL):
+            translate(q)
+    # the supported literal-subscript form still translates
+    assert "try_element_at ( topics , 1 )" in translate(
+        "SELECT topics[1] FROM eth_event"
+    ).sql
