@@ -43,9 +43,10 @@ def _png_chunk(ctype, data):
     return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
 
-def _make_png(width, height, channels, pixels):
-    """Forward-filtered PNG, cycling through all five filter types row
-    by row (the decoder must reverse every one to round-trip)."""
+def _make_png(width, height, channels, pixels, filters=None):
+    """Forward-filtered PNG; by default cycles through all five filter
+    types row by row (the decoder must reverse every one to round-trip).
+    ``filters``: explicit per-row filter types for the property tests."""
     color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     stride, bpp = width * channels, channels
@@ -53,7 +54,7 @@ def _make_png(width, height, channels, pixels):
     prev = bytes(stride)
     for y in range(height):
         line = pixels[y * stride : (y + 1) * stride]
-        ft = y % 5
+        ft = filters[y] if filters is not None else y % 5
         raw.append(ft)
         for i in range(stride):
             a = line[i - bpp] if i >= bpp else 0
