@@ -22,15 +22,19 @@ from __future__ import annotations
 
 import argparse
 import functools
+import json
 import sys
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import schemas
 from .catalog import Warehouse
+from .functions import abi as abi_fn
+from .functions import ethereum as eth
 from .plans import derived
 from .session import get_spark
-from .sources import files, rpc
+from .sources import enrich, files, rpc
 from .streaming import incremental as inc
 
 
@@ -142,6 +146,227 @@ def derived_refresh(wh: Warehouse) -> None:
             )
 
 
+# per-contract watermark flag names: reference utils._get_flag_name with
+# ClickhouseInputs.block_prefix = "inputs_decoded" (operations/inputs.py)
+TX_INPUT_FLAG = "itx_inputs_decoded_block"
+EVENT_INPUT_FLAG = "event_inputs_decoded_block"
+
+
+def extract_tokens(wh: Warehouse, call, tokens_meta: dict | None = None) -> None:
+    """Reference extract-tokens (operations/contract_methods.py:72-114):
+    ERC-20-flagged contracts not yet described (anti-join on
+    contract_description id) → eth_call constants with per-type fallback
+    (S11) → supply scale/round/clamp (F10) → contract_description upsert,
+    enriched with tokens.json cmc_id/website_slug links when provided
+    (reference _set_external_links, contract_methods.py:60-70)."""
+    if not wh.exists("contract"):
+        return
+    erc20 = (
+        wh.read("contract").filter(F.col("standard_erc20") == 1).select("address")
+    )
+    if wh.exists("contract_description"):
+        done = wh.read("contract_description").select(F.col("id").alias("address"))
+        erc20 = erc20.join(done, "address", "left_anti")
+    # dim-sized HTTP enrichment: thousands of contracts, driver pool (X3)
+    addresses = [r["address"] for r in erc20.collect()]
+    if not addresses:
+        return
+    desc = enrich.read_contract_constants(wh.spark, addresses, call)
+    out = desc.select(
+        F.col("address").alias("id"),
+        F.col("name").alias("token_name"),
+        F.col("symbol").alias("token_symbol"),
+        F.col("decimals"),
+        eth.supply_rounded(F.col("totalSupply"), F.col("decimals"))
+        .cast("long")
+        .alias("total_supply"),
+        F.col("owner").alias("token_owner"),
+    )
+    meta_rows = [
+        (a, m.get("cmc_id"), m.get("website_slug"))
+        for a, m in (tokens_meta or {}).items()
+    ]
+    if meta_rows:
+        mdf = wh.spark.createDataFrame(
+            meta_rows, "id string, cmc_id string, website_slug string"
+        )
+        out = out.join(F.broadcast(mdf), "id", "left")
+    wh.write("contract_description", out)
+
+
+def download_abis(wh: Warehouse, fetch_abi) -> None:
+    """Reference download-contracts-abi (operations/contracts.py:55-72):
+    contracts not yet ATTEMPTED (J4 left-anti on abi_extracted,
+    contracts.py:97-101) → HTTP ABI fetch → contract_abi upsert;
+    abi_extracted records the attempt even on failure so unverified
+    contracts aren't refetched forever."""
+    if not wh.exists("contract"):
+        return
+    todo = wh.read("contract").select("address")
+    if wh.exists("contract_abi"):
+        attempted = (
+            wh.read("contract_abi")
+            .filter(F.col("abi_extracted").isNotNull())
+            .select(F.col("id").alias("address"))
+        )
+        todo = todo.join(attempted, "address", "left_anti")
+    addresses = [r["address"] for r in todo.collect()]
+    if not addresses:
+        return
+    wh.write(
+        "contract_abi", enrich.fetch_contract_abis(wh.spark, addresses, fetch_abi)
+    )
+
+
+def _abi_map(wh: Warehouse) -> dict[str, str]:
+    """J3: ABI'd contract dim as a driver dict (address-count-sized; it
+    becomes the broadcast selector table inside the Arrow decoder)."""
+    if not wh.exists("contract_abi"):
+        return {}
+    abis = wh.read("contract_abi").filter(F.col("abi").isNotNull())
+    return {r["id"]: r["abi"] for r in abis.select("id", "abi").collect()}
+
+
+def _watermark_slice(wh, rows, abi_map, flag, max_block, addr_col):
+    """P4/J2/T2: rows targeting an ABI'd contract, above that contract's
+    per-contract watermark, at or below the global high-water mark. The
+    reference compiles OR-chains grouped by equal watermark
+    (utils.py:119-161); the join form broadcasts the tiny watermark dim."""
+    wms = (
+        wh.read("contract_block")
+        if wh.exists("contract_block")
+        else wh.spark.createDataFrame(
+            [], schemas.with_engine_columns(schemas.TABLES["contract_block"])
+        )
+    )
+    wm = inc.contract_watermarks(wms, flag)
+    rows = rows.filter(F.col(addr_col).isin(list(abi_map)))
+    return (
+        rows.join(F.broadcast(wm), rows[addr_col] == wm["id"], "left")
+        .filter(
+            (F.col("last_block").isNull() | (F.col("blockNumber") > F.col("last_block")))
+            & (F.col("blockNumber") <= F.lit(max_block))
+        )
+        .drop(wm["id"])
+        .drop("last_block")
+    )
+
+
+def _advance_watermarks(wh, abi_map, flag, max_block):
+    """T2 write side AFTER the data write (crash-safe resume: a crash
+    between data and watermark re-decodes, never skips — reference
+    decode_inputs, operations/inputs.py:196-207)."""
+    inc.save_contract_watermarks(
+        wh,
+        wh.spark.createDataFrame(
+            [(a, max_block) for a in abi_map], "id string, value long"
+        ),
+        flag,
+    )
+
+
+def parse_transactions_inputs(wh: Warehouse) -> None:
+    """Reference parse-transactions-inputs (operations/inputs.py:196-224,
+    SURVEY §3.2): calls targeting ABI'd contracts (filter
+    callType='call' AND error IS NULL, inputs.py:217-220), per-contract
+    incremental slice, Arrow-batched selector decode (F9/X2) →
+    transaction_input."""
+    abi_map = _abi_map(wh)
+    if not abi_map or not wh.exists("internal_transaction"):
+        return
+    max_block = inc.max_flagged_block(_flags(wh), "traces_extracted")
+    if max_block is None:
+        return
+    txs = wh.read("internal_transaction").filter(
+        (F.col("callType") == "call")
+        & F.col("error").isNull()
+        & F.col("input").isNotNull()
+    )
+    sliced = _watermark_slice(wh, txs, abi_map, TX_INPUT_FLAG, max_block, "to")
+    decoded = abi_fn.decode_inputs(sliced, abi_map, address_col="to")
+    out = decoded.filter(F.col("decoded").isNotNull()).select(
+        "id",
+        F.col("decoded.name").alias("name"),
+        F.col("decoded.params_type").alias("params_type"),
+        F.col("decoded.params_value").alias("params_value"),
+    )
+    wh.write("transaction_input", out)
+    _advance_watermarks(wh, abi_map, TX_INPUT_FLAG, max_block)
+
+
+def parse_events_inputs(wh: Warehouse) -> None:
+    """Reference parse-events-inputs (operations/inputs.py:222-241): the
+    event variant — pseudo-calldata rebuilt from topics+data
+    (topic0[0:10] ++ topics[1:] ++ data, F9 event pseudo-input) and
+    decoded against the EMITTING contract's ABI, event entries included
+    (inputs.py:38-39)."""
+    abi_map = _abi_map(wh)
+    if not abi_map or not wh.exists("event"):
+        return
+    max_block = inc.max_flagged_block(_flags(wh), "events_extracted")
+    if max_block is None:
+        return
+    ev = wh.read("event").filter(F.col("id").isNotNull())
+    sliced = _watermark_slice(wh, ev, abi_map, EVENT_INPUT_FLAG, max_block, "address")
+    pseudo = F.concat(
+        F.substring(F.get(F.col("topics"), 0), 1, 10),
+        F.array_join(
+            F.transform(
+                F.slice(F.col("topics"), 2, F.greatest(F.size("topics") - 1, F.lit(0))),
+                lambda t: t.substr(F.lit(3), F.length(t)),  # strip '0x'
+            ),
+            "",
+        ),
+        F.coalesce(F.col("data").substr(F.lit(3), F.length("data")), F.lit("")),
+    )
+    decoded = abi_fn.decode_inputs(
+        sliced.withColumn("pseudo_input", pseudo),
+        abi_map,
+        input_col="pseudo_input",
+        address_col="address",
+        include_events=True,
+    )
+    out = decoded.filter(F.col("decoded").isNotNull()).select(
+        "id",
+        F.col("decoded.name").alias("name"),
+        F.col("decoded.params_type").alias("params_type"),
+        F.col("decoded.params_value").alias("params_value"),
+    )
+    wh.write("event_input", out)
+    _advance_watermarks(wh, abi_map, EVENT_INPUT_FLAG, max_block)
+
+
+def download_prices(wh: Warehouse, fetch_history) -> None:
+    """Reference download-prices (operations/token_prices.py:60,79-130 +
+    131-156): daily close-vs-BTC history per described token symbol,
+    5-point trailing moving average with warm-up (W1 — raw close until
+    the window fills) rounded to 10 decimals into the BTC column; row id
+    '{address}_{YYYY-mm-dd}'."""
+    if not wh.exists("contract_description"):
+        return
+    toks = (
+        wh.read("contract_description")
+        .filter(F.col("token_symbol").isNotNull())
+        .select("id", "token_symbol")
+    )
+    tokens = [(r["id"], r["token_symbol"]) for r in toks.collect()]
+    if not tokens:
+        return
+    raw = enrich.fetch_daily_prices(wh.spark, tokens, fetch_history)
+    if raw.isEmpty():
+        return
+    w = Window.partitionBy("address").orderBy("timestamp")
+    rn = F.row_number().over(w)
+    ma = F.avg("close").over(w.rowsBetween(-4, 0))
+    out = raw.select(
+        "id",
+        "address",
+        F.round(F.when(rn >= 5, ma).otherwise(F.col("close")), 10).alias("BTC"),
+        F.timestamp_seconds(F.col("timestamp")).alias("timestamp"),
+    )
+    wh.write("price", out)
+
+
 def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
     factory = make_transport_factory(args)
     # resolve the chain head lazily INSIDE the blocks stage so a looping
@@ -216,6 +441,87 @@ def cmd_prepare_views(wh: Warehouse, args) -> int:
     return 0
 
 
+def _load_json(path: str | None, what: str):
+    if not path:
+        raise SystemExit(f"need {what} (no live HTTP source configured)")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def cmd_extract_tokens(wh: Warehouse, args) -> int:
+    """S11 constants come from --constants-json (addr → {method: value})
+    — the fixture form of the reference's eth_call reader; a live
+    deployment injects a web3-backed callable at the same seam."""
+    constants = _load_json(args.constants_json, "--constants-json FILE")
+
+    def call(addr: str, method: str, _rettype: str):
+        return constants.get(addr, {}).get(method)
+
+    meta = None
+    if args.tokens_json:
+        meta = {
+            t["address"]: t for t in _load_json(args.tokens_json, "--tokens-json")
+        }
+    extract_tokens(wh, call, meta)
+    print("tokens extracted")
+    return 0
+
+
+def cmd_download_abis(wh: Warehouse, args) -> int:
+    """S12: ABIs from --abi-dir ({address}.json per contract, missing →
+    unverified) or a live Etherscan-style endpoint via --etherscan-url."""
+    if args.abi_dir:
+        import os
+
+        def fetch(addr: str) -> str | None:
+            p = os.path.join(args.abi_dir, f"{addr}.json")
+            if not os.path.isfile(p):
+                return None
+            with open(p) as fh:
+                return fh.read()
+
+    elif args.etherscan_url:
+        import urllib.request
+
+        def fetch(addr: str) -> str | None:  # pragma: no cover - live HTTP
+            url = f"{args.etherscan_url}&address={addr}"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                body = json.loads(resp.read())
+            abi = body.get("result")
+            return abi if body.get("status") == "1" else None
+
+    else:
+        raise SystemExit("need --abi-dir DIR or --etherscan-url URL")
+    download_abis(wh, fetch)
+    print("abis downloaded")
+    return 0
+
+
+def cmd_parse_transactions_inputs(wh: Warehouse, args) -> int:
+    parse_transactions_inputs(wh)
+    print("transaction inputs parsed")
+    return 0
+
+
+def cmd_parse_events_inputs(wh: Warehouse, args) -> int:
+    parse_events_inputs(wh)
+    print("event inputs parsed")
+    return 0
+
+
+def cmd_download_prices(wh: Warehouse, args) -> int:
+    """S13: daily close series from --prices-json (symbol → [{time,
+    close}]) — the fixture form of the CryptoCompare histoday source."""
+    histories = _load_json(args.prices_json, "--prices-json FILE")
+
+    def fetch_history(symbol: str):
+        return histories.get(symbol, [])
+
+    download_prices(wh, fetch_history)
+    print("prices downloaded")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ethereum_analytical_db_spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
@@ -250,6 +556,35 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("export-csv", help="export a table to CSV (S16)")
     ex.add_argument("--table", required=True)
     ex.add_argument("--out", required=True)
+
+    tok = sub.add_parser(
+        "extract-tokens",
+        help="ERC-20 constants -> contract_description (reference extract-tokens)",
+    )
+    tok.add_argument("--constants-json", help="fixture: {address: {method: value}}")
+    tok.add_argument("--tokens-json", help="reference tokens.json (cmc/website links)")
+
+    ab = sub.add_parser(
+        "download-contracts-abi",
+        help="fetch ABIs for unattempted contracts (reference download-contracts-abi)",
+    )
+    ab.add_argument("--abi-dir", help="fixture dir with {address}.json files")
+    ab.add_argument("--etherscan-url", help="live Etherscan-style getabi endpoint")
+
+    sub.add_parser(
+        "parse-transactions-inputs",
+        help="decode calldata of calls to ABI'd contracts -> transaction_input",
+    )
+    sub.add_parser(
+        "parse-events-inputs",
+        help="decode event pseudo-calldata -> event_input",
+    )
+
+    pr = sub.add_parser(
+        "download-prices",
+        help="daily close series + W1 moving average -> price (reference download-prices)",
+    )
+    pr.add_argument("--prices-json", help="fixture: {symbol: [{time, close}]}")
     return p
 
 
@@ -262,6 +597,11 @@ COMMANDS = {
     "extract-blocks": cmd_extract_blocks,
     "extract-traces": cmd_extract_traces,
     "extract-events": cmd_extract_events,
+    "extract-tokens": cmd_extract_tokens,
+    "download-contracts-abi": cmd_download_abis,
+    "parse-transactions-inputs": cmd_parse_transactions_inputs,
+    "parse-events-inputs": cmd_parse_events_inputs,
+    "download-prices": cmd_download_prices,
 }
 
 

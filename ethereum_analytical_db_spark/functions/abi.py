@@ -41,12 +41,21 @@ def _signature(entry: dict) -> str:
     return f"{entry['name']}({types})"
 
 
-def selector_table(abi_json: str) -> dict[str, tuple[str, list[str]]]:
+def selector_table(
+    abi_json: str, include_events: bool = False
+) -> dict[str, tuple[str, list[str]]]:
     """{4-byte-selector-hex → (function name, [param types])} for every
-    function entry in an ABI."""
+    function entry in an ABI.
+
+    ``include_events=True`` also indexes ``event`` entries — the
+    reference's decoder matches BOTH types against the 4-byte head
+    (operations/inputs.py:38-39), which is what makes the event
+    pseudo-input trick work: topic0's first 4 bytes equal the event
+    signature's keccak prefix, i.e. its "selector"."""
+    kinds = (None, "function", "event") if include_events else (None, "function")
     out = {}
     for entry in json.loads(abi_json):
-        if entry.get("type") not in (None, "function") or "name" not in entry:
+        if entry.get("type") not in kinds or "name" not in entry:
             continue
         types = [i["type"] for i in entry.get("inputs", [])]
         out[keccak_selector(_signature(entry))] = (entry["name"], types)
@@ -179,15 +188,18 @@ def decode_inputs(
     input_col: str = "input",
     address_col: str = "to",
     out_col: str = "decoded",
+    include_events: bool = False,
 ) -> DataFrame:
     """F9/X2: decode calldata rows against each target contract's ABI.
 
     ``abis_by_address`` (address → ABI JSON) is precompiled to selector
     tables and broadcast; decoding runs in Arrow-batched pandas with no
-    shuffle (narrow transformation).
+    shuffle (narrow transformation). ``include_events``: index event
+    entries too (the parse-events-inputs path over pseudo-calldata).
     """
     tables = {
-        addr.lower(): selector_table(abi) for addr, abi in abis_by_address.items()
+        addr.lower(): selector_table(abi, include_events=include_events)
+        for addr, abi in abis_by_address.items()
     }
     sc = df.sparkSession.sparkContext
     btables = sc.broadcast(tables)

@@ -157,3 +157,109 @@ def test_cli_per_stage_commands(spark, tmp_path):
     assert main(base + ["sync-once", "--full"] + fx) == 0
     assert wh.read("internal_transaction").count() == 2
     assert wh.read("block_flag").filter("name = 'traces_extracted'").count() == 3
+
+
+def test_cli_enrichment_pipeline(spark, tmp_path):
+    """The reference's enrichment command set end-to-end over fixtures:
+    extract-tokens → download-contracts-abi → parse-transactions-inputs
+    → parse-events-inputs → download-prices (reference extractor.py's
+    remaining operations), including the per-contract watermark protocol
+    (a second parse pass decodes nothing new) and the W1 moving-average
+    warm-up on prices."""
+    from ethereum_analytical_db_spark.functions.ethereum import (
+        ERC20_SELECTORS, TRANSFER_EVENT_TOPIC,
+    )
+
+    whdir = str(tmp_path / "wh")
+    base = ["--warehouse", whdir, "--cpus", "4"]
+    wh = Warehouse(spark, whdir)
+
+    # ERC-20 contract (bytecode carries all six selectors) + one plain
+    bytecode = "0x" + "".join(ERC20_SELECTORS)
+    wh.write("contract", spark.createDataFrame(
+        [("0xtok", "0xtok", 1, "0xaa", bytecode, 1),
+         ("0xplain", "0xplain", 1, "0xaa", "0x00", 0)],
+        "id string, address string, blockNumber long, owner string, "
+        "bytecode string, standard_erc20 int",
+    ))
+    calldata = "0xa9059cbb" + ("0" * 24 + "cc" * 20) + hex(500)[2:].rjust(64, "0")
+    wh.write("internal_transaction", spark.createDataFrame(
+        [("0xT1.0", 1, "0xtok", "call", "call", calldata, "0xB1", 0, [], "0xT1")],
+        "id string, blockNumber long, `to` string, callType string, "
+        "type string, input string, blockHash string, subtraces int, "
+        "traceAddress array<int>, transactionHash string",
+    ))
+    w_from = "0" * 24 + "aa" * 20
+    w_to = "0" * 24 + "bb" * 20
+    wh.write("event", spark.createDataFrame(
+        [("0xT1.0", "mined", 0, 0, "0x" + hex(777)[2:].rjust(64, "0"), 0,
+          "0xtok", 1, "0xB1", "0xT1",
+          [TRANSFER_EVENT_TOPIC, "0x" + w_from, "0x" + w_to])],
+        "id string, type string, logIndex int, transactionLogIndex int, "
+        "data string, transactionIndex int, address string, "
+        "blockNumber long, blockHash string, transactionHash string, "
+        "topics array<string>",
+    ))
+    wh.write("block_flag", spark.createDataFrame(
+        [("1", "traces_extracted", 1), ("1", "events_extracted", 1)],
+        "id string, name string, value int",
+    ))
+
+    # fixtures
+    (tmp_path / "constants.json").write_text(json.dumps({
+        "0xtok": {"name": "Token", "symbol": "TOK", "decimals": 2,
+                  "totalSupply": 12345.0, "owner": "0xowner"},
+    }))
+    (tmp_path / "tokens.json").write_text(json.dumps([
+        {"address": "0xtok", "cmc_id": "42", "website_slug": "token"},
+    ]))
+    abis = tmp_path / "abis"
+    abis.mkdir()
+    (abis / "0xtok.json").write_text(json.dumps([
+        {"type": "function", "name": "transfer",
+         "inputs": [{"type": "address"}, {"type": "uint256"}]},
+        {"type": "event", "name": "Transfer",
+         "inputs": [{"type": "address"}, {"type": "address"},
+                    {"type": "uint256"}]},
+    ]))
+    (tmp_path / "prices.json").write_text(json.dumps({
+        "TOK": [{"time": 86400 * (i + 1), "close": float(i + 1)} for i in range(6)],
+    }))
+
+    assert main(base + ["extract-tokens",
+                        "--constants-json", str(tmp_path / "constants.json"),
+                        "--tokens-json", str(tmp_path / "tokens.json")]) == 0
+    desc = wh.read("contract_description").collect()
+    assert len(desc) == 1 and desc[0]["id"] == "0xtok"
+    assert desc[0]["token_name"] == "Token" and desc[0]["decimals"] == 2
+    assert desc[0]["total_supply"] == 123  # round(12345 / 10^2), F10
+    assert desc[0]["cmc_id"] == "42" and desc[0]["website_slug"] == "token"
+
+    assert main(base + ["download-contracts-abi", "--abi-dir", str(abis)]) == 0
+    abirows = {r["id"]: r for r in wh.read("contract_abi").collect()}
+    assert abirows["0xtok"]["abi"] is not None
+    assert abirows["0xplain"]["abi"] is None        # unverified…
+    assert abirows["0xplain"]["abi_extracted"] == 1  # …but attempt recorded (J4)
+
+    assert main(base + ["parse-transactions-inputs"]) == 0
+    tin = wh.read("transaction_input").collect()
+    assert len(tin) == 1 and tin[0]["name"] == "transfer"
+    assert tin[0]["params_value"][1] == "500"
+    assert tin[0]["params_type"] == ["address", "uint256"]
+
+    assert main(base + ["parse-events-inputs"]) == 0
+    ein = wh.read("event_input").collect()
+    assert len(ein) == 1 and ein[0]["name"] == "Transfer"
+    assert ein[0]["params_value"][2] == "777"
+
+    # watermark protocol: a second pass decodes nothing new (T2)
+    assert main(base + ["parse-transactions-inputs"]) == 0
+    assert wh.read("transaction_input", final=False).count() == 1
+    wm = {r["name"] for r in wh.read("contract_block").collect()}
+    assert {"itx_inputs_decoded_block", "event_inputs_decoded_block"} <= wm
+
+    assert main(base + ["download-prices",
+                        "--prices-json", str(tmp_path / "prices.json")]) == 0
+    prices = sorted(wh.read("price").collect(), key=lambda r: r["timestamp"])
+    assert [r["BTC"] for r in prices] == [1.0, 2.0, 3.0, 4.0, 3.0, 4.0]  # W1 warm-up
+    assert prices[0]["id"] == "0xtok_1970-01-02"
