@@ -51,6 +51,11 @@ def export_csv(df: DataFrame, path: str, header: bool = True) -> str:
 
     Returns the final file path.
     """
+    # absolutize against the PYTHON cwd before Spark sees the path: the
+    # JVM resolves relative paths against its own startup cwd, which
+    # diverges from os.getcwd() after any chdir — the write would land
+    # in one directory and the glob/rename below look in another
+    path = os.path.abspath(path)
     tmp = path + "._spark_tmp"
     df.coalesce(1).write.mode("overwrite").option(
         "header", str(header).lower()
