@@ -15,6 +15,7 @@ documented join_use_nulls deviation on NULL-fill arithmetic.
 import glob
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -65,7 +66,7 @@ def compat(spark):
     c.register_table(
         "eth_block",
         spark.createDataFrame(
-            [(n, f"2020-01-0{n} 12:00:00") for n in (1, 2, 3)],
+            [(n, f"2020-01-0{i + 1} 12:00:00") for i, n in enumerate((1, 2, 3, 6_501_000))],
             "number long, ts string",
         ).select("number", F.col("ts").cast("timestamp").alias("timestamp")),
     )
@@ -78,6 +79,9 @@ def compat(spark):
                 ("0xT2.0", 1, "0xaa", "0xc0", 0.0, 0, 0.0, "create", None, None, None, None),
                 ("0xR.0", 1, None, None, 3.0, 0, 0.0, "reward", None, "0xminer", "block", None),
                 ("0xT3.0", 2, "0xbb", "0xaa", 0.7, 21000, 3e-9, "call", "call", None, None, None),
+                # rows inside the gas notebook's block > 6500000 window
+                ("0xT9.0", 6_501_234, "0xee", "0xff", 1.0, 21000, 30.0, "call", "call", None, None, None),
+                ("0xT9b.0", 6_501_567, "0xee", "0xff", 2.0, 21000, 50.0, "call", "call", None, None, None),
             ],
             "id string, blockNumber long, `from` string, `to` string, "
             "value double, gasUsed int, gasPrice double, type string, "
@@ -152,6 +156,28 @@ def test_balances_sql_file_replays_verbatim(compat, tmp_path, monkeypatch):
     rows = compat.sql(text).collect()
     assert {r["address"] for r in rows} >= {"0xaa", "0xbb", "0xminer"}
     assert (tmp_path / "balances.csv").exists()
+
+
+def test_notebook_gas_sql_replays_verbatim(compat):
+    """The gas-price notebook's cell-6 query, extracted from the .ipynb
+    at test time: quantile(q)(x) rewrites, select-list alias (`block`)
+    substituted into WHERE inside the subquery scope, NOT IN subquery,
+    ANY INNER JOIN to the block dim."""
+    nb = json.load(
+        open(f"{REF}/examples/gas_price_estimation/gas_price_estimation.ipynb")
+    )
+    cell = next(
+        "".join(c["source"])
+        for c in nb["cells"]
+        if "quantile(0.5)" in "".join(c["source"])
+    )
+    sql = re.search(r'"""(.*?)"""', cell, re.S).group(1)
+    rows = compat.sql(sql).collect()
+    # both fixture txs land in bucket 6501000 (> 6500000 strictly) and
+    # join the matching eth_block row; medians over {30, 50} gwei-scaled
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["block"] == 6_501_000 and r["timestamp"] is not None
 
 
 def test_token_balances_sql_file_replays_verbatim(compat, tmp_path, monkeypatch):
