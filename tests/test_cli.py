@@ -263,3 +263,35 @@ def test_cli_enrichment_pipeline(spark, tmp_path):
     prices = sorted(wh.read("price").collect(), key=lambda r: r["timestamp"])
     assert [r["BTC"] for r in prices] == [1.0, 2.0, 3.0, 4.0, 3.0, 4.0]  # W1 warm-up
     assert prices[0]["id"] == "0xtok_1970-01-02"
+
+
+def test_sync_head_reresolved_each_pass(spark, tmp_path):
+    """Round-4 advice (medium): the chain head must be re-read from the
+    node on EVERY pass, not frozen at pipeline construction — a live
+    continuous sync has to ingest blocks mined after startup."""
+    import argparse
+
+    from ethereum_analytical_db_spark.__main__ import build_pipeline
+
+    fixtures = tmp_path / "rpc"
+    _write_fixtures(fixtures)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    args = argparse.Namespace(
+        fixtures=str(fixtures), rpc_url=None, max_block=None, range_size=1000
+    )
+    pipe = build_pipeline(wh, args)
+    pipe.run_once()
+    assert wh.read("block").count() == 3  # head was 2 → blocks 0..2
+
+    # the chain advances between passes: new head + block fixtures
+    (fixtures / "eth_blockNumber_.json").write_text(json.dumps(hex(4)))
+    for n in (3, 4):
+        (fixtures / f"eth_getBlockByNumber_{hex(n)}.json").write_text(
+            json.dumps({"timestamp": hex(1_500_000_600 + n)})
+        )
+        (fixtures / f"trace_block_{hex(n)}.json").write_text(json.dumps([]))
+    pipe.run_once()
+    # the frozen-head bug would leave this at 3
+    assert wh.read("block").count() == 5
+    flagged = wh.read("block_flag").filter("name = 'traces_extracted'").count()
+    assert flagged == 5
