@@ -109,3 +109,26 @@ def test_watermark_advance_last_write_wins(wh):
     )
     wm = inc.contract_watermarks(wh.read("contract_block"), "op_block").collect()
     assert len(wm) == 1 and wm[0]["last_block"] == 20
+
+
+def test_watermark_slice_plan_broadcasts_dim(spark, tmp_path):
+    """The parse-inputs incremental slice must broadcast the tiny
+    watermark dim against the fact table — a shuffled or nested-loop
+    join here would be the 100 TB bottleneck."""
+    from ethereum_analytical_db_spark import __main__ as cli
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("contract_block", spark.createDataFrame(
+        [("0xtok", cli.TX_INPUT_FLAG, 5)], "id string, name string, value long"
+    ))
+    txs = spark.createDataFrame(
+        [("0xT.0", 6, "0xtok")], "id string, blockNumber long, `to` string"
+    )
+    sliced = cli._watermark_slice(
+        wh, txs, {"0xtok": "[]"}, cli.TX_INPUT_FLAG, 10, "to"
+    )
+    assert sliced.count() == 1  # block 6 is above the watermark (5)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
