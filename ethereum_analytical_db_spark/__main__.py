@@ -522,6 +522,29 @@ def cmd_download_prices(wh: Warehouse, args) -> int:
     return 0
 
 
+def cmd_compact(wh: Warehouse, args) -> int:
+    """ClickHouse OPTIMIZE TABLE analogue: materialize the FINAL-deduped
+    state so the read-side window disappears (catalog.Warehouse.compact)."""
+    tables = [args.table] if args.table else [
+        t for t in schemas.TABLES if wh.exists(t)
+    ]
+    for t in tables:
+        wh.compact(t)
+        print(f"compacted {t}")
+    return 0
+
+
+def cmd_test(wh: Warehouse, args) -> int:
+    """Reference extractor.py `test` command (operations/clickhouse.py
+    run_tests → nosetests): run the engine's pytest suite."""
+    import subprocess
+
+    here = __file__.rsplit("/", 2)[0]
+    return subprocess.run(
+        [sys.executable, "-m", "pytest", f"{here}/tests", "-q"]
+    ).returncode
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m ethereum_analytical_db_spark")
     p.add_argument("--warehouse", required=True, help="warehouse directory")
@@ -585,6 +608,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="daily close series + W1 moving average -> price (reference download-prices)",
     )
     pr.add_argument("--prices-json", help="fixture: {symbol: [{time, close}]}")
+
+    co = sub.add_parser(
+        "compact", help="materialize FINAL dedup (ClickHouse OPTIMIZE analogue)"
+    )
+    co.add_argument("--table", default=None, help="one table (default: all)")
+
+    sub.add_parser("test", help="run the engine's test suite (reference `test`)")
     return p
 
 
@@ -602,6 +632,8 @@ COMMANDS = {
     "parse-transactions-inputs": cmd_parse_transactions_inputs,
     "parse-events-inputs": cmd_parse_events_inputs,
     "download-prices": cmd_download_prices,
+    "compact": cmd_compact,
+    "test": cmd_test,
 }
 
 

@@ -512,6 +512,31 @@ def translate(sql: str, macros: dict[str, str] | None = None) -> Translated:
     return Translated(sql=" ".join(tokens), outfile=outfile, outformat=outformat)
 
 
+def grafana_macros(
+    from_ts: str,
+    to_ts: str,
+    interval_s: int = 3600,
+    table: str = "eth_block",
+    time_col: str = "timestamp",
+    date_col: str = "date",
+) -> dict[str, str]:
+    """The substitutions Grafana's ClickHouse datasource performs for a
+    dashboard time range — so users replaying dashboard JSON (the
+    $timeFilter / $timeSeries / $table / $dateCol macros throughout
+    grafana/dashboards/*.json) build the macro dict one call instead of
+    hand-writing dialect fragments. Timestamps are 'YYYY-MM-DD HH:MM:SS'
+    strings; the interval is the panel's group-by seconds."""
+    return {
+        "timeFilter": (
+            f"{time_col} >= toDateTime('{from_ts}') "
+            f"AND {time_col} <= toDateTime('{to_ts}')"
+        ),
+        "timeSeries": f"intDiv(toUInt32({time_col}), {interval_s}) * {interval_s}",
+        "table": table,
+        "dateCol": date_col,
+    }
+
+
 def register_dialect_functions(spark: SparkSession) -> None:
     """ClickHouse cast/scalar function names as Spark SQL functions.
 

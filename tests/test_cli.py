@@ -295,3 +295,19 @@ def test_sync_head_reresolved_each_pass(spark, tmp_path):
     assert wh.read("block").count() == 5
     flagged = wh.read("block_flag").filter("name = 'traces_extracted'").count()
     assert flagged == 5
+
+
+def test_cli_compact(spark, tmp_path):
+    """ClickHouse OPTIMIZE analogue: after compact the table holds one
+    physical row per key and FINAL reads stay correct."""
+    whdir = str(tmp_path / "wh")
+    wh = Warehouse(spark, whdir)
+    wh.write("block_flag", spark.createDataFrame(
+        [("1", "traces_extracted", 0)], "id string, name string, value int"))
+    wh.write("block_flag", spark.createDataFrame(
+        [("1", "traces_extracted", 1)], "id string, name string, value int"))
+    assert wh.read("block_flag", final=False).count() == 2
+    assert main(["--warehouse", whdir, "--cpus", "4", "compact",
+                 "--table", "block_flag"]) == 0
+    assert wh.read("block_flag", final=False).count() == 1
+    assert wh.read("block_flag").first()["value"] == 1

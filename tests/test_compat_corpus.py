@@ -20,7 +20,7 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from ethereum_analytical_db_spark.compat import ClickHouseCompat
+from ethereum_analytical_db_spark.compat import ClickHouseCompat, grafana_macros
 
 REF = "/root/reference"
 
@@ -28,13 +28,8 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference corpus not present"
 )
 
-# the three Grafana macros + the dashboards' $dateCol alias target
-MACROS = {
-    "timeFilter": "timestamp >= toDateTime('1970-01-01 00:00:01')",
-    "timeSeries": "intDiv(toUInt32(timestamp), 3600) * 3600",
-    "table": "eth_block",
-    "dateCol": "date",
-}
+# the substitutions Grafana would make for a wide dashboard time range
+MACROS = grafana_macros("1970-01-01 00:00:01", "2030-01-01 00:00:00")
 
 
 def _dashboard_queries():

@@ -24,7 +24,10 @@ from ethereum_analytical_db_spark.streaming.stateful import sessionize_batch
 
 from test_multimodal import _make_png
 
-SPARK_EXAMPLES = settings(max_examples=8, deadline=None)
+# derandomize: identical example sets every run — a property suite that
+# explores fresh examples inside the driver's round gate would turn any
+# newly-found edge case into a flaky gate instead of a tracked failure
+SPARK_EXAMPLES = settings(max_examples=8, deadline=None, derandomize=True)
 
 
 # DECIMAL(38,0) holds < 10^38; stay under 2^125 so the decode's decimal
@@ -90,7 +93,7 @@ def test_range_filter_matches_python_model(spark, ranges, values):
     assert got == want
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(
     st.integers(1, 6),
     st.integers(1, 6),
@@ -221,7 +224,7 @@ def test_sessionize_batch_matches_python_model(spark, per_key_ts):
         assert flat == want, k
 
 
-@settings(max_examples=80)
+@settings(max_examples=80, derandomize=True)
 @given(st.lists(st.integers(0, 99_999), min_size=1, max_size=10))
 def test_phone_pattern_ignores_space_separated_digit_runs(nums):
     """Round-4 advice regression as a property: NO space-separated run
