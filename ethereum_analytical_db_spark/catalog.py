@@ -165,10 +165,12 @@ class Warehouse:
         return df
 
     def iterate(self, table: str, per: int = 1000, fields: list[str] | None = None,
-                final: bool = True):
+                query: str | None = None, final: bool = True):
         """S2: paginated cursor scan (reference ``iterate()``,
         clients/custom_clickhouse.py:94-128 — ``execute_iter`` with
         ``max_block_size``): yield lists of Rows of at most ``per``.
+        ``query``: optional SQL filter condition (the reference's
+        ``query="WHERE …"`` string, minus the WHERE keyword).
 
         DRIVER-SIDE CONVENIENCE, deliberately not the engine's hot path:
         every row funnels through the driver one partition at a time
@@ -181,6 +183,8 @@ class Warehouse:
         flight, so driver memory is bounded by the partition size, not
         the table."""
         df = self.read(table, final=final)
+        if query:
+            df = df.filter(query)
         if fields:
             df = df.select(*fields)
         chunk: list = []

@@ -576,6 +576,37 @@ class ClickHouseCompat:
     def register_table(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
 
+    def register_warehouse(self, wh) -> None:
+        """Expose every existing warehouse table under its REFERENCE
+        physical name (eth_block, eth_internal_transaction, …,
+        eth_token_price — config.py INDICES) with FINAL-deduped reads,
+        so SQL text written for the reference deployment replays against
+        a Warehouse unchanged. The bancor_trade view is registered from
+        the derived builder when its inputs exist (reference
+        operations/bancor_trades.py CREATE VIEW — computed at query
+        time there too)."""
+        from .. import schemas
+
+        for logical in schemas.TABLES:
+            if wh.exists(logical):
+                physical = (
+                    "eth_token_price" if logical == "price" else f"eth_{logical}"
+                )
+                self.register_table(physical, wh.read(logical))
+        if wh.exists("event") and wh.exists("contract") and wh.exists(
+            "contract_description"
+        ):
+            from ..plans import derived
+
+            self.register_table(
+                "eth_bancor_trade",
+                derived.bancor_trades(
+                    wh.read("event"),
+                    wh.read("contract"),
+                    wh.read("contract_description"),
+                ),
+            )
+
     def sql(self, text: str, macros: dict[str, str] | None = None) -> DataFrame:
         t = translate(text, macros)
         df = self.spark.sql(t.sql)

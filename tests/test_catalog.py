@@ -134,6 +134,13 @@ def test_iterate_cursor_matches_full_read(spark, wh):
     chunks = list(wh.iterate("block_flag", per=10, fields=["id", "value"]))
     assert [len(c) for c in chunks[:-1]] == [10, 10]  # full chunks first
     assert sum(len(c) for c in chunks) == 25
+    # reference-style query= filter condition
+    filtered = [
+        r["id"]
+        for c in wh.iterate("block_flag", per=10, query="value >= 20")
+        for r in c
+    ]
+    assert sorted(filtered) == ["0", "20", "21", "22", "23", "24"]  # "0" was upserted to 99
     got = {r["id"]: r["value"] for c in chunks for r in c}
     want = {
         r["id"]: r["value"]

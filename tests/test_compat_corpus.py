@@ -185,3 +185,35 @@ def test_token_balances_sql_file_replays_verbatim(compat, tmp_path, monkeypatch)
         ("0xc0", "0xbb", 2.0)
     ]
     assert (tmp_path / "token_balances.csv").exists()
+
+
+def test_register_warehouse_and_example_runner(spark, tmp_path, monkeypatch):
+    """The examples/run_reference_sql.py switch path: a Warehouse's
+    tables registered under reference physical names, the shipped
+    token_balances.sql executed against them via the example's main()."""
+    import sys
+
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("token_transaction", spark.createDataFrame(
+        [("0xT.0", "0xaa", "0xbb", 5.0, "0xc0", 1),
+         ("0xT.1", "0xbb", "0xaa", 1.0, "0xc0", 2)],
+        "id string, `from` string, `to` string, value double, "
+        "token string, blockNumber long",
+    ))
+    sys.path.insert(0, f"{os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}/examples")
+    try:
+        import run_reference_sql
+    finally:
+        sys.path.pop(0)
+    monkeypatch.chdir(tmp_path)  # OUTFILE writes token_balances.csv here
+    rc = run_reference_sql.main([
+        f"{REF}/examples/sql_balances/token_balances.sql",
+        "--warehouse", str(tmp_path / "wh"), "--cpus", "4",
+    ])
+    assert rc == 0
+    assert (tmp_path / "token_balances.csv").exists()
+    got = open(tmp_path / "token_balances.csv").read().splitlines()
+    assert got[0] == "token,address,balance"
+    assert "0xc0,0xbb,4.0" in got[1:]  # income 5 - outcome 1
