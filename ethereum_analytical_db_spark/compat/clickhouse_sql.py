@@ -593,6 +593,12 @@ class ClickHouseCompat:
                     "eth_token_price" if logical == "price" else f"eth_{logical}"
                 )
                 self.register_table(physical, wh.read(logical))
+        if wh.exists("internal_transaction"):
+            # ClickHouse-mode alias: miner rewards share the itx table
+            # (reference operations/internal_transactions.py:399)
+            self.register_table(
+                "eth_miner_transaction", wh.read("internal_transaction")
+            )
         if wh.exists("event") and wh.exists("contract") and wh.exists(
             "contract_description"
         ):
