@@ -220,46 +220,71 @@ def download_abis(wh: Warehouse, fetch_abi) -> None:
 
 def _abi_map(wh: Warehouse) -> dict[str, str]:
     """J3: ABI'd contract dim as a driver dict (address-count-sized; it
-    becomes the broadcast selector table inside the Arrow decoder)."""
+    becomes the broadcast selector table inside the Arrow decoder).
+    Keys are lowercased — the ingest path normalizes addresses (F8), but
+    an external writer may land checksummed ids; every comparison in the
+    parse stages is on the lowered form so a mixed-case id can never be
+    silently skipped while its watermark still advances."""
     if not wh.exists("contract_abi"):
         return {}
     abis = wh.read("contract_abi").filter(F.col("abi").isNotNull())
-    return {r["id"]: r["abi"] for r in abis.select("id", "abi").collect()}
+    return {r["id"].lower(): r["abi"] for r in abis.select("id", "abi").collect()}
 
 
-def _watermark_slice(wh, rows, abi_map, flag, max_block, addr_col):
-    """P4/J2/T2: rows targeting an ABI'd contract, above that contract's
+def _contract_watermark_map(wh: Warehouse, flag: str) -> dict[str, int]:
+    """T2 read side as a driver dict (dim-sized), lowercased ids."""
+    if not wh.exists("contract_block"):
+        return {}
+    wm = inc.contract_watermarks(wh.read("contract_block"), flag)
+    return {r["id"].lower(): r["last_block"] for r in wm.collect()}
+
+
+def _watermark_slice(wh, rows, todo, flag, max_block, addr_col):
+    """P4/J2/T2: rows targeting a to-do contract, above that contract's
     per-contract watermark, at or below the global high-water mark. The
     reference compiles OR-chains grouped by equal watermark
-    (utils.py:119-161); the join form broadcasts the tiny watermark dim."""
-    wms = (
-        wh.read("contract_block")
-        if wh.exists("contract_block")
-        else wh.spark.createDataFrame(
-            [], schemas.with_engine_columns(schemas.TABLES["contract_block"])
-        )
+    (utils.py:119-161); here the (address → watermark) dim rides as ONE
+    broadcast join — not an IN-literal, which would inline tens of
+    thousands of addresses into the plan at reference scale. Address
+    comparison is case-normalized (see _abi_map)."""
+    wm = wh.spark.createDataFrame(
+        [(a, last) for a, last in todo.items()], "wm_id string, last_block long"
     )
-    wm = inc.contract_watermarks(wms, flag)
-    rows = rows.filter(F.col(addr_col).isin(list(abi_map)))
+    lowered = F.lower(rows[addr_col])
     return (
-        rows.join(F.broadcast(wm), rows[addr_col] == wm["id"], "left")
+        rows.join(F.broadcast(wm), lowered == F.col("wm_id"), "inner")
         .filter(
             (F.col("last_block").isNull() | (F.col("blockNumber") > F.col("last_block")))
             & (F.col("blockNumber") <= F.lit(max_block))
         )
-        .drop(wm["id"])
+        .drop("wm_id")
         .drop("last_block")
     )
 
 
-def _advance_watermarks(wh, abi_map, flag, max_block):
+def _parse_inputs_todo(wh, abi_map, flag, max_block) -> dict[str, int | None]:
+    """Contracts whose watermark is behind ``max_block`` → their current
+    watermark (None = never processed). Empty dict = the pass is a
+    no-op: nothing is decoded, nothing is appended, no watermark rows
+    are rewritten (a looping sync would otherwise grow contract_block by
+    |contracts| physical rows per pass)."""
+    wm_map = _contract_watermark_map(wh, flag)
+    return {
+        a: wm_map.get(a)
+        for a in abi_map
+        if wm_map.get(a) is None or wm_map[a] < max_block
+    }
+
+
+def _advance_watermarks(wh, todo, flag, max_block):
     """T2 write side AFTER the data write (crash-safe resume: a crash
     between data and watermark re-decodes, never skips — reference
-    decode_inputs, operations/inputs.py:196-207)."""
+    decode_inputs, operations/inputs.py:196-207). Only the contracts
+    that actually moved are rewritten."""
     inc.save_contract_watermarks(
         wh,
         wh.spark.createDataFrame(
-            [(a, max_block) for a in abi_map], "id string, value long"
+            [(a, max_block) for a in todo], "id string, value long"
         ),
         flag,
     )
@@ -277,12 +302,15 @@ def parse_transactions_inputs(wh: Warehouse) -> None:
     max_block = inc.max_flagged_block(_flags(wh), "traces_extracted")
     if max_block is None:
         return
+    todo = _parse_inputs_todo(wh, abi_map, TX_INPUT_FLAG, max_block)
+    if not todo:
+        return
     txs = wh.read("internal_transaction").filter(
         (F.col("callType") == "call")
         & F.col("error").isNull()
         & F.col("input").isNotNull()
     )
-    sliced = _watermark_slice(wh, txs, abi_map, TX_INPUT_FLAG, max_block, "to")
+    sliced = _watermark_slice(wh, txs, todo, TX_INPUT_FLAG, max_block, "to")
     decoded = abi_fn.decode_inputs(sliced, abi_map, address_col="to")
     out = decoded.filter(F.col("decoded").isNotNull()).select(
         "id",
@@ -290,8 +318,9 @@ def parse_transactions_inputs(wh: Warehouse) -> None:
         F.col("decoded.params_type").alias("params_type"),
         F.col("decoded.params_value").alias("params_value"),
     )
-    wh.write("transaction_input", out)
-    _advance_watermarks(wh, abi_map, TX_INPUT_FLAG, max_block)
+    if not out.isEmpty():
+        wh.write("transaction_input", out)
+    _advance_watermarks(wh, todo, TX_INPUT_FLAG, max_block)
 
 
 def parse_events_inputs(wh: Warehouse) -> None:
@@ -306,8 +335,11 @@ def parse_events_inputs(wh: Warehouse) -> None:
     max_block = inc.max_flagged_block(_flags(wh), "events_extracted")
     if max_block is None:
         return
+    todo = _parse_inputs_todo(wh, abi_map, EVENT_INPUT_FLAG, max_block)
+    if not todo:
+        return
     ev = wh.read("event").filter(F.col("id").isNotNull())
-    sliced = _watermark_slice(wh, ev, abi_map, EVENT_INPUT_FLAG, max_block, "address")
+    sliced = _watermark_slice(wh, ev, todo, EVENT_INPUT_FLAG, max_block, "address")
     pseudo = F.concat(
         F.substring(F.get(F.col("topics"), 0), 1, 10),
         F.array_join(
@@ -332,8 +364,9 @@ def parse_events_inputs(wh: Warehouse) -> None:
         F.col("decoded.params_type").alias("params_type"),
         F.col("decoded.params_value").alias("params_value"),
     )
-    wh.write("event_input", out)
-    _advance_watermarks(wh, abi_map, EVENT_INPUT_FLAG, max_block)
+    if not out.isEmpty():
+        wh.write("event_input", out)
+    _advance_watermarks(wh, todo, EVENT_INPUT_FLAG, max_block)
 
 
 def download_prices(wh: Warehouse, fetch_history) -> None:

@@ -213,11 +213,14 @@ class Warehouse:
         injectable boundary for tests/alternate drivers: a callable
         ``(df, url, dbtable, mode, options)``; the default drives Spark's
         built-in JDBC writer (per-partition batched INSERTs — the write
-        itself is distributed, nothing funnels through the driver). The
-        engine-internal ``_seq`` column never leaves the warehouse."""
+        itself is distributed, nothing funnels through the driver).
+        Engine-internal columns (``_seq``, the ``_block_range`` hive
+        partition) never leave the warehouse — a JDBC target has the
+        reference schema, not ours."""
         df = self.read(table, final=final)
-        if "_seq" in df.columns:
-            df = df.drop("_seq")
+        internal = [c for c in df.columns if c.startswith("_")]
+        if internal:
+            df = df.drop(*internal)
         dbtable = dbtable or table
         options = options or {}
         if writer is not None:

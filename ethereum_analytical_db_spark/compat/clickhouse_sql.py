@@ -143,10 +143,13 @@ def _reject_unsupported(tokens: list[str]) -> None:
                     "unsupported ClickHouse construct: LIMIT ... BY "
                     "(express as row_number() OVER a window)"
                 )
-        # ident[expr] with a NON-literal subscript: the literal form is
-        # rewritten to 1-based try_element_at; letting a column subscript
-        # through would run 0-based in Spark — an off-by-one that returns
-        # plausible wrong data. Refuse instead.
+        # Subscripts: only `ident[<int literal>]` is rewritten to 1-based
+        # try_element_at. Every OTHER subscript shape would silently run
+        # 0-based in Spark — an off-by-one returning plausible wrong
+        # data — so refuse them all: non-literal subscripts on an
+        # identifier, and any subscript whose base is an expression
+        # (function result `f(x)[1]`, chained `arr[1][2]`, parenthesized
+        # `(arr)[1]` — the base token before `[` is then `)` or `]`).
         if (
             _is_ident(t)
             and nxt == "["
@@ -160,6 +163,12 @@ def _reject_unsupported(tokens: list[str]) -> None:
                 "unsupported ClickHouse construct: non-literal array "
                 "subscript (ClickHouse is 1-based, Spark 0-based — write "
                 "try_element_at(arr, expr) explicitly)"
+            )
+        if t in (")", "]") and nxt == "[":
+            raise UnsupportedClickHouseSQL(
+                "unsupported ClickHouse construct: subscript on an "
+                "expression result (ClickHouse is 1-based, Spark 0-based "
+                "— write try_element_at(expr, n) explicitly)"
             )
 
 
@@ -525,13 +534,17 @@ def grafana_macros(
     $timeFilter / $timeSeries / $table / $dateCol macros throughout
     grafana/dashboards/*.json) build the macro dict one call instead of
     hand-writing dialect fragments. Timestamps are 'YYYY-MM-DD HH:MM:SS'
-    strings; the interval is the panel's group-by seconds."""
+    strings; the interval is the panel's group-by seconds. $timeSeries
+    carries Grafana's trailing ``* 1000`` — the datasource emits epoch
+    MILLISECONDS for the panel time axis."""
     return {
         "timeFilter": (
             f"{time_col} >= toDateTime('{from_ts}') "
             f"AND {time_col} <= toDateTime('{to_ts}')"
         ),
-        "timeSeries": f"intDiv(toUInt32({time_col}), {interval_s}) * {interval_s}",
+        "timeSeries": (
+            f"(intDiv(toUInt32({time_col}), {interval_s}) * {interval_s}) * 1000"
+        ),
         "table": table,
         "dateCol": date_col,
     }

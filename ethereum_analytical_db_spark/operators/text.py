@@ -246,11 +246,15 @@ PII_PATTERNS: dict[str, str] = {
     # hyphen grouping — plain space-separated digit runs ('2021 2022 2023',
     # numeric table rows) are NOT phones and must survive the scrub. Three
     # RE2-compatible branches (no lookaround, so the DuckDB oracle runs the
-    # identical pattern); the {6,14} span caps total match length.
+    # identical pattern); the {6,14} span caps total match length. The
+    # hyphen branch requires the standard phone grouping: a \b-anchored
+    # EXACTLY-3-digit lead (date segments are 2 or 4 digits — year
+    # ranges '2021-2022-2023' and dated names 'log-2023-10-05-1234'
+    # must survive the scrub) ending in a 3-4 digit group.
     "phone": (
         r"\+\d[\d() -]{6,14}\d"  # +international, separator-tolerant
         r"|\(\d{2,4}\)[ -]?\d{2,4}[ -]?\d{2,4}(?:[ -]?\d{2,4})?"  # (area) form
-        r"|\d{2,4}(?:-\d{2,4}){1,2}-\d{3,4}"  # hyphen-grouped, >=2 hyphens
+        r"|\b\d{3}(?:-\d{2,4}){1,2}-\d{3,4}\b"  # hyphen-grouped, >=2 hyphens
     ),
 }
 PII_ORDER = ["email", "ipv4", "phone"]

@@ -311,3 +311,38 @@ def test_cli_compact(spark, tmp_path):
                  "--table", "block_flag"]) == 0
     assert wh.read("block_flag", final=False).count() == 1
     assert wh.read("block_flag").first()["value"] == 1
+
+
+def test_parse_inputs_case_insensitive_and_noop_passes(spark, tmp_path):
+    """Round-5 review fixes: (a) a checksummed contract_abi id must still
+    decode lowercase tx targets (previously the slice dropped the rows
+    while the watermark advanced — permanent silent skip); (b) a pass
+    with nothing to do appends NO physical rows anywhere."""
+    from ethereum_analytical_db_spark import __main__ as cli
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    abi = json.dumps([{
+        "type": "function", "name": "transfer",
+        "inputs": [{"type": "address"}, {"type": "uint256"}],
+    }])
+    wh.write("contract_abi", spark.createDataFrame(
+        [("0xAbCd", 1, abi)], "id string, abi_extracted int, abi string"))
+    calldata = "0xa9059cbb" + ("0" * 24 + "cc" * 20) + hex(7)[2:].rjust(64, "0")
+    wh.write("internal_transaction", spark.createDataFrame(
+        [("0xT.0", 1, "0xabcd", "call", "call", calldata, "0xB1", 0, [], "0xT")],
+        "id string, blockNumber long, `to` string, callType string, "
+        "type string, input string, blockHash string, subtraces int, "
+        "traceAddress array<int>, transactionHash string",
+    ))
+    wh.write("block_flag", spark.createDataFrame(
+        [("1", "traces_extracted", 1)], "id string, name string, value int"))
+
+    cli.parse_transactions_inputs(wh)
+    got = wh.read("transaction_input").collect()
+    assert len(got) == 1 and got[0]["name"] == "transfer"  # decoded despite case
+
+    n_wm = wh.read("contract_block", final=False).count()
+    n_in = wh.read("transaction_input", final=False).count()
+    cli.parse_transactions_inputs(wh)  # watermark current → full no-op
+    assert wh.read("contract_block", final=False).count() == n_wm
+    assert wh.read("transaction_input", final=False).count() == n_in

@@ -106,6 +106,9 @@ def test_pii_counts_and_scrub(spark):
         # old separator class swallowed year lists / numeric table rows)
         (4, "years 2021 2022 2023 and row 10 250 3700 42"),
         (5, "dial (020) 7946 0958 or 555-123-4567"),
+        # hyphen-grouped NON-phones: year ranges, ISO dates, dated names
+        # (round-5 review: the first hyphen branch swallowed these)
+        (6, "range 2021-2022-2023 file log-2023-10-05-1234.txt on 2026-08-14"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     counts = t.pii_counts("text")
@@ -131,6 +134,7 @@ def test_pii_counts_and_scrub(spark):
     assert out[4]["phone"] == 0 and out[4]["scrubbed"] == rows[4][1]
     assert out[5]["phone"] == 2
     assert out[5]["scrubbed"] == "dial [PHONE] or [PHONE]"
+    assert out[6]["phone"] == 0 and out[6]["scrubbed"] == rows[6][1]
 
     # engine-vs-engine on all three counters (patterns are RE2-compatible)
     con = duckdb.connect()
