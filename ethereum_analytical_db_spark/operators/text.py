@@ -167,6 +167,23 @@ def content_fingerprint(text: Column | str) -> Column:
     return F.md5(F.lower(text))
 
 
+def remove_duplicate_lines(text: Column | str, sep: str = "\n") -> Column:
+    """C4-style within-document repetition removal: drop every line
+    whose exact text already appeared earlier in the SAME document,
+    preserving first-occurrence order (the standard cleanup for
+    boilerplate/navigation lines repeated through a page).
+
+    Pure Column expression — ``array_position`` finds each line's first
+    occurrence index, a positional filter keeps only those. Per-doc cost
+    is O(lines²) string compares inside codegen; documents have tens to
+    hundreds of lines, so this stays far below the per-doc tokenize
+    work, and nothing shuffles (narrow projection)."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.split(text, sep)
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    return F.array_join(kept, sep)
+
+
 def top_ngram_share(
     df, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
 ):

@@ -22,3 +22,53 @@ def test_top_ngram_share(spark):
     assert got[2] == 1 / 5
     assert got[3] == 0.0
     assert got[4] == 1.0
+
+
+def test_remove_duplicate_lines(spark):
+    """C4-style within-doc repetition removal: later exact-duplicate
+    lines drop, first-occurrence order is preserved, unique docs pass
+    through byte-identical."""
+    from ethereum_analytical_db_spark.operators.text import remove_duplicate_lines
+
+    rows = [
+        (0, "home\nabout\nproducts\nhome\ncontact\nabout"),
+        (1, "only\none\nof\neach"),
+        (2, "same\nsame\nsame\nsame"),
+        (3, ""),
+        (4, "a\n\nb\n\na"),  # empty lines dedupe like any other line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", remove_duplicate_lines("text").alias("clean")
+        ).collect()
+    }
+    assert out[0] == "home\nabout\nproducts\ncontact"
+    assert out[1] == rows[1][1]  # untouched
+    assert out[2] == "same"
+    assert out[3] == ""
+    assert out[4] == "a\n\nb"
+
+    # python-model cross-check on generated docs
+    import random
+
+    rnd = random.Random(7)
+    texts = [
+        "\n".join(rnd.choice(["x", "y", "z", "w", "line"]) for _ in range(20))
+        for _ in range(30)
+    ]
+    gdf = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in gdf.select(
+            "doc_id", remove_duplicate_lines("text").alias("clean")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        seen, keep = set(), []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                keep.append(ln)
+        assert got[i] == "\n".join(keep), i
