@@ -400,6 +400,56 @@ def download_prices(wh: Warehouse, fetch_history) -> None:
     wh.write("price", out)
 
 
+def _constants_call_from_args(args):
+    if not getattr(args, "constants_json", None):
+        return None
+    constants = _load_json(args.constants_json, "--constants-json FILE")
+
+    def call(addr: str, method: str, _rettype: str):
+        return constants.get(addr, {}).get(method)
+
+    return call
+
+
+def _tokens_meta_from_args(args):
+    if not getattr(args, "tokens_json", None):
+        return None
+    return {t["address"]: t for t in _load_json(args.tokens_json, "--tokens-json")}
+
+
+def _abi_fetcher_from_args(args):
+    if getattr(args, "abi_dir", None):
+        import os
+
+        def fetch(addr: str) -> str | None:
+            p = os.path.join(args.abi_dir, f"{addr}.json")
+            if not os.path.isfile(p):
+                return None
+            with open(p) as fh:
+                return fh.read()
+
+        return fetch
+    if getattr(args, "etherscan_url", None):
+        import urllib.request
+
+        def fetch(addr: str) -> str | None:  # pragma: no cover - live HTTP
+            url = f"{args.etherscan_url}&address={addr}"
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                body = json.loads(resp.read())
+            abi = body.get("result")
+            return abi if body.get("status") == "1" else None
+
+        return fetch
+    return None
+
+
+def _prices_fetcher_from_args(args):
+    if not getattr(args, "prices_json", None):
+        return None
+    histories = _load_json(args.prices_json, "--prices-json FILE")
+    return lambda symbol: histories.get(symbol, [])
+
+
 def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
     factory = make_transport_factory(args)
     # resolve the chain head lazily INSIDE the blocks stage so a looping
@@ -411,6 +461,27 @@ def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
         ("traces", lambda w: extract_traces(w, factory)),
         ("events", lambda w: extract_events(w, factory, args.range_size)),
     ]
+    # enrichment stages join the pass when their sources are configured —
+    # reference synchronize_full stage order (operations/clickhouse.py:
+    # 162-172: … extract_tokens → extract_contracts_abi →
+    # parse_transactions_inputs → parse_events_inputs → extract_prices).
+    # The derived tables refresh FIRST so extract_tokens sees the
+    # contract rows this pass's traces created (the reference gets that
+    # ordering for free from ClickHouse MV insert-triggers).
+    call = _constants_call_from_args(args)
+    abi_fetch = _abi_fetcher_from_args(args)
+    prices_fetch = _prices_fetcher_from_args(args)
+    if call or abi_fetch or prices_fetch:
+        stages.append(("derived", derived_refresh))
+    if call is not None:
+        meta = _tokens_meta_from_args(args)
+        stages.append(("tokens", lambda w: extract_tokens(w, call, meta)))
+    if abi_fetch is not None:
+        stages.append(("abis", lambda w: download_abis(w, abi_fetch)))
+        stages.append(("tx-inputs", parse_transactions_inputs))
+        stages.append(("event-inputs", parse_events_inputs))
+    if prices_fetch is not None:
+        stages.append(("prices", lambda w: download_prices(w, prices_fetch)))
     return inc.SyncPipeline(wh, stages, derived_refresh=derived_refresh)
 
 
@@ -485,17 +556,10 @@ def cmd_extract_tokens(wh: Warehouse, args) -> int:
     """S11 constants come from --constants-json (addr → {method: value})
     — the fixture form of the reference's eth_call reader; a live
     deployment injects a web3-backed callable at the same seam."""
-    constants = _load_json(args.constants_json, "--constants-json FILE")
-
-    def call(addr: str, method: str, _rettype: str):
-        return constants.get(addr, {}).get(method)
-
-    meta = None
-    if args.tokens_json:
-        meta = {
-            t["address"]: t for t in _load_json(args.tokens_json, "--tokens-json")
-        }
-    extract_tokens(wh, call, meta)
+    call = _constants_call_from_args(args)
+    if call is None:
+        raise SystemExit("need --constants-json FILE")
+    extract_tokens(wh, call, _tokens_meta_from_args(args))
     print("tokens extracted")
     return 0
 
@@ -503,27 +567,8 @@ def cmd_extract_tokens(wh: Warehouse, args) -> int:
 def cmd_download_abis(wh: Warehouse, args) -> int:
     """S12: ABIs from --abi-dir ({address}.json per contract, missing →
     unverified) or a live Etherscan-style endpoint via --etherscan-url."""
-    if args.abi_dir:
-        import os
-
-        def fetch(addr: str) -> str | None:
-            p = os.path.join(args.abi_dir, f"{addr}.json")
-            if not os.path.isfile(p):
-                return None
-            with open(p) as fh:
-                return fh.read()
-
-    elif args.etherscan_url:
-        import urllib.request
-
-        def fetch(addr: str) -> str | None:  # pragma: no cover - live HTTP
-            url = f"{args.etherscan_url}&address={addr}"
-            with urllib.request.urlopen(url, timeout=30) as resp:
-                body = json.loads(resp.read())
-            abi = body.get("result")
-            return abi if body.get("status") == "1" else None
-
-    else:
+    fetch = _abi_fetcher_from_args(args)
+    if fetch is None:
         raise SystemExit("need --abi-dir DIR or --etherscan-url URL")
     download_abis(wh, fetch)
     print("abis downloaded")
@@ -545,12 +590,10 @@ def cmd_parse_events_inputs(wh: Warehouse, args) -> int:
 def cmd_download_prices(wh: Warehouse, args) -> int:
     """S13: daily close series from --prices-json (symbol → [{time,
     close}]) — the fixture form of the CryptoCompare histoday source."""
-    histories = _load_json(args.prices_json, "--prices-json FILE")
-
-    def fetch_history(symbol: str):
-        return histories.get(symbol, [])
-
-    download_prices(wh, fetch_history)
+    fetch = _prices_fetcher_from_args(args)
+    if fetch is None:
+        raise SystemExit("need --prices-json FILE")
+    download_prices(wh, fetch)
     print("prices downloaded")
     return 0
 
@@ -608,6 +651,15 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "sync":
             sp.add_argument("--sleep", type=float, default=10.0)
             sp.add_argument("--max-passes", type=int, default=None)
+        if name in ("sync-once", "sync"):
+            # enrichment sources: when configured, the pass grows the
+            # reference synchronize_full stage tail (tokens → abis →
+            # inputs → prices)
+            sp.add_argument("--constants-json", default=None)
+            sp.add_argument("--tokens-json", default=None)
+            sp.add_argument("--abi-dir", default=None)
+            sp.add_argument("--etherscan-url", default=None)
+            sp.add_argument("--prices-json", default=None)
 
     ex = sub.add_parser("export-csv", help="export a table to CSV (S16)")
     ex.add_argument("--table", required=True)

@@ -346,3 +346,85 @@ def test_parse_inputs_case_insensitive_and_noop_passes(spark, tmp_path):
     cli.parse_transactions_inputs(wh)  # watermark current → full no-op
     assert wh.read("contract_block", final=False).count() == n_wm
     assert wh.read("transaction_input", final=False).count() == n_in
+
+
+def test_sync_once_with_enrichment_stages(spark, tmp_path):
+    """Reference synchronize_full parity: ONE sync-once pass with the
+    enrichment sources configured runs blocks → traces → events →
+    derived → tokens → abis → tx-inputs → event-inputs → prices
+    (operations/clickhouse.py:162-172 stage order) — the created ERC-20
+    contract is described, its ABI fetched, this pass's calldata and
+    Transfer event decoded, and prices landed."""
+    from ethereum_analytical_db_spark.functions.ethereum import (
+        ERC20_SELECTORS, TRANSFER_EVENT_TOPIC,
+    )
+
+    fixtures = tmp_path / "rpc"
+    fixtures.mkdir()
+    calldata = "0xa9059cbb" + ("0" * 24 + "cc" * 20) + hex(500)[2:].rjust(64, "0")
+    (fixtures / "eth_blockNumber_.json").write_text(json.dumps(hex(1)))
+    (fixtures / "eth_getBlockByNumber_0x0.json").write_text(json.dumps({"timestamp": None}))
+    (fixtures / "eth_getBlockByNumber_0x1.json").write_text(
+        json.dumps({"timestamp": hex(1_500_000_000)}))
+    (fixtures / "trace_block_0x0.json").write_text(json.dumps([]))
+    (fixtures / "trace_block_0x1.json").write_text(json.dumps([
+        {  # deploy an ERC-20 (bytecode carries all six selectors)
+            "transactionHash": "0xT0", "traceAddress": [], "type": "create",
+            "action": {"from": "0xaa", "value": "0x0"},
+            "result": {"gasUsed": "0x0", "address": "0xc0",
+                       "code": "0x" + "".join(ERC20_SELECTORS)},
+        },
+        {  # call it with transfer() calldata
+            "transactionHash": "0xT1", "traceAddress": [], "type": "call",
+            "action": {"callType": "call", "from": "0xaa", "to": "0xc0",
+                       "value": "0x0", "gas": "0x5208", "input": calldata},
+            "result": {"gasUsed": "0x5208", "output": "0x"},
+        },
+    ]))
+    w_from, w_to = "0" * 24 + "aa" * 20, "0" * 24 + "bb" * 20
+    (fixtures / "eth_getLogs_0-1000.json").write_text(json.dumps([
+        {"address": "0xc0",
+         "topics": [TRANSFER_EVENT_TOPIC, "0x" + w_from, "0x" + w_to],
+         "data": "0x" + hex(777)[2:].rjust(64, "0"),
+         "blockNumber": "0x1", "transactionHash": "0xT1",
+         "transactionLogIndex": "0x0", "logIndex": "0x0",
+         "blockHash": "0xB1", "type": "mined"},
+    ]))
+    (tmp_path / "constants.json").write_text(json.dumps({
+        "0xc0": {"name": "Token", "symbol": "TOK", "decimals": 2,
+                 "totalSupply": 12345.0, "owner": "0xaa"},
+    }))
+    abis = tmp_path / "abis"
+    abis.mkdir()
+    (abis / "0xc0.json").write_text(json.dumps([
+        {"type": "function", "name": "transfer",
+         "inputs": [{"type": "address"}, {"type": "uint256"}]},
+        {"type": "event", "name": "Transfer",
+         "inputs": [{"type": "address"}, {"type": "address"},
+                    {"type": "uint256"}]},
+    ]))
+    (tmp_path / "prices.json").write_text(json.dumps({
+        "TOK": [{"time": 86400 * (i + 1), "close": float(i + 1)} for i in range(6)],
+    }))
+
+    whdir = str(tmp_path / "wh")
+    base = ["--warehouse", whdir, "--cpus", "4"]
+    assert main(base + ["prepare"]) == 0
+    assert main(base + [
+        "sync-once", "--fixtures", str(fixtures),
+        "--constants-json", str(tmp_path / "constants.json"),
+        "--abi-dir", str(abis),
+        "--prices-json", str(tmp_path / "prices.json"),
+    ]) == 0
+
+    wh = Warehouse(spark, whdir)
+    desc = wh.read("contract_description").collect()
+    assert len(desc) == 1 and desc[0]["id"] == "0xc0"
+    assert desc[0]["total_supply"] == 123
+    assert wh.read("contract_abi").filter("abi IS NOT NULL").count() == 1
+    tin = wh.read("transaction_input").collect()
+    assert len(tin) == 1 and tin[0]["name"] == "transfer"
+    ein = wh.read("event_input").collect()
+    assert len(ein) == 1 and ein[0]["name"] == "Transfer"
+    prices = sorted(wh.read("price").collect(), key=lambda r: r["timestamp"])
+    assert [r["BTC"] for r in prices] == [1.0, 2.0, 3.0, 4.0, 3.0, 4.0]
