@@ -71,7 +71,7 @@ def register(name: str, oracle: str | None, note: str = ""):
 
 def all_queries() -> dict[str, QueryDef]:
     # import registering modules lazily to avoid cycles
-    from . import analytics, chainops, compat_queries, derived_queries, pipeline, relational  # noqa: F401
+    from . import analytics, chainops, compat_queries, derived_queries, ml_queries, pipeline, relational  # noqa: F401
 
     # Oracle-checked queries first (stable within each tier): the driver's
     # correctness harness records the first 50 registry entries, so the
