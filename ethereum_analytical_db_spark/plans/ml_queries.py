@@ -34,12 +34,17 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import table
 
     # The notebook's fixed 1000-block bucket assumes millions of blocks;
-    # scale the bucket to the fixture so the feature frame is always
-    # a few hundred rows (one scalar max() reaches the driver).
-    max_block = (
-        table(spark, sf_dir, "events").agg(F.max("event_id")).first()[0] or 0
-    )
-    bucket = max(10, int(max_block) // 500)
+    # scale the bucket to the fixture so the feature frame is always a
+    # few hundred rows. Sized from the distinct-block count, not the max
+    # (block-id spaces can be sparse — e.g. a corpus stitched from
+    # disjoint ranges — and a span-based width would collapse every
+    # populated range into one bucket). One scalar reaches the driver.
+    n_blocks = (
+        table(spark, sf_dir, "events")
+        .agg(F.approx_count_distinct("event_id").alias("n"))
+        .first()["n"]
+    ) or 0
+    bucket = max(10, int(n_blocks) // 500)
     # coalesce(1): the frame is a few hundred rows by construction, and
     # MLlib tree induction runs one distributed aggregate per depth
     # level — on a wide empty partitioning that is all task overhead.
