@@ -132,11 +132,15 @@ def extract_events(wh: Warehouse, factory, range_size: int) -> None:
     inc.write_block_flags(wh, todo.select("id"), "events_extracted")
 
 
-def derived_refresh(wh: Warehouse) -> None:
-    """Reference prepare-contracts-view + prepare-erc-transactions-view:
-    refresh the derived tables from the raw ones after each pass."""
+def refresh_contracts(wh: Warehouse) -> None:
+    """Reference prepare-contracts-view: contract table from traces."""
     if wh.exists("internal_transaction"):
         wh.write("contract", derived.contracts(wh.read("internal_transaction")))
+
+
+def refresh_token_transactions(wh: Warehouse) -> None:
+    """Reference prepare-erc-transactions-view: decoded transfers joined
+    to the token-decimals dim."""
     if wh.exists("event") and wh.exists("contract_description"):
         dim = wh.read("contract_description")
         if not dim.isEmpty():
@@ -144,6 +148,13 @@ def derived_refresh(wh: Warehouse) -> None:
                 "token_transaction",
                 derived.token_transactions(wh.read("event"), dim),
             )
+
+
+def derived_refresh(wh: Warehouse) -> None:
+    """Reference prepare-contracts-view + prepare-erc-transactions-view:
+    refresh the derived tables from the raw ones after each pass."""
+    refresh_contracts(wh)
+    refresh_token_transactions(wh)
 
 
 # per-contract watermark flag names: reference utils._get_flag_name with
@@ -469,12 +480,21 @@ def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
     # contract rows this pass's traces created (the reference gets that
     # ordering for free from ClickHouse MV insert-triggers).
     call = _constants_call_from_args(args)
+    meta = _tokens_meta_from_args(args)
+    if meta is not None and call is None:
+        # the standalone extract-tokens command errors here too — a
+        # silently dropped enrichment source is worse than a loud exit
+        raise SystemExit("--tokens-json requires --constants-json FILE")
     abi_fetch = _abi_fetcher_from_args(args)
     prices_fetch = _prices_fetcher_from_args(args)
-    if call or abi_fetch or prices_fetch:
-        stages.append(("derived", derived_refresh))
+    enriched = bool(call or abi_fetch or prices_fetch)
+    if enriched:
+        # only the contract table is needed mid-pass (by extract_tokens /
+        # download_abis); token_transaction refreshes once at pass end via
+        # the pipeline's derived_refresh hook — refreshing both here would
+        # recompute the token join twice per pass
+        stages.append(("contracts", refresh_contracts))
     if call is not None:
-        meta = _tokens_meta_from_args(args)
         stages.append(("tokens", lambda w: extract_tokens(w, call, meta)))
     if abi_fetch is not None:
         stages.append(("abis", lambda w: download_abis(w, abi_fetch)))
@@ -482,7 +502,14 @@ def build_pipeline(wh: Warehouse, args) -> inc.SyncPipeline:
         stages.append(("event-inputs", parse_events_inputs))
     if prices_fetch is not None:
         stages.append(("prices", lambda w: download_prices(w, prices_fetch)))
-    return inc.SyncPipeline(wh, stages, derived_refresh=derived_refresh)
+    # when the contracts stage ran mid-pass nothing after it touches
+    # internal_transaction, so the end-of-pass refresh only needs the
+    # token_transaction half; the plain sync path keeps the full refresh
+    return inc.SyncPipeline(
+        wh,
+        stages,
+        derived_refresh=refresh_token_transactions if enriched else derived_refresh,
+    )
 
 
 # ---- commands ----

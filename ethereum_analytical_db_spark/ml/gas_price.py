@@ -197,13 +197,20 @@ def time_series_splits(
     """
     if n_splits < 1:
         raise ValueError("n_splits must be >= 1")
+    # folds are bounded by block VALUES, so distinct blocks is the sample
+    # unit; mirror sklearn's loud failure instead of silently producing
+    # empty validation folds that would score 0.0 into every candidate
+    n_distinct = features.select("block").distinct().count()
+    if n_distinct <= n_splits:
+        raise ValueError(
+            f"need more than n_splits={n_splits} distinct blocks, "
+            f"got {n_distinct}"
+        )
     qs = [i / (n_splits + 1) for i in range(1, n_splits + 1)]
     row = features.select(
         F.percentile(F.col("block"), F.lit(qs)).alias("cuts")
     ).first()
     cuts = list(row["cuts"] or [])
-    if len(cuts) != n_splits:
-        raise ValueError("feature frame is empty — cannot split")
     splits: list[tuple[DataFrame, DataFrame]] = []
     for i, cut in enumerate(cuts):
         train = features.filter(F.col("block") <= F.lit(cut))

@@ -177,9 +177,17 @@ def remove_duplicate_lines(text: Column | str, sep: str = "\n") -> Column:
     occurrence index, a positional filter keeps only those. Per-doc cost
     is O(lines²) string compares inside codegen; documents have tens to
     hundreds of lines, so this stays far below the per-doc tokenize
-    work, and nothing shuffles (narrow projection)."""
+    work, and nothing shuffles (narrow projection).
+
+    ``sep`` is a literal separator: ``F.split`` takes a Java regex while
+    ``array_join`` takes a literal, so the split pattern is
+    ``\\Q…\\E``-quoted to keep the two sides consistent for
+    metacharacter separators (``|``, ``.``, …)."""
     text = F.col(text) if isinstance(text, str) else text
-    lines = F.split(text, sep)
+    # java.util.regex quoting; a sep containing the closing \E itself is
+    # escaped by splitting the quote around it
+    pat = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = F.split(text, pat)
     kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
     return F.array_join(kept, sep)
 

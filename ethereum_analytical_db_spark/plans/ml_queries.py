@@ -59,6 +59,12 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut = features.select(
             F.percentile(F.col("block"), F.lit(2 / 3)).alias("c")
         ).first()["c"]
+        if cut is None:  # empty feature frame (tiny/filtered-out fixture)
+            return spark.createDataFrame(
+                [(0, 0, 0, 10, None)],
+                "n_features BIGINT, n_train BIGINT, n_test BIGINT, "
+                "n_estimators INT, lmfao DOUBLE",
+            )
         train, test = split_by_block(features, float(cut))
         model = train_gas_model(train, n_estimators=10, seed=7)
         score = lmfao(model, test)

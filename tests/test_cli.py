@@ -351,7 +351,7 @@ def test_parse_inputs_case_insensitive_and_noop_passes(spark, tmp_path):
 def test_sync_once_with_enrichment_stages(spark, tmp_path):
     """Reference synchronize_full parity: ONE sync-once pass with the
     enrichment sources configured runs blocks → traces → events →
-    derived → tokens → abis → tx-inputs → event-inputs → prices
+    contracts → tokens → abis → tx-inputs → event-inputs → prices
     (operations/clickhouse.py:162-172 stage order) — the created ERC-20
     contract is described, its ABI fetched, this pass's calldata and
     Transfer event decoded, and prices landed."""
@@ -428,3 +428,54 @@ def test_sync_once_with_enrichment_stages(spark, tmp_path):
     assert len(ein) == 1 and ein[0]["name"] == "Transfer"
     prices = sorted(wh.read("price").collect(), key=lambda r: r["timestamp"])
     assert [r["BTC"] for r in prices] == [1.0, 2.0, 3.0, 4.0, 3.0, 4.0]
+
+
+def test_tokens_json_without_constants_errors(spark, tmp_path):
+    """--tokens-json with no --constants-json must exit loudly — a
+    silently dropped enrichment source looks like a successful sync."""
+    import pytest
+
+    fixtures = tmp_path / "rpc"
+    fixtures.mkdir()
+    (tmp_path / "tokens.json").write_text(json.dumps([
+        {"address": "0xc0", "cmc_id": "1"},
+    ]))
+    whdir = str(tmp_path / "wh")
+    assert main(["--warehouse", whdir, "--cpus", "4", "prepare"]) == 0
+    with pytest.raises(SystemExit, match="constants-json"):
+        main([
+            "--warehouse", whdir, "--cpus", "4", "sync-once",
+            "--fixtures", str(fixtures),
+            "--tokens-json", str(tmp_path / "tokens.json"),
+        ])
+
+
+def test_enrichment_pass_refreshes_derived_once(spark, tmp_path):
+    """With enrichment configured the mid-pass stage refreshes only the
+    contract table and the end-of-pass hook only token_transaction — the
+    full derived_refresh must not run twice per pass."""
+    import argparse
+
+    from ethereum_analytical_db_spark import __main__ as cli
+
+    (tmp_path / "constants.json").write_text(json.dumps({}))
+    args = argparse.Namespace(
+        fixtures=str(tmp_path), rpc_url=None, max_block=None, range_size=1000,
+        constants_json=str(tmp_path / "constants.json"), tokens_json=None,
+        abi_dir=None, etherscan_url=None, prices_json=None,
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = cli.build_pipeline(wh, args)
+    names = [n for n, _ in pipe.stages]
+    assert "contracts" in names
+    assert pipe.derived_refresh is cli.refresh_token_transactions
+
+    # without enrichment: no mid-pass stage, full refresh at pass end
+    plain = argparse.Namespace(
+        fixtures=str(tmp_path), rpc_url=None, max_block=None, range_size=1000,
+        constants_json=None, tokens_json=None, abi_dir=None,
+        etherscan_url=None, prices_json=None,
+    )
+    pipe2 = cli.build_pipeline(wh, plain)
+    assert [n for n, _ in pipe2.stages] == ["blocks", "traces", "events"]
+    assert pipe2.derived_refresh is cli.derived_refresh

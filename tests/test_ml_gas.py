@@ -113,3 +113,37 @@ def test_grid_search_selects_from_grid(features):
     assert out["best_score"] == max(out["scores"].values())
     preds = out["model"].transform(features)
     assert preds.filter(preds.prediction.isNull()).count() == 0
+
+
+def test_time_series_splits_rejects_too_few_blocks(spark):
+    """sklearn TimeSeriesSplit raises when n_samples <= n_splits; the
+    block-valued analogue must fail loudly instead of yielding empty
+    validation folds that score 0.0 into every grid candidate."""
+    df = spark.createDataFrame(
+        [(1000.0, 5.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+         (2000.0, 6.0, 1.0, 2.0, 2.0, 2.0, 2.0)],
+        ["block", "p50_gwei", "p20_gwei", "dayofmonth", "dayofweek",
+         "hour", "minute"],
+    )
+    with pytest.raises(ValueError, match="distinct blocks"):
+        time_series_splits(df, n_splits=3)
+
+
+def test_model_eval_query_empty_frame(spark, tmp_path):
+    """gas_price_model_eval on a fixture whose rows are all filtered out
+    (value <= 0 → no call rows survive) returns the zero summary row
+    instead of crashing on float(None)."""
+    import datetime
+
+    from ethereum_analytical_db_spark.plans.ml_queries import gas_price_model_eval
+
+    rows = [
+        (i, i % 5, 0.0, "view", datetime.datetime(2020, 1, 1, 0, i % 60))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    out = gas_price_model_eval(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n_features"] == 0 and out[0]["lmfao"] is None

@@ -72,3 +72,21 @@ def test_remove_duplicate_lines(spark):
                 seen.add(ln)
                 keep.append(ln)
         assert got[i] == "\n".join(keep), i
+
+
+def test_remove_duplicate_lines_metachar_separator(spark):
+    """The separator is a literal, not a regex: '|' (a regex
+    metacharacter) must split on itself, not on every character."""
+    from ethereum_analytical_db_spark.operators.text import remove_duplicate_lines
+
+    df = spark.createDataFrame(
+        [(0, "ab|cd|ab|ef"), (1, "x.y|x.y|z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", remove_duplicate_lines("text", sep="|").alias("clean")
+        ).collect()
+    }
+    assert out[0] == "ab|cd|ef"
+    assert out[1] == "x.y|z"
