@@ -1,0 +1,253 @@
+"""Language-model perplexity scoring (training-data pipeline pack).
+
+The CCNet/Gopher-style quality signal: score each document by how
+surprising its tokens are under a language model trained on a trusted
+(or the whole) corpus, then filter/bucket on the score. Production
+pipelines often use a 5-gram KenLM here; this module implements the
+same shape with an interpolated unigram+bigram model trained
+*distributed*, because that is the part Spark must own — the scoring
+pattern (broadcast the model, one narrow join per token, one groupBy
+doc) is identical whatever the model order.
+
+Scale design:
+- training is two word/bigram count aggregations (map-side combined,
+  uniform high-cardinality keys → no skew) followed by a top-V
+  truncation, so the model is **bounded at vocab_size rows** no matter
+  the corpus size;
+- scoring broadcasts the bounded model and runs one explode + broadcast
+  join + per-doc aggregate — no shuffle of the corpus itself beyond the
+  doc-keyed aggregate;
+- everything is exact arithmetic on doubles, so a DuckDB oracle
+  reproduces scores to float tolerance (tests/test_lm.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+@dataclass
+class UnigramLM:
+    """Bounded unigram model: ``table`` is (word, logp) for the top-V
+    vocabulary; OOV words share one smoothed log-probability."""
+
+    table: DataFrame  # (word string, logp double)
+    oov_logp: float
+    vocab_size: int
+    total_tokens: int
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    add_k: float = 0.5,
+) -> UnigramLM:
+    """Add-k-smoothed unigram LM over the corpus.
+
+    p(w) = (count(w) + k) / (N + k·(V+1)) for the top-``vocab_size``
+    words by count (ties broken by word for determinism); every other
+    word is OOV with p = k / (N + k·(V+1)).
+
+    Truncation keeps the broadcastable invariant: the model is V rows
+    regardless of corpus size. N and V reach the driver as two scalars.
+    """
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size).cache()
+    row = top.agg(
+        F.sum("c").alias("n_top"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_top, v = int(row["n_top"] or 0), int(row["v"] or 0)
+    # total corpus tokens (incl. truncated tail — OOV mass must reflect it)
+    n_total = int(
+        counts.agg(F.sum("c").alias("n")).first()["n"] or 0
+    )
+    denom = float(n_total + add_k * (v + 1))
+    table = top.select(
+        "word",
+        F.log((F.col("c") + F.lit(add_k)) / F.lit(denom)).alias("logp"),
+    )
+    import math
+
+    oov_logp = math.log(add_k / denom) if denom > 0 else 0.0
+    return UnigramLM(
+        table=table, oov_logp=oov_logp, vocab_size=v, total_tokens=n_total
+    )
+
+
+def score_perplexity(
+    df: DataFrame,
+    lm: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logp, perplexity) per document.
+
+    perplexity = exp(-mean log p(w)); empty documents score NULL.
+    The model table is broadcast (bounded by vocab_size); the only
+    shuffle is the doc-keyed aggregate.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    scored = toks.join(F.broadcast(lm.table), "word", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("logp"), F.lit(lm.oov_logp)).alias("logp"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("logp")).alias("avg_neg_logp"),
+    )
+    # left join back so token-less docs appear with NULL scores
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_neg_logp",
+            F.exp("avg_neg_logp").alias("perplexity"),
+        )
+    )
+
+
+def perplexity_filter(
+    scores: DataFrame, max_perplexity: float
+) -> Column:
+    """Keep-predicate for the standard filter step: documents whose
+    perplexity is defined and under the cap."""
+    return F.col("perplexity").isNotNull() & (
+        F.col("perplexity") <= F.lit(max_perplexity)
+    )
+
+
+@dataclass
+class BigramLM:
+    """Interpolated bigram model: unigram backbone plus a bounded
+    (prev, word, logp_cond) conditional table.
+
+    p(w | prev) = λ·p_bi(w|prev) + (1-λ)·p_uni(w), with p_bi add-k
+    smoothed per-history; histories outside the table fall back to the
+    unigram term alone (λ renormalized away, the standard interpolated
+    backoff).
+    """
+
+    unigram: UnigramLM
+    table: DataFrame  # (prev string, word string, p_bi double)
+    lam: float
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    add_k: float = 0.5,
+    lam: float = 0.7,
+) -> BigramLM:
+    """Interpolated bigram LM; both tables bounded (top-V words, top-B
+    bigrams by count, ties broken lexically).
+
+    The per-history denominator joins the history's total count — a
+    second bounded aggregate — so p_bi is a true conditional.
+    """
+    uni = train_unigram_lm(df, text_col, vocab_size, add_k)
+    ws = df.select(words(F.col(text_col)).alias("ws"))
+    pairs = (
+        ws.select(
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 2),
+                        lambda i: F.struct(
+                            F.element_at("ws", i + 1).alias("prev"),
+                            F.element_at("ws", i + 2).alias("word"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
+            ).alias("p")
+        )
+        .select("p.prev", "p.word")
+        .filter((F.col("prev") != "") & (F.col("word") != ""))
+    )
+    bi_counts = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c"))
+    top_bi = (
+        bi_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
+        .limit(bigram_size)
+        .cache()
+    )
+    hist_totals = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("h"))
+    v = uni.vocab_size
+    table = top_bi.join(F.broadcast(hist_totals), "prev").select(
+        "prev",
+        "word",
+        (
+            (F.col("c") + F.lit(add_k))
+            / (F.col("h") + F.lit(add_k) * (v + 1))
+        ).alias("p_bi"),
+    )
+    return BigramLM(unigram=uni, table=table, lam=lam)
+
+
+def score_perplexity_bigram(
+    df: DataFrame,
+    lm: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logp, perplexity) under the interpolated
+    bigram model. The first token of each doc scores as unigram (no
+    history); a (prev, word) pair outside the bigram table contributes
+    only its unigram term.
+    """
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
+    toks = (
+        ws.select(
+            F.col(id_col),
+            F.posexplode("ws").alias("pos", "word"),
+            F.col("ws"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            id_col,
+            "pos",
+            "word",
+            F.when(F.col("pos") > 0, F.element_at("ws", F.col("pos"))).alias(
+                "prev"
+            ),
+        )
+    )
+    uni = lm.unigram
+    j = (
+        toks.join(F.broadcast(uni.table), "word", "left")
+        .withColumnRenamed("logp", "logp_uni")
+        .join(F.broadcast(lm.table), ["prev", "word"], "left")
+    )
+    p_uni = F.exp(F.coalesce(F.col("logp_uni"), F.lit(uni.oov_logp)))
+    p = F.when(
+        F.col("p_bi").isNotNull(),
+        F.lit(lm.lam) * F.col("p_bi") + F.lit(1.0 - lm.lam) * p_uni,
+    ).otherwise(p_uni)
+    scored = j.select(F.col(id_col), F.log(p).alias("logp"))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("logp")).alias("avg_neg_logp"),
+    )
+    ids = df.select(id_col).distinct()
+    return ids.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_neg_logp",
+        F.exp("avg_neg_logp").alias("perplexity"),
+    )

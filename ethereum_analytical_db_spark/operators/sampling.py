@@ -57,3 +57,46 @@ def hash_split(
     """df + a deterministic ``split`` column (default 90/5/5)."""
     fractions = fractions or {"train": 0.90, "valid": 0.05, "test": 0.05}
     return df.withColumn("split", split_column(id_col, fractions, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-balancing
+    step (e.g. keep 100% of books, 10% of common-crawl, 1% of logs).
+
+    A row is kept iff its salted-md5 prefix falls under its stratum's
+    fraction. Unlike ``df.sampleBy`` (seeded Bernoulli whose outcome
+    depends on partition layout and row order), the same inputs select
+    the same rows on any cluster — rerunnable, resumable, and exactly
+    reproducible by a DuckDB oracle (tests/test_sampling.py).
+
+    Strata absent from ``fractions`` keep ``default_fraction`` of their
+    rows (0.0 = drop unknown strata; 1.0 = pass them through).
+
+    Scale: one narrow filter — the strata→threshold CASE is a literal
+    expression, no shuffle, no collected state. Expected kept fraction
+    per stratum is exact to 1/65536 granularity.
+    """
+    col = F.col(id_col)
+    prefix = F.substring(
+        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4
+    )
+    expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(name)
+        keep = F.lit(True) if frac >= 1.0 else prefix < F.lit(_hex4(frac))
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    if default_fraction >= 1.0:
+        default = F.lit(True)
+    elif default_fraction <= 0.0:
+        default = F.lit(False)
+    else:
+        default = prefix < F.lit(_hex4(default_fraction))
+    keep_expr = expr.otherwise(default) if expr is not None else default
+    return df.filter(keep_expr)

@@ -632,3 +632,57 @@ def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cf").desc(), F.col("word").asc())
         .limit(100)
     )
+
+
+@register(
+    "lm_perplexity_quality",
+    None,
+    note="CCNet-style LM quality scoring: interpolated unigram+bigram "
+    "model trained distributed (both tables bounded — top-V words, "
+    "top-B bigrams), broadcast to score every document; perplexity is "
+    "the standard quality-filter axis. Rows-only because the driver "
+    "oracle window is full; exact DuckDB parity (unigram) and a "
+    "pure-Python model replica (bigram) are pytest-verified in "
+    "tests/test_lm.py.",
+)
+def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import score_perplexity_bigram, train_bigram_lm
+
+    docs = docs_table(spark, sf_dir).select("doc_id", "text")
+    lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000)
+    return (
+        score_perplexity_bigram(docs, lm)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("perplexity", 6).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    None,
+    note="deterministic per-stratum downsampling (corpus balancing — "
+    "keep 100% of one source, 30%/10% of others) by salted-md5 "
+    "threshold per stratum: partition-layout independent, unlike "
+    "sampleBy's seeded Bernoulli. Rows-only here (window full); the "
+    "kept-set is DuckDB-reproduced exactly in tests/test_sampling.py.",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        "lang",
+        {"en": 1.0, "de": 0.3, "fr": 0.1},
+        "doc_id",
+        default_fraction=0.05,
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )

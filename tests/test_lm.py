@@ -1,0 +1,193 @@
+"""LM-perplexity quality scoring (training-data pipeline pack): the
+distributed unigram/bigram trainer + scorer, cross-checked against a
+DuckDB replica (unigram) and a pure-Python model (bigram)."""
+
+import math
+
+import duckdb
+import pytest
+
+from ethereum_analytical_db_spark.operators.lm import (
+    perplexity_filter,
+    score_perplexity,
+    score_perplexity_bigram,
+    train_bigram_lm,
+    train_unigram_lm,
+)
+from ethereum_analytical_db_spark.plans.registry import table
+
+SF = "/root/testdata/sf0.001"
+V, K = 120, 0.5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_unigram_perplexity_matches_duckdb(spark, docs):
+    lm = train_unigram_lm(docs, vocab_size=V, add_k=K)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"], r["perplexity"])
+        for r in score_perplexity(docs, lm).collect()
+    }
+
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, u.word
+          FROM read_parquet('{SF}/documents.parquet'),
+               LATERAL (SELECT unnest(string_split(text, ' ')) AS word) u
+          WHERE u.word <> ''
+        ),
+        counts AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+        stats AS (SELECT sum(c) AS n FROM counts),
+        top AS (
+          SELECT word, c FROM counts ORDER BY c DESC, word ASC LIMIT {V}
+        ),
+        consts AS (
+          SELECT (SELECT n FROM stats)
+                 + {K} * ((SELECT count(*) FROM top) + 1) AS denom
+        ),
+        scored AS (
+          SELECT t.doc_id,
+                 ln(coalesce(top.c + {K}, {K}) / (SELECT denom FROM consts))
+                   AS logp
+          FROM tok t LEFT JOIN top USING (word)
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tokens, -avg(logp) AS anl
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               p.anl,
+               exp(p.anl) AS ppl
+        FROM (SELECT DISTINCT doc_id
+              FROM read_parquet('{SF}/documents.parquet')) d
+        LEFT JOIN per_doc p USING (doc_id)
+        """
+    ).fetchall()
+    assert len(oracle) == len(got) > 0
+    for doc_id, n_tokens, anl, ppl in oracle:
+        g_n, g_anl, g_ppl = got[doc_id]
+        assert g_n == n_tokens
+        if anl is None:
+            assert g_anl is None
+        else:
+            assert g_anl == pytest.approx(anl, rel=1e-9)
+            assert g_ppl == pytest.approx(ppl, rel=1e-9)
+
+
+def test_lm_model_is_bounded_and_oov_consistent(spark, docs):
+    lm = train_unigram_lm(docs, vocab_size=10, add_k=K)
+    rows = lm.table.collect()
+    assert len(rows) == 10 == lm.vocab_size
+    # every in-vocab word is at least as probable as the OOV floor
+    assert all(r["logp"] >= lm.oov_logp for r in rows)
+    # probabilities are a sub-distribution (truncated tail + OOV mass)
+    assert sum(math.exp(r["logp"]) for r in rows) < 1.0
+
+
+def test_perplexity_filter_and_empty_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the the the the the the"),  # one repeated common token
+            (1, "zq xv qqj wkp zzv nnq"),  # all rare/OOV-ish tokens
+            (2, ""),  # empty → NULL score
+        ],
+        "doc_id long, text string",
+    )
+    lm = train_unigram_lm(df, vocab_size=5, add_k=K)
+    scores = score_perplexity(df, lm)
+    got = {r["doc_id"]: r for r in scores.collect()}
+    assert got[0]["perplexity"] < got[1]["perplexity"]  # boilerplate scores low
+    assert got[2]["perplexity"] is None and got[2]["n_tokens"] == 0
+    kept = scores.filter(
+        perplexity_filter(scores, got[0]["perplexity"] + 1e-9)
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+
+
+def _py_bigram_reference(texts, vocab_size, bigram_size, add_k, lam):
+    """Pure-Python replica of train_bigram_lm + score_perplexity_bigram."""
+    from collections import Counter
+
+    uni = Counter()
+    bi = Counter()
+    hist = Counter()
+    for t in texts.values():
+        ws = [w for w in t.split(" ")]
+        uni.update(w for w in ws if w != "")
+        for a, b in zip(ws, ws[1:]):
+            if a != "" and b != "":
+                bi[(a, b)] += 1
+                hist[a] += 1
+    n_total = sum(uni.values())
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    v = len(top)
+    denom = n_total + add_k * (v + 1)
+    logp_uni = {w: math.log((c + add_k) / denom) for w, c in top}
+    oov = math.log(add_k / denom)
+    top_bi = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size]
+    p_bi = {
+        (a, b): (c + add_k) / (hist[a] + add_k * (v + 1))
+        for (a, b), c in top_bi
+    }
+    out = {}
+    for doc_id, t in texts.items():
+        ws_all = t.split(" ")
+        logps = []
+        for pos, w in enumerate(ws_all):
+            if w == "":
+                continue
+            prev = ws_all[pos - 1] if pos > 0 else None
+            pu = math.exp(logp_uni.get(w, oov))
+            if prev is not None and (prev, w) in p_bi:
+                p = lam * p_bi[(prev, w)] + (1 - lam) * pu
+            else:
+                p = pu
+            logps.append(math.log(p))
+        if logps:
+            anl = -sum(logps) / len(logps)
+            out[doc_id] = (len(logps), anl, math.exp(anl))
+        else:
+            out[doc_id] = (0, None, None)
+    return out
+
+
+def test_bigram_perplexity_matches_python_model(spark, docs):
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(60).collect()}
+    sub = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    args = dict(vocab_size=80, bigram_size=300, add_k=K, lam=0.7)
+    lm = train_bigram_lm(sub, **args)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"], r["perplexity"])
+        for r in score_perplexity_bigram(sub, lm).collect()
+    }
+    want = _py_bigram_reference(texts, **args)
+    assert set(got) == set(want)
+    for doc_id, (n, anl, ppl) in want.items():
+        g_n, g_anl, g_ppl = got[doc_id]
+        assert g_n == n, doc_id
+        if anl is None:
+            assert g_anl is None
+        else:
+            assert g_anl == pytest.approx(anl, rel=1e-9), doc_id
+
+
+def test_bigram_beats_unigram_on_predictable_text(spark):
+    """A corpus of one repeated phrase: the bigram model should assign
+    (much) lower perplexity than the unigram model on the same text."""
+    phrase = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(i, phrase) for i in range(8)], "doc_id long, text string"
+    )
+    uni = train_unigram_lm(df, vocab_size=20, add_k=K)
+    bi = train_bigram_lm(df, vocab_size=20, bigram_size=50, add_k=K, lam=0.7)
+    u = score_perplexity(df, uni).first()["perplexity"]
+    b = score_perplexity_bigram(df, bi).first()["perplexity"]
+    assert b < u

@@ -23,3 +23,72 @@ def test_split_salt_independence(spark):
     b = {r["id"]: r["split"] for r in hash_split(df, "id", salt="b").collect()}
     moved = sum(1 for k in a if a[k] != b[k])
     assert moved > 0  # different salts give a genuinely different split
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    """The kept row set is exactly reproducible in DuckDB (same salted
+    md5 thresholds) — i.e. the sample is engine-independent."""
+    import duckdb
+
+    from ethereum_analytical_db_spark.operators.sampling import (
+        _hex4,
+        stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fr = {"en": 0.5, "de": 0.25}
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", fr, "doc_id", salt="s1", default_fraction=0.1
+        ).collect()
+    }
+    oracle = {
+        row[0]
+        for row in duckdb.sql(
+            f"""
+            SELECT doc_id FROM read_parquet('{sf}/documents.parquet')
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 4) <
+                  CASE lang
+                    WHEN 'en' THEN '{_hex4(0.5)}'
+                    WHEN 'de' THEN '{_hex4(0.25)}'
+                    ELSE '{_hex4(0.1)}'
+                  END
+            """
+        ).fetchall()
+    }
+    assert kept == oracle and len(kept) > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from ethereum_analytical_db_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(6000)],
+        "id long, stratum string",
+    )
+    fr = {"a": 1.0, "b": 0.3, "c": 0.0}
+    out = stratified_sample(df, "stratum", fr, "id")
+    counts = {
+        r["stratum"]: r["count"]
+        for r in out.groupBy("stratum").count().collect()
+    }
+    assert counts.get("a") == 2000          # fraction 1.0 keeps everything
+    assert "c" not in counts                # fraction 0.0 drops everything
+    assert abs(counts["b"] / 2000 - 0.3) < 0.04
+    # partition-layout independence (sampleBy can't promise this)
+    a = {r["id"] for r in out.collect()}
+    b = {
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(11), "stratum", fr, "id"
+        ).collect()
+    }
+    assert a == b
+
+    # unknown stratum + default_fraction=1.0 passes through
+    full = stratified_sample(
+        df, "stratum", {"zzz": 0.5}, "id", default_fraction=1.0
+    )
+    assert full.count() == 6000
