@@ -121,11 +121,11 @@ def score_perplexity(
     )
 
 
-def perplexity_filter(
-    scores: DataFrame, max_perplexity: float
-) -> Column:
+def perplexity_filter(max_perplexity: float) -> Column:
     """Keep-predicate for the standard filter step: documents whose
-    perplexity is defined and under the cap."""
+    perplexity is defined and under the cap. Apply to a
+    :func:`score_perplexity` output (or anything with a ``perplexity``
+    column)."""
     return F.col("perplexity").isNotNull() & (
         F.col("perplexity") <= F.lit(max_perplexity)
     )

@@ -21,7 +21,12 @@ substituted from the --from-ts/--to-ts/--interval flags
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# runnable as `python examples/run_reference_sql.py` without an
+# installed package: the repo root is one level up from this file
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:

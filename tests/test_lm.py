@@ -105,7 +105,7 @@ def test_perplexity_filter_and_empty_doc(spark):
     assert got[0]["perplexity"] < got[1]["perplexity"]  # boilerplate scores low
     assert got[2]["perplexity"] is None and got[2]["n_tokens"] == 0
     kept = scores.filter(
-        perplexity_filter(scores, got[0]["perplexity"] + 1e-9)
+        perplexity_filter(got[0]["perplexity"] + 1e-9)
     ).collect()
     assert [r["doc_id"] for r in kept] == [0]
 

@@ -92,3 +92,19 @@ def test_stratified_sample_rates_and_determinism(spark):
         df, "stratum", {"zzz": 0.5}, "id", default_fraction=1.0
     )
     assert full.count() == 6000
+
+
+def test_stratified_sample_monotone_in_fraction(spark):
+    """Threshold sampling's signature invariant (Bernoulli sampling has
+    no analogue): raising a stratum's fraction only ADDS rows — the
+    smaller sample is a strict subset of the larger one. This is what
+    makes iterative corpus re-balancing reproducible: bumping one
+    source's rate never churns the rows already selected."""
+    from ethereum_analytical_db_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(3000)], "id long, stratum string"
+    )
+    small = {r["id"] for r in stratified_sample(df, "stratum", {"s": 0.2}, "id").collect()}
+    big = {r["id"] for r in stratified_sample(df, "stratum", {"s": 0.6}, "id").collect()}
+    assert small < big  # strict subset
