@@ -663,6 +663,39 @@ def ivf_index_write(
     )
 
 
+def ivf_index_append(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch of vectors to
+    the EXISTING centroids and append to the cluster-partitioned layout
+    — no re-clustering, no rewrite of the resident lists. This is how a
+    100 TB index absorbs a daily embedding batch: each append touches
+    only the partitions its vectors land in.
+
+    The centroid digest must match the sidecar — appending under a
+    different centroid set would route probes to the wrong lists.
+    Contract: ids in the new batch must not already be in the index
+    (append is not upsert; a duplicated id would surface twice in a
+    probe's candidate set). Re-train + rewrite when drift makes the
+    frozen centroids a poor quantizer (the standard IVF trade-off).
+    """
+    meta = _read_index_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {path} is {meta.get('kind')!r}, not ivf")
+    if meta.get("centroid_digest") != _centroid_digest(centroids):
+        raise ValueError(
+            f"centroids do not match the ones the index at {path} was "
+            "built with — refusing to append under a different quantizer"
+        )
+    ivf_assign(embeddings, centroids, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cluster").parquet(path)
+
+
 def cosine_topk_ivf_index(
     spark: SparkSession,
     path: str,
@@ -714,6 +747,26 @@ def lsh_index_write(
     _write_index_meta(
         path, {"kind": "lsh", "dim": dim, "planes": planes, "seed": seed}
     )
+
+
+def lsh_index_append(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH maintenance: bucket a NEW batch with the plane
+    matrix recorded in the sidecar (so the append can never use planes
+    the index wasn't built with) and append to the bucket-partitioned
+    layout. Same contract as :func:`ivf_index_append`: batch ids must be
+    new; each append touches only the partitions its vectors hash to."""
+    meta = _read_index_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"index at {path} is {meta.get('kind')!r}, not lsh")
+    planes = _plane_matrix(meta["dim"], meta["planes"], meta["seed"])
+    _assign_sign_buckets(embeddings, planes, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)
 
 
 def cosine_topk_lsh_index(

@@ -281,3 +281,80 @@ def test_int8_quantization_roundtrip(spark):
     got = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(deq, qv, k=5).collect()]
     assert got[0] == want[0] == rows[0][0]
     assert len(set(got) & set(want)) >= 4
+
+
+def test_ivf_index_append_incremental(spark, tmp_path):
+    """Index maintenance: write a base batch, append a second batch
+    under the same centroids — probing the maintained index equals
+    probing an index built from the union in one shot, and appending
+    under different centroids is refused."""
+    import pytest
+
+    rows, _ = _mk_vectors()
+    base, extra = rows[:15], rows[15:]
+    df_base = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    df_extra = spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    df_all = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train_centroids(df_base, n_centroids=4, iterations=2)
+    q = rows[0][1]
+
+    inc_path = str(tmp_path / "ivf_inc")
+    similarity.ivf_index_write(df_base, inc_path, cents)
+    similarity.ivf_index_append(df_extra, inc_path, cents)
+
+    one_path = str(tmp_path / "ivf_one")
+    similarity.ivf_index_write(df_all, one_path, cents)
+
+    for nprobe in (1, 4):
+        inc = similarity.cosine_topk_ivf_index(
+            spark, inc_path, q, cents, k=5, nprobe=nprobe
+        )
+        one = similarity.cosine_topk_ivf_index(
+            spark, one_path, q, cents, k=5, nprobe=nprobe
+        )
+        got = [(r["vec_id"], round(r["cosine"], 9)) for r in inc.collect()]
+        want = [(r["vec_id"], round(r["cosine"], 9)) for r in one.collect()]
+        assert got == want and len(got) == 5
+
+    other = similarity.ivf_train_centroids(df_all, n_centroids=3, iterations=1)
+    with pytest.raises(ValueError, match="different quantizer"):
+        similarity.ivf_index_append(df_extra, inc_path, other)
+
+
+def test_lsh_index_append_incremental(spark, tmp_path):
+    """Same maintenance contract for the LSH layout: the appended batch
+    is bucketed with the sidecar's plane parameters, so an incremental
+    index probes identically to a one-shot build."""
+    import pytest
+
+    rows, _ = _mk_vectors()
+    base, extra = rows[:15], rows[15:]
+    dim = len(rows[0][1])
+    df_base = spark.createDataFrame(base, "vec_id long, embedding array<float>")
+    df_extra = spark.createDataFrame(extra, "vec_id long, embedding array<float>")
+    df_all = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    inc_path = str(tmp_path / "lsh_inc")
+    similarity.lsh_index_write(df_base, inc_path, dim, planes=4, seed=11)
+    similarity.lsh_index_append(df_extra, inc_path)
+
+    one_path = str(tmp_path / "lsh_one")
+    similarity.lsh_index_write(df_all, one_path, dim, planes=4, seed=11)
+
+    inc = similarity.cosine_topk_lsh_index(
+        spark, inc_path, q, k=5, planes=4, seed=11
+    )
+    one = similarity.cosine_topk_lsh_index(
+        spark, one_path, q, k=5, planes=4, seed=11
+    )
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in inc.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in one.collect()]
+    assert got == want and len(got) > 0
+
+    # an IVF index path is refused by the LSH appender
+    cents = similarity.ivf_train_centroids(df_base, n_centroids=3, iterations=1)
+    ivf_path = str(tmp_path / "ivf_x")
+    similarity.ivf_index_write(df_base, ivf_path, cents)
+    with pytest.raises(ValueError, match="not lsh"):
+        similarity.lsh_index_append(df_extra, ivf_path)
