@@ -57,21 +57,22 @@ def train_unigram_lm(
     Truncation keeps the broadcastable invariant: the model is V rows
     regardless of corpus size. N and V reach the driver as two scalars.
     """
+    # counts is cached (spills to disk if large) so the corpus is
+    # tokenized+shuffled ONCE; top-V and the N/V scalars both read it
     counts = (
         df.select(F.explode(words(F.col(text_col))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size).cache()
-    row = top.agg(
-        F.sum("c").alias("n_top"), F.count(F.lit(1)).alias("v")
-    ).first()
-    n_top, v = int(row["n_top"] or 0), int(row["v"] or 0)
+    v = top.count()
     # total corpus tokens (incl. truncated tail — OOV mass must reflect it)
     n_total = int(
         counts.agg(F.sum("c").alias("n")).first()["n"] or 0
     )
+    counts.unpersist()
     denom = float(n_total + add_k * (v + 1))
     table = top.select(
         "word",
@@ -134,7 +135,9 @@ def perplexity_filter(max_perplexity: float) -> Column:
 @dataclass
 class BigramLM:
     """Interpolated bigram model: unigram backbone plus a bounded
-    (prev, word, logp_cond) conditional table.
+    (prev, word, p_bi) conditional table — p_bi is a raw probability in
+    [0, 1], NOT a log (the unigram table stores logs; the scorer mixes
+    them accordingly).
 
     p(w | prev) = λ·p_bi(w|prev) + (1-λ)·p_uni(w), with p_bi add-k
     smoothed per-history; histories outside the table fall back to the
@@ -158,8 +161,10 @@ def train_bigram_lm(
     """Interpolated bigram LM; both tables bounded (top-V words, top-B
     bigrams by count, ties broken lexically).
 
-    The per-history denominator joins the history's total count — a
-    second bounded aggregate — so p_bi is a true conditional.
+    The per-history denominator (the history's total pair count) is
+    derived from ``bi_counts`` itself — sum of counts per prev — so the
+    pair stream is generated and shuffled exactly once, and only the
+    bounded top-B side is ever broadcast.
     """
     uni = train_unigram_lm(df, text_col, vocab_size, add_k)
     ws = df.select(words(F.col(text_col)).alias("ws"))
@@ -181,22 +186,39 @@ def train_bigram_lm(
         .select("p.prev", "p.word")
         .filter((F.col("prev") != "") & (F.col("word") != ""))
     )
-    bi_counts = pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c"))
+    # cached so top-B and the history totals both read the one shuffled
+    # aggregate instead of re-generating the pair stream from the corpus
+    bi_counts = pairs.groupBy("prev", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()
     top_bi = (
         bi_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
         .limit(bigram_size)
         .cache()
     )
-    hist_totals = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("h"))
+    # per-history totals: sum of bi_counts over word ≡ pairs.groupBy(prev)
+    # — no second corpus pass. hist_totals is UNBOUNDED (one row per
+    # distinct first word), so the bounded top-B side is what gets
+    # broadcast into the join; the result is ≤ bigram_size rows.
+    hist_totals = bi_counts.groupBy("prev").agg(F.sum("c").alias("h"))
     v = uni.vocab_size
-    table = top_bi.join(F.broadcast(hist_totals), "prev").select(
-        "prev",
-        "word",
-        (
-            (F.col("c") + F.lit(add_k))
-            / (F.col("h") + F.lit(add_k) * (v + 1))
-        ).alias("p_bi"),
+    table = (
+        hist_totals.join(F.broadcast(top_bi), "prev")
+        .select(
+            "prev",
+            "word",
+            (
+                (F.col("c") + F.lit(add_k))
+                / (F.col("h") + F.lit(add_k) * (v + 1))
+            ).alias("p_bi"),
+        )
+        # materialize the bounded conditional table so every scoring
+        # action broadcasts these ≤B rows instead of re-running the
+        # unbounded hist join, then release the pair-count cache
+        .cache()
     )
+    table.count()
+    bi_counts.unpersist()
     return BigramLM(unigram=uni, table=table, lam=lam)
 
 

@@ -26,6 +26,14 @@ def _hex4(fraction: float) -> str:
     return format(min(int(fraction * _BUCKETS), _BUCKETS - 1), "04x")
 
 
+def _md5_prefix(col: Column, salt: str) -> Column:
+    """The module's one bucketing primitive: 4-hex-char prefix of the
+    salted md5. Shared by split_column and stratified_sample so the
+    engine-parity contract (lowercase-hex lexicographic compare, see
+    module docstring) lives in exactly one place."""
+    return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
+
+
 def split_column(
     id_col: Column | str,
     fractions: dict[str, float],
@@ -35,7 +43,7 @@ def split_column(
     bucket. ``fractions`` values must sum to 1; the last split takes the
     remainder exactly."""
     col = F.col(id_col) if isinstance(id_col, str) else id_col
-    prefix = F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
+    prefix = _md5_prefix(col, salt)
     names = list(fractions)
     cum = 0.0
     expr = None
@@ -79,14 +87,17 @@ def stratified_sample(
     Strata absent from ``fractions`` keep ``default_fraction`` of their
     rows (0.0 = drop unknown strata; 1.0 = pass them through).
 
+    Rows with a NULL ``id_col`` are always dropped — a deterministic
+    sample needs an identity to hash, and quietly keeping them in some
+    branches (the NULL hash compares as NULL → filtered) but not others
+    would make the kept fraction discontinuous in the configured rate.
+
     Scale: one narrow filter — the strata→threshold CASE is a literal
     expression, no shuffle, no collected state. Expected kept fraction
     per stratum is exact to 1/65536 granularity.
     """
     col = F.col(id_col)
-    prefix = F.substring(
-        F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4
-    )
+    prefix = _md5_prefix(col, salt)
     expr = None
     for name, frac in fractions.items():
         cond = F.col(strata_col) == F.lit(name)
@@ -99,4 +110,4 @@ def stratified_sample(
     else:
         default = prefix < F.lit(_hex4(default_fraction))
     keep_expr = expr.otherwise(default) if expr is not None else default
-    return df.filter(keep_expr)
+    return df.filter(col.isNotNull() & keep_expr)

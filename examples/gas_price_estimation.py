@@ -69,9 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     train, test = split_by_block(feats, float(cut))
     print(f"train {train.count()} / test {test.count()} (cut block {cut:.0f})")
 
-    out = grid_search_gas_model(
-        train, n_estimators_grid=tuple(args.grid), n_splits=args.splits
-    )
+    try:
+        out = grid_search_gas_model(
+            train, n_estimators_grid=tuple(args.grid), n_splits=args.splits
+        )
+    except ValueError as e:
+        # time_series_splits needs > --splits distinct TRAIN blocks
+        print(f"cannot cross-validate: {e} — lower --bucket or --splits")
+        return 1
     for cand, score in sorted(out["scores"].items()):
         print(f"  n_estimators={cand:4d}  cv LMFAO={score:.4f}")
     print(f"best: n_estimators={out['best_n_estimators']}")

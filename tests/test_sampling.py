@@ -108,3 +108,20 @@ def test_stratified_sample_monotone_in_fraction(spark):
     small = {r["id"] for r in stratified_sample(df, "stratum", {"s": 0.2}, "id").collect()}
     big = {r["id"] for r in stratified_sample(df, "stratum", {"s": 0.6}, "id").collect()}
     assert small < big  # strict subset
+
+
+def test_stratified_sample_null_ids_always_dropped(spark):
+    """NULL ids have no deterministic hash assignment; they are dropped
+    uniformly — including in fraction-1.0 strata — instead of the
+    discontinuous keep-at-1.0 / drop-below-1.0 a naive NULL-comparison
+    filter would produce."""
+    from ethereum_analytical_db_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (None, "b"), (2, "b")],
+        "id long, stratum string",
+    )
+    out = stratified_sample(df, "stratum", {"a": 1.0, "b": 0.999}, "id")
+    ids = {r["id"] for r in out.collect()}
+    assert None not in ids
+    assert 1 in ids  # fraction-1.0 stratum keeps every non-null row
