@@ -31,6 +31,7 @@ from ethereum_analytical_db_spark.session import get_spark
 
 
 def main() -> None:
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -103,6 +104,13 @@ def main() -> None:
         "spread": spreads,
         "cpus": cpus,
         "errors": errors,
+        # external-contention attribution: this is a shared box, and a
+        # loadavg near/above the CPU count from OTHER tenants inflates
+        # shuffle-heavy queries 2-30x (see SCALE.md measurement-hygiene
+        # note). Recorded so a slow round is distinguishable from a
+        # regression after the fact.
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     # SPARK_GRAFT_BENCH_DETAIL: alternate detail path for off-default
