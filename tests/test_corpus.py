@@ -1,0 +1,84 @@
+"""End-to-end clean_corpus chain: stage ordering, monotonicity where
+the chain only filters, determinism, and each optional stage's effect."""
+
+import pytest
+
+from ethereum_analytical_db_spark.operators.corpus import clean_corpus
+from ethereum_analytical_db_spark.plans.registry import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_stage_chain_and_monotonicity(spark, docs):
+    bench = docs.orderBy("doc_id").limit(2).select("text")
+    report = clean_corpus(
+        docs,
+        benchmark=bench,
+        langs=["en", "de", "fr", "es", "zh"],
+        max_perplexity=1e9,
+        strata_fractions={"en": 1.0},
+    )
+    names = [n for n, _ in report.stages]
+    assert names == [
+        "input", "exact_dedup", "line_dedup", "quality_filter",
+        "lang_filter", "perplexity_filter", "decontaminate", "pii_scrub",
+        "balance", "split",
+    ]
+    counts = [c for _, c in report.stages]
+    # every stage filters or transforms — surviving rows never grow
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] == docs.count()
+    # the planted benchmark docs are gone
+    bench_ids = {r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()}
+    out_ids = {r["doc_id"] for r in report.df.collect()}
+    assert not (bench_ids & out_ids)
+    # final frame carries lang + split columns
+    assert {"lang", "split"} <= set(report.df.columns)
+    assert {r["split"] for r in report.df.collect()} <= {"train", "valid", "test"}
+
+
+def test_minimal_chain_and_determinism(spark, docs):
+    r1 = clean_corpus(docs, collect_stats=True)
+    names = [n for n, _ in r1.stages]
+    # optional stages absent when not configured
+    assert "lang_filter" not in names
+    assert "perplexity_filter" not in names
+    assert "decontaminate" not in names
+    assert "balance" not in names
+    r2 = clean_corpus(docs, collect_stats=True)
+    assert r1.stages == r2.stages
+    a = sorted((r["doc_id"], r["split"]) for r in r1.df.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in r2.df.collect())
+    assert a == b
+
+
+def test_lazy_mode_no_counts(spark, docs):
+    report = clean_corpus(docs, collect_stats=False)
+    assert report.stages == []
+    assert report.df.count() > 0
+
+
+def test_perplexity_stage_drops_high_ppl(spark):
+    # distinct texts so exact-dedup keeps them all and the LM the chain
+    # trains (post-dedup) sees the same corpus the cap was computed on
+    rows = [
+        (i, f"the quick brown fox jumps over the lazy dog v{i}")
+        for i in range(30)
+    ]
+    rows.append((99, "zzq qqz jxq wvv xqj zzv qvx jjz"))  # OOV gibberish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap between the common docs' ppl and the gibberish doc's ppl
+    from ethereum_analytical_db_spark.operators.lm import (
+        score_perplexity, train_unigram_lm,
+    )
+    lm = train_unigram_lm(df, vocab_size=50)
+    ppls = {r["doc_id"]: r["perplexity"] for r in score_perplexity(df, lm).collect()}
+    cap = (ppls[0] + ppls[99]) / 2
+    report = clean_corpus(df, max_perplexity=cap, min_tokens=1)
+    kept = {r["doc_id"] for r in report.df.collect()}
+    assert 99 not in kept and 0 in kept
