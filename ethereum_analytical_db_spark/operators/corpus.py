@@ -10,9 +10,7 @@ they see only surviving text; balance/split at the very end).
 
 Every stage is a narrow transform or an already-scale-audited operator;
 the composite adds no new shuffle beyond its parts. Stage-by-stage
-surviving-row counts are returned so a pipeline run is auditable (the
-counts force one action per stage — pass ``collect_stats=False`` to get
-a single fused lazy plan instead, the production mode).
+surviving-row counts are returned so a pipeline run is auditable.
 """
 
 from __future__ import annotations
@@ -24,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .dedup import exact_duplicates
 from .decontam import decontaminate
-from .lm import score_perplexity, train_unigram_lm
+from .lm import perplexity_filter, score_perplexity, train_unigram_lm
 from .sampling import hash_split, stratified_sample
 from .text import (
     pii_scrub,
@@ -37,8 +35,23 @@ from .text import (
 
 @dataclass
 class CleanCorpusReport:
-    df: DataFrame  # cleaned corpus: original columns + lang + split
+    """``df`` is the cleaned corpus (original columns + ``lang`` +
+    ``split``). In stats mode it is left cached (it was just fully
+    materialized for the final count); ``cached_intermediates`` lists
+    any parent frames the chain had to cache (the LM stage's input in
+    lazy mode). Call :meth:`release` when done reading the result in a
+    long-lived session."""
+
+    df: DataFrame
     stages: list[tuple[str, int]]  # (stage name, rows surviving) in order
+    cached_intermediates: list[DataFrame]
+
+    def release(self) -> None:
+        """Unpersist everything this run cached (the result frame and
+        any cached parents)."""
+        self.df.unpersist()
+        for df in self.cached_intermediates:
+            df.unpersist()
 
 
 def clean_corpus(
@@ -52,10 +65,15 @@ def clean_corpus(
     max_perplexity: float | None = None,
     lm_vocab_size: int = 20_000,
     strata_fractions: dict[str, float] | None = None,
+    balance_default_fraction: float = 1.0,
     split_fractions: dict[str, float] | None = None,
     collect_stats: bool = True,
 ) -> CleanCorpusReport:
     """Run the standard cleaning chain; every knob optional.
+
+    Precondition: ``id_col`` values are unique (the dedup semi-join and
+    the hash split both key on them). Validated in stats mode (one extra
+    aggregate); trusted in lazy mode.
 
     - ``benchmark``: eval-set rows with ``text_col`` → 8-gram
       decontamination (skipped when None).
@@ -65,76 +83,132 @@ def clean_corpus(
     - ``max_perplexity``: absolute cap under a unigram LM trained on the
       corpus that SURVIVED the earlier stages (skipped when None) — the
       CCNet ordering: cheap filters first so the model never trains on
-      obvious junk.
+      obvious junk. LM training is eager (it must see the data to
+      produce a model), so this stage materializes its input even in
+      lazy mode; the input is cached around it to avoid re-computing
+      the prefix for training, scoring, and the keep-join.
     - ``strata_fractions``: per-language keep rates for corpus
-      balancing (skipped when None).
+      balancing (skipped when None). Unlisted languages keep
+      ``balance_default_fraction`` (default 1.0: pass through — the
+      composite balances what you name and leaves the rest; pass 0.0
+      for ``stratified_sample``'s own drop-unknown behavior).
+
+    Caching: in stats mode each stage is cached just long enough to be
+    counted and feed its successor (peak two stages resident, released
+    in a ``finally`` even when a stage fails); the final frame and any
+    parent the returned plan still needs stay cached until
+    ``report.release()``. The caller's ``docs`` is never cached or
+    unpersisted — its persistence level stays whatever the caller chose.
     """
     stages: list[tuple[str, int]] = []
-    cached: list[DataFrame] = []
+    prev_cached: list[DataFrame] = []  # at most one entry: stage N-1
+    lazy_cached: list[DataFrame] = []  # lazy-mode LM prefix, if any
+    ok = False
 
-    def mark(name: str, df: DataFrame) -> DataFrame:
+    def mark(name: str, df: DataFrame, cache: bool = True) -> DataFrame:
         if collect_stats:
-            # cache each stage so counting stage N reads stage N-1's
-            # materialization instead of recomputing the whole prefix
-            # (quadratic otherwise); intermediates are released below
-            df = df.cache()
+            # cache stage N, count it (materializing from N-1's cache),
+            # then release N-1 — counting stays linear in chain length
+            # with at most two stages resident
+            if cache:
+                df = df.cache()
             stages.append((name, df.count()))
-            cached.append(df)
+            if prev_cached:
+                prev_cached.pop().unpersist()
+            if cache:
+                prev_cached.append(df)
         return df
 
-    cur = mark("input", docs)
+    try:
+        # never cache/unpersist the caller's own frame (it may carry the
+        # caller's persistence level); count it directly
+        cur = mark("input", docs, cache=False)
+        if collect_stats:
+            n_ids = docs.select(id_col).distinct().count()
+            if n_ids != stages[0][1]:
+                raise ValueError(
+                    f"{id_col} must be unique: {stages[0][1]} rows but "
+                    f"{n_ids} distinct ids"
+                )
 
-    canon = exact_duplicates(cur, text_col, id_col).select(
-        F.col("canonical_id").alias(id_col)
-    )
-    cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
-
-    cur = mark(
-        "line_dedup",
-        cur.withColumn(text_col, remove_duplicate_lines(F.col(text_col))),
-    )
-
-    cur = mark(
-        "quality_filter",
-        cur.filter(
-            (token_count(F.col(text_col)) >= min_tokens)
-            & (repetition_ratio(F.col(text_col)) <= max_repetition)
-        ),
-    )
-
-    cur = cur.withColumn("lang", predicted_lang(F.col(text_col)))
-    if langs is not None:
-        cur = mark("lang_filter", cur.filter(F.col("lang").isin(langs)))
-
-    if max_perplexity is not None:
-        lm = train_unigram_lm(cur, text_col, vocab_size=lm_vocab_size)
-        scores = score_perplexity(cur, lm, text_col, id_col).filter(
-            F.col("perplexity").isNotNull()
-            & (F.col("perplexity") <= max_perplexity)
+        canon = exact_duplicates(cur, text_col, id_col).select(
+            F.col("canonical_id").alias(id_col)
         )
+        cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
+
         cur = mark(
-            "perplexity_filter",
-            cur.join(scores.select(id_col), id_col, "left_semi"),
+            "line_dedup",
+            cur.withColumn(text_col, remove_duplicate_lines(F.col(text_col))),
         )
 
-    if benchmark is not None:
         cur = mark(
-            "decontaminate",
-            decontaminate(cur, benchmark, text_col=text_col, id_col=id_col),
-        )
-
-    cur = mark("pii_scrub", cur.withColumn(text_col, pii_scrub(F.col(text_col))))
-
-    if strata_fractions is not None:
-        cur = mark(
-            "balance",
-            stratified_sample(
-                cur, "lang", strata_fractions, id_col, default_fraction=1.0
+            "quality_filter",
+            cur.filter(
+                (token_count(F.col(text_col)) >= min_tokens)
+                & (repetition_ratio(F.col(text_col)) <= max_repetition)
             ),
         )
 
-    cur = mark("split", hash_split(cur, id_col, split_fractions))
-    # the final frame is cached+counted; its parents can be released
-    for df in cached[:-1]:
-        df.unpersist()
-    return CleanCorpusReport(df=cur, stages=stages)
+        cur = cur.withColumn("lang", predicted_lang(F.col(text_col)))
+        if langs is not None:
+            cur = mark("lang_filter", cur.filter(F.col("lang").isin(langs)))
+
+        if max_perplexity is not None:
+            # the LM trainer runs actions; cache the surviving prefix so
+            # training, scoring, and the keep-join share one
+            # materialization (in stats mode cur is already cached). The
+            # lazy-mode cache must outlive this call — the returned plan
+            # still references it — so it is handed to the caller via
+            # CleanCorpusReport.cached_intermediates.
+            if not collect_stats:
+                cur = cur.cache()
+                lazy_cached.append(cur)
+            lm = train_unigram_lm(cur, text_col, vocab_size=lm_vocab_size)
+            scores = score_perplexity(cur, lm, text_col, id_col).filter(
+                perplexity_filter(max_perplexity)
+            )
+            cur = mark(
+                "perplexity_filter",
+                cur.join(scores.select(id_col), id_col, "left_semi"),
+            )
+
+        if benchmark is not None:
+            cur = mark(
+                "decontaminate",
+                decontaminate(cur, benchmark, text_col=text_col, id_col=id_col),
+            )
+
+        cur = mark(
+            "pii_scrub", cur.withColumn(text_col, pii_scrub(F.col(text_col)))
+        )
+
+        if strata_fractions is not None:
+            cur = mark(
+                "balance",
+                stratified_sample(
+                    cur,
+                    "lang",
+                    strata_fractions,
+                    id_col,
+                    default_fraction=balance_default_fraction,
+                ),
+            )
+
+        cur = mark("split", hash_split(cur, id_col, split_fractions))
+        if collect_stats and prev_cached and prev_cached[-1] is cur:
+            # keep the final frame cached for the caller (see
+            # CleanCorpusReport); it is no longer "previous"
+            prev_cached.pop()
+        ok = True
+        return CleanCorpusReport(
+            df=cur, stages=stages, cached_intermediates=list(lazy_cached)
+        )
+    finally:
+        # release whatever was resident when we left the chain mid-way;
+        # on success the lazy LM prefix stays cached (the returned plan
+        # references it) and is released via report.release()
+        for df in prev_cached:
+            df.unpersist()
+        if not ok:
+            for df in lazy_cached:
+                df.unpersist()

@@ -82,3 +82,42 @@ def test_perplexity_stage_drops_high_ppl(spark):
     report = clean_corpus(df, max_perplexity=cap, min_tokens=1)
     kept = {r["doc_id"] for r in report.df.collect()}
     assert 99 not in kept and 0 in kept
+
+
+def test_duplicate_ids_rejected_in_stats_mode(spark):
+    from ethereum_analytical_db_spark.operators.corpus import clean_corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (1, "g h i j k l"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        clean_corpus(df)
+
+
+def test_lazy_mode_with_perplexity_and_release(spark, docs):
+    report = clean_corpus(
+        docs, max_perplexity=1e9, collect_stats=False
+    )
+    assert report.stages == []
+    # the LM prefix the returned plan references is cached and handed
+    # back for explicit release
+    assert len(report.cached_intermediates) == 1
+    assert report.cached_intermediates[0].storageLevel.useMemory
+    n = report.df.count()
+    assert n > 0
+    report.release()
+    assert not report.cached_intermediates[0].storageLevel.useMemory
+
+
+def test_balance_default_fraction_knob(spark, docs):
+    # 0.0 restores stratified_sample's drop-unknown behavior
+    report = clean_corpus(
+        docs,
+        strata_fractions={"en": 1.0},
+        balance_default_fraction=0.0,
+        min_tokens=1,
+        max_repetition=1.0,
+    )
+    langs = {r["lang"] for r in report.df.select("lang").distinct().collect()}
+    assert langs <= {"en"}
