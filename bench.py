@@ -30,7 +30,56 @@ from ethereum_analytical_db_spark.plans.registry import all_queries
 from ethereum_analytical_db_spark.session import get_spark
 
 
+def _wait_for_quiet(cpus: int) -> dict:
+    """Refuse to sample on a contaminated box (round-5 lesson).
+
+    r5's shipped number was 1.37x-inflated by EXTERNAL tenant load
+    (loadavg_start 3.34; same registry clocked 30.3s vs 47.5s on quieter
+    samples — see BENCH_HISTORY.jsonl). The 1-min loadavg only reflects
+    OTHER tenants before we start Spark, so the gate runs once, up front:
+    wait until loadavg1 drops under a threshold, then begin. Mid-run
+    gating would be self-defeating (our own local[32] work dominates
+    loadavg within a minute), so contamination DURING the run remains
+    visible only via per-query spread + loadavg_end.
+
+    Env knobs: SPARK_GRAFT_BENCH_NOGATE=1 skips; _LOAD_MAX overrides the
+    threshold; _LOAD_WAIT caps the wait (sec). On timeout we run anyway
+    (a late record beats none) but mark load_gate_ok=false so the sample
+    is self-describing as contaminated.
+    """
+    # empirically a loadavg_start of ~3 on this 32-cpu box still inflates
+    # the suite ~18% vs a 0.3-load sample (BENCH_HISTORY.jsonl ts
+    # 1786691346 vs the run after it), so the default gate is strict:
+    # cpus*0.08 ≈ 2.5, not the 0.15 first proposed
+    gate = {
+        "load_gate_threshold": round(
+            float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", cpus * 0.08)), 2
+        ),
+        "load_gate_waited_sec": 0,
+        "load_gate_ok": True,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_NOGATE"):
+        gate["load_gate_ok"] = None  # explicitly ungated
+        return gate
+    timeout = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "900"))
+    t0 = time.time()
+    while os.getloadavg()[0] > gate["load_gate_threshold"]:
+        if time.time() - t0 > timeout:
+            gate["load_gate_ok"] = False
+            break
+        print(
+            f"# load gate: loadavg {os.getloadavg()[0]:.2f} > "
+            f"{gate['load_gate_threshold']}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+    gate["load_gate_waited_sec"] = round(time.time() - t0, 1)
+    return gate
+
+
 def main() -> None:
+    cpus_for_gate = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    gate = _wait_for_quiet(cpus_for_gate)
     load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -111,6 +160,7 @@ def main() -> None:
         # regression after the fact.
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
+        **gate,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     # SPARK_GRAFT_BENCH_DETAIL: alternate detail path for off-default
