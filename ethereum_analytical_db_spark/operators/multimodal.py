@@ -9,11 +9,12 @@ operators are narrow (no shuffle), so they scale linearly with input
 splits at 100 TB.
 
 Codecs: ``decode_media`` dispatches on the ``fmt`` column. Real image
-formats PPM/PGM (binary netpbm), BMP (uncompressed BI_RGB) and PNG
-(stdlib zlib + full scanline de-filter, all five filter types) are
-decoded in pure Python — no PIL/numpy dependency. Compressed/streaming
-formats (jpeg/wav/mp4) still raise ``NotImplementedError`` at the same
-single dispatch point: wire a library codec there and every downstream
+formats PPM/PGM (binary netpbm), BMP (uncompressed BI_RGB), PNG
+(stdlib zlib + full scanline de-filter, all five filter types) and
+baseline JPEG (full Huffman + IDCT + chroma upsampling, see
+``operators/jpeg.py``) are decoded without PIL. Remaining audio/video
+containers (wav/mp4) raise ``NotImplementedError`` at the same single
+dispatch point: wire a library codec there and every downstream
 operator keeps working unchanged. A deterministic synthetic codec
 (``format='fake'``) parses this module's own header layout for tests
 that need arbitrary metadata without building real pixel data.
@@ -35,6 +36,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.operators.jpeg import decode_jpeg
 
 MEDIA_DDL = (
     "media_id long, kind string, fmt string, content binary, "
@@ -214,23 +217,25 @@ def _decode_png(content: bytes) -> dict:
     return {"width": width, "height": height, "channels": channels, "payload": payload}
 
 
-# decode_media's dispatch table. Real-world compressed formats stay
-# behind the declared NotImplementedError seam below.
+# decode_media's dispatch table. Remaining compressed formats (wav/mp4)
+# stay behind the declared NotImplementedError seam below.
 _CODECS = {
     "fake": _decode_fake,
     "ppm": _decode_netpbm,
     "pgm": _decode_netpbm,
     "bmp": _decode_bmp,
     "png": _decode_png,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
 }
 
 
 def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fmt") -> DataFrame:
     """Decode media content → verified metadata + payload size.
 
-    Dispatches on ``fmt``: ppm/pgm/bmp/png decode real pixel data in
-    pure Python (see module docstring); 'fake' parses the synthetic test
-    container. CODEC BOUNDARY: any other format (jpeg/wav/mp4) raises
+    Dispatches on ``fmt``: ppm/pgm/bmp/png/jpeg decode real pixel data
+    in pure Python (see module docstring); 'fake' parses the synthetic
+    test container. CODEC BOUNDARY: any other format (wav/mp4) raises
     NotImplementedError into the row-level ``decode_error`` column —
     wire a library codec into ``_CODECS`` and every downstream operator
     keeps working unchanged.

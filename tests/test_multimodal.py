@@ -91,7 +91,7 @@ def media(spark):
         mm.encode_fake_media(1, "image", width=640, height=480, payload=b"px" * 100),
         mm.encode_fake_media(2, "audio", sample_rate=16000, payload=b"\x00" * 64),
         mm.encode_fake_media(3, "video", width=1920, height=1080, n_frames=25, payload=b"f" * 10),
-        (4, "image", "jpeg", b"\xff\xd8\xff\xe0 real jpeg", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
+        (4, "audio", "wav", b"RIFF....WAVE real wav", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
         (5, "image", "fake", b"GARBAGE", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
     ]
     return spark.createDataFrame(rows, mm.MEDIA_DDL)
@@ -175,7 +175,7 @@ def test_decode_media_real_formats_end_to_end(spark):
         (2, "image", "png", _make_png(4, 6, 3, px), None),
         (3, "image", "bmp", _make_bmp(5, 3, [_gradient(5, 1, 3)] * 3), None),
         (4, "image", "pgm", _make_ppm(7, 2, _gradient(7, 2, 1), magic=b"P5"), None),
-        (5, "image", "jpeg", b"\xff\xd8\xff\xe0 still stubbed", None),
+        (5, "audio", "wav", b"RIFF....WAVE still stubbed", None),
     ]
     df = spark.createDataFrame(rows, mm.MEDIA_DDL)
     out = {r["media_id"]: r for r in mm.decode_media(df).collect()}
@@ -188,6 +188,272 @@ def test_decode_media_real_formats_end_to_end(spark):
     assert all(out[i]["decode_error"] is None for i in (1, 2, 3, 4))
     # compressed formats without a container codec stay a loud seam
     assert out[5]["decode_error"].startswith("NotImplementedError")
+
+
+# ---- baseline JPEG: independent test-side encoder ----
+# Canonical-Huffman construction and the forward DCT are implemented
+# here from the T.81 spec, independent of operators/jpeg.py, so the
+# round-trips check the decoder against a second implementation.
+
+import numpy as np
+
+# T.81 Annex K.3.3.1 luminance DC table (counts per code length, symbols)
+_DC_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_SYMS = bytes(range(12))
+# Annex K.3.3.2 luminance AC table
+_AC_COUNTS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_SYMS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+_ENC_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_ENC_DCT = np.array([
+    [(1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+     for x in range(8)]
+    for u in range(8)
+])  # forward: coeffs = D @ (pix-128) @ D.T
+
+
+def _enc_codes(counts, syms):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, val, nbits):
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def byte_align(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _enc_category(v):
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _enc_block(bw, block, pred, qt, dc_codes, ac_codes):
+    coef = _ENC_DCT @ (block.astype(np.float64) - 128.0) @ _ENC_DCT.T
+    zz = np.array(
+        [int(round(coef.flat[_ENC_ZZ[k]] / qt[k])) for k in range(64)]
+    )
+    diff = int(zz[0]) - pred
+    t = _enc_category(diff)
+    bw.put(*dc_codes[t])
+    if t:
+        bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_codes[0xF0])  # ZRL
+            run -= 16
+        s = _enc_category(v)
+        bw.put(*ac_codes[(run << 4) | s])
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _make_jpeg(width, height, pixels, channels=3, y_sampling=(1, 1), restart=0):
+    """Independent baseline JFIF encoder: qt=all-ones (near-lossless),
+    Annex K luminance Huffman tables for every component, optional 4:2:x
+    subsampling on the chroma planes and restart intervals."""
+    px = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    px = px.reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+        hv = [y_sampling, (1, 1), (1, 1)]
+    else:
+        planes, hv = [px[..., 0]], [(1, 1)]
+    hmax = max(h for h, _ in hv)
+    vmax = max(v for _, v in hv)
+
+    # subsample chroma by block-averaging, pad planes to MCU multiples
+    sub = []
+    for plane, (ch, cv) in zip(planes, hv):
+        fy, fx = vmax // cv, hmax // ch
+        if fy > 1 or fx > 1:
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            plane = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge")
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        sub.append(plane)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = []
+    for plane, (ch, cv) in zip(sub, hv):
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        padded.append(np.pad(
+            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])), mode="edge"
+        ))
+
+    dc_codes = _enc_codes(_DC_COUNTS, _DC_SYMS)
+    ac_codes = _enc_codes(_AC_COUNTS, _AC_SYMS)
+    qt = [1] * 64
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_n and mcu_n % restart == 0:
+                bw.byte_align()
+                bw.buf += bytes([0xFF, 0xD0 + ((mcu_n // restart - 1) % 8)])
+                preds = [0] * len(planes)
+            for ci, (plane, (ch, cv)) in enumerate(zip(padded, hv)):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        preds[ci] = _enc_block(
+                            bw, plane[y0:y0 + 8, x0:x0 + 8],
+                            preds[ci], qt, dc_codes, ac_codes,
+                        )
+            mcu_n += 1
+    bw.byte_align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt))
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for i, (ch, cv) in enumerate(hv):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMS)
+    out += seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMS)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(bw.buf) + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_grayscale_roundtrip():
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    px = _gradient(16, 8, 1)
+    d = J.decode_jpeg(_make_jpeg(16, 8, px, channels=1))
+    assert (d["width"], d["height"], d["channels"]) == (16, 8, 1)
+    got = np.frombuffer(d["payload"], dtype=np.uint8).astype(int)
+    want = np.frombuffer(px, dtype=np.uint8).astype(int)
+    # qt=1: only FDCT/IDCT float rounding survives
+    assert np.abs(got - want).max() <= 2
+
+
+def test_jpeg_color_roundtrip_non_multiple_of_8():
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    px = _gradient(11, 5, 3)  # forces edge-padding + crop on decode
+    d = J.decode_jpeg(_make_jpeg(11, 5, px))
+    assert (d["width"], d["height"], d["channels"]) == (11, 5, 3)
+    got = np.frombuffer(d["payload"], dtype=np.uint8).astype(int)
+    want = np.frombuffer(px, dtype=np.uint8).astype(int)
+    # RGB→YCbCr→RGB adds colorspace rounding on top of DCT rounding
+    assert np.abs(got - want).max() <= 4
+
+
+def test_jpeg_420_subsampling_flat_color_exact():
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    w, h = 20, 12  # not an MCU multiple at 4:2:0 (16x16 MCUs)
+    px = bytes([90, 160, 40]) * (w * h)
+    d = J.decode_jpeg(_make_jpeg(w, h, px, y_sampling=(2, 2)))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, 3).astype(int)
+    want = np.array([90, 160, 40])
+    # flat color: subsample-average == nearest-upsample, so exact ±2
+    assert np.abs(got - want).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    px = _gradient(32, 8, 1)  # 4 MCUs → RST after every 2nd
+    d = J.decode_jpeg(_make_jpeg(32, 8, px, channels=1, restart=2))
+    got = np.frombuffer(d["payload"], dtype=np.uint8).astype(int)
+    want = np.frombuffer(px, dtype=np.uint8).astype(int)
+    assert np.abs(got - want).max() <= 2
+
+
+def test_jpeg_rejects_non_baseline():
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    good = _make_jpeg(8, 8, _gradient(8, 8, 1), channels=1)
+    with pytest.raises(ValueError, match="SOF2"):
+        # flip SOF0 marker to SOF2 (progressive)
+        J.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xe0 not a jpeg")
+    with pytest.raises(ValueError):  # truncated scan
+        J.decode_jpeg(good[:-20])
+
+
+def test_jpeg_through_decode_media(spark):
+    """The Spark path: a real JPEG through the Arrow mapInPandas codec."""
+    content = _make_jpeg(11, 5, _gradient(11, 5, 3))
+    df = spark.createDataFrame(
+        [(1, "image", "jpeg", content, None),
+         (2, "image", "jpg", content, None)],
+        mm.MEDIA_DDL,
+    )
+    out = {r["media_id"]: r for r in mm.decode_media(df).collect()}
+    for i in (1, 2):
+        assert (out[i]["dec_width"], out[i]["dec_height"], out[i]["dec_channels"]) == (11, 5, 3)
+        assert out[i]["payload_bytes"] == 11 * 5 * 3
+        assert out[i]["decode_error"] is None
 
 
 def test_resize_plan_preserves_aspect(media):
