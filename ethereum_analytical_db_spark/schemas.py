@@ -38,11 +38,13 @@ def with_engine_columns(schema: StructType) -> StructType:
     return StructType(fields)
 
 
-# reference schema/schema.py:2-5
+# reference schema/schema.py:2-5 (number Int64 / timestamp DateTime are
+# non-Nullable in the reference DDL; mirrored here so the ClickHouse DDL
+# generator reproduces the exact reference statements)
 BLOCK = StructType([
     _f("id", StringType()),
-    _f("number", LongType()),
-    _f("timestamp", TimestampType()),
+    _f("number", LongType(), nullable=False),
+    _f("timestamp", TimestampType(), nullable=False),
 ])
 
 # reference schema/schema.py:6-33 (FIXTURES.md §2)
@@ -79,15 +81,15 @@ INTERNAL_TRANSACTION = StructType([
 # reference schema/schema.py:34-37; primary key (id, name)
 BLOCK_FLAG = StructType([
     _f("id", StringType()),
-    _f("name", StringType()),
+    _f("name", StringType(), nullable=False),
     _f("value", ByteType()),
 ])
 
 # reference schema/schema.py:42-45; primary key (id, name)
 CONTRACT_BLOCK = StructType([
     _f("id", StringType()),
-    _f("name", StringType()),
-    _f("value", LongType()),
+    _f("name", StringType(), nullable=False),
+    _f("value", LongType(), nullable=False),
 ])
 
 # reference schema/schema.py:38-41
@@ -116,9 +118,9 @@ EVENT = StructType([
 # two parallel arrays (SURVEY §1.2, risk (d))
 TRANSACTION_INPUT = StructType([
     _f("id", StringType()),
-    _f("name", StringType()),
-    _f("params_type", ArrayType(StringType())),
-    _f("params_value", ArrayType(StringType())),
+    _f("name", StringType(), nullable=False),
+    _f("params_type", ArrayType(StringType()), nullable=False),
+    _f("params_value", ArrayType(StringType()), nullable=False),
 ])
 
 EVENT_INPUT = TRANSACTION_INPUT  # reference schema/schema.py:62-65 (same shape)
@@ -126,11 +128,11 @@ EVENT_INPUT = TRANSACTION_INPUT  # reference schema/schema.py:62-65 (same shape)
 # reference schema/schema.py:66-72
 PRICE = StructType([
     _f("id", StringType()),          # '{address}_{YYYY-mm-dd}'
-    _f("address", StringType()),
-    _f("USD", DoubleType()),
-    _f("BTC", DoubleType()),
-    _f("ETH", DoubleType()),
-    _f("timestamp", TimestampType()),
+    _f("address", StringType(), nullable=False),
+    _f("USD", DoubleType(), nullable=False),
+    _f("BTC", DoubleType(), nullable=False),
+    _f("ETH", DoubleType(), nullable=False),
+    _f("timestamp", TimestampType(), nullable=False),
 ])
 
 # reference schema/schema.py:73-81

@@ -198,3 +198,107 @@ def test_export_jdbc_roundtrip_embedded_derby(spark, wh):
     got = {(r["id"], r["name"], r["value"]) for r in back.collect()}
     assert got == {(str(i), "traces_extracted", i) for i in range(8)}
     assert "_seq" not in back.columns
+
+
+# ---- ClickHouse DDL generation (reference operations/indices.py:18-37) ----
+
+_EXPECTED_DDL = {
+    "block": (
+        "CREATE TABLE IF NOT EXISTS block (`id` String, `number` Int64, "
+        "`timestamp` DateTime) ENGINE = ReplacingMergeTree() ORDER BY (id)"
+    ),
+    "block_flag": (
+        "CREATE TABLE IF NOT EXISTS block_flag (`id` String, `name` String, "
+        "`value` Nullable(UInt8)) ENGINE = ReplacingMergeTree() "
+        "ORDER BY (id, name)"
+    ),
+    "contract_block": (
+        "CREATE TABLE IF NOT EXISTS contract_block (`id` String, "
+        "`name` String, `value` Int64) ENGINE = ReplacingMergeTree() "
+        "ORDER BY (id, name)"
+    ),
+    "contract_abi": (
+        "CREATE TABLE IF NOT EXISTS contract_abi (`id` String, "
+        "`abi_extracted` Nullable(UInt8), `abi` Nullable(String)) "
+        "ENGINE = ReplacingMergeTree() ORDER BY (id)"
+    ),
+    "event": (
+        "CREATE TABLE IF NOT EXISTS event (`id` String, `type` String, "
+        "`logIndex` Int32, `transactionLogIndex` Int32, `data` String, "
+        "`transactionIndex` Int32, `address` String, "
+        "`transactionHash` String, `blockHash` String, `blockNumber` Int32, "
+        "`topics` Array(String)) ENGINE = ReplacingMergeTree() ORDER BY (id)"
+    ),
+    "transaction_input": (
+        "CREATE TABLE IF NOT EXISTS transaction_input (`id` String, "
+        "`name` String, `params_type` Array(String), "
+        "`params_value` Array(String)) ENGINE = ReplacingMergeTree() "
+        "ORDER BY (id)"
+    ),
+    "price": (
+        "CREATE TABLE IF NOT EXISTS price (`id` String, `address` String, "
+        "`USD` Float64, `BTC` Float64, `ETH` Float64, `timestamp` DateTime) "
+        "ENGINE = ReplacingMergeTree() ORDER BY (id)"
+    ),
+    "contract_description": (
+        "CREATE TABLE IF NOT EXISTS contract_description (`id` String, "
+        "`token_name` Nullable(String), `token_symbol` Nullable(String), "
+        "`decimals` Nullable(UInt8), `total_supply` Nullable(Int64), "
+        "`token_owner` Nullable(String), `cmc_id` Nullable(String), "
+        "`website_slug` Nullable(String)) ENGINE = ReplacingMergeTree() "
+        "ORDER BY (id)"
+    ),
+    "internal_transaction": (
+        "CREATE TABLE IF NOT EXISTS internal_transaction (`id` String, "
+        "`blockNumber` Int64, `from` Nullable(String), `to` Nullable(String), "
+        "`value` Nullable(Float64), `input` Nullable(String), "
+        "`output` Nullable(String), `gas` Nullable(String), "
+        "`gasUsed` Nullable(Int32), `gasPrice` Nullable(Float64), "
+        "`blockHash` String, `transactionHash` Nullable(String), "
+        "`transactionPosition` Nullable(Int32), `subtraces` Int32, "
+        "`traceAddress` Array(Int32), `type` String, "
+        "`callType` Nullable(String), `address` Nullable(String), "
+        "`code` Nullable(String), `init` Nullable(String), "
+        "`refundAddress` Nullable(String), `error` Nullable(String), "
+        "`parent_error` Nullable(UInt8), `balance` Nullable(String), "
+        "`author` Nullable(String), `rewardType` Nullable(String), "
+        "`result` Nullable(String)) ENGINE = ReplacingMergeTree() "
+        "ORDER BY (id)"
+    ),
+}
+
+
+def test_clickhouse_ddl_exact_statements():
+    """Pinned byte-for-byte: types (Nullable/Array/DateTime/UInt8),
+    ReplacingMergeTree engine, composite ORDER BY for the two (id, name)
+    tables — the reference's prepare_indices statements regenerated from
+    our StructTypes (reference schema/schema.py + operations/indices.py)."""
+    from ethereum_analytical_db_spark.compat import clickhouse_ddl as ddl
+
+    stmts = ddl.prepare_indices_sql()
+    for table, expected in _EXPECTED_DDL.items():
+        assert stmts[table] == expected, table
+    # event_input shares transaction_input's shape (reference schema)
+    assert stmts["event_input"] == _EXPECTED_DDL["transaction_input"].replace(
+        "transaction_input", "event_input"
+    )
+    # every logical table (incl. the derived MVs) generates valid DDL
+    assert set(stmts) == set(
+        __import__(
+            "ethereum_analytical_db_spark.schemas", fromlist=["TABLES"]
+        ).TABLES
+    )
+
+
+def test_clickhouse_ddl_excludes_engine_columns_and_guards_pk():
+    from ethereum_analytical_db_spark import schemas
+    from ethereum_analytical_db_spark.compat import clickhouse_ddl as ddl
+
+    # with_engine_columns adds _seq; the DDL must not leak it
+    s = schemas.with_engine_columns(schemas.TABLES["block"])
+    stmt = ddl.create_table_ddl("block", s)
+    assert "_seq" not in stmt
+    assert stmt == _EXPECTED_DDL["block"]
+    # ORDER BY column absent from the schema fails loudly
+    with pytest.raises(ValueError, match="primary key"):
+        ddl.create_table_ddl("block", schemas.TABLES["block"], ["nope"])
