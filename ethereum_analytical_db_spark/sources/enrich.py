@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 NAME_DEFAULT = None
 SYMBOL_DEFAULT = None
 DECIMALS_DEFAULT = 18
-TOTAL_SUPPLY_DEFAULT = 0
+# float: the result schema types totalSupply as double (raw uint256
+# supplies overflow long), and createDataFrame rejects int 0 for a
+# DoubleType field when every eth_call fails and the default is used
+TOTAL_SUPPLY_DEFAULT = 0.0
 
 CONSTANT_TYPES: dict[str, list[str]] = {
     # reference tries these return types in order (string first, then bytes32)

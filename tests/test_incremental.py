@@ -125,8 +125,10 @@ def test_watermark_slice_plan_broadcasts_dim(spark, tmp_path):
     txs = spark.createDataFrame(
         [("0xT.0", 6, "0xtok")], "id string, blockNumber long, `to` string"
     )
-    todo = cli._parse_inputs_todo(wh, {"0xtok": "[]"}, cli.TX_INPUT_FLAG, 10)
-    assert todo == {"0xtok": 5}  # behind max_block → in the to-do set
+    abi_ids = spark.createDataFrame([("0xtok",)], "id string")
+    todo = cli._parse_inputs_todo(wh, abi_ids, cli.TX_INPUT_FLAG, 10)
+    got = [(r["id"], r["last_block"]) for r in todo.collect()]
+    assert got == [("0xtok", 5)]  # behind max_block → in the to-do set
     sliced = cli._watermark_slice(wh, txs, todo, cli.TX_INPUT_FLAG, 10, "to")
     assert sliced.count() == 1  # block 6 is above the watermark (5)
     plan = sliced._jdf.queryExecution().executedPlan().toString()
