@@ -208,9 +208,21 @@ def time_series_splits(
         )
     qs = [i / (n_splits + 1) for i in range(1, n_splits + 1)]
     row = features.select(
-        F.percentile(F.col("block"), F.lit(qs)).alias("cuts")
+        F.percentile(F.col("block"), F.lit(qs)).alias("cuts"),
+        F.max("block").alias("max_block"),
     ).first()
     cuts = list(row["cuts"] or [])
+    # a skewed block distribution can make two equal-frequency cuts
+    # coincide (or push the last cut onto the max block), which would
+    # yield an empty validation fold that silently scores 0.0 into every
+    # grid candidate — fail loudly instead (round-5 advice)
+    distinct_cuts = sorted(set(cuts))
+    if len(distinct_cuts) < n_splits or distinct_cuts[-1] >= row["max_block"]:
+        raise ValueError(
+            f"block distribution too skewed for n_splits={n_splits}: "
+            f"cuts {cuts} over max block {row['max_block']} leave an "
+            "empty validation fold"
+        )
     splits: list[tuple[DataFrame, DataFrame]] = []
     for i, cut in enumerate(cuts):
         train = features.filter(F.col("block") <= F.lit(cut))

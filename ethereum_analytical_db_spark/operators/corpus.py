@@ -15,7 +15,7 @@ surviving-row counts are returned so a pipeline run is auditable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,13 +45,16 @@ class CleanCorpusReport:
     df: DataFrame
     stages: list[tuple[str, int]]  # (stage name, rows surviving) in order
     cached_intermediates: list[DataFrame]
+    models: list = field(default_factory=list)  # trained LMs (cached tables)
 
     def release(self) -> None:
-        """Unpersist everything this run cached (the result frame and
-        any cached parents)."""
+        """Unpersist everything this run cached (the result frame, any
+        cached parents, and any LM model tables trained by the chain)."""
         self.df.unpersist()
         for df in self.cached_intermediates:
             df.unpersist()
+        for m in self.models:
+            m.release()
 
 
 def clean_corpus(
@@ -103,6 +106,7 @@ def clean_corpus(
     stages: list[tuple[str, int]] = []
     prev_cached: list[DataFrame] = []  # at most one entry: stage N-1
     lazy_cached: list[DataFrame] = []  # lazy-mode LM prefix, if any
+    models: list = []  # LMs trained by the chain (hold cached tables)
     ok = False
 
     def mark(name: str, df: DataFrame, cache: bool = True) -> DataFrame:
@@ -149,7 +153,13 @@ def clean_corpus(
             ),
         )
 
-        cur = cur.withColumn("lang", predicted_lang(F.col(text_col)))
+        # an input that already carries a `lang` column is trusted as
+        # ground truth (the heuristic predictor is strictly weaker than
+        # real labels — round-5 advice); the predictor only fills the
+        # column when absent. Either way `lang` drives the language
+        # filter AND the stratified-balance key below.
+        if "lang" not in cur.columns:
+            cur = cur.withColumn("lang", predicted_lang(F.col(text_col)))
         if langs is not None:
             cur = mark("lang_filter", cur.filter(F.col("lang").isin(langs)))
 
@@ -164,6 +174,7 @@ def clean_corpus(
                 cur = cur.cache()
                 lazy_cached.append(cur)
             lm = train_unigram_lm(cur, text_col, vocab_size=lm_vocab_size)
+            models.append(lm)
             scores = score_perplexity(cur, lm, text_col, id_col).filter(
                 perplexity_filter(max_perplexity)
             )
@@ -201,14 +212,20 @@ def clean_corpus(
             prev_cached.pop()
         ok = True
         return CleanCorpusReport(
-            df=cur, stages=stages, cached_intermediates=list(lazy_cached)
+            df=cur,
+            stages=stages,
+            cached_intermediates=list(lazy_cached),
+            models=list(models),
         )
     finally:
         # release whatever was resident when we left the chain mid-way;
-        # on success the lazy LM prefix stays cached (the returned plan
-        # references it) and is released via report.release()
+        # on success the lazy LM prefix + model tables stay cached (the
+        # returned plan references them) and are released via
+        # report.release()
         for df in prev_cached:
             df.unpersist()
         if not ok:
             for df in lazy_cached:
                 df.unpersist()
+            for m in models:
+                m.release()

@@ -41,6 +41,12 @@ class UnigramLM:
     vocab_size: int
     total_tokens: int
 
+    def release(self) -> None:
+        """Drop the cached model table. A long-lived session training
+        many models (repeated clean_corpus runs) otherwise accumulates
+        cached tables indefinitely (round-5 advice)."""
+        self.table.unpersist()
+
 
 def train_unigram_lm(
     df: DataFrame,
@@ -66,18 +72,22 @@ def train_unigram_lm(
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
-    top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size).cache()
+    top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size)
     v = top.count()
     # total corpus tokens (incl. truncated tail — OOV mass must reflect it)
     n_total = int(
         counts.agg(F.sum("c").alias("n")).first()["n"] or 0
     )
-    counts.unpersist()
     denom = float(n_total + add_k * (v + 1))
+    # cache the FINAL bounded table (not the intermediate top-V) so the
+    # model holds exactly one cached artifact, released by .release();
+    # counts stays cached until the table materializes, then unpersists
     table = top.select(
         "word",
         F.log((F.col("c") + F.lit(add_k)) / F.lit(denom)).alias("logp"),
-    )
+    ).cache()
+    table.count()
+    counts.unpersist()
     import math
 
     oov_logp = math.log(add_k / denom) if denom > 0 else 0.0
@@ -149,6 +159,11 @@ class BigramLM:
     table: DataFrame  # (prev string, word string, p_bi double)
     lam: float
 
+    def release(self) -> None:
+        """Drop both cached model tables (see UnigramLM.release)."""
+        self.table.unpersist()
+        self.unigram.release()
+
 
 def train_bigram_lm(
     df: DataFrame,
@@ -194,7 +209,6 @@ def train_bigram_lm(
     top_bi = (
         bi_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
         .limit(bigram_size)
-        .cache()
     )
     # per-history totals: sum of bi_counts over word ≡ pairs.groupBy(prev)
     # — no second corpus pass. hist_totals is UNBOUNDED (one row per

@@ -2,6 +2,7 @@
 the chain only filters, determinism, and each optional stage's effect."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ethereum_analytical_db_spark.operators.corpus import clean_corpus
 from ethereum_analytical_db_spark.plans.registry import table
@@ -121,3 +122,18 @@ def test_balance_default_fraction_knob(spark, docs):
     )
     langs = {r["lang"] for r in report.df.select("lang").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_ground_truth_lang_preserved(spark, docs):
+    """Round-5 advice: an input that already carries a lang column is
+    trusted — the heuristic must not overwrite real labels (the filter
+    and the balance strata run on the provided column)."""
+    labeled = docs.withColumn("lang", F.lit("xx"))  # no heuristic emits 'xx'
+    report = clean_corpus(labeled, langs=["xx"], collect_stats=True)
+    try:
+        # nothing dropped by the language filter: the provided label won
+        stages = dict(report.stages)
+        assert stages["lang_filter"] == stages["quality_filter"]
+        assert report.df.select("lang").distinct().collect()[0]["lang"] == "xx"
+    finally:
+        report.release()

@@ -191,3 +191,21 @@ def test_bigram_beats_unigram_on_predictable_text(spark):
     u = score_perplexity(df, uni).first()["perplexity"]
     b = score_perplexity_bigram(df, bi).first()["perplexity"]
     assert b < u
+
+
+def test_lm_release_drops_cached_tables(spark, docs):
+    """Round-5 advice: repeated training in a long session must not
+    accumulate cached model tables — release() drops them."""
+    lm = train_unigram_lm(docs, vocab_size=V, add_k=K)
+    assert lm.table.storageLevel.useMemory  # trained model is cached
+    lm.release()
+    assert not lm.table.storageLevel.useMemory
+
+    from ethereum_analytical_db_spark.operators.lm import train_bigram_lm
+
+    blm = train_bigram_lm(docs, vocab_size=V, bigram_size=200)
+    assert blm.table.storageLevel.useMemory
+    assert blm.unigram.table.storageLevel.useMemory
+    blm.release()
+    assert not blm.table.storageLevel.useMemory
+    assert not blm.unigram.table.storageLevel.useMemory

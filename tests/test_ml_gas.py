@@ -147,3 +147,19 @@ def test_model_eval_query_empty_frame(spark, tmp_path):
     out = gas_price_model_eval(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["n_features"] == 0 and out[0]["lmfao"] is None
+
+
+def test_time_series_splits_rejects_coincident_cuts(spark):
+    """Round-5 advice: a skewed block distribution that collapses two
+    equal-frequency percentile cuts (or pushes the last cut onto the max
+    block) must raise, not yield empty folds that score 0.0."""
+    from ethereum_analytical_db_spark.ml.gas_price import time_series_splits
+
+    # 97% of rows on one block → every cut lands on block 100
+    rows = [(100, float(i), 0.0, 0.0, 0) for i in range(97)]
+    rows += [(b, 1.0, 0.0, 0.0, 0) for b in (1, 2, 3)]
+    skewed = spark.createDataFrame(
+        rows, "block long, avg_gas_price double, p25 double, p75 double, n int"
+    )
+    with pytest.raises(ValueError, match="skew"):
+        time_series_splits(skewed, n_splits=3)
