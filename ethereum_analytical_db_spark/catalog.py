@@ -158,10 +158,17 @@ class Warehouse:
 
     def read(self, table: str, final: bool = True) -> DataFrame:
         """Table scan; ``final=True`` applies last-write-wins dedup by
-        primary key (SURVEY §1.3 / W2)."""
+        primary key (SURVEY §1.3 / W2), then drops keys whose winning
+        version is a reorg tombstone (operators/reorg.py) — the FINAL
+        analogue of a DELETE, resolved per-key AFTER dedup so a later
+        re-insert of the same key revives it."""
         df = self.spark.read.parquet(self._path(table))
         if final:
             df = final_dedup(df, schemas.primary_key(table))
+            if "_tombstone" in df.columns:
+                df = df.filter(
+                    F.coalesce(F.col("_tombstone"), F.lit(0)) != F.lit(1)
+                )
         return df
 
     def iterate(self, table: str, per: int = 1000, fields: list[str] | None = None,

@@ -28,13 +28,20 @@ def _f(name, dtype, nullable=True):
 
 
 def with_engine_columns(schema: StructType) -> StructType:
-    """Force-add id/_seq the way the reference force-adds id."""
+    """Force-add id/_seq the way the reference force-adds id, plus the
+    ``_tombstone`` marker the reorg reconciler sets (operators/reorg.py):
+    a FINAL row whose latest version carries _tombstone=1 is dropped by
+    ``Warehouse.read(final=True)`` — the upsert-shaped DELETE the
+    reference never implements (it stores blockHash but never reconciles
+    orphaned forks, schema/schema.py:7)."""
     names = {f.name for f in schema.fields}
     fields = list(schema.fields)
     if "id" not in names:
         fields.insert(0, _f("id", StringType()))
     if "_seq" not in names:
         fields.append(_f("_seq", LongType()))
+    if "_tombstone" not in names:
+        fields.append(_f("_tombstone", ByteType()))
     return StructType(fields)
 
 
