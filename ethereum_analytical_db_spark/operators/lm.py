@@ -241,11 +241,19 @@ def score_perplexity_bigram(
     lm: BigramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_decimal_sum: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, avg_neg_logp, perplexity) under the interpolated
     bigram model. The first token of each doc scores as unigram (no
     history); a (prev, word) pair outside the bigram table contributes
     only its unigram term.
+
+    ``exact_decimal_sum``: aggregate per-token logs through
+    DECIMAL(38,8) — exact and order-independent, so the avg_neg_logp
+    doubles are BITWISE reproducible across engines/partitionings (the
+    registry's oracle-hash determinism rule; plain double SUM is
+    summation-order-dependent). The 8-dp quantization changes scores by
+    <1e-8 — irrelevant for filtering, essential for hash parity.
     """
     ws = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
     toks = (
@@ -276,10 +284,21 @@ def score_perplexity_bigram(
         F.lit(lm.lam) * F.col("p_bi") + F.lit(1.0 - lm.lam) * p_uni,
     ).otherwise(p_uni)
     scored = j.select(F.col(id_col), F.log(p).alias("logp"))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (-F.avg("logp")).alias("avg_neg_logp"),
-    )
+    if exact_decimal_sum:
+        per_doc = scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                -(
+                    F.sum(F.col("logp").cast("decimal(38,8)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("avg_neg_logp"),
+        )
+    else:
+        per_doc = scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg("logp")).alias("avg_neg_logp"),
+        )
     ids = df.select(id_col).distinct()
     return ids.join(per_doc, id_col, "left").select(
         id_col,

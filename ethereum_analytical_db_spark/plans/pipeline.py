@@ -634,41 +634,136 @@ def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The interpolated bigram model, re-derived end-to-end in DuckDB SQL:
+# token stream WITH POSITIONS (pairs must respect empty-token gaps the
+# way the trainer's adjacent-array pairs do), word counts → top-V,
+# pair counts → top-B (count desc, then (prev, word) lexical — the
+# trainer's deterministic tie-break), per-history totals from the FULL
+# pair counts, add-k smoothing, λ-interpolation with unigram fallback
+# for out-of-table histories. Constants mirror the registry call:
+# V=5000, B=20000, k=0.5, λ=0.7.
+_LM_ORACLE = """
+WITH raw AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tok_all AS (
+  SELECT doc_id, i AS pos, ws[i] AS word
+  FROM raw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+),
+tok AS (SELECT * FROM tok_all WHERE word <> ''),
+counts AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+top AS (SELECT word, c FROM counts ORDER BY c DESC, word ASC LIMIT 5000),
+consts AS (
+  SELECT (SELECT sum(c) FROM counts)
+         + 0.5 * ((SELECT count(*) FROM top) + 1) AS denom,
+         (SELECT count(*) FROM top) AS v
+),
+pairs AS (
+  SELECT a.word AS prev, b.word AS word
+  FROM tok_all a JOIN tok_all b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.word <> '' AND b.word <> ''
+),
+bi_counts AS (SELECT prev, word, count(*) AS c FROM pairs GROUP BY prev, word),
+top_bi AS (
+  SELECT prev, word, c FROM bi_counts
+  ORDER BY c DESC, prev ASC, word ASC LIMIT 20000
+),
+hist AS (SELECT prev, sum(c) AS h FROM bi_counts GROUP BY prev),
+bi_table AS (
+  SELECT t.prev, t.word,
+         (t.c + 0.5) / (hi.h + 0.5 * ((SELECT v FROM consts) + 1)) AS p_bi
+  FROM top_bi t JOIN hist hi USING (prev)
+),
+scored AS (
+  SELECT t.doc_id,
+         ln(CASE WHEN bt.p_bi IS NOT NULL
+                 THEN 0.7 * bt.p_bi
+                      + 0.3 * (coalesce(top.c + 0.5, 0.5)
+                               / (SELECT denom FROM consts))
+                 ELSE coalesce(top.c + 0.5, 0.5)
+                      / (SELECT denom FROM consts) END) AS logp
+  FROM tok t
+  LEFT JOIN tok_all pv ON pv.doc_id = t.doc_id AND pv.pos = t.pos - 1
+  LEFT JOIN top ON t.word = top.word
+  LEFT JOIN bi_table bt ON bt.prev = pv.word AND bt.word = t.word
+),
+per_doc AS (
+  -- DECIMAL(38,8) sum: exact and order-independent, so avg_neg_logp is
+  -- bitwise reproducible (plain double SUM varies with summation order;
+  -- exp/ln are not correctly-rounded across engines, so the hashed
+  -- output carries the log-domain score, not exp(anl))
+  SELECT doc_id, count(*) AS n_tokens,
+         -(CAST(sum(CAST(logp AS DECIMAL(38,8))) AS DOUBLE) / count(*))
+           AS avg_neg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       p.avg_neg_logp
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 @register(
     "lm_perplexity_quality",
-    None,
+    _LM_ORACLE,
     note="CCNet-style LM quality scoring: interpolated unigram+bigram "
     "model trained distributed (both tables bounded — top-V words, "
     "top-B bigrams), broadcast to score every document; perplexity is "
-    "the standard quality-filter axis. Rows-only because the driver "
-    "oracle window is full; exact DuckDB parity (unigram) and a "
-    "pure-Python model replica (bigram) are pytest-verified in "
-    "tests/test_lm.py.",
+    "the standard quality-filter axis. The full model — training "
+    "truncations, smoothing, interpolation, backoff — is re-derived "
+    "independently in the DuckDB oracle (promoted into the hash-checked "
+    "window per the round-5 review; a pure-Python replica also verifies "
+    "it in tests/test_lm.py).",
 )
 def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import score_perplexity_bigram, train_bigram_lm
 
     docs = docs_table(spark, sf_dir).select("doc_id", "text")
     lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000)
+    # hash-stable output: log-domain score via the exact decimal sum
+    # (see score_perplexity_bigram docstring); perplexity = exp(anl) is
+    # a monotone decoration the filter API still exposes
     return (
-        score_perplexity_bigram(docs, lm)
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round("perplexity", 6).alias("perplexity"),
-        )
+        score_perplexity_bigram(docs, lm, exact_decimal_sum=True)
+        .select("doc_id", "n_tokens", "avg_neg_logp")
         .orderBy("doc_id")
     )
 
 
+def _strat_oracle() -> str:
+    """DuckDB replica of the registry's stratified sample: identical
+    salted-md5 thresholds (operators/sampling.py `_hex4`), so the KEPT
+    SET — not just the rate — matches exactly."""
+    from ..operators.sampling import _hex4
+
+    pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+    return f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE doc_id IS NOT NULL AND (
+      CASE lang
+        WHEN 'en' THEN TRUE
+        WHEN 'de' THEN {pref} < '{_hex4(0.3)}'
+        WHEN 'fr' THEN {pref} < '{_hex4(0.1)}'
+        ELSE {pref} < '{_hex4(0.05)}'
+      END)
+    GROUP BY lang ORDER BY lang
+    """
+
+
 @register(
     "stratified_sample_counts",
-    None,
+    _strat_oracle(),
     note="deterministic per-stratum downsampling (corpus balancing — "
     "keep 100% of one source, 30%/10% of others) by salted-md5 "
     "threshold per stratum: partition-layout independent, unlike "
-    "sampleBy's seeded Bernoulli. Rows-only here (window full); the "
-    "kept-set is DuckDB-reproduced exactly in tests/test_sampling.py.",
+    "sampleBy's seeded Bernoulli. The oracle rebuilds the identical "
+    "md5-threshold kept set in DuckDB (promoted into the hash-checked "
+    "window per the round-5 review).",
 )
 def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_sample

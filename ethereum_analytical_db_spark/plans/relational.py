@@ -84,27 +84,12 @@ def unprocessed_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(done, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
-@register(
-    "like_standard_detector",
-    """
-    SELECT p_brand,
-           count(*) AS total,
-           CAST(SUM(CASE WHEN p_type LIKE '%BRASS%' AND p_name LIKE '%green%'
-                THEN 1 ELSE 0 END) AS BIGINT) AS flagged
-    FROM part GROUP BY p_brand
-    """,
-    note="P6/F5 LIKE '%sig%' AND-chain flag (reference "
-    "operations/contract_transactions.py:27-69)",
-)
-def like_standard_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = table(spark, sf_dir, "part")
-    flag = (
-        F.col("p_type").contains("BRASS") & F.col("p_name").contains("green")
-    ).cast("long")
-    return part.groupBy("p_brand").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(flag).alias("flagged"),
-    )
+# P6/F5 (LIKE '%sig%' AND-chain flags, reference
+# operations/contract_transactions.py:27-69) had a standalone synthetic
+# micro-query (`like_standard_detector`) through round 5; the SAME
+# expressions are hash-checked with the real keccak selector sets by
+# derived_contracts (plans/derived_queries.py), so its oracle-window slot
+# moved to the promoted pipeline queries (see plans/chainops.py note).
 
 
 @register(
