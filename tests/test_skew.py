@@ -124,3 +124,94 @@ def test_lsh_identical_vectors_one_bucket_sub_blocks_bound(spark):
     # even; 1.5x headroom on the 2/S share covers it)
     assert acc4.value <= int(n_hot * 2 / 4 * 1.5) + 8
     assert acc4.value < acc1.value
+
+
+def _sum_shuffle_records(df) -> int:
+    """Sum the 'shuffle records written' SQLMetric over every exchange
+    in the EXECUTED plan (AQE-final, real runtime values — not a plan
+    string)."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    # unwrap AdaptiveSparkPlanExec to the current physical plan
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    total = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metric = kv._2()
+            if kv._1() == "shuffleRecordsWritten" or "shuffle records written" in str(
+                metric.name().toString() if hasattr(metric.name(), "toString") else metric.name()
+            ):
+                total += metric.value()
+        # ReusedExchange references an already-counted exchange; its
+        # children are the same JVM nodes, so the walk naturally dedups
+        # nothing here — each physical exchange is visited once
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+        # AQE query-stage nodes (Shuffle/Broadcast/Result) are leaves
+        # that hide their materialized subplan behind .plan()
+        if node.getClass().getSimpleName().endswith("QueryStageExec"):
+            stack.append(node.plan())
+    return int(total)
+
+
+def test_balances_pyramid_hot_address_map_side_combine(spark, tmp_path):
+    """One address owns 50% of all events (round-5 review ask: the
+    pyramid's 100 TB story needs a measured skew bound, not prose).
+
+    The mitigation is partial (map-side) aggregation: every per-type
+    aggregate collapses the hot address to one row per map partition
+    BEFORE the shuffle, so per-key shuffled rows are bounded by the
+    partition count, not the key's row count. Asserted from REAL
+    execution metrics: total shuffle records across the whole plan stay
+    far below the hot key's raw row count."""
+    from ethereum_analytical_db_spark.plans import analytics
+
+    n_hot, n_cold_keys = 10_000, 100
+    rows = [("hot", "purchase", 1.0, i) for i in range(n_hot)]
+    rows += [
+        # i//100 decouples type from key (i%5 would alias with i%100 and
+        # starve 2/5 of the cold keys out of the universe)
+        (f"c{i % n_cold_keys}", ["purchase", "click", "signup", "error", "view"][(i // n_cold_keys) % 5], 2.0, n_hot + i)
+        for i in range(n_hot)
+    ]
+    # land the fixture as parquet so each branch SCANS (like production)
+    # instead of inheriting a repartition exchange that would drown the
+    # aggregate-shuffle measurement in fixture-shuffle records
+    src = str(tmp_path / "skew_events")
+    spark.createDataFrame(
+        rows, "user_id string, event_type string, value double, event_id long"
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    ev = spark.read.parquet(src)
+
+    orig = analytics.table
+    try:
+        analytics.table = lambda s, sf, name: ev  # feed the skewed fixture
+        df = analytics.balances_pyramid(spark, "unused")
+        out = {r["address"]: r["balance"] for r in df.collect()}
+    finally:
+        analytics.table = orig
+
+    # correctness under skew: hot = 10k purchases of 1.0
+    assert out["hot"] == pytest.approx(10_000.0)
+    assert len(out) == 1 + n_cold_keys
+    # cold keys: 20 purchases*2 - 20 clicks*2 + 20 signups*2 - 20*2*0.01 + 20*2*0.01
+    assert out["c0"] == pytest.approx(40.0)
+
+    shuffled = _sum_shuffle_records(df)
+    # the hot key alone has 10k raw rows; with map-side combine the
+    # whole multi-stage plan (5 aggs + distinct + joins) must shuffle
+    # far fewer records than that single key's input
+    assert 0 < shuffled < n_hot, shuffled
+
+    # and the plan shape confirms why: partial aggregation before every
+    # exchange that feeds a per-address aggregate
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan_str
+    assert "CartesianProduct" not in plan_str
+    assert "BroadcastNestedLoopJoin" not in plan_str
