@@ -92,8 +92,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c: probe a subset (the sf3/sf10 scaling
+    # runs re-measure just the worst sf1 scalers; a full-registry pass at
+    # sf10 would be hours of redundant signal)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = keep - qs.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in keep}
     # JVM/codegen warm-up so the first measured query isn't charged for it
-    qs["pricing_summary"].build(spark, sf_dir).collect()
+    all_queries()["pricing_summary"].build(spark, sf_dir).collect()
     # Python-worker/Arrow warm-up: the first mapInPandas in a session pays
     # worker daemon spin-up; don't charge it to whichever query runs first
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
