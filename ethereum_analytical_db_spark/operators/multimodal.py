@@ -12,12 +12,16 @@ Codecs: ``decode_media`` dispatches on the ``fmt`` column. Real image
 formats PPM/PGM (binary netpbm), BMP (uncompressed BI_RGB), PNG
 (stdlib zlib + full scanline de-filter, all five filter types) and
 baseline JPEG (full Huffman + IDCT + chroma upsampling, see
-``operators/jpeg.py``) are decoded without PIL. Remaining audio/video
-containers (wav/mp4) raise ``NotImplementedError`` at the same single
-dispatch point: wire a library codec there and every downstream
-operator keeps working unchanged. A deterministic synthetic codec
-(``format='fake'``) parses this module's own header layout for tests
-that need arbitrary metadata without building real pixel data.
+``operators/jpeg.py``) are decoded without PIL. Audio/video containers
+are parsed for real too: WAV (RIFF chunk walk, PCM/IEEE-float frames)
+and MP4 (ISO-BMFF box walk — track geometry, frame counts, audio
+sample rate, mdat payload). The remaining declared seam is compressed
+BITSTREAM decode (H.264/AAC inside mdat, ADPCM-in-wav), rejected
+loudly per-row at the same single dispatch point: wire a library codec
+there and every downstream operator keeps working unchanged. A
+deterministic synthetic codec (``format='fake'``) parses this module's
+own header layout for tests that need arbitrary metadata without
+building real pixel data.
 
 The pure-Python PNG de-filter is per-byte Python — correct but slow on
 large images; it is the declared correctness baseline at the codec seam
@@ -217,8 +221,143 @@ def _decode_png(content: bytes) -> dict:
     return {"width": width, "height": height, "channels": channels, "payload": payload}
 
 
-# decode_media's dispatch table. Remaining compressed formats (wav/mp4)
-# stay behind the declared NotImplementedError seam below.
+def _decode_wav(content: bytes) -> dict:
+    """RIFF/WAVE audio: chunk walk (fmt / data), PCM and IEEE-float
+    sample formats. Returns the raw interleaved sample frames as the
+    payload; ``n_frames`` counts sample frames (one per channel set),
+    the audio analogue of a video frame count."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE magic")
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        pos += 8 + length + (length & 1)  # odd chunks pad to even
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("missing WAV fmt chunk")
+    if data is None:
+        raise ValueError("missing WAV data chunk")
+    audio_format, channels, sample_rate, _brate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    # 1 = integer PCM, 3 = IEEE float; compressed formats (ADPCM, mp3-in-
+    # wav) are the remaining bitstream seam, same policy as mp4 below
+    if audio_format not in (1, 3):
+        raise ValueError(f"unsupported WAV audio format {audio_format} (PCM/float only)")
+    if channels == 0 or block_align == 0:
+        raise ValueError("bad WAV fmt geometry")
+    if block_align != channels * (bits // 8):
+        raise ValueError("WAV block_align inconsistent with channels*bits")
+    if len(data) % block_align:
+        raise ValueError("WAV data not a whole number of sample frames")
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "n_frames": len(data) // block_align,
+        "payload": data,
+    }
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in buf[start:end] → (type, body_start,
+    body_end). Handles 64-bit largesize and size==0 (to end-of-file)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"bad MP4 box size for {btype!r}")
+        yield btype, body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _decode_mp4(content: bytes) -> dict:
+    """ISO-BMFF (MP4) container: full box walk — ftyp, moov/mvhd
+    (timescale+duration), per-trak tkhd (16.16 fixed-point geometry),
+    hdlr (track kind), mdhd (audio timescale = sample rate), stsz
+    (sample count). Width/height/n_frames come from the first video
+    track, sample_rate from the first audio track; the payload is the
+    concatenated mdat bodies. The codec BITSTREAM inside mdat (H.264 /
+    AAC) is the remaining declared seam — container geometry, frame
+    counts, and byte accounting are fully real."""
+    boxes = list(_mp4_boxes(content, 0, len(content)))
+    if not any(t == b"ftyp" for t, _, _ in boxes):
+        raise ValueError("missing MP4 ftyp box")
+    info: dict = {"width": None, "height": None, "n_frames": None, "sample_rate": None}
+    mdat = bytearray()
+
+    def walk(btype: bytes, lo: int, hi: int, track: dict) -> None:
+        if btype in _MP4_CONTAINERS:
+            sub: dict = dict(track) if btype == b"trak" else track
+            for t, b_lo, b_hi in _mp4_boxes(content, lo, hi):
+                walk(t, b_lo, b_hi, sub)
+            if btype == b"trak":
+                _finish_track(sub)
+        elif btype == b"tkhd":
+            ver = content[lo]
+            # width/height offset: ver/flags(4) + times/id/duration
+            # (32 for v0, 44 for v1) + reserved(8) + layer/group/volume/
+            # reserved(8) + matrix(36)  [ISO 14496-12 §8.3.2]
+            geo = lo + (88 if ver == 1 else 76)
+            if geo + 8 > hi:
+                raise ValueError("truncated tkhd")
+            w, h = struct.unpack(">II", content[geo : geo + 8])
+            track["width"], track["height"] = w >> 16, h >> 16  # 16.16 fixed
+        elif btype == b"mdhd":
+            ver = content[lo]
+            ts_off = lo + (20 if ver == 1 else 12)
+            (track["timescale"],) = struct.unpack(">I", content[ts_off : ts_off + 4])
+        elif btype == b"hdlr":
+            track["kind"] = content[lo + 8 : lo + 12]
+        elif btype == b"stsz":
+            count_off = lo + 8  # version/flags + sample_size
+            (track["samples"],) = struct.unpack(">I", content[count_off : count_off + 4])
+
+    def _finish_track(track: dict) -> None:
+        kind = track.get("kind")
+        if kind == b"vide" and info["width"] is None:
+            info["width"] = track.get("width")
+            info["height"] = track.get("height")
+            info["n_frames"] = track.get("samples")
+        elif kind == b"soun" and info["sample_rate"] is None:
+            # for audio tracks the mdhd timescale IS the sample rate
+            info["sample_rate"] = track.get("timescale")
+
+    for btype, lo, hi in boxes:
+        if btype == b"mdat":
+            mdat += content[lo:hi]
+        else:
+            walk(btype, lo, hi, {})
+    if info["width"] is None and info["sample_rate"] is None:
+        raise ValueError("MP4 has no video or audio track metadata")
+    info["payload"] = bytes(mdat)
+    return info
+
+
+# decode_media's dispatch table. Every container format the test corpus
+# carries now has a real parser; the remaining seam is compressed
+# BITSTREAM decode (H.264/AAC inside mp4 mdat, ADPCM-in-wav), which the
+# wav/mp4 codecs reject loudly per-row rather than guessing.
 _CODECS = {
     "fake": _decode_fake,
     "ppm": _decode_netpbm,
@@ -227,18 +366,21 @@ _CODECS = {
     "png": _decode_png,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
+    "wav": _decode_wav,
+    "mp4": _decode_mp4,
 }
 
 
 def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fmt") -> DataFrame:
     """Decode media content → verified metadata + payload size.
 
-    Dispatches on ``fmt``: ppm/pgm/bmp/png/jpeg decode real pixel data
-    in pure Python (see module docstring); 'fake' parses the synthetic
-    test container. CODEC BOUNDARY: any other format (wav/mp4) raises
-    NotImplementedError into the row-level ``decode_error`` column —
-    wire a library codec into ``_CODECS`` and every downstream operator
-    keeps working unchanged.
+    Dispatches on ``fmt``: ppm/pgm/bmp/png/jpeg decode real pixel data,
+    wav/mp4 parse their containers (sample frames, track geometry, mdat
+    payload) in pure Python (see module docstring); 'fake' parses the
+    synthetic test container. CODEC BOUNDARY: unknown formats and
+    compressed bitstreams raise NotImplementedError / ValueError into
+    the row-level ``decode_error`` column — wire a library codec into
+    ``_CODECS`` and every downstream operator keeps working unchanged.
     """
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields

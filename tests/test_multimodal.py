@@ -91,7 +91,7 @@ def media(spark):
         mm.encode_fake_media(1, "image", width=640, height=480, payload=b"px" * 100),
         mm.encode_fake_media(2, "audio", sample_rate=16000, payload=b"\x00" * 64),
         mm.encode_fake_media(3, "video", width=1920, height=1080, n_frames=25, payload=b"f" * 10),
-        (4, "audio", "wav", b"RIFF....WAVE real wav", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
+        (4, "audio", "mp3", b"ID3\x04 compressed bitstream", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
         (5, "image", "fake", b"GARBAGE", {"width": 0, "height": 0, "sample_rate": 0, "n_frames": 0}),
     ]
     return spark.createDataFrame(rows, mm.MEDIA_DDL)
@@ -102,7 +102,7 @@ def test_decode_fake_and_stub_boundary(media):
     assert out[1]["dec_width"] == 640 and out[1]["payload_bytes"] == 200
     assert out[2]["dec_sample_rate"] == 16000
     assert out[3]["dec_n_frames"] == 25
-    # real format → NotImplementedError captured per-row, not a crash
+    # codec-less format → NotImplementedError captured per-row, not a crash
     assert out[4]["decode_error"].startswith("NotImplementedError")
     assert out[4]["dec_width"] is None
     # malformed synthetic content → row-level error too
@@ -166,16 +166,103 @@ def test_png_decode_all_filters():
         mm._decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
 
 
+# ---- WAV / MP4: independent test-side container writers ----
+
+
+def _make_wav(channels, sample_rate, frames, bits=16, audio_format=1, extra_chunk=True):
+    """Independent RIFF/WAVE writer: fmt + data chunks, optional odd-length
+    LIST chunk (exercises even-padding), interleaved zeroed PCM frames."""
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    data = bytes(frames * block_align)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-sized chunk: reader must skip the pad byte
+        body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _box(btype, payload):
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(width=0, height=0, n_frames=0, sample_rate=0, mdat=b""):
+    """Independent ISO-BMFF writer: ftyp + moov(mvhd, trak(tkhd, mdia(
+    mdhd, hdlr, minf(stbl(stsz))))) + mdat, one video and/or audio trak."""
+
+    def trak(kind, w, h, timescale, samples):
+        # tkhd v0: ver/flags, creation, modification, track_ID, reserved,
+        # duration, reserved[2], layer/group/volume/reserved, matrix[9],
+        # then 16.16 fixed width/height at body offset 76
+        tkhd = (
+            bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(8)
+            + bytes(8) + bytes(8) + bytes(36)
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        mdhd = bytes(4) + bytes(8) + struct.pack(">II", timescale, 0) + bytes(4)
+        hdlr = bytes(8) + kind + bytes(12) + b"h\x00"
+        stsz = bytes(4) + struct.pack(">II", 0, samples)
+        stbl = _box(b"stsz", stsz)
+        minf = _box(b"stbl", stbl)
+        mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + _box(b"minf", minf)
+        return _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", 1000, 60000) + bytes(80)
+    traks = b""
+    if width:
+        traks += trak(b"vide", width, height, 30, n_frames)
+    if sample_rate:
+        traks += trak(b"soun", 0, 0, sample_rate, 0)
+    moov = _box(b"mvhd", mvhd) + traks
+    return _box(b"ftyp", b"isom" + bytes(8)) + _box(b"moov", moov) + _box(b"mdat", mdat)
+
+
+def test_wav_decode():
+    d = mm._decode_wav(_make_wav(2, 44100, 100))
+    assert (d["channels"], d["sample_rate"], d["n_frames"]) == (2, 44100, 100)
+    assert len(d["payload"]) == 100 * 2 * 2
+    # IEEE float accepted; mono 8-bit geometry
+    d = mm._decode_wav(_make_wav(1, 8000, 5, bits=32, audio_format=3, extra_chunk=False))
+    assert (d["channels"], d["n_frames"]) == (1, 5)
+    with pytest.raises(ValueError):  # ADPCM = compressed bitstream seam
+        mm._decode_wav(_make_wav(1, 8000, 5, audio_format=2))
+    with pytest.raises(ValueError):  # truncated data chunk
+        mm._decode_wav(_make_wav(2, 44100, 100)[:-10])
+
+
+def test_mp4_decode():
+    payload = b"frame-bytes" * 9
+    d = mm._decode_mp4(_make_mp4(width=640, height=360, n_frames=24,
+                                 sample_rate=48000, mdat=payload))
+    assert (d["width"], d["height"], d["n_frames"]) == (640, 360, 24)
+    assert d["sample_rate"] == 48000
+    assert d["payload"] == payload
+    # audio-only file: geometry absent, rate present
+    d = mm._decode_mp4(_make_mp4(sample_rate=16000, mdat=b"aac"))
+    assert d["width"] is None and d["sample_rate"] == 16000
+    with pytest.raises(ValueError):  # box size past EOF
+        mm._decode_mp4(struct.pack(">I", 100) + b"ftypisom")
+    with pytest.raises(ValueError):  # no ftyp
+        mm._decode_mp4(_box(b"mdat", b"x"))
+
+
 def test_decode_media_real_formats_end_to_end(spark):
     """The Spark path: mixed real formats in one binary column through
-    the Arrow mapInPandas codec, plus the still-stubbed jpeg seam."""
+    the Arrow mapInPandas codec, plus the compressed-bitstream seam."""
     px = _gradient(4, 6, 3)
+    mdat = b"h264-bitstream" * 3
     rows = [
         (1, "image", "ppm", _make_ppm(4, 3, _gradient(4, 3, 3)), None),
         (2, "image", "png", _make_png(4, 6, 3, px), None),
         (3, "image", "bmp", _make_bmp(5, 3, [_gradient(5, 1, 3)] * 3), None),
         (4, "image", "pgm", _make_ppm(7, 2, _gradient(7, 2, 1), magic=b"P5"), None),
-        (5, "audio", "wav", b"RIFF....WAVE still stubbed", None),
+        (5, "audio", "mp3", b"ID3\x04 no container codec", None),
+        (6, "audio", "wav", _make_wav(2, 22050, 50), None),
+        (7, "video", "mp4", _make_mp4(width=320, height=240, n_frames=12,
+                                      sample_rate=44100, mdat=mdat), None),
     ]
     df = spark.createDataFrame(rows, mm.MEDIA_DDL)
     out = {r["media_id"]: r for r in mm.decode_media(df).collect()}
@@ -185,8 +272,13 @@ def test_decode_media_real_formats_end_to_end(spark):
     assert out[2]["payload_bytes"] == len(px)
     assert (out[3]["dec_width"], out[3]["dec_channels"]) == (5, 3)
     assert (out[4]["dec_width"], out[4]["dec_channels"]) == (7, 1)
-    assert all(out[i]["decode_error"] is None for i in (1, 2, 3, 4))
-    # compressed formats without a container codec stay a loud seam
+    assert (out[6]["dec_sample_rate"], out[6]["dec_n_frames"]) == (22050, 50)
+    assert out[6]["payload_bytes"] == 50 * 2 * 2
+    assert (out[7]["dec_width"], out[7]["dec_height"]) == (320, 240)
+    assert (out[7]["dec_n_frames"], out[7]["dec_sample_rate"]) == (12, 44100)
+    assert out[7]["payload_bytes"] == len(mdat)
+    assert all(out[i]["decode_error"] is None for i in (1, 2, 3, 4, 6, 7))
+    # formats without any container codec stay a loud seam
     assert out[5]["decode_error"].startswith("NotImplementedError")
 
 
