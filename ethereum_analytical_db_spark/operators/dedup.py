@@ -82,12 +82,16 @@ def ngram_jaccard_pairs(
     b = exploded.select(
         F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "ngram"
     )
-    # shuffle-hash, not broadcast: the exploded inverted index is O(corpus)
-    # and cannot be broadcast at scale; hash-partitioning both sides by
-    # shingle is the plan that survives a 100x scale-up (AQE still splits
-    # skewed shingle buckets).
+    # sort-merge, not broadcast and not shuffle-hash: the exploded
+    # inverted index is O(corpus) so broadcast is out, and the
+    # shuffle-hash build side must FIT IN TASK MEMORY — at a 100x
+    # corpus (measured: the 10x/sf10 probe) the per-partition index
+    # exceeds the hash-map budget and the join dies with
+    # SparkOutOfMemoryError. SMJ sorts spill to disk on both sides, so
+    # the same plan degrades to I/O instead of failing (AQE still
+    # splits skewed shingle buckets).
     pairs = (
-        a.hint("shuffle_hash")
+        a.hint("merge")
         .join(b, "ngram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
@@ -166,8 +170,11 @@ def minhash_lsh_candidates(
     band_rows = band_rows.localCheckpoint()
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    # merge not shuffle-hash: same OOM hazard as the n-gram index join
+    # (the band table is O(docs x bands)); SMJ spills, SHJ's build side
+    # must fit in task memory
     return (
-        a.hint("shuffle_hash")
+        a.hint("merge")
         .join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -269,8 +276,10 @@ def simhash_near_duplicates(
         F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "chunk"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # merge not shuffle-hash: spills under a hot chunk instead of
+    # OOMing the build-side hash map (sf10 lesson from the n-gram join)
     return (
-        a.hint("shuffle_hash")
+        a.hint("merge")
         .join(b, ["blk", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
