@@ -15,6 +15,8 @@ sums are DECIMAL (order-independent, bit-identical in any engine).
 
 from __future__ import annotations
 
+import math
+
 from pyspark import AccumulatorParam
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -295,6 +297,40 @@ def embedding_near_dup_exact(
     )
 
 
+def lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket: int = 500,
+    baseline_planes: int = 4,
+    max_tables: int = 4,
+) -> tuple[int, int]:
+    """Size (planes, tables) for ``embedding_near_dup_lsh`` at corpus
+    size n.
+
+    planes ≈ log2(n / target_bucket) keeps the expected bucket near
+    target_bucket, so the per-bucket gemm (sum bucket² ≈ n²/2^planes
+    flops) stays LINEAR in n instead of quadratic — at fixed planes a
+    10× corpus measured 15.4× runtime. tables then restores the recall
+    of the (baseline_planes, 1 table) reference: per-plane collision
+    probability p = 1 - θ/π, single-table recall p^K, L tables give
+    1-(1-p^K)^L; solve L for the baseline's p^baseline.
+
+    The max_tables cap is the honest limit of sign-bit LSH: for
+    BORDERLINE pairs at low thresholds (p → 0.6) and large n, matching
+    baseline recall needs more tables than the flops saved — at that
+    point the right tool is the IVF path or exact rescoring of a
+    coarser candidate set, not more hyperplanes. High-threshold
+    near-dup (0.9+, p ≥ 0.9) stays well inside the cap."""
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    planes = max(baseline_planes, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    r0 = p**baseline_planes
+    pk = p**planes
+    if pk >= 1.0 or pk <= 0.0 or r0 >= 1.0:
+        return planes, 1
+    tables = math.ceil(math.log(1.0 - r0) / math.log(1.0 - pk))
+    return planes, min(max(tables, 1), max_tables)
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -304,6 +340,7 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_blocks: int = 1,
+    tables: int = 1,
     group_size_acc=None,
 ) -> DataFrame:
     """Scale path: hyperplane-bucket the corpus, score pairs only WITHIN
@@ -328,17 +365,37 @@ def embedding_near_dup_lsh(
     AQE-split. Setting ``sub_blocks=S`` decomposes every bucket into the
     S·(S+1)/2 unordered sub-block pairs of the exact operator's scheme,
     bounding task memory at ~2·bucket/S vectors for an S× replication of
-    the shuffle. Identical output for any value (unit-tested)."""
+    the shuffle. Identical output for any value (unit-tested).
+
+    ``tables``: multi-table LSH — L independent hyperplane sets (seeds
+    seed..seed+L-1), candidates unioned, pairs deduped. Recall becomes
+    1-(1-p^planes)^L instead of p^planes, which is how planes can GROW
+    with the corpus (keeping sum(bucket^2) bounded: buckets must track
+    n or the per-bucket gemm is the quadratic term — measured 15x on
+    10x data at fixed planes=4) without recall collapsing. Cost is a
+    ~L× shuffle/flops multiplier; at 100 TB you size planes ≈
+    log2(n/target_bucket) first, then buy recall with tables."""
     import numpy as np
     import pandas as pd
 
     thr = threshold - 1e-6
-    withb = _assign_sign_buckets(
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
-        _plane_matrix(dim, planes, seed),
-        "vid",
-        "v",
-    )
+    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    per_table = [
+        _assign_sign_buckets(
+            src, _plane_matrix(dim, planes, seed + t), "vid", "v"
+        ).withColumn("tbl", F.lit(t))
+        for t in range(max(tables, 1))
+    ]
+    withb = per_table[0]
+    for more in per_table[1:]:
+        withb = withb.unionByName(more)
+
+    def _dedup_pairs(pairs_df: DataFrame) -> DataFrame:
+        if tables <= 1:
+            return pairs_df  # single table emits each pair once already
+        # identical float64 pipeline per table → identical cosine bits;
+        # max() is just the deterministic way to keep one
+        return pairs_df.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
     if sub_blocks <= 1:
 
@@ -356,8 +413,8 @@ def embedding_near_dup_lsh(
                 {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ai, bj][keep]}
             )
 
-        return (
-            withb.groupBy("bucket")
+        return _dedup_pairs(
+            withb.groupBy("tbl", "bucket")
             .applyInPandas(gemm_bucket, schema="id_a long, id_b long, cosine double")
             .filter(F.col("cosine") >= threshold)
         )
@@ -378,13 +435,16 @@ def embedding_near_dup_lsh(
         ]
     )
     repl = src.select(
-        "vid", "v", "bucket", "blk", F.explode(pair_keys).alias("p")
-    ).select("vid", "v", "bucket", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        "vid", "v", "tbl", "bucket", "blk", F.explode(pair_keys).alias("p")
+    ).select(
+        "vid", "v", "tbl", "bucket", "blk",
+        F.col("p.i").alias("i"), F.col("p.j").alias("j"),
+    )
 
     def gemm_bucket_pair(key, pdf):
         if group_size_acc is not None:
             group_size_acc.add(len(pdf))
-        i, j = int(key[1]), int(key[2])
+        i, j = int(key[2]), int(key[3])  # key = (tbl, bucket, i, j)
         mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
         unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
         ids = pdf["vid"].to_numpy()
@@ -409,8 +469,8 @@ def embedding_near_dup_lsh(
             cs = sims[ai, bj]
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
-    return (
-        repl.groupBy("bucket", "i", "j")
+    return _dedup_pairs(
+        repl.groupBy("tbl", "bucket", "i", "j")
         .applyInPandas(gemm_bucket_pair, schema="id_a long, id_b long, cosine double")
         .filter(F.col("cosine") >= threshold)
     )

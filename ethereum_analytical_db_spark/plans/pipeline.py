@@ -303,7 +303,19 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     if emb.rdd.getNumPartitions() < target:
         emb = emb.repartition(target)
-    return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.38, planes=4)
+    # planes must TRACK corpus size: at fixed planes the bucket count is
+    # fixed, buckets grow ~n/2^planes, and the per-bucket gemm
+    # (sum bucket^2 ~ n^2/2^planes flops) is super-linear — measured
+    # 15.4x runtime on 10x data at planes=4 before this sizing.
+    # lsh_params targets ~500 vectors/bucket and buys the recall lost
+    # to extra planes back with additional hash tables (capped — see
+    # its docstring for the low-threshold honesty limit). The count()
+    # is one column-pruned scan, trivial next to the gemm it
+    # right-sizes.
+    planes, tables = similarity.lsh_params(emb.count(), threshold=0.38)
+    return similarity.embedding_near_dup_lsh(
+        emb, dim=64, threshold=0.38, planes=planes, tables=tables
+    )
 
 
 @register(

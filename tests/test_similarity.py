@@ -231,6 +231,66 @@ def test_assign_sign_buckets_preserves_double_vectors(spark):
     assert dict(out.dtypes)["embedding"] == "array<double>"
 
 
+def test_lsh_params_sizing():
+    """planes tracks corpus size (buckets ~ n/target stays bounded);
+    tables restores the baseline config's recall and respects the cap;
+    small corpora reproduce the baseline config exactly."""
+    # below target*2^baseline: baseline config, single table
+    assert similarity.lsh_params(2_000, threshold=0.38) == (4, 1)
+    # growing n: planes grows ~log2(n), bucket size stays ~target
+    for n in (20_000, 200_000, 2_000_000):
+        planes, tables = similarity.lsh_params(n, threshold=0.38)
+        assert n / 2**planes <= 500, (n, planes)
+        assert 1 <= tables <= 4
+    # monotone: more data never means fewer planes
+    ps = [similarity.lsh_params(n, 0.9)[0] for n in (10**3, 10**5, 10**7)]
+    assert ps == sorted(ps)
+    # high-threshold near-dup stays well inside the table cap
+    planes, tables = similarity.lsh_params(1_000_000, threshold=0.95)
+    p = 1 - math.acos(0.95) / math.pi
+    baseline_recall = p**4
+    multi_recall = 1 - (1 - p**planes) ** tables
+    assert tables < 4
+    assert multi_recall >= baseline_recall * 0.95
+
+
+def test_lsh_near_dup_multi_table(spark):
+    """Multi-table LSH: more planes (smaller buckets, the scale knob)
+    with a second table buying the recall back. Output must stay a
+    deduped pair set — each planted pair found by both tables appears
+    once — and every emitted pair is threshold-verified."""
+    rows, planted = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    single = similarity.embedding_near_dup_lsh(
+        df, dim=16, threshold=0.99, planes=8, tables=1
+    ).collect()
+    multi = similarity.embedding_near_dup_lsh(
+        df, dim=16, threshold=0.99, planes=8, tables=3
+    ).collect()
+    single_pairs = {(r["id_a"], r["id_b"]) for r in single}
+    multi_pairs = {(r["id_a"], r["id_b"]) for r in multi}
+    # dedup across tables: no pair twice
+    assert len(multi) == len(multi_pairs)
+    # a union of independent tables can only ADD candidates
+    assert single_pairs <= multi_pairs
+    exact = {(min(a, b), max(a, b)) for a, b in planted}
+    # near-identical pairs (cosine>0.999): p/plane ≈ 0.995, so 3 tables
+    # at 8 planes recall ≈ 1-(1-0.96)^3 — effectively all 5 pairs
+    assert len(multi_pairs & exact) / len(exact) >= 0.8
+    for r in multi:
+        assert r["cosine"] >= 0.99
+    # sub_blocks decomposition commutes with multi-table
+    blocked = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 12))
+        for r in similarity.embedding_near_dup_lsh(
+            df, dim=16, threshold=0.99, planes=8, tables=3, sub_blocks=3
+        ).collect()
+    }
+    assert blocked == {
+        (r["id_a"], r["id_b"], round(r["cosine"], 12)) for r in multi
+    }
+
+
 def test_lsh_near_dup_sub_block_invariant(spark):
     """Hot-bucket decomposition is partition math, not semantics: any
     sub_blocks value yields the identical (pair, cosine) set."""
