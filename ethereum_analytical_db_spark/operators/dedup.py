@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import ngrams_from_words
@@ -44,6 +44,107 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+    )
+
+
+def window_fingerprints(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, pos, fp): md5 fingerprint of every k-word window, pos the
+    0-based word offset. The fingerprint is md5 of the space-joined
+    window, so any engine (the DuckDB/pure-Python parity tests) can
+    reproduce it byte-for-byte — no engine-private hash. Docs shorter
+    than k words emit nothing. One projection + posexplode: the split
+    happens once per doc, window assembly is a JVM higher-order
+    transform over the bound array."""
+    src = df.select(
+        F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("_ws")
+    ).filter(F.size("_ws") >= k)
+    fps = F.transform(
+        F.sequence(F.lit(0), F.size("_ws") - F.lit(k)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("_ws", i + 1, k))),
+    )
+    return src.select("doc", F.posexplode(fps).alias("pos", "fp"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2022 semantics, re-expressed
+    relationally): every k-word window whose fingerprint occurs more than
+    once corpus-wide is a duplicated span; the globally FIRST occurrence
+    (ordered by doc id, then position) is kept, every other occurrence
+    becomes a removal span. Overlapping/adjacent spans within a doc are
+    merged. Output: (doc, start, end) word intervals, end exclusive.
+
+    Scale: the only corpus-sized shuffle keys on the md5 fingerprint —
+    uniform, no skew. Both window functions (occurrence count + first-
+    occurrence rank) share the one (fp) partitioning. A boilerplate
+    window repeated 10^6 times is 10^6 rows in one fp partition — a
+    linear sort, not a quadratic join (contrast the Jaccard inverted
+    index, which must pair-join its postings). Span merging partitions
+    by doc — high-cardinality, bounded per-doc state."""
+    wins = window_fingerprints(df, k, text_col, id_col)
+    by_fp = Window.partitionBy("fp")
+    order = Window.partitionBy("fp").orderBy("doc", "pos")
+    dups = (
+        wins.withColumn("occ", F.count(F.lit(1)).over(by_fp))
+        .withColumn("rn", F.row_number().over(order))
+        .filter((F.col("occ") > 1) & (F.col("rn") > 1))
+        .select("doc", F.col("pos").alias("start"), (F.col("pos") + k).alias("end"))
+    )
+    # interval merge: new group whenever a span starts past the running
+    # max end of everything before it
+    by_doc = Window.partitionBy("doc").orderBy("start", "end")
+    prev_max_end = F.max("end").over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    new_grp = F.when(
+        F.col("start") > F.coalesce(prev_max_end, F.lit(-1)), 1
+    ).otherwise(0)
+    return (
+        dups.withColumn(
+            "grp",
+            F.sum(new_grp).over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc", "grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select("doc", "start", "end")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated k-word spans from the corpus (keep-first).
+
+    Returns the input plus ``text_clean`` (the doc with removal-span
+    words dropped) and ``tokens_removed``. Reconstruction is JVM-side:
+    the merged spans arrive as one array column per affected doc
+    (bounded: spans never overlap post-merge, so ≤ words/k per doc) and
+    a filter-with-index higher-order function drops covered words — no
+    Python boundary, no per-token shuffle. Docs without duplicated
+    spans pass through the left join untouched."""
+    spans = duplicate_spans(df, k, text_col, id_col)
+    per_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("start", "end")).alias("_cut")
+    )
+    joined = df.join(per_doc, F.col(id_col) == F.col("doc"), "left").drop("doc")
+    words = F.split(F.col(text_col), " ")
+    cut = F.coalesce(
+        F.col("_cut"), F.array().cast("array<struct<start:int,end:int>>")
+    )
+    kept = F.filter(
+        words, lambda w, i: ~F.exists(cut, lambda s: (i >= s["start"]) & (i < s["end"]))
+    )
+    return (
+        joined.withColumn("text_clean", F.concat_ws(" ", kept))
+        .withColumn("tokens_removed", (F.size(words) - F.size(kept)).cast("long"))
+        .drop("_cut")
     )
 
 

@@ -50,6 +50,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_duplicates(docs)
 
 
+@register(
+    "substring_dedup_stats",
+    None,  # oracle window is full (50-slot cap); semantics are pinned by
+    # an independent pure-Python full-parity test
+    # (test_dedup.py::test_substring_dedup_matches_python_oracle)
+    note="exact-substring dedup (Lee et al. 2022 keep-first semantics): "
+    "duplicated k-word spans removed corpus-wide; md5 window "
+    "fingerprints shuffle uniformly, reconstruction is JVM higher-order "
+    "functions — no Python boundary",
+)
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    out = dedup.exact_substring_dedup(docs, k=8)
+    return out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("tokens_removed") > 0).cast("long")).alias("docs_affected"),
+        F.sum("tokens_removed").alias("tokens_removed"),
+    )
+
+
 # stop-shingle cap for the flagship dedup queries: shingles appearing in
 # more than this many documents are dropped from the inverted index before
 # the self-join (they carry no near-dup signal and make the join quadratic

@@ -226,3 +226,108 @@ def test_connected_components_random_graph_agreement(spark):
         }
         assert got_minlabel == want, f"min-label differs (seed {seed})"
         assert got_star == want, f"two-phase differs (seed {seed})"
+
+
+# ---- exact substring dedup (Lee et al. 2022 semantics) ----
+
+
+def _py_substring_oracle(rows, k):
+    """Independent pure-Python reimplementation: window fingerprints by
+    (doc, pos), keep the globally first occurrence of each duplicated
+    window, merge removal spans, drop covered words."""
+    import hashlib
+
+    occ = {}
+    for doc_id, text in sorted(rows):
+        ws = text.split(" ")
+        for pos in range(len(ws) - k + 1):
+            fp = hashlib.md5(" ".join(ws[pos : pos + k]).encode()).hexdigest()
+            occ.setdefault(fp, []).append((doc_id, pos))
+    spans = {}
+    for fp, hits in occ.items():
+        if len(hits) > 1:
+            for doc_id, pos in sorted(hits)[1:]:
+                spans.setdefault(doc_id, []).append((pos, pos + k))
+    merged = {}
+    for doc_id, sp in spans.items():
+        sp.sort()
+        out = [list(sp[0])]
+        for s, e in sp[1:]:
+            if s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        merged[doc_id] = [tuple(x) for x in out]
+    clean = {}
+    removed = {}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        cut = merged.get(doc_id, [])
+        kept = [
+            w for i, w in enumerate(ws)
+            if not any(s <= i < e for s, e in cut)
+        ]
+        clean[doc_id] = " ".join(kept)
+        removed[doc_id] = len(ws) - len(kept)
+    return merged, clean, removed
+
+
+def test_substring_dedup_hand_case(spark):
+    # doc 2 repeats doc 1's opening 4 words; k=3 -> doc 2's windows at
+    # pos 0 ([0,3)) and pos 1 ([1,4)) are duplicated -> merge to [0,4)
+    rows = [(1, "a b c d x y z"), (2, "a b c d q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r["doc"], r["start"], r["end"])
+        for r in dedup.duplicate_spans(df, k=3).collect()
+    }
+    assert spans == {(2, 0, 4)}
+    out = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, k=3).collect()}
+    assert out[1]["text_clean"] == "a b c d x y z"
+    assert out[2]["text_clean"] == "q r s"
+    assert out[2]["tokens_removed"] == 4
+
+
+def test_substring_dedup_matches_python_oracle(spark):
+    """Full-semantics parity on a corpus with planted repeats, overlaps,
+    and an intra-doc repetition, against an independent pure-Python
+    implementation."""
+    rnd = random.Random(23)
+    vocab = [f"t{i}" for i in range(200)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(50))))
+    # cross-doc duplication: doc 100+j reuses a 12-word slice of doc j
+    for j in range(5):
+        base = rows[j][1].split(" ")
+        fresh = [rnd.choice(vocab) for _ in range(30)]
+        rows.append((100 + j, " ".join(fresh[:10] + base[8:20] + fresh[10:])))
+    # intra-doc repetition: the same 10 words twice in one doc
+    rep = [rnd.choice(vocab) for _ in range(10)]
+    rows.append((200, " ".join(rep + ["gap1", "gap2"] + rep)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k = 8
+    exp_spans, exp_clean, exp_removed = _py_substring_oracle(rows, k)
+    got_spans = {}
+    for r in dedup.duplicate_spans(df, k=k).collect():
+        got_spans.setdefault(r["doc"], []).append((r["start"], r["end"]))
+    assert {d: sorted(v) for d, v in got_spans.items()} == exp_spans
+
+    got = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, k=k).collect()}
+    assert len(got) == len(rows)
+    for doc_id, _ in rows:
+        assert got[doc_id]["text_clean"] == exp_clean[doc_id], doc_id
+        assert got[doc_id]["tokens_removed"] == exp_removed[doc_id], doc_id
+    # the planted cross-doc slices actually got cut
+    assert all(got[100 + j]["tokens_removed"] > 0 for j in range(5))
+    assert got[200]["tokens_removed"] == 10
+
+
+def test_substring_dedup_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, k=8).collect()}
+    assert out[1]["text_clean"] == "a b" and out[1]["tokens_removed"] == 0
+    assert out[2]["text_clean"] == "a b"
