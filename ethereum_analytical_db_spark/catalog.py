@@ -244,16 +244,29 @@ class Warehouse:
         the directory, so it is rewritten from the compacted frame's own
         max(_seq) — otherwise the next write() would reseed via a
         full-table scan (a full scan per post-compact write at 100 TB).
+
+        A ``_block_range`` hive partition layout survives compaction:
+        dropping it would silently trade the FINAL-window saving for
+        every future scan's partition pruning — strictly worse at scale,
+        where the block predicate is what keeps incremental readers off
+        the 100 TB history.
         """
         deduped = self.read(table, final=True)
         tmp = self._path(table) + ".compact"
-        deduped.write.mode("overwrite").parquet(tmp)
+        partition_by = ["_block_range"] if "_block_range" in deduped.columns else []
+        w = deduped.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
         compacted = self.spark.read.parquet(tmp)
         max_seq = 0
         if "_seq" in compacted.columns:
             max_seq = compacted.agg(F.max("_seq")).first()[0] or 0
         final_path = self._path(table)
-        compacted.write.mode("overwrite").parquet(final_path)
+        w = compacted.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(final_path)
         self._write_seq_sidecar(table, int(max_seq))
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -4,9 +4,10 @@ large-scale pipelines run them (dedup before expensive scoring; model-
 based filters after cheap heuristics; decontamination and PII last so
 they see only surviving text; balance/split at the very end).
 
-    exact dedup → within-doc line dedup → heuristic quality filter →
-    language filter → LM perplexity filter → benchmark decontamination →
-    PII scrub → stratified balance → train/valid/test split
+    exact dedup → [exact-substring span dedup] → within-doc line dedup →
+    heuristic quality filter → language filter → LM perplexity filter →
+    benchmark decontamination → PII scrub → stratified balance →
+    train/valid/test split
 
 Every stage is a narrow transform or an already-scale-audited operator;
 the composite adds no new shuffle beyond its parts. Stage-by-stage
@@ -20,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_duplicates
+from .dedup import exact_duplicates, exact_substring_dedup
 from .decontam import decontaminate
 from .lm import perplexity_filter, score_perplexity, train_unigram_lm
 from .sampling import hash_split, stratified_sample
@@ -62,6 +63,7 @@ def clean_corpus(
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    substring_dedup_k: int | None = None,
     min_tokens: int = 5,
     max_repetition: float = 0.6,
     langs: list[str] | None = None,
@@ -78,6 +80,12 @@ def clean_corpus(
     the hash split both key on them). Validated in stats mode (one extra
     aggregate); trusted in lazy mode.
 
+    - ``substring_dedup_k``: corpus-wide exact-substring dedup
+      (keep-first removal of duplicated k-word spans) right after the
+      whole-doc dedup, on the original text — before line dedup and
+      scoring so downstream stages never see the repeated spans
+      (skipped when None). Spans removed, not docs: row count is
+      unchanged, so the stage's audit line is informational.
     - ``benchmark``: eval-set rows with ``text_col`` → 8-gram
       decontamination (skipped when None).
     - ``langs``: whitelist for the heuristic language ID (skipped when
@@ -139,6 +147,17 @@ def clean_corpus(
             F.col("canonical_id").alias(id_col)
         )
         cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
+
+        if substring_dedup_k is not None:
+            deduped = exact_substring_dedup(
+                cur, k=substring_dedup_k, text_col=text_col, id_col=id_col
+            )
+            cur = mark(
+                "substring_dedup",
+                deduped.withColumn(text_col, F.col("text_clean")).drop(
+                    "text_clean", "tokens_removed"
+                ),
+            )
 
         cur = mark(
             "line_dedup",

@@ -82,6 +82,33 @@ def test_compact_reduces_files_and_preserves_final(spark, wh):
     assert rows[0]["number"] == 2
 
 
+def test_compact_preserves_block_range_partitioning(spark, tmp_path):
+    """compact() must not trade the FINAL-window saving for partition
+    pruning: a _block_range layout survives the rewrite on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    rows = spark.createDataFrame(
+        [(i, "2020-01-01 00:00:00") for i in range(0, 250_000, 10_000)],
+        "number long, ts string",
+    ).selectExpr("number", "CAST(ts AS TIMESTAMP) AS timestamp")
+    for _ in range(2):  # two versions per id -> compaction has work
+        wh.write("block", rows, id_expr=rows.number.cast("string"),
+                 block_partition="number")
+    wh.compact("block")
+    parts = sorted(p for p in os.listdir(tmp_path / "block") if p.startswith("_block_range="))
+    assert parts == ["_block_range=0", "_block_range=100000", "_block_range=200000"]
+    after = wh.read("block", final=False)
+    assert after.count() == 25  # one version per id
+    # block predicates still prune directories after compaction
+    plan = after.filter(F.col("_block_range") == 0)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "_block_range" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_block_range_partitioned_write_prunes(spark, tmp_path):
     """block_partition derives a hive partition; block predicates become
     partition pruning (PartitionFilters in the scan)."""

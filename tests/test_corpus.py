@@ -137,3 +137,24 @@ def test_ground_truth_lang_preserved(spark, docs):
         assert report.df.select("lang").distinct().collect()[0]["lang"] == "xx"
     finally:
         report.release()
+
+
+def test_substring_dedup_stage(spark):
+    """Optional exact-substring stage: duplicated k-word spans are cut
+    from later docs (keep-first), row count unchanged, stage appears in
+    order right after exact_dedup."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique tail one"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta other suffix two"),
+        (3, "completely different words with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    report = clean_corpus(docs, substring_dedup_k=8, min_tokens=1)
+    names = [n for n, _ in report.stages]
+    assert names[:3] == ["input", "exact_dedup", "substring_dedup"]
+    out = {r["doc_id"]: r["text"] for r in report.df.collect()}
+    assert len(out) == 3  # spans removed, docs kept
+    assert out[1] == rows[0][1]  # first occurrence intact
+    assert out[2] == "other suffix two"  # the repeated 8-word span cut
+    assert out[3] == rows[2][1]
+    report.release()
