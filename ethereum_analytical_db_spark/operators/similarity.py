@@ -829,6 +829,44 @@ def lsh_index_append(
     ).partitionBy("bucket").parquet(path)
 
 
+def _multiprobe_buckets(query_vector, pm, nprobe: int) -> list[int]:
+    """The query's own sign-bit bucket plus the next most-likely buckets
+    (classic multi-probe LSH): a near neighbour lands across plane i
+    with probability rising as the query's margin |q·pᵢ| falls, so
+    perturbation sets are enumerated over the lowest-margin planes
+    (subsets of size ≤ 3 over the 16 smallest margins — driver-side,
+    ≤ 697 candidates) and ranked by total flipped margin. Returns at
+    most nprobe distinct buckets, the exact bucket first."""
+    import numpy as np
+
+    proj = pm @ np.asarray(query_vector, dtype=np.float64)
+    powers = 1 << np.arange(pm.shape[0], dtype=np.int64)
+    base = int(((proj >= 0).astype(np.int64) * powers).sum())
+    if nprobe <= 1:
+        return [base]
+    margins = np.abs(proj)
+    order = np.argsort(margins)[:16]
+    from itertools import combinations
+
+    scored: list[tuple[float, int]] = []
+    for r in (1, 2, 3):
+        for comb in combinations(order, r):
+            idx = list(comb)
+            scored.append(
+                (float(margins[idx].sum()), base ^ int(powers[idx].sum()))
+            )
+    scored.sort()
+    out = [base]
+    seen = {base}
+    for _, b in scored:
+        if b not in seen:
+            seen.add(b)
+            out.append(b)
+        if len(out) >= nprobe:
+            break
+    return out
+
+
 def cosine_topk_lsh_index(
     spark: SparkSession,
     path: str,
@@ -838,12 +876,13 @@ def cosine_topk_lsh_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Query a materialized LSH index: `bucket = <query bucket>` is a
+    """Query a materialized LSH index: `bucket IN <probe buckets>` is a
     partition filter on the bucket-partitioned layout — the scan opens
-    one directory out of 2^planes."""
-    import numpy as np
-
+    ``nprobe`` directories out of 2^planes (multi-probe: the extra
+    buckets are the lowest-margin bit flips, the standard recall knob
+    that costs probes, not index copies)."""
     meta = _read_index_meta(path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"index at {path} is {meta.get('kind')!r}, not lsh")
@@ -856,9 +895,8 @@ def cosine_topk_lsh_index(
             "hash into the wrong bucket"
         )
     pm = _plane_matrix(len(query_vector), planes, seed)
-    qbits = (np.asarray(query_vector, dtype=np.float64) @ pm.T >= 0).astype(np.int64)
-    qbucket = int(qbits @ (1 << np.arange(planes, dtype=np.int64)))
-    scan = spark.read.parquet(path).filter(F.col("bucket") == qbucket)
+    buckets = _multiprobe_buckets(query_vector, pm, nprobe)
+    scan = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     return cosine_topk_bruteforce(
         scan.select(id_col, vec_col), query_vector, k, id_col, vec_col
     )
@@ -872,19 +910,18 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only score vectors in the query's hyperplane
-    bucket. At 100 TB the bucketed table is written partitioned by
-    bucket, so a query prunes to one partition.
+    bucket(s). At 100 TB the bucketed table is written partitioned by
+    bucket, so a query prunes to ``nprobe`` partitions — multi-probe
+    (lowest-margin bit flips) trades probes for recall without extra
+    index copies.
 
     Bucket assignment is the shared numpy sign-bit gemm — one Arrow
     pass instead of ``planes`` interpreted folds per row."""
-    import numpy as np
-
-    dim = len(query_vector)
-    pm = _plane_matrix(dim, planes, seed)
-    qbits = (np.asarray(query_vector, dtype=np.float64) @ pm.T >= 0).astype(np.int64)
-    qbucket = int(qbits @ (1 << np.arange(planes, dtype=np.int64)))
+    pm = _plane_matrix(len(query_vector), planes, seed)
+    buckets = _multiprobe_buckets(query_vector, pm, nprobe)
     assigned = _assign_sign_buckets(embeddings, pm, id_col, vec_col)
-    candidates = assigned.filter(F.col("bucket") == qbucket).select(id_col, vec_col)
+    candidates = assigned.filter(F.col("bucket").isin(buckets)).select(id_col, vec_col)
     return cosine_topk_bruteforce(candidates, query_vector, k, id_col, vec_col)

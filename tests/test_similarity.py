@@ -418,3 +418,54 @@ def test_lsh_index_append_incremental(spark, tmp_path):
     similarity.ivf_index_write(df_base, ivf_path, cents)
     with pytest.raises(ValueError, match="not lsh"):
         similarity.lsh_index_append(df_extra, ivf_path)
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    """Multi-probe: candidate set grows with nprobe, top-k recall vs
+    brute force never falls, full probing recovers enough buckets that
+    the exact bucket alone cannot have MORE true hits."""
+    import numpy as np
+
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(df, q, k=5).collect()]
+
+    def recall(nprobe):
+        got = {r["vec_id"] for r in similarity.cosine_topk_lsh(
+            df, q, k=5, planes=4, nprobe=nprobe).collect()}
+        return len(got & set(exact)) / len(exact)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16
+    # planes=4 -> 16 buckets; probing all reachable buckets (Hamming<=3
+    # of 4 bits covers 15 of 16) must get essentially everything
+    assert r16 >= 0.8
+
+    # bucket list: exact bucket first, distinct, bounded by nprobe
+    pm = similarity._plane_matrix(len(q), 4, 42)
+    b1 = similarity._multiprobe_buckets(q, pm, 1)
+    b8 = similarity._multiprobe_buckets(q, pm, 8)
+    assert len(b1) == 1 and b8[0] == b1[0]
+    assert len(b8) == len(set(b8)) == 8
+    proj = pm @ np.asarray(q, dtype=np.float64)
+    base = b1[0]
+    # the first perturbation flips exactly the single lowest-margin bit
+    lowest = int(np.argmin(np.abs(proj)))
+    assert b8[1] == base ^ (1 << lowest)
+
+
+def test_lsh_index_multiprobe_prunes_and_matches_insession(spark, tmp_path):
+    rows, _ = _mk_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[3][1]
+    path = str(tmp_path / "lsh_mp_index")
+    similarity.lsh_index_write(df, path, dim=len(q), planes=4)
+    probed = similarity.cosine_topk_lsh_index(spark, path, q, k=5, planes=4, nprobe=4)
+    insession = similarity.cosine_topk_lsh(df, q, k=5, planes=4, nprobe=4)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in probed.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in insession.collect()]
+    assert got == want
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
