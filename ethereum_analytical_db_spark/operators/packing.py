@@ -1,0 +1,144 @@
+"""Sequence packing for training-data pipelines: group documents into
+fixed-token-budget sequences (the "sample packing" step before LM
+training) without a driver-side loop.
+
+Global bin packing is inherently sequential, so the operator runs the
+standard distributed approximation: documents are hashed into
+independent pack groups (deterministic, layout-independent salt on the
+id), and each group packs locally with best-fit-decreasing inside one
+``applyInPandas`` task. Packing quality loses only the cross-group
+boundary slack — with ``group_target_docs`` documents per group the
+expected fill stays within a few percent of the sequential packer, and
+every group is an independent task, so the operator scales linearly
+with executors at 100 TB.
+
+Determinism: group assignment is md5-based (not partition order), and
+in-group packing sorts by (tokens desc, doc id) before placement, so
+re-running on a repartitioned corpus yields identical assignments.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_target_docs: int = 10_000,
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Assign each document to a packed sequence of ≤ ``seq_len`` tokens.
+
+    Output: one row per document —
+    ``(doc_id, n_tokens, seq_id string, seq_pos int, truncated boolean)``.
+    ``seq_id`` is globally unique (``"<group>:<bin>"``), ``seq_pos`` the
+    document's position within its sequence. A single document longer
+    than ``seq_len`` gets its own sequence with ``truncated=true`` (the
+    trainer's cut-or-drop policy stays downstream; packing never loses
+    the row).
+
+    ``n_groups`` overrides the corpus-size-derived group count (one
+    cheap count()); groups are packed independently, so more groups =
+    more parallelism, marginally more boundary slack.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if n_groups is None:
+        n = docs.count()
+        n_groups = max(1, (n + group_target_docs - 1) // group_target_docs)
+
+    sized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long"),
+            F.lit(n_groups),
+        ).cast("int").alias("grp"),
+    )
+
+    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        grp = int(key[0])
+        # best-fit-decreasing, deterministic: big docs first, id
+        # tiebreak; the open-bin capacities live in a bisect-maintained
+        # ascending list, so placement is O(log bins) + a C-level
+        # memmove instead of a Python scan over every open bin
+        order = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        caps: list[int] = []  # remaining capacities, ascending
+        cap_bin: list[int] = []  # bin id parallel to caps
+        fill: list[int] = []  # next position per bin id
+        n_bins = 0
+        out_seq, out_pos, out_trunc = [], [], []
+        for tok in order["n_tokens"]:
+            tok = int(tok)
+            if tok > seq_len:
+                out_seq.append(n_bins)
+                out_pos.append(0)
+                out_trunc.append(True)
+                fill.append(1)
+                n_bins += 1  # oversized doc: closed single-doc bin
+                continue
+            i = bisect.bisect_left(caps, tok)
+            if i == len(caps):  # nothing fits: open a bin
+                b = n_bins
+                n_bins += 1
+                fill.append(0)
+                rem = seq_len - tok
+            else:  # tightest adequate bin (best fit)
+                b = cap_bin.pop(i)
+                rem = caps.pop(i) - tok
+            j = bisect.bisect_left(caps, rem)
+            caps.insert(j, rem)
+            cap_bin.insert(j, b)
+            out_seq.append(b)
+            out_pos.append(fill[b])
+            fill[b] += 1
+            out_trunc.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": order["doc_id"],
+                "n_tokens": order["n_tokens"],
+                "seq_id": [f"{grp}:{b}" for b in out_seq],
+                "seq_pos": out_pos,
+                "truncated": out_trunc,
+            }
+        )
+
+    id_type = sized.schema["doc_id"].dataType.simpleString()
+    return sized.groupBy("grp").applyInPandas(
+        pack_group,
+        schema=(
+            f"doc_id {id_type}, n_tokens int, seq_id string, "
+            "seq_pos int, truncated boolean"
+        ),
+    )
+
+
+def packing_stats(assignments: DataFrame, seq_len: int) -> DataFrame:
+    """One-row summary of a ``pack_sequences`` result: sequence count,
+    packed-token fill ratio over non-truncated sequences, and how many
+    documents exceeded the budget outright."""
+    per_seq = assignments.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.max(F.col("truncated").cast("int")).alias("trunc"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("sequences"),
+        F.sum("trunc").cast("long").alias("truncated_sequences"),
+        (
+            F.sum(F.when(F.col("trunc") == 0, F.col("seq_tokens")).otherwise(0))
+            / (F.sum(F.lit(1) - F.col("trunc")) * F.lit(seq_len))
+        ).alias("fill_ratio"),
+    )

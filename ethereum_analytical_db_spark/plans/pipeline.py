@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, packing, similarity, text
 from .registry import register, table
 
 STOPWORDS = ["the", "a", "value", "row", "data"]
@@ -68,6 +68,21 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("tokens_removed") > 0).cast("long")).alias("docs_affected"),
         F.sum("tokens_removed").alias("tokens_removed"),
     )
+
+
+@register(
+    "sequence_packing_stats",
+    None,  # a packing layout has no SQL oracle; the single-group case is
+    # pinned exactly against an independent pure-Python best-fit model
+    # (test_packing.py::test_matches_python_bfd_single_group)
+    note="sample packing for LM training: deterministic hash groups + "
+    "best-fit-decreasing per group inside one applyInPandas task each; "
+    "summary = sequences, truncated count, fill ratio",
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    assignments = packing.pack_sequences(docs, seq_len=512)
+    return packing.packing_stats(assignments, 512)
 
 
 # stop-shingle cap for the flagship dedup queries: shingles appearing in

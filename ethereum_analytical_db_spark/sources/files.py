@@ -44,6 +44,41 @@ def load_token_metadata(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("multiLine", "true").json(path)
 
 
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    shard_max_rows: int | None = None,
+    compress: bool = False,
+    order_by: str | None = None,
+) -> int:
+    """Training-data delivery: JSONL shards (the standard corpus
+    interchange format). Returns the shard count.
+
+    ``shard_max_rows`` sizes shards by a row budget: the shard count is
+    ceil(rows / budget) (one count() job) and the frame is repartitioned
+    to exactly that many files — without it, shards mirror the upstream
+    partitioning (no extra shuffle, the 100 TB default). ``order_by``
+    range-partitions instead, so shard k holds a contiguous key range
+    (reproducible corpus ordering); ``compress`` writes gzip parts. The
+    write is fully distributed — one file per task, nothing driver-side.
+    """
+    path = os.path.abspath(path)
+    if shard_max_rows is not None:
+        n = df.count()
+        shards = max(1, -(-n // shard_max_rows))
+        if order_by is not None:
+            df = df.repartitionByRange(shards, order_by).sortWithinPartitions(order_by)
+        else:
+            df = df.repartition(shards)
+    elif order_by is not None:
+        df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
+    w = df.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+    return len(glob.glob(os.path.join(path, "part-*")))
+
+
 def export_csv(df: DataFrame, path: str, header: bool = True) -> str:
     """S16: single CSV file with header. ``coalesce(1)`` is deliberate —
     the reference's OUTFILE is a single file; for TB-scale exports use

@@ -1,0 +1,93 @@
+"""Sequence packing: budget respected, every doc assigned exactly once,
+deterministic under repartitioning, oversized docs flagged, fill ratio
+sane on a uniform corpus, and a pure-Python best-fit-decreasing model
+reproduced exactly for a single group."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.operators import packing
+
+
+def _corpus(spark, n=120, seed=3):
+    rnd = random.Random(seed)
+    rows = [
+        (i, " ".join(f"w{rnd.randrange(50)}" for _ in range(rnd.randrange(5, 120))))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_budget_and_coverage(spark):
+    df, rows = _corpus(spark)
+    out = packing.pack_sequences(df, seq_len=256, n_groups=4)
+    got = out.collect()
+    # every doc exactly once
+    assert sorted(r["doc_id"] for r in got) == [i for i, _ in rows]
+    # no sequence exceeds the budget (no oversized docs in this corpus)
+    per_seq = (
+        out.groupBy("seq_id").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    assert all(r["t"] <= 256 for r in per_seq)
+    assert not any(r["truncated"] for r in got)
+    # seq_pos is a dense 0..m-1 within each sequence
+    pos = {}
+    for r in got:
+        pos.setdefault(r["seq_id"], []).append(r["seq_pos"])
+    for v in pos.values():
+        assert sorted(v) == list(range(len(v)))
+
+
+def test_deterministic_under_repartition(spark):
+    df, _ = _corpus(spark)
+    a = sorted(map(tuple, packing.pack_sequences(df, 256, n_groups=3).collect()))
+    b = sorted(map(tuple, packing.pack_sequences(df.repartition(13), 256, n_groups=3).collect()))
+    assert a == b
+
+
+def test_oversized_doc_flagged(spark):
+    rows = [(1, " ".join(["w"] * 50)), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in packing.pack_sequences(df, seq_len=10, n_groups=1).collect()}
+    assert out[1]["truncated"] and out[1]["seq_pos"] == 0
+    assert not out[2]["truncated"]
+    assert out[1]["seq_id"] != out[2]["seq_id"]  # oversized bin is closed
+
+
+def test_matches_python_bfd_single_group(spark):
+    """One group -> the distributed result IS the sequential best-fit-
+    decreasing packing; check against an independent model."""
+    df, rows = _corpus(spark, n=60, seed=9)
+    seq_len = 200
+    out = {r["doc_id"]: r for r in packing.pack_sequences(df, seq_len, n_groups=1).collect()}
+
+    import bisect
+
+    toks = sorted(
+        ((len(t.split(" ")), i) for i, t in rows), key=lambda p: (-p[0], p[1])
+    )
+    caps, cap_bin, assign, nbins = [], [], {}, 0
+    for tok, i in toks:
+        j = bisect.bisect_left(caps, tok)
+        if j == len(caps):
+            b, rem, nbins = nbins, seq_len - tok, nbins + 1
+        else:
+            b = cap_bin.pop(j)
+            rem = caps.pop(j) - tok
+        k = bisect.bisect_left(caps, rem)
+        caps.insert(k, rem)
+        cap_bin.insert(k, b)
+        assign[i] = b
+    for i, _ in rows:
+        assert out[i]["seq_id"] == f"0:{assign[i]}", i
+
+
+def test_stats_and_fill_ratio(spark):
+    df, _ = _corpus(spark, n=200)
+    out = packing.pack_sequences(df, seq_len=256, n_groups=2)
+    stats = packing.packing_stats(out, 256).first()
+    assert stats["truncated_sequences"] == 0
+    assert stats["sequences"] >= 1
+    # BFD on many small docs packs tightly; generous floor guards noise
+    assert stats["fill_ratio"] > 0.7

@@ -231,3 +231,31 @@ def test_phone_pattern_ignores_space_separated_digit_runs(nums):
     of plain digit groups is ever redacted as a phone number."""
     s = " ".join(str(n) for n in nums)
     assert re.search(t.PII_PATTERNS["phone"], s) is None
+
+
+@SPARK_EXAMPLES
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(8)]),
+            min_size=0, max_size=20,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_substring_dedup_matches_python_model(spark, word_lists, k):
+    """Keep-first exact-substring dedup equals the pure-Python model on
+    ANY corpus — tiny vocab forces heavy window collisions, empty and
+    sub-k docs exercise the pass-through path."""
+    from ethereum_analytical_db_spark.operators import dedup as dd
+    from test_dedup import _py_substring_oracle
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, exp_clean, exp_removed = _py_substring_oracle(rows, k)
+    got = {r["doc_id"]: r for r in dd.exact_substring_dedup(df, k=k).collect()}
+    assert len(got) == len(rows)
+    for doc_id, _ in rows:
+        assert got[doc_id]["text_clean"] == exp_clean[doc_id], (doc_id, k)
+        assert got[doc_id]["tokens_removed"] == exp_removed[doc_id], (doc_id, k)

@@ -223,3 +223,39 @@ def test_retry_transport_bounded_backoff():
     with pytest.raises(ConnectionError, match="boom 3"):
         t2.post([{"id": 0}])
     assert sleeps2 == [1.0, 2.0]  # no sleep after the final attempt
+
+
+def test_export_jsonl_shards_roundtrip(spark, tmp_path):
+    """JSONL shard export: row-budget sharding produces the expected
+    file count, content round-trips, gzip parts read back, and
+    order_by yields contiguous key ranges per shard."""
+    import glob
+    import json
+    import os
+
+    from ethereum_analytical_db_spark.sources.files import export_jsonl
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('text-', id) AS text")
+    out = str(tmp_path / "corpus_jsonl")
+    shards = export_jsonl(df, out, shard_max_rows=30)
+    assert shards == 4  # ceil(100/30)
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
+
+    gz = str(tmp_path / "corpus_gz")
+    export_jsonl(df, gz, shard_max_rows=50, compress=True)
+    assert glob.glob(os.path.join(gz, "part-*.gz"))
+    assert spark.read.json(gz).count() == 100
+
+    ordered = str(tmp_path / "corpus_ordered")
+    export_jsonl(df, ordered, shard_max_rows=25, order_by="doc_id")
+    ranges = []
+    for part in sorted(glob.glob(os.path.join(ordered, "part-*"))):
+        ids = [json.loads(line)["doc_id"] for line in open(part)]
+        assert ids == sorted(ids)  # sorted within shard
+        if ids:
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # contiguous, non-overlapping key ranges
