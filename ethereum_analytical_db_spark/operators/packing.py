@@ -19,8 +19,6 @@ re-running on a repartitioned corpus yields identical assignments.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -65,7 +63,7 @@ def pack_sequences(
         ).cast("int").alias("grp"),
     )
 
-    def pack_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pack_group(key, pdf):
         import bisect
 
         grp = int(key[0])

@@ -1,0 +1,98 @@
+"""Build a training corpus end-to-end: clean → pack → ship.
+
+The LLM-data pack's full path as one runnable script over the synthetic
+``documents`` table:
+
+    python examples/build_training_corpus.py /root/testdata/sf0.01 /tmp/corpus_out
+    python examples/build_training_corpus.py /root/testdata/sf0.1 /tmp/corpus_out \
+        --seq-len 1024 --shard-rows 5000 --substring-k 8 --gzip
+
+Stages (each an already-scale-audited operator — see SCALE.md):
+1. ``clean_corpus``: exact dedup → exact-substring span dedup →
+   line dedup → quality filter → language ID → PII scrub → split,
+   with per-stage survival counts printed as the audit trail.
+2. ``pack_sequences``: best-fit-decreasing sample packing to the token
+   budget, per-split; fill-ratio summary printed.
+3. ``export_jsonl``: each split shipped as row-budgeted JSONL shards
+   (train shards ordered by packed sequence so one shard holds whole
+   sequences contiguously).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("sf_dir", help="directory with documents.parquet")
+    p.add_argument("out_dir", help="output directory for JSONL shards")
+    p.add_argument("--seq-len", type=int, default=512)
+    p.add_argument("--shard-rows", type=int, default=10_000)
+    p.add_argument("--substring-k", type=int, default=8)
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--gzip", action="store_true")
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators.corpus import clean_corpus
+    from ethereum_analytical_db_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+    from ethereum_analytical_db_spark.session import get_spark
+    from ethereum_analytical_db_spark.sources.files import export_jsonl
+
+    spark = get_spark(app_name="build_training_corpus", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    report = clean_corpus(
+        docs,
+        substring_dedup_k=args.substring_k,
+        min_tokens=args.min_tokens,
+    )
+    print("cleaning audit trail:")
+    for name, rows in report.stages:
+        print(f"  {name:>18}: {rows} rows")
+
+    try:
+        total_shards = 0
+        for split in ("train", "valid", "test"):
+            part = report.df.filter(F.col("split") == split)
+            packed = pack_sequences(part, seq_len=args.seq_len)
+            stats = packing_stats(packed, args.seq_len).first()
+            print(
+                f"{split}: {stats['sequences']} sequences, "
+                f"fill {float(stats['fill_ratio'] or 0):.1%}, "
+                f"{stats['truncated_sequences']} truncated"
+            )
+            shipped = (
+                part.join(packed.select("doc_id", "seq_id", "seq_pos"), "doc_id")
+                .select("doc_id", "seq_id", "seq_pos", "lang", "text")
+            )
+            n = export_jsonl(
+                shipped,
+                os.path.join(args.out_dir, split),
+                shard_max_rows=args.shard_rows,
+                compress=args.gzip,
+                order_by="seq_id",
+            )
+            total_shards += n
+            print(f"{split}: {n} shard file(s)")
+        print(f"done: {total_shards} shards under {args.out_dir}")
+    finally:
+        report.release()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

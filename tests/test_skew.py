@@ -215,3 +215,27 @@ def test_balances_pyramid_hot_address_map_side_combine(spark, tmp_path):
     assert "partial_sum" in plan_str
     assert "CartesianProduct" not in plan_str
     assert "BroadcastNestedLoopJoin" not in plan_str
+
+
+def test_substring_dedup_universal_boilerplate_window(spark):
+    """Adversarial: every doc carries the SAME k-word boilerplate
+    header, so one fingerprint partition holds one row per doc (the
+    hot-key shape). The fp-partitioned window pass is a linear sort,
+    not a pair join — the operator must stay correct and complete at a
+    few hundred docs with a universal hot fingerprint, cutting the
+    boilerplate from every doc except the global first occurrence."""
+    import random
+
+    rnd = random.Random(5)
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{j}_{rnd.randrange(9)}" for j in range(20)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, k=8).collect()}
+    assert len(out) == 300
+    # keep-first: doc 0 keeps the boilerplate, everyone else loses it
+    assert out[0]["tokens_removed"] == 0
+    assert all(out[i]["tokens_removed"] == 8 for i in range(1, 300))
+    assert all(not out[i]["text_clean"].startswith("b0 ") for i in range(1, 300))
