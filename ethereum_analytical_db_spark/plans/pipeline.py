@@ -53,8 +53,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "substring_dedup_stats",
     None,  # oracle window is full (50-slot cap); semantics are pinned by
-    # an independent pure-Python full-parity test
-    # (test_dedup.py::test_substring_dedup_matches_python_oracle)
+    # an independent pure-Python full-parity test PLUS a cross-engine
+    # DuckDB SQL replica of the whole pipeline on the fixture corpus
+    # (test_dedup.py::test_substring_dedup_matches_python_oracle,
+    # ::test_substring_dedup_stats_duckdb_parity)
     note="exact-substring dedup (Lee et al. 2022 keep-first semantics): "
     "duplicated k-word spans removed corpus-wide; md5 window "
     "fingerprints shuffle uniformly, reconstruction is JVM higher-order "

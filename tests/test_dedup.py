@@ -331,3 +331,62 @@ def test_substring_dedup_short_docs_pass_through(spark):
     out = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, k=8).collect()}
     assert out[1]["text_clean"] == "a b" and out[1]["tokens_removed"] == 0
     assert out[2]["text_clean"] == "a b"
+
+
+def test_substring_dedup_stats_duckdb_parity(spark):
+    """Cross-engine oracle for the rows-only registry entry: DuckDB
+    re-derives the window fingerprints (same md5-of-joined-words), the
+    keep-first removal spans, the per-doc interval merge, and the
+    summary stats on the sf0.001 documents table — identical numbers."""
+    import duckdb
+
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = all_queries()["substring_dedup_stats"].build(spark, sf).first()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute("""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), wins AS (
+          SELECT doc_id AS doc, CAST(r AS INT) AS pos,
+                 md5(array_to_string(ws[r+1 : r+8], ' ')) AS fp
+          FROM words, LATERAL unnest(range(len(ws) - 8 + 1)) AS t(r)
+          WHERE len(ws) >= 8
+        ), ranked AS (
+          SELECT doc, pos,
+                 count(*) OVER (PARTITION BY fp) AS occ,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc, pos) AS rn
+          FROM wins
+        ), spans AS (
+          SELECT doc, pos AS s, pos + 8 AS e FROM ranked
+          WHERE occ > 1 AND rn > 1
+        ), with_prev AS (
+          SELECT doc, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                       PARTITION BY doc ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_grp
+          FROM spans
+        ), grouped AS (
+          SELECT doc, s, e,
+                 sum(new_grp) OVER (
+                   PARTITION BY doc ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM with_prev
+        ), merged AS (
+          SELECT doc, min(s) AS s, max(e) AS e
+          FROM grouped GROUP BY doc, grp
+        ), per_doc AS (
+          SELECT doc, sum(e - s) AS removed FROM merged GROUP BY doc
+        )
+        SELECT (SELECT count(*) FROM documents) AS docs,
+               count(*) AS docs_affected,
+               sum(removed) AS tokens_removed
+        FROM per_doc
+    """).fetchone()
+    assert (got["docs"], got["docs_affected"], got["tokens_removed"]) == want
