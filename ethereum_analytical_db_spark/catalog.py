@@ -27,7 +27,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from . import schemas
 
@@ -156,13 +156,47 @@ class Warehouse:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(table))
 
+    def has_block_partitions(self, table: str) -> bool:
+        """True when the table directory uses the ``_block_range`` hive
+        layout (cheap driver-side listing)."""
+        try:
+            return any(
+                e.startswith("_block_range=")
+                for e in os.listdir(self._path(table))
+            )
+        except FileNotFoundError:
+            return False
+
+    def _read_schema(self, table: str) -> StructType | None:
+        """The deterministic scan schema: the registered table schema +
+        engine columns (+ the hive partition column when present). An
+        EXPLICIT schema matters beyond skipping the inference job: a
+        directory mixing part files written before and after a column
+        existed (e.g. ``_tombstone`` on a pre-reorg warehouse) infers
+        its schema from ONE arbitrary part file — whether the column
+        survives then depends on file naming, and a dropped
+        ``_tombstone`` silently resurrects orphaned fork rows. With the
+        explicit schema, files lacking a column read it as NULL,
+        deterministically."""
+        base = schemas.TABLES.get(table)
+        if base is None:  # not a registered table: fall back to inference
+            return None
+        fields = list(schemas.with_engine_columns(base).fields)
+        if self.has_block_partitions(table):
+            fields.append(StructField("_block_range", LongType(), True))
+        return StructType(fields)
+
     def read(self, table: str, final: bool = True) -> DataFrame:
         """Table scan; ``final=True`` applies last-write-wins dedup by
         primary key (SURVEY §1.3 / W2), then drops keys whose winning
         version is a reorg tombstone (operators/reorg.py) — the FINAL
         analogue of a DELETE, resolved per-key AFTER dedup so a later
         re-insert of the same key revives it."""
-        df = self.spark.read.parquet(self._path(table))
+        reader = self.spark.read
+        expected = self._read_schema(table)
+        if expected is not None:
+            reader = reader.schema(expected)
+        df = reader.parquet(self._path(table))
         if final:
             df = final_dedup(df, schemas.primary_key(table))
             if "_tombstone" in df.columns:
@@ -194,14 +228,7 @@ class Warehouse:
             df = df.filter(query)
         if fields:
             df = df.select(*fields)
-        chunk: list = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            chunk.append(row)
-            if len(chunk) >= per:
-                yield chunk
-                chunk = []
-        if chunk:
-            yield chunk
+        yield from paginate(df, per)
 
     def export_jdbc(
         self,
@@ -258,13 +285,18 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
-        compacted = self.spark.read.parquet(tmp)
+        # explicit schema: a fully-tombstoned table compacts to ZERO
+        # data files under partitionBy (only _SUCCESS), and a schemaless
+        # read of that directory cannot infer anything
+        compacted = self.spark.read.schema(deduped.schema).parquet(tmp)
         max_seq = 0
         if "_seq" in compacted.columns:
             max_seq = compacted.agg(F.max("_seq")).first()[0] or 0
         final_path = self._path(table)
         w = compacted.write.mode("overwrite")
-        if partition_by:
+        if partition_by and not compacted.isEmpty():
+            # an empty partitioned write would leave a file-less final
+            # directory; a flat empty file keeps the table readable
             w = w.partitionBy(*partition_by)
         w.parquet(final_path)
         self._write_seq_sidecar(table, int(max_seq))
@@ -276,6 +308,22 @@ class Warehouse:
         for t in tables or schemas.TABLES.keys():
             if self.exists(t):
                 self.read(t, final=final).createOrReplaceTempView(t)
+
+
+def paginate(df: DataFrame, per: int = 1000):
+    """Stream a (small-schema) frame to the driver in bounded pages —
+    the one cursor primitive behind ``Warehouse.iterate`` and the CLI's
+    HTTP enrichment loops. ``prefetchPartitions=True`` overlaps the next
+    partition's fetch with the current page's driver-side work; peak
+    driver residency is max(page, one partition), never the frame."""
+    chunk: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        chunk.append(row)
+        if len(chunk) >= per:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
 
 
 def block_range(col: str, size: int = 100_000):

@@ -251,9 +251,21 @@ def decode_inputs_joined(
       ``decode_inputs`` would decode to NULL and the caller filters out.
     """
     addr_lower = F.lower(F.col(address_col))
-    dim = abi_df.filter(F.col(abi_col).isNotNull()).select(
-        F.lower(F.col(abi_id_col)).alias("_abi_addr"),
-        F.col(abi_col).alias("_abi_json"),
+    # ANY-join-style dedup AFTER lowercasing: case-variant duplicate ids
+    # ('0xAB…' from a checksummed external writer next to '0xab…')
+    # collapse to the same key, and an un-deduped dim would emit — and
+    # decode, and write — every matching fact row once per variant. The
+    # agg form collapses duplicates map-side before the shuffle; max()
+    # is the deterministic pick (the driver-dict path kept "last seen",
+    # which was iteration-order luck).
+    dim = (
+        abi_df.filter(F.col(abi_col).isNotNull())
+        .select(
+            F.lower(F.col(abi_id_col)).alias("_abi_addr"),
+            F.col(abi_col).alias("_abi_json"),
+        )
+        .groupBy("_abi_addr")
+        .agg(F.max("_abi_json").alias("_abi_json"))
     )
     joined = df.join(dim, addr_lower == F.col("_abi_addr"), "inner").drop(
         "_abi_addr"

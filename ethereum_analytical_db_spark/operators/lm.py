@@ -33,13 +33,19 @@ from .text import words
 
 @dataclass
 class UnigramLM:
-    """Bounded unigram model: ``table`` is (word, logp) for the top-V
-    vocabulary; OOV words share one smoothed log-probability."""
+    """Bounded unigram model: ``table`` is (word, logp, p) for the top-V
+    vocabulary; OOV words share one smoothed probability. ``p`` is the
+    RAW ratio double next to its log: the interpolated bigram scorer
+    needs the probability domain, and reconstructing it as exp(logp)
+    adds a double round-trip of ulp error on top of the cross-engine
+    log() variance — enough to flip a DECIMAL(38,8)-quantized oracle
+    hash on a boundary-straddling token."""
 
-    table: DataFrame  # (word string, logp double)
+    table: DataFrame  # (word string, logp double, p double)
     oov_logp: float
     vocab_size: int
     total_tokens: int
+    oov_p: float = 0.0
 
     def release(self) -> None:
         """Drop the cached model table. A long-lived session training
@@ -82,17 +88,17 @@ def train_unigram_lm(
     # cache the FINAL bounded table (not the intermediate top-V) so the
     # model holds exactly one cached artifact, released by .release();
     # counts stays cached until the table materializes, then unpersists
-    table = top.select(
-        "word",
-        F.log((F.col("c") + F.lit(add_k)) / F.lit(denom)).alias("logp"),
-    ).cache()
+    p = (F.col("c") + F.lit(add_k)) / F.lit(denom)
+    table = top.select("word", F.log(p).alias("logp"), p.alias("p")).cache()
     table.count()
     counts.unpersist()
     import math
 
-    oov_logp = math.log(add_k / denom) if denom > 0 else 0.0
+    oov_p = add_k / denom if denom > 0 else 0.0
+    oov_logp = math.log(oov_p) if oov_p > 0 else 0.0
     return UnigramLM(
-        table=table, oov_logp=oov_logp, vocab_size=v, total_tokens=n_total
+        table=table, oov_logp=oov_logp, vocab_size=v,
+        total_tokens=n_total, oov_p=oov_p,
     )
 
 
@@ -274,11 +280,16 @@ def score_perplexity_bigram(
     )
     uni = lm.unigram
     j = (
-        toks.join(F.broadcast(uni.table), "word", "left")
-        .withColumnRenamed("logp", "logp_uni")
+        toks.join(
+            F.broadcast(uni.table.select("word", F.col("p").alias("_p_uni"))),
+            "word",
+            "left",
+        )
         .join(F.broadcast(lm.table), ["prev", "word"], "left")
     )
-    p_uni = F.exp(F.coalesce(F.col("logp_uni"), F.lit(uni.oov_logp)))
+    # probability domain directly — exp(logp) here would add a double
+    # round-trip of ulp error the cross-engine oracle hash can see
+    p_uni = F.coalesce(F.col("_p_uni"), F.lit(uni.oov_p))
     p = F.when(
         F.col("p_bi").isNotNull(),
         F.lit(lm.lam) * F.col("p_bi") + F.lit(1.0 - lm.lam) * p_uni,

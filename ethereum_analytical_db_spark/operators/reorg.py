@@ -22,8 +22,6 @@ pruning keeps working.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,11 +36,7 @@ def _is_block_partitioned(wh: Warehouse, table: str) -> bool:
     """True when the table directory uses the ``_block_range`` hive
     layout — appended tombstones must match it or the mixed layout
     breaks the reader."""
-    root = wh._path(table)
-    try:
-        return any(e.startswith("_block_range=") for e in os.listdir(root))
-    except FileNotFoundError:
-        return False
+    return wh.has_block_partitions(table)
 
 
 def orphaned_rows(

@@ -68,7 +68,10 @@ def main(argv: list[str] | None = None) -> int:
         total_shards = 0
         for split in ("train", "valid", "test"):
             part = report.df.filter(F.col("split") == split)
-            packed = pack_sequences(part, seq_len=args.seq_len)
+            # cache: the stats pass and the export join both materialize
+            # the packing — uncached, the count + shuffle + best-fit
+            # applyInPandas would run twice per split
+            packed = pack_sequences(part, seq_len=args.seq_len).cache()
             stats = packing_stats(packed, args.seq_len).first()
             print(
                 f"{split}: {stats['sequences']} sequences, "
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                 order_by="seq_id",
             )
             total_shards += n
+            packed.unpersist()
             print(f"{split}: {n} shard file(s)")
         print(f"done: {total_shards} shards under {args.out_dir}")
     finally:

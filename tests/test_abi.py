@@ -113,3 +113,20 @@ def test_decode_inputs_dataframe(spark):
     assert ok["name"] == "transfer" and ok["params_value"][1] == "500"
     assert by_input[("0xToken", "0xdeadbeef")] is None
     assert by_input[("0xOther", "0xa9059cbb")] is None
+
+
+def test_decode_inputs_joined_case_variant_ids_no_duplicates(spark):
+    """The joined decode path must collapse case-variant ABI ids
+    ('0xAB…' from a checksummed external writer next to the ingest
+    path's '0xab…') to ONE dim row — an un-deduped dim would emit,
+    decode, and write every matching fact row once per variant."""
+    rows = [("0xtoken", "0xa9059cbb" + _w(5) + _w(500))]
+    df = spark.createDataFrame(rows, "`to` string, input string")
+    abi_df = spark.createDataFrame(
+        [("0xToken", ERC20_ABI), ("0xtoken", ERC20_ABI), ("0xother", ERC20_ABI)],
+        "id string, abi string",
+    )
+    out = abi.decode_inputs_joined(df, abi_df, address_col="to").collect()
+    assert len(out) == 1  # one fact row in, one decoded row out
+    assert out[0]["decoded"]["name"] == "transfer"
+    assert out[0]["decoded"]["params_value"][1] == "500"

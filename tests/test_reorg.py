@@ -127,3 +127,50 @@ def test_orphaned_rows_is_pure_plan(spark):
     plan = orphaned_rows(facts, canon)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tombstones_survive_pre_upgrade_part_files(spark, tmp_path):
+    """A warehouse whose OLD part files lack the _tombstone column must
+    still honor tombstones written later: the reader uses the explicit
+    registered schema, so which part file Spark would have sampled for
+    inference can't decide whether orphans resurface."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # simulate a pre-reorg-era file: no _tombstone column on disk
+    legacy = spark.createDataFrame(
+        [("0xT1.0", 1, "0xa1", 10)],
+        "id string, blockNumber long, blockHash string, _seq long",
+    )
+    legacy.write.mode("append").parquet(wh._path("internal_transaction"))
+    # newer write-path rows carry the column implicitly (null)
+    wh.write(
+        "internal_transaction",
+        spark.createDataFrame([_tx(2, 2, "0xa2")], TX_DDL),
+    )
+    # tombstone the legacy row through the ordinary upsert
+    wh.write(
+        "internal_transaction",
+        spark.createDataFrame(
+            [("0xT1.0", 1, "0xa1")], "id string, blockNumber long, blockHash string"
+        ).withColumn("_tombstone", F.lit(1).cast("byte")),
+    )
+    final = wh.read("internal_transaction", final=True)
+    assert "_tombstone" in final.columns  # deterministic schema
+    ids = {r["id"] for r in final.select("id").collect()}
+    assert ids == {"0xT2.0"}  # legacy row tombstoned, new row alive
+
+
+def test_compact_fully_tombstoned_partitioned_table(spark, tmp_path):
+    """compact() on a block-partitioned table whose FINAL view is empty
+    (every key tombstoned) must not crash on the zero-data-file
+    read-back, and must leave a readable (empty) table."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = spark.createDataFrame([_tx(1, 1, "0xa1"), _tx(2, 150_000, "0xa2")], TX_DDL)
+    wh.write("internal_transaction", rows, block_partition="blockNumber")
+    tomb = rows.select("id", "blockNumber", "blockHash").withColumn(
+        "_tombstone", F.lit(1).cast("byte")
+    )
+    wh.write("internal_transaction", tomb, block_partition="blockNumber")
+    assert wh.read("internal_transaction", final=True).count() == 0
+    wh.compact("internal_transaction")
+    assert wh.read("internal_transaction", final=False).count() == 0
+    assert wh.read("internal_transaction", final=True).count() == 0
