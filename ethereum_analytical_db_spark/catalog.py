@@ -279,7 +279,11 @@ class Warehouse:
         the 100 TB history.
         """
         deduped = self.read(table, final=True)
-        tmp = self._path(table) + ".compact"
+        final_path = self._path(table)
+        tmp = final_path + ".compact"
+        old = final_path + ".precompact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
         partition_by = ["_block_range"] if "_block_range" in deduped.columns else []
         w = deduped.write.mode("overwrite")
         if partition_by:
@@ -292,15 +296,24 @@ class Warehouse:
         max_seq = 0
         if "_seq" in compacted.columns:
             max_seq = compacted.agg(F.max("_seq")).first()[0] or 0
-        final_path = self._path(table)
-        w = compacted.write.mode("overwrite")
-        if partition_by and not compacted.isEmpty():
-            # an empty partitioned write would leave a file-less final
-            # directory; a flat empty file keeps the table readable
-            w = w.partitionBy(*partition_by)
-        w.parquet(final_path)
+        if partition_by and compacted.isEmpty():
+            # an empty partitioned directory has no data files and is
+            # unreadable; a flat empty file keeps the table readable
+            self.spark.createDataFrame([], deduped.schema).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        # two metadata renames instead of a delete-then-rewrite of the
+        # live directory: a crash mid-compaction previously lost the
+        # table at its canonical path for the whole duration of the
+        # second write; now the exposure is the instant between the two
+        # renames, and the data always exists in full at one of the
+        # three paths. A crash before the sidecar write just makes the
+        # next write() reseed _seq via the documented full-scan
+        # fallback.
+        os.rename(final_path, old)
+        os.rename(tmp, final_path)
         self._write_seq_sidecar(table, int(max_seq))
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def register_views(self, *tables: str, final: bool = True) -> None:
         """Expose tables as temp views for spark.sql() text queries —

@@ -443,6 +443,9 @@ def extract_features(
         for pdf in batches:
             feats = []
             for content in pdf[content_col]:
+                if content is None:  # nullable binary: no features, not
+                    feats.append(None)  # a stage-killing TypeError
+                    continue
                 h = hashlib.md5(bytes(content)).digest()
                 # expand deterministically to feat_dim floats in [0, 1)
                 vals = []
@@ -485,7 +488,11 @@ def resize_plan(
     columns (letterbox-preserving aspect). Content transformation is the
     codec stub's job; planning stays JVM-side."""
     w, h = F.col("meta.width").cast("double"), F.col("meta.height").cast("double")
-    scale = F.least(F.lit(target_w) / w, F.lit(target_h) / h)
+    # zero-geometry rows (audio, metadata-less) get a NULL plan instead
+    # of aborting the whole table on ANSI DIVIDE_BY_ZERO
+    scale = F.when(
+        (w > 0) & (h > 0), F.least(F.lit(target_w) / w, F.lit(target_h) / h)
+    )
     return df.withColumn(
         "resize",
         F.struct(

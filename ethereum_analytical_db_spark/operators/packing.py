@@ -56,7 +56,9 @@ def pack_sequences(
 
     sized = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("int").alias("n_tokens"),
+        # null text -> 0 tokens: token_count(NULL) is NULL, which would
+        # reach the packer as NaN and abort the stage on int(NaN)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("int").alias("n_tokens"),
         F.pmod(
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long"),
             F.lit(n_groups),
@@ -132,11 +134,17 @@ def packing_stats(assignments: DataFrame, seq_len: int) -> DataFrame:
         F.sum("n_tokens").alias("seq_tokens"),
         F.max(F.col("truncated").cast("int")).alias("trunc"),
     )
+    # nullif: with every sequence truncated the denominator is 0, and
+    # the "everything truncated" report must not die on DIVIDE_BY_ZERO
+    denom = F.nullif(
+        (F.sum(F.lit(1) - F.col("trunc")) * F.lit(seq_len)).cast("double"),
+        F.lit(0.0),
+    )
     return per_seq.agg(
         F.count(F.lit(1)).alias("sequences"),
         F.sum("trunc").cast("long").alias("truncated_sequences"),
         (
             F.sum(F.when(F.col("trunc") == 0, F.col("seq_tokens")).otherwise(0))
-            / (F.sum(F.lit(1) - F.col("trunc")) * F.lit(seq_len))
+            / denom
         ).alias("fill_ratio"),
     )

@@ -64,9 +64,16 @@ def cosine_topk_bruteforce(
     dot = _dot(F.col(vec_col), q)
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     qnorm = float(sum(x * x for x in query_vector)) ** 0.5
-    cos = dot / (norm * F.lit(qnorm))
+    # zero-norm guard: a single all-zero embedding (failed encoder row)
+    # would otherwise abort the whole query under ANSI's DIVIDE_BY_ZERO;
+    # cosine is undefined there, so the row scores NULL and drops out
+    if qnorm == 0.0:
+        cos = F.lit(None).cast("double")
+    else:
+        cos = F.when(norm > F.lit(0.0), dot / (norm * F.lit(qnorm)))
     return (
         embeddings.select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -100,16 +107,32 @@ def cosine_topk_exact_decimal(
     # downscale cast, which Spark rounds but DuckDB truncates.)
     val = F.col("val").cast("double").cast(DEC)
     qval = F.col("qval").cast("double").cast(DEC)
+    # the query norm is a per-query constant: computed ONCE from the
+    # 1-row query frame instead of re-summing qval*qval inside every
+    # per-id group (≈⅓ of the decimal work). Decimal sums are exact and
+    # order-independent, so this equals the per-group value bit-for-bit
+    # — the DuckDB oracle, which keeps the per-group form, still hashes
+    # identically.
+    qnorm2 = float(
+        q.select(F.sum(qval * qval).cast("double").alias("qn")).first()["qn"] or 0.0
+    )
     per_vec = joined.groupBy(id_col).agg(
         F.sum(val * qval).cast("double").alias("dot"),
         F.sum(val * val).cast("double").alias("norm2"),
-        F.sum(qval * qval).cast("double").alias("qnorm2"),
     )
-    cos = F.col("dot") / (F.sqrt(F.col("norm2")) * F.sqrt(F.col("qnorm2")))
+    # same zero-norm guard as the float path (ANSI DIVIDE_BY_ZERO)
+    if qnorm2 == 0.0:
+        cos = F.lit(None).cast("double")
+    else:
+        cos = F.when(
+            F.col("norm2") > 0,
+            F.col("dot") / (F.sqrt(F.col("norm2")) * F.lit(qnorm2**0.5)),
+        )
     qid = query.select(id_col).first()[0]
     return (
         per_vec.filter(F.col(id_col) != qid)
         .select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -183,6 +206,56 @@ def _as_dec_vec(vec_col) -> Column:
     return F.transform(vec_col, lambda x: x.cast("double").cast(DEC))
 
 
+def _unordered_pair_keys(blk_col: str, n_blocks: int):
+    """Array of (i, j) structs: the unordered block pairs a row in block
+    ``blk_col`` participates in — (min(b,o), max(b,o)) for o in
+    0..n_blocks-1. Each unordered pair lands in exactly one group, so
+    candidates never duplicate across tasks."""
+    return F.array(
+        *[
+            F.struct(
+                F.least(F.col(blk_col), F.lit(o)).alias("i"),
+                F.greatest(F.col(blk_col), F.lit(o)).alias("j"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+
+
+def _gemm_pair_score(pdf, i: int, j: int, thr: float):
+    """Score one unordered block-pair task: unit-normalize the task's
+    vectors, gemm, keep pairs ≥ thr. Returns (id_a, id_b, cosine) numpy
+    arrays with id_a < id_b — within-block (i == j) keeps the a < b
+    order, cross-block normalizes to (min, max) instead of filtering
+    (or pairs whose smaller id sits in the right block would be lost).
+    The single kernel behind both the exact block-nested-loop and the
+    LSH sub-block decomposition — one place to fix, both paths move."""
+    import numpy as np
+
+    mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+    unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+    ids = pdf["vid"].to_numpy()
+    left = pdf["blk"].to_numpy() == i
+    empty = (
+        np.empty(0, dtype=ids.dtype),
+        np.empty(0, dtype=ids.dtype),
+        np.empty(0, dtype=np.float64),
+    )
+    if i == j:
+        sims = unit @ unit.T
+        ai, bj = np.nonzero(sims >= thr)
+        ia, ib, cs = ids[ai], ids[bj], sims[ai, bj]
+        keep = ia < ib
+        return ia[keep], ib[keep], cs[keep]
+    right = ~left
+    if not left.any() or not right.any():
+        return empty
+    sims = unit[left] @ unit[right].T
+    ai, bj = np.nonzero(sims >= thr)
+    la, rb = ids[left][ai], ids[right][bj]
+    return np.minimum(la, rb), np.maximum(la, rb), sims[ai, bj]
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -211,7 +284,6 @@ def embedding_near_dup_exact(
     quadratically no matter the blocking. LSH below is the scale path —
     same verify phase, candidates from bucket collisions instead.
     """
-    import numpy as np
     import pandas as pd
 
     thr = threshold - 1e-6
@@ -222,47 +294,12 @@ def embedding_near_dup_exact(
         .cast("int")
         .alias("blk"),
     )
-    # replicate each row to every unordered block pair it participates in:
-    # row in block b → groups (min(b,o), max(b,o)) for o in 0..blocks-1.
-    # Each unordered pair occurs in exactly one group, so candidates never
-    # duplicate across tasks.
-    pair_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("blk"), F.lit(o)).alias("i"),
-                F.greatest(F.col("blk"), F.lit(o)).alias("j"),
-            )
-            for o in range(blocks)
-        ]
-    )
-    repl = src.select("vid", "v", "blk", F.explode(pair_keys).alias("p")).select(
-        "vid", "v", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j")
-    )
+    repl = src.select(
+        "vid", "v", "blk", F.explode(_unordered_pair_keys("blk", blocks)).alias("p")
+    ).select("vid", "v", "blk", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
 
     def gemm_block_pair(key, pdf):
-        i, j = int(key[0]), int(key[1])
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-        ids = pdf["vid"].to_numpy()
-        left = pdf["blk"].to_numpy() == i
-        if i == j:
-            # within-block: both orders appear, keep the a < b one
-            sims = unit @ unit.T
-            ai, bj = np.nonzero(sims >= thr)
-            ia, ib = ids[ai], ids[bj]
-            keep = ia < ib
-            ia, ib = ia[keep], ib[keep]
-        else:
-            # cross-block: each pair appears ONCE as (left, right) —
-            # normalize to (min, max) instead of filtering, or pairs
-            # whose smaller id sits in the right block would be lost
-            right = ~left
-            if not left.any() or not right.any():
-                return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-            sims = unit[left] @ unit[right].T
-            ai, bj = np.nonzero(sims >= thr)
-            la, rb = ids[left][ai], ids[right][bj]
-            ia, ib = np.minimum(la, rb), np.maximum(la, rb)
+        ia, ib, _ = _gemm_pair_score(pdf, int(key[0]), int(key[1]), thr)
         return pd.DataFrame({"id_a": ia, "id_b": ib})
 
     cands = repl.groupBy("i", "j").applyInPandas(
@@ -425,17 +462,9 @@ def embedding_near_dup_lsh(
         "blk",
         F.pmod(F.xxhash64(F.col("vid").cast("string")), F.lit(sub_blocks)).cast("int"),
     )
-    pair_keys = F.array(
-        *[
-            F.struct(
-                F.least(F.col("blk"), F.lit(o)).alias("i"),
-                F.greatest(F.col("blk"), F.lit(o)).alias("j"),
-            )
-            for o in range(sub_blocks)
-        ]
-    )
     repl = src.select(
-        "vid", "v", "tbl", "bucket", "blk", F.explode(pair_keys).alias("p")
+        "vid", "v", "tbl", "bucket", "blk",
+        F.explode(_unordered_pair_keys("blk", sub_blocks)).alias("p"),
     ).select(
         "vid", "v", "tbl", "bucket", "blk",
         F.col("p.i").alias("i"), F.col("p.j").alias("j"),
@@ -444,29 +473,9 @@ def embedding_near_dup_lsh(
     def gemm_bucket_pair(key, pdf):
         if group_size_acc is not None:
             group_size_acc.add(len(pdf))
-        i, j = int(key[2]), int(key[3])  # key = (tbl, bucket, i, j)
-        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-        unit = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
-        ids = pdf["vid"].to_numpy()
-        left = pdf["blk"].to_numpy() == i
-        if i == j:
-            sims = unit @ unit.T
-            ai, bj = np.nonzero(sims >= thr)
-            ia, ib, cs = ids[ai], ids[bj], sims[ai, bj]
-            keep = ia < ib
-            ia, ib, cs = ia[keep], ib[keep], cs[keep]
-        else:
-            # cross-block pairs appear ONCE — normalize to (min, max)
-            right = ~left
-            if not left.any() or not right.any():
-                return pd.DataFrame(
-                    {"id_a": [], "id_b": [], "cosine": []}
-                ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-            sims = unit[left] @ unit[right].T
-            ai, bj = np.nonzero(sims >= thr)
-            la, rb = ids[left][ai], ids[right][bj]
-            ia, ib = np.minimum(la, rb), np.maximum(la, rb)
-            cs = sims[ai, bj]
+        # key = (tbl, bucket, i, j); the scoring kernel is shared with
+        # the exact operator's block decomposition
+        ia, ib, cs = _gemm_pair_score(pdf, int(key[2]), int(key[3]), thr)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
     return _dedup_pairs(
@@ -490,11 +499,21 @@ def quantize_embeddings(
     v = F.col(vec_col)
     absmax = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
     scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
-    return embeddings.select(
-        F.col(id_col),
-        scale.cast("float").alias("scale"),
-        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
-        .alias("qvec"),
+    # materialize scale as a column BEFORE the per-element transform:
+    # embedding the array_max expression inside the lambda would
+    # re-evaluate the full-vector max once per element — O(d²) per row
+    # on the operator whose whole point is cutting the dominant table's
+    # cost
+    return (
+        embeddings.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+        .select(
+            F.col(id_col),
+            F.col("_scale").cast("float").alias("scale"),
+            F.transform(
+                F.col("_v"),
+                lambda x: F.round(x.cast("double") / F.col("_scale")).cast("tinyint"),
+            ).alias("qvec"),
+        )
     )
 
 
@@ -547,10 +566,15 @@ def _assign_clusters(
             pdf["cluster"] = (scores.argmax(axis=1) + 1).astype("int32")
             yield pdf
 
-    schema = f"{src.schema[id_col].dataType.simpleString()}"
+    id_type = src.schema[id_col].dataType.simpleString()
+    # carry the input element type through (same reasoning as
+    # _assign_sign_buckets): pinning array<float> would silently
+    # truncate array<double> embeddings — and ivf_index_write would
+    # PERSIST the truncation into the index
+    vec_type = src.schema[vec_col].dataType.simpleString()
     return src.mapInPandas(
         run,
-        schema=f"`{id_col}` {schema}, `{vec_col}` array<float>, cluster int",
+        schema=f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, cluster int",
     )
 
 

@@ -469,3 +469,23 @@ def test_lsh_index_multiprobe_prunes_and_matches_insession(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_topk_zero_norm_rows_drop_not_crash(spark):
+    """A single all-zero embedding (failed encoder output) must neither
+    abort the query (ANSI DIVIDE_BY_ZERO) nor rank first as NaN — it
+    scores NULL and drops out of every top-k path."""
+    rows, _ = _mk_vectors()
+    rows = rows + [(999, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    got = similarity.cosine_topk_bruteforce(df, q, k=30).collect()
+    ids = [r["vec_id"] for r in got]
+    assert 999 not in ids
+    assert ids[0] == rows[0][0]  # the query row itself still tops
+    # decimal oracle path: same guard
+    qdf = spark.createDataFrame([rows[0]], "vec_id long, embedding array<float>")
+    got2 = similarity.cosine_topk_exact_decimal(df, qdf, k=30).collect()
+    assert 999 not in [r["vec_id"] for r in got2]
+    # zero-vector QUERY degenerates to an empty result, not a crash
+    assert similarity.cosine_topk_bruteforce(df, [0.0] * 16, k=5).count() == 0
