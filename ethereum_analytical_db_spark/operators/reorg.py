@@ -114,3 +114,29 @@ def reconcile_chain(
         finally:
             tomb.unpersist()
     return results
+
+
+def make_reconcile_stage(canonical_fn, tables: tuple[str, ...] = REORG_TABLES):
+    """Package reconciliation as a ``SyncPipeline`` stage.
+
+    ``canonical_fn(wh) -> DataFrame | None``: the canonical
+    (number, hash) dim for the reorg-able window — typically the recent
+    N-thousand-block tail re-fetched from the node (the block-timestamp
+    source in ``sources/rpc.py`` carries hashes). Returning None skips
+    the pass (node unreachable, nothing synced yet). The stage slots
+    into the ordinary sync loop AFTER ingest, so every pass ends with
+    the warehouse agreeing with the chain the node currently believes
+    in:
+
+        SyncPipeline(wh, stages=[
+            ("ingest", ingest_stage),
+            ("reconcile", make_reconcile_stage(fetch_canonical_tail)),
+        ])
+    """
+
+    def stage(wh: Warehouse) -> None:
+        canon = canonical_fn(wh)
+        if canon is not None:
+            reconcile_chain(wh, canon, tables=tables)
+
+    return stage

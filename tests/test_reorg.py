@@ -174,3 +174,36 @@ def test_compact_fully_tombstoned_partitioned_table(spark, tmp_path):
     wh.compact("internal_transaction")
     assert wh.read("internal_transaction", final=False).count() == 0
     assert wh.read("internal_transaction", final=True).count() == 0
+
+
+def test_reconcile_stage_in_sync_loop(spark, tmp_path):
+    """make_reconcile_stage slots reorg reconciliation into the ordinary
+    sync loop: after run_once, fork rows are tombstoned; a None canon
+    (node unreachable) skips cleanly."""
+    from ethereum_analytical_db_spark.operators.reorg import make_reconcile_stage
+    from ethereum_analytical_db_spark.streaming.incremental import SyncPipeline
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write(
+        "internal_transaction",
+        spark.createDataFrame([_tx(1, 1, "0xa1"), _tx(2, 2, "0xFORK")], TX_DDL),
+    )
+    canon = spark.createDataFrame([(1, "0xa1"), (2, "0xa2")], "number long, hash string")
+
+    calls = []
+    pipe = SyncPipeline(
+        wh,
+        stages=[
+            ("noop_ingest", lambda w: calls.append("ingest")),
+            ("reconcile", make_reconcile_stage(lambda w: canon)),
+        ],
+    )
+    pipe.run_once()
+    assert calls == ["ingest"]
+    ids = {r["id"] for r in wh.read("internal_transaction", final=True).select("id").collect()}
+    assert ids == {"0xT1.0"}  # the fork row is gone
+
+    # unreachable node: canonical_fn returns None -> pass is a no-op
+    skip = SyncPipeline(wh, stages=[("reconcile", make_reconcile_stage(lambda w: None))])
+    skip.run_once()
+    assert {r["id"] for r in wh.read("internal_transaction", final=True).select("id").collect()} == {"0xT1.0"}
