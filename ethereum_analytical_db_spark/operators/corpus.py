@@ -121,14 +121,16 @@ def clean_corpus(
         if collect_stats:
             # cache stage N, count it (materializing from N-1's cache),
             # then release N-1 — counting stays linear in chain length
-            # with at most two stages resident
+            # with at most two stages resident. Register the cache entry
+            # BEFORE counting: if the count itself fails (executor OOM,
+            # corrupt partition) the finally block must still release
+            # the just-cached frame, not only stage N-1.
             if cache:
                 df = df.cache()
-            stages.append((name, df.count()))
-            if prev_cached:
-                prev_cached.pop().unpersist()
-            if cache:
                 prev_cached.append(df)
+            stages.append((name, df.count()))
+            if len(prev_cached) > 1:
+                prev_cached.pop(0).unpersist()
         return df
 
     try:

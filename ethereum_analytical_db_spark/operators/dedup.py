@@ -242,6 +242,13 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, bucket by the band's hash, emit candidate pairs sharing any
     bucket. Output: (doc_a, doc_b, bands_in_common)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: the "
+            f"trailing {num_hashes % bands} hash lanes would be paid for "
+            "but never influence any bucket, silently changing the LSH "
+            "S-curve"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_rows = sigs.select(
@@ -322,11 +329,18 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     blocks: int = 4,
     max_chunk_df: int | None = None,
+    partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the standard block-permutation trick: split 64 bits into ``blocks``
     chunks; any pair within distance d < blocks must share at least one
     exact chunk → join per chunk, verify Hamming on the full signature.
+
+    The pigeonhole guarantee needs ``max_hamming < blocks``; configs
+    outside it silently MISS pairs whose differing bits spread across
+    every chunk, so they are rejected loudly unless the caller opts in
+    with ``partial_recall=True`` (a legitimate cheap heuristic — more
+    blocks means a quadratic candidate-join cost on small chunks).
 
     Signatures are materialized (localCheckpoint) before the self-join:
     otherwise both join branches recompute the explode + 64-lane
@@ -342,6 +356,13 @@ def simhash_near_duplicates(
     bucket is the job. A pair is lost only if ALL its shared chunks are
     hot, i.e. both docs sit entirely inside degenerate clusters; the
     default (None) keeps exact candidate semantics."""
+    if max_hamming >= blocks and not partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= blocks={blocks} voids the "
+            "block-permutation recall guarantee (a pair can differ in "
+            "every chunk); raise blocks past max_hamming or pass "
+            "partial_recall=True to accept the heuristic"
+        )
     sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
     chunk_bits = 64 // blocks
     mask = (1 << chunk_bits) - 1

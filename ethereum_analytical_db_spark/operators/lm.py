@@ -53,6 +53,26 @@ class UnigramLM:
         cached tables indefinitely (round-5 advice)."""
         self.table.unpersist()
 
+    def detach(self) -> "UnigramLM":
+        """Self-contained copy with ZERO session cache entries: the
+        bounded table (≤ vocab_size rows — the same rows every scoring
+        action broadcasts anyway) is collected and rebuilt as a
+        driver-local frame, and the cached original is released. For
+        callers that hand a lazy scoring plan to someone who can never
+        call release() (the bench/driver registry: build() returns a
+        DataFrame, the caller materializes it N times and cannot
+        unpersist JVM state)."""
+        sp = self.table.sparkSession
+        local = sp.createDataFrame(self.table.collect(), self.table.schema)
+        self.table.unpersist()
+        return UnigramLM(
+            table=local,
+            oov_logp=self.oov_logp,
+            vocab_size=self.vocab_size,
+            total_tokens=self.total_tokens,
+            oov_p=self.oov_p,
+        )
+
 
 def train_unigram_lm(
     df: DataFrame,
@@ -69,6 +89,13 @@ def train_unigram_lm(
     Truncation keeps the broadcastable invariant: the model is V rows
     regardless of corpus size. N and V reach the driver as two scalars.
     """
+    if add_k <= 0:
+        raise ValueError(
+            f"add_k={add_k} must be positive: with k=0 an OOV word has "
+            "probability 0 and the 0.0 oov_logp fallback would score "
+            "maximally-surprising text as perplexity 1.0, silently "
+            "inverting any perplexity filter"
+        )
     # counts is cached (spills to disk if large) so the corpus is
     # tokenized+shuffled ONCE; top-V and the N/V scalars both read it
     counts = (
@@ -170,6 +197,15 @@ class BigramLM:
         self.table.unpersist()
         self.unigram.release()
 
+    def detach(self) -> "BigramLM":
+        """Zero-cache copy of both bounded model tables (see
+        UnigramLM.detach): collect ≤ bigram_size + vocab_size rows,
+        rebuild driver-local, release the cached originals."""
+        sp = self.table.sparkSession
+        local = sp.createDataFrame(self.table.collect(), self.table.schema)
+        self.table.unpersist()
+        return BigramLM(unigram=self.unigram.detach(), table=local, lam=self.lam)
+
 
 def train_bigram_lm(
     df: DataFrame,
@@ -261,22 +297,26 @@ def score_perplexity_bigram(
     summation-order-dependent). The 8-dp quantization changes scores by
     <1e-8 — irrelevant for filtering, essential for hash parity.
     """
+    # (word, prev) struct per position BEFORE exploding: carrying the
+    # whole words array through posexplode would copy the full document
+    # array into every token row — O(words²) bytes per doc; the struct
+    # array is O(words) (same shape the bigram trainer uses)
     ws = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
     toks = (
         ws.select(
             F.col(id_col),
-            F.posexplode("ws").alias("pos", "word"),
-            F.col("ws"),
+            F.explode(
+                F.transform(
+                    "ws",
+                    lambda w, i: F.struct(
+                        w.alias("word"),
+                        F.when(i > 0, F.get("ws", i - 1)).alias("prev"),
+                    ),
+                )
+            ).alias("t"),
         )
+        .select(id_col, F.col("t.word").alias("word"), F.col("t.prev").alias("prev"))
         .filter(F.col("word") != "")
-        .select(
-            id_col,
-            "pos",
-            "word",
-            F.when(F.col("pos") > 0, F.element_at("ws", F.col("pos"))).alias(
-                "prev"
-            ),
-        )
     )
     uni = lm.unigram
     j = (

@@ -20,19 +20,22 @@ STOPWORDS = ["the", "a", "value", "row", "data"]
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with scan parallelism restored IF the scan lacks it: the
-    test corpus is one small parquet file (one input split), which would
-    run the per-doc shingle/signature pipelines single-threaded, so a
-    round-robin repartition spreads docs across all cores. At production
-    scale the scan has natural file parallelism (>= defaultParallelism
-    splits) and the repartition is skipped entirely — no Exchange before
-    the first projection, the scan's own partitioning flows through."""
-    docs = table(spark, sf_dir, "documents")
+def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Restore parallelism IF the scan lacks it: a single small parquet
+    file (the test corpus) is one input split, which would run per-row
+    pipelines single-threaded, so a round-robin repartition spreads rows
+    across all cores. At production scale the scan has natural file
+    parallelism (>= defaultParallelism splits) and the repartition is
+    skipped entirely — no Exchange before the first projection, the
+    scan's own partitioning flows through."""
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    return docs
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
+def docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_scan_parallelism(spark, table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -159,11 +162,13 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_near_duplicates",
     None,  # xxhash64-based — no portable oracle
-    note="SimHash 64-bit signatures + block-permutation Hamming join",
+    note="SimHash 64-bit signatures + block-permutation Hamming join; "
+    "max_hamming=3 < blocks=4 so the pigeonhole recall guarantee holds "
+    "(at distance d, at least one of blocks > d chunks is untouched)",
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
-    return dedup.simhash_near_duplicates(docs, max_hamming=8, blocks=4)
+    return dedup.simhash_near_duplicates(docs, max_hamming=3, blocks=4)
 
 
 @register(
@@ -333,13 +338,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle O(n) + sum(bucket^2), the plan that survives 100x scale",
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # same guard as docs_table: only restore parallelism when the scan is
-    # a single small file; at production scale the scan's own file splits
-    # flow straight into bucket assignment with no Exchange
-    emb = table(spark, sf_dir, "embeddings")
-    target = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < target:
-        emb = emb.repartition(target)
+    emb = _with_scan_parallelism(spark, table(spark, sf_dir, "embeddings"))
     # planes must TRACK corpus size: at fixed planes the bucket count is
     # fixed, buckets grow ~n/2^planes, and the per-bucket gemm
     # (sum bucket^2 ~ n^2/2^planes flops) is super-linear — measured
@@ -525,8 +524,12 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = similarity.cosine_topk_lsh(emb, qvec, k=10, planes=6)
-    return out.filter(F.col("vec_id") != 0)
+    # exclude the query row BEFORE top-k — filtering after limit(k)
+    # would spend rank 1 on the query itself (cosine 1.0) and return
+    # only k-1 true neighbours
+    return similarity.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, planes=6
+    )
 
 
 @register(
@@ -540,10 +543,16 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = similarity.cosine_topk_ivf(
-        emb, qvec, k=10, n_centroids=8, nprobe=3, iterations=2
+    # query row excluded before top-k (see ann_cosine_lsh); the
+    # centroids still train on the full corpus — dropping one vector
+    # from k-means would change every centroid for no reason
+    return similarity.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") != 0),
+        qvec, k=10, n_centroids=8, nprobe=3, iterations=2,
+        centroids=similarity.ivf_train_centroids(
+            emb, n_centroids=8, iterations=2
+        ),
     )
-    return out.filter(F.col("vec_id") != 0)
 
 
 SESSIONIZE_ORACLE = """
@@ -727,8 +736,13 @@ bi_table AS (
 scored AS (
   SELECT t.doc_id,
          ln(CASE WHEN bt.p_bi IS NOT NULL
+                 -- (1.0 - 0.7), NOT the literal 0.3: Spark computes the
+                 -- unigram weight as 1.0-lam, and 0.30000000000000004
+                 -- differs from the 0.3 literal by one ulp — enough to
+                 -- flip the DECIMAL(38,8)-quantized hash on a
+                 -- boundary-straddling token at large corpus sizes
                  THEN 0.7 * bt.p_bi
-                      + 0.3 * (coalesce(top.c + 0.5, 0.5)
+                      + (1.0 - 0.7) * (coalesce(top.c + 0.5, 0.5)
                                / (SELECT denom FROM consts))
                  ELSE coalesce(top.c + 0.5, 0.5)
                       / (SELECT denom FROM consts) END) AS logp
@@ -772,7 +786,12 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import score_perplexity_bigram, train_bigram_lm
 
     docs = docs_table(spark, sf_dir).select("doc_id", "text")
-    lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000)
+    # detach(): the registry/bench caller materializes the returned plan
+    # N times and can never call release(), so the trainer's cached
+    # model tables would otherwise accumulate in the session one pair
+    # per build; the detached copy is driver-local (bounded V+B rows)
+    # with zero cache entries
+    lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000).detach()
     # hash-stable output: log-domain score via the exact decimal sum
     # (see score_perplexity_bigram docstring); perplexity = exp(anl) is
     # a monotone decoration the filter API still exposes

@@ -73,7 +73,7 @@ def test_simhash_near_identical_docs_close(spark):
     df, planted = _corpus(spark)
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4).collect()
+        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4, partial_recall=True).collect()
     }
     hits = sum(1 for p in planted if p in pairs)
     assert hits >= len(planted) - 1  # near-identical docs collide in simhash
@@ -86,18 +86,18 @@ def test_simhash_chunk_cap_subsets_and_bounds(spark):
     df, planted = _corpus(spark)
     full = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4).collect()
+        for r in dedup.simhash_near_duplicates(df, max_hamming=12, blocks=4, partial_recall=True).collect()
     }
     capped = {
         (r["doc_a"], r["doc_b"])
         for r in dedup.simhash_near_duplicates(
-            df, max_hamming=12, blocks=4, max_chunk_df=10
+            df, max_hamming=12, blocks=4, max_chunk_df=10, partial_recall=True
         ).collect()
     }
     assert capped <= full
     assert sum(1 for p in planted if p in capped) >= len(planted) - 1
     none_left = dedup.simhash_near_duplicates(
-        df, max_hamming=12, blocks=4, max_chunk_df=0
+        df, max_hamming=12, blocks=4, max_chunk_df=0, partial_recall=True
     )
     assert none_left.count() == 0
 
