@@ -58,10 +58,11 @@ class UnigramLM:
         bounded table (≤ vocab_size rows — the same rows every scoring
         action broadcasts anyway) is collected and rebuilt as a
         driver-local frame, and the cached original is released. For
-        callers that hand a lazy scoring plan to someone who can never
-        call release() (the bench/driver registry: build() returns a
-        DataFrame, the caller materializes it N times and cannot
-        unpersist JVM state)."""
+        callers cycling many corpora in one session who can never call
+        release() on the models they hand out. Caveat: Spark caches by
+        canonicalized plan, so if ANOTHER live model was trained on the
+        identical (corpus, params), the released entry is shared and
+        that model degrades to recompute — correctness unaffected."""
         sp = self.table.sparkSession
         local = sp.createDataFrame(self.table.collect(), self.table.schema)
         self.table.unpersist()

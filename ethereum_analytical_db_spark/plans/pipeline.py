@@ -786,12 +786,16 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import score_perplexity_bigram, train_bigram_lm
 
     docs = docs_table(spark, sf_dir).select("doc_id", "text")
-    # detach(): the registry/bench caller materializes the returned plan
-    # N times and can never call release(), so the trainer's cached
-    # model tables would otherwise accumulate in the session one pair
-    # per build; the detached copy is driver-local (bounded V+B rows)
-    # with zero cache entries
-    lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000).detach()
+    # The registry caller can never call lm.release(), but the cached
+    # model tables do NOT accumulate per build: Spark's cache manager
+    # keys on the canonicalized plan, so repeated builds over the same
+    # (corpus, params) dedupe to ONE entry pair (measured: 2 persistent
+    # RDDs across 3 back-to-back trainings) — and the repeat builds get
+    # the cached tables for free. Residency is bounded by distinct
+    # corpora, not invocations; a caller cycling many corpora in one
+    # session should use train_bigram_lm(...).detach() (zero cache
+    # entries, ~1.7s of collect/reserialize per build) or release().
+    lm = train_bigram_lm(docs, vocab_size=5000, bigram_size=20000)
     # hash-stable output: log-domain score via the exact decimal sum
     # (see score_perplexity_bigram docstring); perplexity = exp(anl) is
     # a monotone decoration the filter API still exposes

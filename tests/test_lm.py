@@ -209,3 +209,38 @@ def test_lm_release_drops_cached_tables(spark, docs):
     blm.release()
     assert not blm.table.storageLevel.useMemory
     assert not blm.unigram.table.storageLevel.useMemory
+
+
+def test_detach_zero_cache_same_scores(spark):
+    """detach(): identical scores from a model with zero session cache
+    entries — the escape hatch for callers cycling many corpora who can
+    never release() (the cached originals are unpersisted by detach)."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta beta alpha") for i in range(30)],
+        "doc_id long, text string",
+    )
+    cached = train_bigram_lm(docs, vocab_size=50, bigram_size=100)
+    want = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in score_perplexity_bigram(docs, cached).collect()
+    }
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    detached = train_bigram_lm(docs, vocab_size=50, bigram_size=100).detach()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in score_perplexity_bigram(docs, detached).collect()
+    }
+    cached.release()
+    assert got == want
+    # detach released everything its own training cached: net-zero new
+    # persistent entries (the session may carry other tests' leftovers)
+    assert after <= before
+
+
+def test_train_rejects_nonpositive_add_k(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="add_k"):
+        train_unigram_lm(docs, add_k=0.0)
