@@ -107,12 +107,17 @@ def extract_traces(wh: Warehouse, factory) -> None:
     if todo.isEmpty():
         return
     raw = rpc.fetch_traces(wh.spark, todo.select("number"), factory)
+    # chain-transaction gasPrice merged onto each tx's top-level trace
+    # row (reference _merge_block) — without it the balances API's fee
+    # aggregates are silently zero
+    txs = rpc.fetch_block_transactions(wh.spark, todo.select("number"), factory)
+    decoded = rpc.merge_transaction_gas(rpc.decode_traces(raw), txs)
     # block-range hive partitioning: incremental sync appends only tail
     # directories and block predicates prune at the scan (catalog.py
     # write() docstring — the 100 TB layout, on the production path)
     wh.write(
         "internal_transaction",
-        rpc.decode_traces(raw),
+        decoded,
         block_partition="blockNumber",
     )
     inc.write_block_flags(wh, todo.select("id"), "traces_extracted")

@@ -324,9 +324,31 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
                 continue
             j += 1
             right, j = _capture_right_side(tokens, j)
+            # optional right-side alias ('t AS x' / 't x') BEFORE the
+            # USING check: an aliased ANY JOIN previously fell into the
+            # no-USING branch and silently lost single-match semantics
+            alias: list[str] = []
+            if (
+                j + 1 < len(tokens)
+                and _lower(tokens[j]) == "as"
+                and _is_ident(tokens[j + 1])
+            ):
+                alias = [tokens[j + 1]]
+                j += 2
+            elif (
+                j < len(tokens)
+                and _is_ident(tokens[j])
+                and _lower(tokens[j]) not in _CLAUSE_STARTERS
+                and _lower(tokens[j]) not in ("using", "on")
+            ):
+                alias = [tokens[j]]
+                j += 1
             if j >= len(tokens) or _lower(tokens[j]) != "using":
                 # ANY JOIN without USING: just drop ANY (inner-match semantics)
-                tokens = tokens[:i] + jtype + ["JOIN"] + right + tokens[j:]
+                tokens = (
+                    tokens[:i] + jtype + ["JOIN"] + right
+                    + (["AS"] + alias if alias else []) + tokens[j:]
+                )
                 changed = True
                 break
             j += 1
@@ -361,7 +383,9 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
                 + [")", "AS", "__rn", "FROM"] + right + [")", "WHERE", "__rn", "=", "1", ")"]
             )
             tokens = (
-                tokens[:i] + jtype + ["JOIN"] + wrapper + ["USING", "("] + keylist + [")"] + tokens[j:]
+                tokens[:i] + jtype + ["JOIN"] + wrapper
+                + (["AS"] + alias if alias else [])
+                + ["USING", "("] + keylist + [")"] + tokens[j:]
             )
             changed = True
             break
@@ -559,9 +583,14 @@ def register_dialect_functions(spark: SparkSession) -> None:
     reference utils.py:204-209)."""
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toFloat64(x STRING) RETURNS DOUBLE RETURN CAST(x AS DOUBLE)")
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toFloat32(x STRING) RETURNS FLOAT RETURN CAST(x AS FLOAT)")
-    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt32(x STRING) RETURNS INT RETURN CAST(CAST(x AS DOUBLE) AS INT)")
-    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt64(x STRING) RETURNS BIGINT RETURN CAST(CAST(x AS DOUBLE) AS BIGINT)")
-    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toUInt8(x STRING) RETURNS TINYINT RETURN CAST(CAST(x AS DOUBLE) AS TINYINT)")
+    # integer casts route through DECIMAL(38,9), not DOUBLE: a double
+    # roundtrip loses integer precision above 2^53 (toInt64('1e18+1')
+    # would come back off by one — wei amounts live up there), while
+    # decimal keeps integers exact to 29 digits and still truncates
+    # fractional strings the way ClickHouse's numeric casts do
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt32(x STRING) RETURNS INT RETURN CAST(CAST(x AS DECIMAL(38,9)) AS INT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toInt64(x STRING) RETURNS BIGINT RETURN CAST(CAST(x AS DECIMAL(38,9)) AS BIGINT)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toUInt8(x STRING) RETURNS TINYINT RETURN CAST(CAST(x AS DECIMAL(38,9)) AS TINYINT)")
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDate(x TIMESTAMP) RETURNS DATE RETURN CAST(x AS DATE)")
     spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION toDateTime(x STRING) RETURNS TIMESTAMP RETURN CAST(x AS TIMESTAMP)")
     # Grafana's $timeSeries macro expands to intDiv(toUInt32(ts), N) * N

@@ -93,7 +93,11 @@ def compute_balances(
     spark: SparkSession, addresses: list[str] | None = None
 ) -> DataFrame:
     df = spark.sql(BALANCES_SQL)
-    if addresses:
+    # None = no filter (full scan is the explicit ask); an EMPTY list
+    # means "these zero addresses" and must return zero rows — the
+    # falsy-list check previously collected the whole address universe
+    # for a request that asked for nothing
+    if addresses is not None:
         df = df.filter(df["address"].isin([a.lower() for a in addresses]))
     return df
 
@@ -111,7 +115,14 @@ def create_app(spark: SparkSession):
 
     @app.post("/balances/")
     def balances():
-        addrs = (request.get_json(silent=True) or {}).get("addresses")
+        payload = request.get_json(silent=True)
+        # accept both body shapes: {"addresses": [...]} and a bare JSON
+        # list (the reference clients post the latter) — .get on a list
+        # was a 500
+        if isinstance(payload, list):
+            addrs = payload
+        else:
+            addrs = (payload or {}).get("addresses")
         rows = compute_balances(spark, addrs).collect()
         return jsonify({r["address"]: r["balance"] for r in rows})
 

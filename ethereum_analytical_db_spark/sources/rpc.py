@@ -28,18 +28,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import ethereum as eth_fn
 from ..operators.traces import assign_trace_ids, propagate_parent_errors
 
 # trace rows come back flattened to these fields (reference
 # operations/internal_transactions.py:276-303 _preprocess)
 TRACE_FIELDS = [
-    "blockNumber", "transactionHash", "traceAddress", "type", "callType",
-    "from", "to", "value_hex", "gas_hex", "gasUsed_hex", "input", "output",
-    "error", "author", "rewardType", "address", "code", "init",
-    "refundAddress", "balance",
+    "blockNumber", "blockHash", "transactionHash", "traceAddress", "type",
+    "callType", "from", "to", "value_hex", "gas_hex", "gasUsed_hex",
+    "input", "output", "error", "author", "rewardType", "address", "code",
+    "init", "refundAddress", "balance",
 ]
 TRACE_DDL = (
-    "blockNumber long, transactionHash string, traceAddress array<long>, "
+    "blockNumber long, blockHash string, transactionHash string, "
+    "traceAddress array<long>, "
     "type string, callType string, `from` string, `to` string, value_hex string, "
     "gas_hex string, gasUsed_hex string, input string, output string, "
     "error string, author string, rewardType string, address string, "
@@ -190,6 +192,10 @@ def _flatten_trace(block_number: int, tx_hash: str | None, raw: dict) -> dict:
     r = raw.get("result") or {}
     return {
         "blockNumber": block_number,
+        # carried for two reasons: reward traces key their ids off it
+        # (reference internal_transactions.py:247 `transactionHash or
+        # blockHash`), and reorg reconciliation anti-matches on it
+        "blockHash": raw.get("blockHash"),
         "transactionHash": tx_hash,
         "traceAddress": [int(x) for x in raw.get("traceAddress", [])],
         "type": raw.get("type"),
@@ -258,18 +264,122 @@ def fetch_traces(
 
 def decode_traces(raw: DataFrame) -> DataFrame:
     """Reference _preprocess_internal_transaction + id/parent-error steps
-    (operations/internal_transactions.py:235-303): hex value/gasPrice →
+    (operations/internal_transactions.py:235-303): hex value →
     float64 ether, gasUsed → int, positional ids, parent errors. All
-    Column expressions + the trace-tree operators."""
+    Column expressions + the trace-tree operators.
+
+    The value decode goes through the 128-bit two-half path
+    (``hex_word_to_float``), NOT ``conv``: conv is unsigned-64-bit, so
+    any transfer above 2^64-1 wei (~18.45 ETH) would silently wrap.
+    gasUsed fits 64 bits by protocol (≤ block gas limit), so conv is
+    fine there. Reward traces (null transactionHash) key their ids off
+    blockHash, exactly like the reference's ``transactionHash or
+    blockHash`` — a flat null partition would re-mint the same bare
+    '0..N' ids every ingest batch and last-write-wins would replace
+    earlier blocks' reward rows."""
     hexv = lambda c: F.conv(F.regexp_replace(c, "^0x", ""), 16, 10)  # noqa: E731
+    word = F.concat(
+        F.lit("0x"),
+        F.lpad(F.regexp_replace(F.col("value_hex"), "^0x", ""), 64, "0"),
+    )
     df = raw.withColumn(
-        "value", hexv(F.col("value_hex")).cast("double") / F.lit(1e18)
+        "value",
+        F.when(F.col("value_hex").isNotNull(), eth_fn.hex_word_to_float(word, 18)),
     ).withColumn("gasUsed", hexv(F.col("gasUsed_hex")).cast("int"))
+    df = df.withColumn(
+        "_id_key", F.coalesce(F.col("transactionHash"), F.col("blockHash"))
+    )
     df = assign_trace_ids(
-        df, tx_col="transactionHash", order_col=F.struct("traceAddress")
+        df,
+        tx_col="_id_key",
+        # rewardType/author break ties among a block's reward traces
+        # (traceAddress is [] for all of them); both are null for
+        # ordinary call traces so the canonical ordering is unchanged
+        order_col=F.struct("traceAddress", "rewardType", "author"),
     )
     df = propagate_parent_errors(df)
-    return df.drop("value_hex", "gasUsed_hex")
+    return df.drop("value_hex", "gasUsed_hex", "_id_key")
+
+
+TX_GAS_DDL = "blockNumber long, blockHash string, hash string, gasPrice_hex string"
+
+
+def fetch_block_transactions(
+    spark: SparkSession,
+    block_numbers: DataFrame,
+    make_transport,
+    batch_size: int = 10,
+) -> DataFrame:
+    """S7: chain transactions per block — eth_getBlockByNumber(n, full=
+    True), the dim the reference merges gasPrice from
+    (_make_transactions_requests + _merge_block,
+    internal_transactions.py:151-202). Without it every ingested trace
+    row has NULL gasPrice and the balance API's fee / fee_reward
+    aggregates silently collapse to zero."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = make_transport()
+        cols = ["blockNumber", "blockHash", "hash", "gasPrice_hex"]
+        for pdf in batches:
+            nums = [int(n) for n in pdf["number"]]
+            rows: list[dict] = []
+            for off in range(0, len(nums), batch_size):
+                chunk = nums[off : off + batch_size]
+                reqs = [
+                    {
+                        "jsonrpc": "2.0",
+                        "id": i,
+                        "method": "eth_getBlockByNumber",
+                        "params": [hex(n), True],
+                    }
+                    for i, n in enumerate(chunk)
+                ]
+                for n, resp in zip(chunk, _post_matched(transport, reqs)):
+                    res = resp.get("result") or {}
+                    for tx in res.get("transactions") or []:
+                        rows.append(
+                            {
+                                "blockNumber": n,
+                                "blockHash": tx.get("blockHash"),
+                                "hash": tx.get("hash"),
+                                "gasPrice_hex": tx.get("gasPrice"),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {f: pd.Series(dtype="object") for f in cols}
+            )
+
+    return block_numbers.mapInPandas(fetch, schema=TX_GAS_DDL)
+
+
+def merge_transaction_gas(traces: DataFrame, txs: DataFrame) -> DataFrame:
+    """Reference ``_merge_block`` semantics: the TOP-LEVEL trace row of
+    each transaction (traceAddress = [], the first row per tx in the
+    reference's arrival order) inherits the chain transaction's
+    gasPrice, ether-scaled like every reference money field
+    (internal_transactions.py:297-301 divides gasPrice by 1e18 too).
+    Sub-call and reward rows keep NULL. One equi-join on
+    (transactionHash, blockHash); AQE broadcasts the tx dim while the
+    ingested window is small."""
+    dim = txs.select(
+        F.col("hash").alias("_tx_hash"),
+        F.col("blockHash").alias("_tx_bh"),
+        (
+            F.conv(F.regexp_replace("gasPrice_hex", "^0x", ""), 16, 10)
+            .cast("double")
+            / F.lit(1e18)
+        ).alias("_gas_price"),
+    )
+    joined = traces.join(
+        dim,
+        (traces["transactionHash"] == F.col("_tx_hash"))
+        & (traces["blockHash"] == F.col("_tx_bh"))
+        & (F.size("traceAddress") == 0),
+        "left",
+    )
+    return joined.withColumn("gasPrice", F.col("_gas_price")).drop(
+        "_tx_hash", "_tx_bh", "_gas_price"
+    )
 
 
 def fetch_block_timestamps(

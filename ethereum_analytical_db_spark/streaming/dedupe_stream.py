@@ -40,7 +40,19 @@ def dedup_exact_stream(
     digest column is dropped on output; rows pass through otherwise
     unchanged.
     """
-    digested = docs.withColumn("_digest", F.md5(F.col(text_col)))
+    # null text must NOT dedupe: md5(NULL) is NULL and dropDuplicates
+    # treats null keys as equal, so every null-text row after the first
+    # (image-only records, failed extraction) would silently vanish;
+    # null rows fall back to a per-row unique digest and pass through
+    digested = docs.withColumn(
+        "_digest",
+        F.coalesce(
+            F.md5(F.col(text_col)),
+            # uuid(): per-row unique and streaming-legal
+            # (monotonically_increasing_id is rejected in streams)
+            F.concat(F.lit("null:"), F.expr("uuid()")),
+        ),
+    )
     if within_watermark is None:
         return digested.dropDuplicates(["_digest"]).drop("_digest")
     return (

@@ -64,9 +64,14 @@ def sessionize(
             n, total = 0, 0.0
 
         closed: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+        # concatenate BEFORE sorting: a key whose batch exceeds one Arrow
+        # record batch arrives as several chunks with no global ts order,
+        # and per-chunk sorting would close sessions at phantom gaps and
+        # drag `last` backwards across chunk boundaries
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(ts_col)
+            for ts, val in zip(batch[ts_col], batch[value_col]):
                 t = int(pd.Timestamp(ts).value // 1_000_000)  # epoch ms
                 if last is not None and t - last > gap_seconds * 1000:
                     closed.append((start, last, n, total))
@@ -83,11 +88,19 @@ def sessionize(
             yield _emit(user, *s)
 
     def _emit(user, start, last, n, total) -> pd.DataFrame:
+        # tz-AWARE UTC instants: a naive datetime would be re-localized
+        # in the Spark session timezone on the Arrow boundary, shifting
+        # sessions by the tz offset on any non-UTC deployment and
+        # breaking the advertised batch/streaming equivalence
         return pd.DataFrame(
             {
                 "user_id": [user],
-                "session_start": [dt.datetime.utcfromtimestamp(start / 1000)],
-                "session_end": [dt.datetime.utcfromtimestamp(last / 1000)],
+                "session_start": [
+                    dt.datetime.fromtimestamp(start / 1000, tz=dt.timezone.utc)
+                ],
+                "session_end": [
+                    dt.datetime.fromtimestamp(last / 1000, tz=dt.timezone.utc)
+                ],
                 "n_events": [n],
                 "total_value": [total],
             }

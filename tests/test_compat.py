@@ -204,3 +204,28 @@ def test_unsupported_constructs_fail_loudly():
     assert "try_element_at ( topics , 1 )" in translate(
         "SELECT topics[1] FROM eth_event"
     ).sql
+
+
+def test_any_join_with_alias_keeps_single_match(spark, compat):
+    """An aliased right side ('ANY LEFT JOIN t AS x USING k') previously
+    slipped past the ANY detection and fanned out on duplicate keys."""
+    compat.register_table(
+        "anyal_l", spark.createDataFrame([(1, "a"), (2, "b")], "k long, l string")
+    )
+    compat.register_table(
+        "anyal_r",
+        spark.createDataFrame([(1, "r1"), (1, "r2"), (2, "r3")], "k long, r string"),
+    )
+    rows = compat.sql(
+        "SELECT k, r FROM anyal_l ANY LEFT JOIN anyal_r AS x USING (k) ORDER BY k"
+    ).collect()
+    assert len(rows) == 2  # one match per left row, not a fan-out
+    assert rows[0]["k"] == 1 and rows[1]["k"] == 2
+
+
+def test_toint64_precise_above_2_53(spark, compat):
+    """toInt64 must not round-trip through DOUBLE: 10^18+1 is exact in
+    Int64 but rounds to 10^18 as a double."""
+    big = str(10**18 + 1)
+    row = compat.sql(f"SELECT toInt64('{big}') AS v").first()
+    assert row["v"] == 10**18 + 1

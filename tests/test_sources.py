@@ -259,3 +259,78 @@ def test_export_jsonl_shards_roundtrip(spark, tmp_path):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi < lo  # contiguous, non-overlapping key ranges
+
+
+def test_decode_traces_large_values_and_reward_ids(spark):
+    """Two silent-corruption regressions: (1) values above 2^64-1 wei
+    (~18.45 ETH) must decode exactly — conv() is unsigned-64-bit and
+    wraps; (2) reward traces (null transactionHash) key their ids off
+    blockHash like the reference, so two blocks' rewards can never
+    collide on id and last-write-wins can never cross-replace them."""
+    from ethereum_analytical_db_spark.sources.rpc import (
+        TRACE_DDL,
+        _flatten_trace,
+        decode_traces,
+    )
+
+    def t(block, bh, tx, value, trace_addr=(), ttype="call", **kw):
+        raw = {
+            "blockHash": bh,
+            "traceAddress": list(trace_addr),
+            "type": ttype,
+            "action": {"value": value, **kw},
+            "result": {"gasUsed": "0x5208"},
+        }
+        return _flatten_trace(block, tx, raw)
+
+    hundred_eth = hex(100 * 10**18)  # > 2^64-1 wei
+    rows = [
+        t(1, "0xb1", "0xtxA", hundred_eth),
+        t(1, "0xb1", None, "0x0", ttype="reward", rewardType="block", author="0xm1"),
+        t(2, "0xb2", None, "0x0", ttype="reward", rewardType="block", author="0xm2"),
+    ]
+    df = spark.createDataFrame(
+        [tuple(r[f] for f in __import__("ethereum_analytical_db_spark.sources.rpc", fromlist=["TRACE_FIELDS"]).TRACE_FIELDS) for r in rows],
+        TRACE_DDL,
+    )
+    out = {r["id"]: r for r in decode_traces(df).collect()}
+    assert out["0xtxA.0"]["value"] == 100.0  # exact, not ~18.45 wrapped
+    # reward ids are blockHash-scoped: distinct across blocks, stable
+    assert "0xb1.0" in out and "0xb2.0" in out
+    assert out["0xb1.0"]["author"] == "0xm1"
+    assert out["0xb2.0"]["author"] == "0xm2"
+
+
+def test_merge_transaction_gas_top_level_only(spark):
+    """Reference _merge_block parity: gasPrice lands on each tx's
+    top-level trace row only (ether-scaled), sub-calls and rewards stay
+    NULL, unmatched hashes stay NULL."""
+    from ethereum_analytical_db_spark.sources.rpc import (
+        TRACE_DDL,
+        TRACE_FIELDS,
+        TX_GAS_DDL,
+        _flatten_trace,
+        decode_traces,
+        merge_transaction_gas,
+    )
+
+    def t(block, bh, tx, addr):
+        raw = {"blockHash": bh, "traceAddress": addr, "type": "call",
+               "action": {"value": "0x0"}, "result": {"gasUsed": "0x5208"}}
+        return _flatten_trace(block, tx, raw)
+
+    traces = spark.createDataFrame(
+        [tuple(r[f] for f in TRACE_FIELDS)
+         for r in (t(1, "0xb1", "0xtxA", []), t(1, "0xb1", "0xtxA", [0]),
+                   t(1, "0xb1", "0xtxB", []))],
+        TRACE_DDL,
+    )
+    txs = spark.createDataFrame(
+        [(1, "0xb1", "0xtxA", hex(20 * 10**9))],  # 20 gwei
+        TX_GAS_DDL,
+    )
+    out = {(r["transactionHash"], tuple(r["traceAddress"])): r["gasPrice"]
+           for r in merge_transaction_gas(decode_traces(traces), txs).collect()}
+    assert out[("0xtxA", ())] == 20e9 / 1e18  # ether-scaled, reference units
+    assert out[("0xtxA", (0,))] is None  # sub-call: no gasPrice
+    assert out[("0xtxB", ())] is None  # no chain tx row fetched
