@@ -89,7 +89,21 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, seq_file)
 
+    def _recover_precompact(self, table: str) -> None:
+        """Crash recovery for compact()'s two-rename swap: if a crash hit
+        the instant between the renames, the only full copy of the table
+        lives at ``<table>.precompact`` while the canonical path is gone.
+        Roll it back before anyone observes the table as missing —
+        otherwise exists() returns False, the next write() recreates an
+        empty table, and a later compact() would rmtree the .precompact
+        survivor, destroying the data permanently."""
+        p = self._path(table)
+        old = p + ".precompact"
+        if not os.path.isdir(p) and os.path.isdir(old):
+            os.rename(old, p)
+
     def exists(self, table: str) -> bool:
+        self._recover_precompact(table)
         p = self._path(table)
         if not os.path.isdir(p):
             return False
@@ -100,8 +114,12 @@ class Warehouse:
 
     def drop(self, table: str) -> None:
         """Remove a table directory entirely (the reference's DROP TABLE,
-        tests/test_utils.py prepare_indices drop/recreate cycle)."""
+        tests/test_utils.py prepare_indices drop/recreate cycle).
+        Also removes compaction leftovers so a dropped table can't be
+        resurrected by _recover_precompact."""
         shutil.rmtree(self._path(table), ignore_errors=True)
+        shutil.rmtree(self._path(table) + ".precompact", ignore_errors=True)
+        shutil.rmtree(self._path(table) + ".compact", ignore_errors=True)
 
     def create(self, table: str, schema: StructType | None = None) -> None:
         """Create an empty table (the reference's prepare_indices,
@@ -192,6 +210,7 @@ class Warehouse:
         version is a reorg tombstone (operators/reorg.py) — the FINAL
         analogue of a DELETE, resolved per-key AFTER dedup so a later
         re-insert of the same key revives it."""
+        self._recover_precompact(table)
         reader = self.spark.read
         expected = self._read_schema(table)
         if expected is not None:
@@ -278,12 +297,20 @@ class Warehouse:
         where the block predicate is what keeps incremental readers off
         the 100 TB history.
         """
+        # roll back a crashed previous compaction BEFORE reading: if the
+        # canonical path is missing, .precompact is the only live copy
+        # and must become canonical again, never be cleaned up
+        self._recover_precompact(table)
         deduped = self.read(table, final=True)
         final_path = self._path(table)
         tmp = final_path + ".compact"
         old = final_path + ".precompact"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final_path):
+            # only now is a leftover .precompact provably stale (the
+            # canonical copy exists); with the canonical path absent the
+            # rmtree would destroy the sole surviving copy of the data
+            shutil.rmtree(old, ignore_errors=True)
         partition_by = ["_block_range"] if "_block_range" in deduped.columns else []
         w = deduped.write.mode("overwrite")
         if partition_by:

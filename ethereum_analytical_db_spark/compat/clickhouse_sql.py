@@ -81,6 +81,14 @@ _TOKEN_RE = re.compile(
 _COL_PREV = {"select", "distinct", ",", "(", "by", "where", "and", "or", "not", "using"}
 _RESERVED_COLS = {"from", "to"}
 _CLAUSE_STARTERS = {"where", "group", "order", "limit", "having", "union", "settings"}
+# tokens that can START a follow-on join clause — a bare right-side alias
+# can never be one of these; without the exclusion 'ANY JOIN t2 LEFT JOIN
+# t3 ON …' would consume LEFT as t2's alias and silently demote the
+# LEFT JOIN to an inner join
+_JOIN_KEYWORDS = {
+    "join", "left", "right", "inner", "full", "cross",
+    "any", "all", "asof", "global", "array", "semi", "anti",
+}
 
 
 def _tokenize(sql: str) -> list[str]:
@@ -340,6 +348,7 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
                 and _is_ident(tokens[j])
                 and _lower(tokens[j]) not in _CLAUSE_STARTERS
                 and _lower(tokens[j]) not in ("using", "on")
+                and _lower(tokens[j]) not in _JOIN_KEYWORDS
             ):
                 alias = [tokens[j]]
                 j += 1

@@ -80,6 +80,20 @@ def duplicate_spans(
     becomes a removal span. Overlapping/adjacent spans within a doc are
     merged. Output: (doc, start, end) word intervals, end exclusive.
 
+    SELF-OVERLAP APPROXIMATION (deliberate, mirrored by every oracle):
+    when a duplicated window overlaps the kept first occurrence *within
+    the same doc* (a run of >= k+1 identical words makes windows at pos
+    0 and 1 share a fingerprint), the removal span cuts into the kept
+    copy too — a run of n repeated words collapses to fewer than k
+    surviving words rather than exactly one full window. This matches
+    how suffix-array span removal behaves on self-overlapping repeats
+    (all duplicated byte ranges but one are cut, and with overlap the
+    survivor shrinks); exact keep-one-window semantics would require
+    subtracting each fingerprint's kept interval from same-doc spans
+    before the merge. The pure-Python and DuckDB replicas
+    (tests/test_dedup.py) and the SQL oracle implement the SAME
+    approximation, so cross-engine parity is exact.
+
     Scale: the only corpus-sized shuffle keys on the md5 fingerprint —
     uniform, no skew. Both window functions (occurrence count + first-
     occurrence rank) share the one (fp) partitioning. A boilerplate

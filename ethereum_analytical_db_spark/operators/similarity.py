@@ -92,7 +92,14 @@ def cosine_topk_exact_decimal(
     ``query`` is a 1-row DataFrame with the same (id_col, vec_col).
     Output: (vec_id, cosine) top-k excluding the query row itself.
     """
-    e = embeddings.select(
+    # cosine between different-dimension vectors is undefined; dropping
+    # mismatched candidates (narrow filter, no extra job — the query row
+    # is driver-side anyway) also makes the global-qnorm2 optimization
+    # below EXACTLY equal to the per-group form the DuckDB oracle keeps:
+    # with equal sizes every query position joins every candidate, so
+    # per-group sum(qval*qval) == the global sum bit-for-bit.
+    qdim = query.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    e = embeddings.filter(F.size(F.col(vec_col)) == F.lit(qdim)).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
     q = query.select(F.posexplode(F.col(vec_col)).alias("pos", "qval"))
@@ -110,9 +117,10 @@ def cosine_topk_exact_decimal(
     # the query norm is a per-query constant: computed ONCE from the
     # 1-row query frame instead of re-summing qval*qval inside every
     # per-id group (≈⅓ of the decimal work). Decimal sums are exact and
-    # order-independent, so this equals the per-group value bit-for-bit
-    # — the DuckDB oracle, which keeps the per-group form, still hashes
-    # identically.
+    # order-independent, AND the dimension filter above guarantees every
+    # query position joins every surviving candidate, so this equals the
+    # per-group value bit-for-bit — the DuckDB oracle, which keeps the
+    # per-group form, still hashes identically.
     qnorm2 = float(
         q.select(F.sum(qval * qval).cast("double").alias("qn")).first()["qn"] or 0.0
     )

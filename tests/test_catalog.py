@@ -82,6 +82,39 @@ def test_compact_reduces_files_and_preserves_final(spark, wh):
     assert rows[0]["number"] == 2
 
 
+def test_compact_crash_between_renames_recovers(spark, tmp_path):
+    """A crash in the instant between compact()'s two renames leaves the
+    only full copy at '<table>.precompact'. Every entry point (exists,
+    read, compact) must roll it back — and never rmtree it — or the next
+    write() silently recreates an empty table and a later compact()
+    destroys the sole survivor."""
+    import os
+    import shutil
+
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create("block")
+    for i in range(2):
+        wh.write("block", spark.createDataFrame([Row(id="1", number=i)]))
+    # simulate the crash window: canonical renamed away, tmp never landed
+    p = str(tmp_path / "block")
+    os.rename(p, p + ".precompact")
+    assert wh.exists("block")  # recovery, not False
+    assert not os.path.isdir(p + ".precompact")
+    assert wh.read("block").first()["number"] == 1
+    # same crash, recovered via compact() itself — data must survive
+    os.rename(p, p + ".precompact")
+    wh.compact("block")
+    rows = wh.read("block", final=False).collect()
+    assert len(rows) == 1 and rows[0]["number"] == 1
+    # drop() clears leftovers so a dropped table cannot resurrect
+    shutil.copytree(p, p + ".precompact")
+    wh.drop("block")
+    assert not wh.exists("block")
+    assert not os.path.isdir(p + ".precompact")
+
+
 def test_compact_preserves_block_range_partitioning(spark, tmp_path):
     """compact() must not trade the FINAL-window saving for partition
     pruning: a _block_range layout survives the rewrite on disk."""

@@ -223,6 +223,29 @@ def test_any_join_with_alias_keeps_single_match(spark, compat):
     assert rows[0]["k"] == 1 and rows[1]["k"] == 2
 
 
+def test_any_join_followed_by_left_join_keeps_join_type(spark, compat):
+    """'ANY JOIN t2 LEFT JOIN t3 ON …' (no USING/ON on the ANY JOIN): the
+    LEFT token must not be consumed as t2's alias — that would demote the
+    LEFT JOIN to an inner join and silently drop unmatched left rows."""
+    compat.register_table(
+        "anyseq_a", spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, a string")
+    )
+    compat.register_table(
+        "anyseq_b", spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, b string")
+    )
+    compat.register_table(
+        "anyseq_c", spark.createDataFrame([(1, "c1")], "k long, c string")
+    )
+    out = compat.sql(
+        "SELECT anyseq_a.k AS k, c FROM anyseq_a "
+        "ANY JOIN anyseq_b USING (k) "
+        "LEFT JOIN anyseq_c ON anyseq_a.k = anyseq_c.k ORDER BY k"
+    ).collect()
+    # k=2 has no match in anyseq_c: a LEFT JOIN keeps it with NULL c;
+    # the mis-aliasing bug turned this into an inner join (1 row)
+    assert [(r["k"], r["c"]) for r in out] == [(1, "c1"), (2, None)]
+
+
 def test_toint64_precise_above_2_53(spark, compat):
     """toInt64 must not round-trip through DOUBLE: 10^18+1 is exact in
     Int64 but rounds to 10^18 as a double."""
