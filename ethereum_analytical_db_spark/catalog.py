@@ -116,10 +116,14 @@ class Warehouse:
         """Remove a table directory entirely (the reference's DROP TABLE,
         tests/test_utils.py prepare_indices drop/recreate cycle).
         Also removes compaction leftovers so a dropped table can't be
-        resurrected by _recover_precompact."""
-        shutil.rmtree(self._path(table), ignore_errors=True)
+        resurrected by _recover_precompact. Leftovers go FIRST: if the
+        canonical dir were removed first and the process crashed before
+        the '.precompact' rmtree, _recover_precompact would see
+        (no canonical, .precompact alive) and revive the dropped table
+        on the next exists()/read()."""
         shutil.rmtree(self._path(table) + ".precompact", ignore_errors=True)
         shutil.rmtree(self._path(table) + ".compact", ignore_errors=True)
+        shutil.rmtree(self._path(table), ignore_errors=True)
 
     def create(self, table: str, schema: StructType | None = None) -> None:
         """Create an empty table (the reference's prepare_indices,

@@ -92,13 +92,21 @@ def cosine_topk_exact_decimal(
     ``query`` is a 1-row DataFrame with the same (id_col, vec_col).
     Output: (vec_id, cosine) top-k excluding the query row itself.
     """
+    # One collected query row serves qid/qdim/qnorm2 below: `query` may
+    # be a filter over the full embeddings table (plans/pipeline.py), so
+    # every .first() on it is a separate Spark job with its own scan —
+    # three were launched here before this consolidation.
+    qrow = query.select(F.col(id_col), F.col(vec_col)).first()
+    qid, qvec = qrow[id_col], list(qrow[vec_col])
     # cosine between different-dimension vectors is undefined; dropping
-    # mismatched candidates (narrow filter, no extra job — the query row
-    # is driver-side anyway) also makes the global-qnorm2 optimization
-    # below EXACTLY equal to the per-group form the DuckDB oracle keeps:
-    # with equal sizes every query position joins every candidate, so
-    # per-group sum(qval*qval) == the global sum bit-for-bit.
-    qdim = query.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # mismatched candidates also makes the global-qnorm2 optimization
+    # below EXACTLY equal to the per-group form the DuckDB oracle keeps
+    # — but ONLY when every surviving candidate has the query's
+    # dimension (the oracle joins on pos and keeps mismatched-dim
+    # candidates with a partial-overlap cosine; this filter drops them,
+    # so parity is exact only on uniform-dimension data, which the
+    # registered pipeline query guarantees).
+    qdim = len(qvec)
     e = embeddings.filter(F.size(F.col(vec_col)) == F.lit(qdim)).select(
         F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
@@ -115,15 +123,18 @@ def cosine_topk_exact_decimal(
     val = F.col("val").cast("double").cast(DEC)
     qval = F.col("qval").cast("double").cast(DEC)
     # the query norm is a per-query constant: computed ONCE from the
-    # 1-row query frame instead of re-summing qval*qval inside every
-    # per-id group (≈⅓ of the decimal work). Decimal sums are exact and
-    # order-independent, AND the dimension filter above guarantees every
-    # query position joins every surviving candidate, so this equals the
-    # per-group value bit-for-bit — the DuckDB oracle, which keeps the
-    # per-group form, still hashes identically.
-    qnorm2 = float(
-        q.select(F.sum(qval * qval).cast("double").alias("qn")).first()["qn"] or 0.0
-    )
+    # already-collected query row instead of re-summing qval*qval inside
+    # every per-id group (≈⅓ of the decimal work) or via another Spark
+    # job. Replicates the engine arithmetic exactly: double → DECIMAL
+    # scale-6 HALF_UP (Spark's Cast rounding), exact scale-12 products
+    # and sum, one ties-to-even rounding to double at the end — so the
+    # DuckDB oracle, which keeps the per-group decimal form, still
+    # hashes identically (given the uniform-dimension filter above).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _q6 = Decimal("0.000001")
+    q6 = [Decimal(float(x)).quantize(_q6, rounding=ROUND_HALF_UP) for x in qvec]
+    qnorm2 = float(sum((v * v for v in q6), Decimal(0)))
     per_vec = joined.groupBy(id_col).agg(
         F.sum(val * qval).cast("double").alias("dot"),
         F.sum(val * val).cast("double").alias("norm2"),
@@ -136,7 +147,6 @@ def cosine_topk_exact_decimal(
             F.col("norm2") > 0,
             F.col("dot") / (F.sqrt(F.col("norm2")) * F.lit(qnorm2**0.5)),
         )
-    qid = query.select(id_col).first()[0]
     return (
         per_vec.filter(F.col(id_col) != qid)
         .select(F.col(id_col), cos.alias("cosine"))

@@ -55,11 +55,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "substring_dedup_stats",
-    None,  # oracle window is full (50-slot cap); semantics are pinned by
-    # an independent pure-Python full-parity test PLUS a cross-engine
-    # DuckDB SQL replica of the whole pipeline on the fixture corpus
-    # (test_dedup.py::test_substring_dedup_matches_python_oracle,
-    # ::test_substring_dedup_stats_duckdb_parity)
+    # full-pipeline DuckDB replica: window fingerprints (same
+    # md5-of-joined-words), keep-first removal spans, per-doc interval
+    # merge, summary stats. Promoted into the hash-checked window in r8
+    # (the `range_predicate` micro-query folded into `scan_projection`
+    # freed the 50th slot); the same SQL also runs as
+    # test_dedup.py::test_substring_dedup_stats_duckdb_parity, and the
+    # semantics are independently pinned by a pure-Python full-parity
+    # test (::test_substring_dedup_matches_python_oracle).
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), wins AS (
+      SELECT doc_id AS doc, CAST(r AS INT) AS pos,
+             md5(array_to_string(ws[r+1 : r+8], ' ')) AS fp
+      FROM words, LATERAL unnest(range(len(ws) - 8 + 1)) AS t(r)
+      WHERE len(ws) >= 8
+    ), ranked AS (
+      SELECT doc, pos,
+             count(*) OVER (PARTITION BY fp) AS occ,
+             row_number() OVER (PARTITION BY fp ORDER BY doc, pos) AS rn
+      FROM wins
+    ), spans AS (
+      SELECT doc, pos AS s, pos + 8 AS e FROM ranked
+      WHERE occ > 1 AND rn > 1
+    ), with_prev AS (
+      SELECT doc, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                   PARTITION BY doc ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_grp
+      FROM spans
+    ), grouped AS (
+      SELECT doc, s, e,
+             sum(new_grp) OVER (
+               PARTITION BY doc ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM with_prev
+    ), merged AS (
+      SELECT doc, min(s) AS s, max(e) AS e
+      FROM grouped GROUP BY doc, grp
+    ), per_doc AS (
+      SELECT doc, sum(e - s) AS removed FROM merged GROUP BY doc
+    )
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS docs,
+           CAST(count(*) AS BIGINT) AS docs_affected,
+           CAST(coalesce(sum(removed), 0) AS BIGINT) AS tokens_removed
+    FROM per_doc
+    """,
     note="exact-substring dedup (Lee et al. 2022 keep-first semantics): "
     "duplicated k-word spans removed corpus-wide; md5 window "
     "fingerprints shuffle uniformly, reconstruction is JVM higher-order "

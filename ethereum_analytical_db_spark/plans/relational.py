@@ -29,35 +29,31 @@ def _dsum(col):
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS revenue,
            l_quantity - 1 AS qty_minus_one
-    FROM lineitem WHERE l_returnflag = 'R'
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND ((l_quantity >= 5 AND l_quantity < 20) OR (l_quantity >= 45))
     """,
     note="S1 projection + P1 'expr AS alias' derived columns "
-    "(reference clients/custom_clickhouse.py:31-41); predicate+columns "
-    "push to the Parquet scan",
+    "(reference clients/custom_clickhouse.py:31-41) + P2 "
+    "make_range_query OR-chain of half-open ranges (reference "
+    "utils.py:32-66, formerly the standalone `range_predicate` query — "
+    "folded here to free an oracle-window slot for "
+    "`substring_dedup_stats`); predicate+columns push to the Parquet "
+    "scan",
 )
 def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
-        (F.col("l_quantity") - F.lit(1)).alias("qty_minus_one"),
-    )
-
-
-@register(
-    "range_predicate",
-    """
-    SELECT event_id, value FROM events
-    WHERE (value >= 10 AND value < 50) OR (value >= 90)
-    """,
-    note="P2 make_range_query OR-chain of half-open ranges "
-    "(reference utils.py:32-66)",
-)
-def range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.filter(make_range_filter("value", (10, 50), (90, None))).select(
-        "event_id", "value"
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .filter(make_range_filter("l_quantity", (5, 20), (45, None)))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            (F.col("l_quantity") - F.lit(1)).alias("qty_minus_one"),
+        )
     )
 
 

@@ -115,6 +115,42 @@ def test_compact_crash_between_renames_recovers(spark, tmp_path):
     assert not os.path.isdir(p + ".precompact")
 
 
+def test_drop_removes_leftovers_before_canonical(spark, tmp_path, monkeypatch):
+    """drop() must rmtree '.precompact'/'.compact' BEFORE the canonical
+    path: a crash between the two rmtrees in the other order leaves
+    (.precompact alive, canonical gone) — exactly the state
+    _recover_precompact treats as a mid-compact crash, resurrecting the
+    dropped table on the next exists()/read()."""
+    import shutil as _shutil
+
+    from ethereum_analytical_db_spark import catalog as catalog_mod
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create("block")
+    wh.write("block", spark.createDataFrame([Row(id="1", number=0)]))
+    p = str(tmp_path / "block")
+    _shutil.copytree(p, p + ".precompact")
+
+    order: list[str] = []
+    real_rmtree = _shutil.rmtree
+
+    def recording_rmtree(path, *a, **kw):
+        order.append(str(path))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(catalog_mod.shutil, "rmtree", recording_rmtree)
+    wh.drop("block")
+    assert order.index(p + ".precompact") < order.index(p)
+    # and the crash-window state itself can no longer revive the table:
+    # simulate 'leftovers removed, canonical removal never ran'
+    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    _shutil.copytree(p, p + ".precompact")
+    real_rmtree(p + ".precompact")  # step 1 of drop() completed
+    real_rmtree(p)  # step 3 (canonical) also completes here; either way
+    assert not wh.exists("block")  # no resurrection path remains
+
+
 def test_compact_preserves_block_range_partitioning(spark, tmp_path):
     """compact() must not trade the FINAL-window saving for partition
     pruning: a _block_range layout survives the rewrite on disk."""

@@ -226,23 +226,41 @@ def test_any_join_with_alias_keeps_single_match(spark, compat):
 def test_any_join_followed_by_left_join_keeps_join_type(spark, compat):
     """'ANY JOIN t2 LEFT JOIN t3 ON …' (no USING/ON on the ANY JOIN): the
     LEFT token must not be consumed as t2's alias — that would demote the
-    LEFT JOIN to an inner join and silently drop unmatched left rows."""
+    LEFT JOIN to an inner join and silently drop unmatched left rows.
+
+    The ANY JOIN here deliberately has NO USING/ON so the token after
+    the table name is LEFT itself — the exact position the bare-alias
+    scan (_rewrite_any_joins) would have consumed before the
+    _JOIN_KEYWORDS exclusion. With the exclusion reverted this query
+    rewrites to 'JOIN anyseq_b AS LEFT JOIN anyseq_c ON …' and k=2
+    disappears (inner-join semantics), so the assertion below pins the
+    regression (verified red-on-revert)."""
     compat.register_table(
         "anyseq_a", spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, a string")
     )
     compat.register_table(
-        "anyseq_b", spark.createDataFrame([(1, "b1"), (2, "b2")], "k long, b string")
+        "anyseq_b", spark.createDataFrame([(10, "b1")], "j long, b string")
     )
     compat.register_table(
         "anyseq_c", spark.createDataFrame([(1, "c1")], "k long, c string")
     )
+    # rewrite-level check first: LEFT survives as a join type, not an alias
+    rewritten = translate(
+        "SELECT anyseq_a.k AS k, c FROM anyseq_a "
+        "ANY JOIN anyseq_b "
+        "LEFT JOIN anyseq_c ON anyseq_a.k = anyseq_c.k ORDER BY k"
+    ).sql
+    assert "AS LEFT" not in rewritten.upper()
+    assert "LEFT JOIN" in rewritten.upper()
     out = compat.sql(
         "SELECT anyseq_a.k AS k, c FROM anyseq_a "
-        "ANY JOIN anyseq_b USING (k) "
+        "ANY JOIN anyseq_b "
         "LEFT JOIN anyseq_c ON anyseq_a.k = anyseq_c.k ORDER BY k"
     ).collect()
-    # k=2 has no match in anyseq_c: a LEFT JOIN keeps it with NULL c;
-    # the mis-aliasing bug turned this into an inner join (1 row)
+    # anyseq_b is 1 row, so the condition-less ANY JOIN (cross with a
+    # single row) keeps cardinality at 2; k=2 has no match in anyseq_c:
+    # a LEFT JOIN keeps it with NULL c; the mis-aliasing bug turned this
+    # into an inner join (1 row)
     assert [(r["k"], r["c"]) for r in out] == [(1, "c1"), (2, None)]
 
 

@@ -343,7 +343,13 @@ def test_substring_dedup_stats_duckdb_parity(spark):
     from ethereum_analytical_db_spark.plans.registry import all_queries
 
     sf = "/root/testdata/sf0.001"
-    got = all_queries()["substring_dedup_stats"].build(spark, sf).first()
+    qdef = all_queries()["substring_dedup_stats"]
+    # promoted into the hash-checked window in r8: the registry entry
+    # carries this same SQL as its driver oracle — assert so they can't
+    # silently drift apart (the literal below stays as an independent
+    # second copy of the semantics)
+    assert qdef.oracle is not None and "md5(array_to_string" in qdef.oracle
+    got = qdef.build(spark, sf).first()
 
     con = duckdb.connect()
     con.execute(

@@ -41,7 +41,6 @@ FORBIDDEN = {
 # union_all_universe carries the IN-list filters on its orders/customer
 # legs (the standalone in_list_filter query was folded into it)
 MUST_PUSH = {
-    "range_predicate",
     "union_all_universe",
     "scan_projection",
 }
