@@ -131,7 +131,9 @@ def extract_events(wh: Warehouse, factory, range_size: int) -> None:
     )
     if todo.isEmpty():
         return
-    ranges = inc.block_ranges(todo, range_size)
+    # frame form: ranges go scan→task without a driver round-trip (a
+    # full-chain backfill at range_size=5 is millions of ranges)
+    ranges = inc.block_ranges_frame(todo, range_size)
     events = rpc.fetch_events(wh.spark, ranges, factory)
     wh.write("event", events, block_partition="blockNumber")
     inc.write_block_flags(wh, todo.select("id"), "events_extracted")

@@ -598,6 +598,58 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# frozen-index cache for the probe-only serve query: (abs sf_dir) →
+# (index path, centroids, query vector). Train + materialize happen ONCE
+# per process; every subsequent build is a pure probe. This is what
+# separates the two registered IVF timings: `ann_cosine_ivf` measures
+# BUILD+probe (k-means + full assignment each run — the cost a user pays
+# to stand the index up), `ann_cosine_ivf_probe` measures the production
+# READ path (partition-pruned scan of ~nprobe/n_centroids of the files).
+_IVF_FROZEN: dict[str, tuple[str, list, list]] = {}
+
+
+def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
+    import os
+    import re
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_FROZEN:
+        emb = table(spark, sf_dir, "embeddings")
+        qvec = [
+            float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        centroids = similarity.ivf_train_centroids(emb, n_centroids=8, iterations=2)
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ivf_index",
+            re.sub(r"\W+", "_", key).strip("_"),
+        )
+        # the index holds the candidate set (query row excluded, same as
+        # ann_cosine_ivf); centroids still train on the full corpus
+        similarity.ivf_index_write(emb.filter(F.col("vec_id") != 0), path, centroids)
+        _IVF_FROZEN[key] = (path, centroids, qvec)
+    return _IVF_FROZEN[key]
+
+
+@register(
+    "ann_cosine_ivf_probe",
+    None,  # approximate path — probe-vs-build parity pinned by
+    # test_similarity.py (same top-k as cosine_topk_ivf; PartitionFilters
+    # asserted on the registered query's own plan)
+    note="IVF ANN serve path: probe-only query against a materialized "
+    "cluster-partitioned Parquet index (built once per process, cached) "
+    "— `cluster IN (probe ids)` is a PartitionFilter, so each query "
+    "reads ~nprobe/n_centroids of the files; this is the latency a "
+    "deployed index serves at, vs ann_cosine_ivf's build+probe",
+)
+def ann_cosine_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, centroids, qvec = _ivf_frozen_index(spark, sf_dir)
+    return similarity.cosine_topk_ivf_index(
+        spark, path, qvec, centroids, k=10, nprobe=3
+    )
+
+
 SESSIONIZE_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id, value,

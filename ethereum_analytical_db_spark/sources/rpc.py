@@ -424,15 +424,26 @@ def fetch_block_timestamps(
 
 def fetch_events(
     spark: SparkSession,
-    ranges: list[tuple[int, int]],
+    ranges: "DataFrame | list[tuple[int, int]]",
     make_transport,
 ) -> DataFrame:
     """S10: eth_getLogs per [from, to) block range (reference
     operations/events.py:37-52 uses web3 filters over
-    EVENTS_RANGE_SIZE-block windows). Ranges fan out one-per-task."""
-    rng = spark.createDataFrame(ranges, "lo long, hi long").repartition(
-        max(1, min(len(ranges), spark.sparkContext.defaultParallelism))
-    )
+    EVENTS_RANGE_SIZE-block windows). Ranges fan out one-per-task.
+
+    ``ranges`` is either a ``(lo, hi)`` DataFrame
+    (``incremental.block_ranges_frame`` — the backfill path: range rows
+    go scan→shuffle→task without ever touching the driver) or a small
+    driver-side list/iterable for targeted re-fetches."""
+    if isinstance(ranges, DataFrame):
+        rng = ranges.select(
+            F.col("lo").cast("long"), F.col("hi").cast("long")
+        ).repartition(spark.sparkContext.defaultParallelism)
+    else:
+        ranges = list(ranges)
+        rng = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+            max(1, min(len(ranges), spark.sparkContext.defaultParallelism))
+        )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = make_transport()

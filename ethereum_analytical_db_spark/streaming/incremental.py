@@ -80,20 +80,41 @@ def max_flagged_block(flags: DataFrame, flag_name: str) -> int | None:
     return None if row is None or row["m"] is None else int(row["m"])
 
 
-def block_ranges(blocks: DataFrame, range_size: int, number_col: str = "number") -> list[tuple[int, int]]:
+def block_ranges_frame(
+    blocks: DataFrame, range_size: int, number_col: str = "number"
+) -> DataFrame:
     """T4: [start, end) micro-batch ranges covering the given blocks —
-    distinct floor(number/size) buckets (reference operations/events.py:12-35).
-    Returns a small driver-side list (one entry per range, not per block).
-    """
-    buckets = (
+    distinct floor(number/size) buckets (reference
+    operations/events.py:12-35) as a ``(lo, hi)`` DataFrame. This is
+    the scale path: the ranges never land on the driver at all
+    (``rpc.fetch_events`` fans the frame out directly), so a full-chain
+    backfill at range_size=5 over 20M blocks is a 4M-row distributed
+    frame, not a 4M-entry driver list."""
+    return (
         blocks.select(
             F.floor(F.col(number_col) / range_size).cast("long").alias("b")
         )
         .distinct()
-        .orderBy("b")
-        .collect()
+        .select(
+            (F.col("b") * range_size).alias("lo"),
+            ((F.col("b") + 1) * range_size).alias("hi"),
+        )
     )
-    return [(int(r["b"]) * range_size, (int(r["b"]) + 1) * range_size) for r in buckets]
+
+
+def block_ranges(
+    blocks: DataFrame, range_size: int, number_col: str = "number"
+):
+    """Driver-side view of :func:`block_ranges_frame`: a LAZY iterator of
+    ``(lo, hi)`` tuples in ascending order. ``toLocalIterator`` pulls
+    one partition at a time, so driver memory is bounded by the largest
+    shuffle partition regardless of chain length — never a full
+    ``collect()``. Callers that need a list (tests, tiny incremental
+    batches) wrap it in ``list(...)``; the event backfill path passes
+    the frame form to ``fetch_events`` instead."""
+    frame = block_ranges_frame(blocks, range_size, number_col).orderBy("lo")
+    for r in frame.toLocalIterator():
+        yield (int(r["lo"]), int(r["hi"]))
 
 
 def contract_watermarks(watermarks: DataFrame, flag_name: str) -> DataFrame:

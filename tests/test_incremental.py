@@ -52,8 +52,41 @@ def test_flag_replay_is_idempotent(wh):
 
 def test_block_ranges_bucketing(wh):
     _write_blocks(wh, [0, 1, 4, 5, 9, 23])
-    ranges = inc.block_ranges(wh.read("block"), 5)
+    ranges = list(inc.block_ranges(wh.read("block"), 5))
     assert ranges == [(0, 5), (5, 10), (20, 25)]
+    # frame form carries the same buckets (order-free)
+    frame = {
+        (r["lo"], r["hi"])
+        for r in inc.block_ranges_frame(wh.read("block"), 5).collect()
+    }
+    assert frame == set(ranges)
+
+
+def test_block_ranges_driver_memory_bounded(spark, monkeypatch):
+    """Full-chain-backfill shape: block_ranges over a 2M-block frame must
+    never collect() the range set to the driver — it is a lazy
+    toLocalIterator (one partition in driver memory at a time), and the
+    backfill path (extract_events) uses the frame form, which keeps
+    ranges off the driver entirely."""
+    import itertools
+
+    from pyspark.sql import DataFrame
+
+    blocks = spark.range(0, 2_000_000).withColumnRenamed("id", "number")
+    monkeypatch.setattr(
+        DataFrame,
+        "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("block_ranges must not collect() the range set")
+        ),
+    )
+    it = inc.block_ranges(blocks, 5)
+    first = list(itertools.islice(it, 3))
+    assert first == [(0, 5), (5, 10), (10, 15)]
+    # frame form: building the fan-out plan needs no driver materialization
+    frame = inc.block_ranges_frame(blocks, 5)
+    monkeypatch.undo()
+    assert frame.count() == 400_000
 
 
 def test_sync_loop_converges(wh):

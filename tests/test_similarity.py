@@ -489,3 +489,24 @@ def test_topk_zero_norm_rows_drop_not_crash(spark):
     assert 999 not in [r["vec_id"] for r in got2]
     # zero-vector QUERY degenerates to an empty result, not a crash
     assert similarity.cosine_topk_bruteforce(df, [0.0] * 16, k=5).count() == 0
+
+
+def test_registered_ivf_probe_query_matches_build_and_prunes(spark):
+    """The registered serve-path query (`ann_cosine_ivf_probe`) must
+    return exactly what the build+probe query returns at the same
+    parameters, and its OWN physical plan must carry the cluster
+    predicate as a PartitionFilter (directory pruning on the frozen
+    index) — pinning that the bench row labelled 'probe-only' really is
+    a partition-pruned read, not a rebuild."""
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    probe_df = qs["ann_cosine_ivf_probe"].build(spark, sf)
+    build_df = qs["ann_cosine_ivf"].build(spark, sf)
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in probe_df.collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in build_df.collect()]
+    assert got == want and len(got) == 10
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:200]
