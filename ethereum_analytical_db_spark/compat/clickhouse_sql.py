@@ -244,7 +244,9 @@ def _balanced(tokens: list[str], start: int) -> int:
             depth -= 1
             if depth == 0:
                 return i + 1
-    raise ValueError("unbalanced parentheses in ClickHouse SQL")
+    # the module's single documented failure type (found by the r8
+    # translator fuzz: a dropped ')' escaped as a bare ValueError)
+    raise UnsupportedClickHouseSQL("unbalanced parentheses in ClickHouse SQL")
 
 
 def _rewrite_quantile(tokens: list[str]) -> list[str]:
@@ -323,6 +325,14 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
         for i in range(len(tokens)):
             if _lower(tokens[i]) != "any":
                 continue
+            # 'x AS any LEFT JOIN …': an ANY directly after AS is an
+            # alias NAMED any, not a join modifier — rewriting it would
+            # strand the AS and demote the following LEFT JOIN to an
+            # inner join via a phantom 'AS LEFT' alias (found by the r8
+            # fuzz). Real ANY-join corpus shapes ('t AS x ANY JOIN …')
+            # have the alias between AS and ANY, so they never hit this.
+            if i > 0 and _lower(tokens[i - 1]) == "as":
+                continue
             j = i + 1
             jtype: list[str] = []
             if j < len(tokens) and _lower(tokens[j]) in ("left", "inner"):
@@ -361,6 +371,12 @@ def _rewrite_any_joins(tokens: list[str]) -> list[str]:
                 changed = True
                 break
             j += 1
+            if j >= len(tokens):
+                # truncated input ('… ANY JOIN t USING') — found by the
+                # r8 fuzz as an IndexError escape
+                raise UnsupportedClickHouseSQL(
+                    "ANY JOIN USING with no key list"
+                )
             # capture keys: parenthesized or bare comma list
             keys: list[str] = []
             if tokens[j] == "(":

@@ -175,30 +175,78 @@ def ngram_jaccard_pairs(
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), computed on DISTINCT shingle
     sets. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Three prunes (r8) shrink the self-join below the naive
+    Σ df(shingle)² string-keyed posting join:
+
+    1. HASHED join keys: the shingle string never enters the index —
+       each posting carries a 128-bit shingle identity (two independent
+       ``xxhash64`` lanes), so the shuffle/sort payload per posting is
+       16 fixed-width bytes instead of a ~n·word-length string, and the
+       sort-merge comparisons are long compares. Exact up to a 128-bit
+       collision between two DISTINCT shingles (P < 10⁻¹⁴ even at 10¹²
+       distinct shingles — far below any hardware error rate); the
+       output and the SQL oracle still see true string semantics.
+    2. WITNESS filter: a shingle with document frequency 1 cannot be
+       shared by any pair — it contributes nothing to any intersection
+       count — so only postings with df ∈ [2, max_shingle_df] enter the
+       self-join at all. On a deduplicated web-scale corpus singleton
+       shingles are the overwhelming majority of the index; on the
+       vocab-limited synthetic bench corpus (avg df ≈ 10) this prunes
+       ~nothing — both measured, see SCALE.md.
+    3. LENGTH filter, applied inside the join condition (Bayardo et al.
+       2007): jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t — provable from
+       i ≥ t·(|A|+|B|)/(1+t) and i ≤ min — so size-incompatible pairs
+       never reach the aggregation. Exact: any pruned pair would have
+       been filtered by the threshold anyway (t = 0 prunes nothing).
+
+    Set sizes stay the FULL distinct-shingle counts (denominator
+    semantics unchanged, mirrored by the SQL oracle); with
+    ``max_shingle_df`` only the intersection is computed over capped
+    shingles.
     """
     shingled = _shingled(df, text_col, id_col, n).withColumn(
         "set_size", F.size("ngrams")
     )
-    exploded = shingled.select("doc", "set_size", F.explode("ngrams").alias("ngram"))
-    # materialized once: both sides of the shingle self-join read the
-    # same computed inverted index instead of re-shingling the corpus
+    exploded = shingled.select(
+        "doc",
+        "set_size",
+        F.explode("ngrams").alias("ngram"),
+    ).select(
+        "doc",
+        "set_size",
+        F.xxhash64("ngram").alias("h1"),
+        F.xxhash64("ngram", F.lit(1)).alias("h2"),
+    )
+    # materialized once: the df aggregate and the self-join sides read
+    # the same computed index instead of re-shingling the corpus
     exploded = exploded.localCheckpoint()
+    witness = (
+        exploded.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
     if max_shingle_df is not None:
-        hot = (
-            exploded.groupBy("ngram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("ngram")
-        )
-        exploded = exploded.join(F.broadcast(hot), "ngram", "left_anti")
-    a = exploded.select(
-        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "ngram"
+        witness = witness.filter(F.col("df") <= max_shingle_df)
+    # merge hint here too: the witness set is one row per REPEATED
+    # distinct shingle — small on the fixtures, but corpus-scaled in the
+    # worst case, and AQE's pre-execution estimate undersells it (at the
+    # sf10 probe AQE picked broadcast and the driver died building it).
+    # SMJ shuffles by the hash key — the exact partitioning the
+    # self-join below needs anyway.
+    kept = exploded.hint("merge").join(witness.select("h1", "h2"), ["h1", "h2"])
+    a = kept.select(
+        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "h1", "h2"
     )
-    b = exploded.select(
-        F.col("doc").alias("doc_b"), F.col("set_size").alias("size_b"), "ngram"
+    b = kept.select(
+        F.col("doc").alias("doc_b"),
+        F.col("set_size").alias("size_b"),
+        F.col("h1").alias("g1"),
+        F.col("h2").alias("g2"),
     )
-    # sort-merge, not broadcast and not shuffle-hash: the exploded
-    # inverted index is O(corpus) so broadcast is out, and the
+    t = F.lit(float(threshold))
+    # sort-merge, not broadcast and not shuffle-hash: the witness index
+    # is still O(shared postings) so broadcast is out, and the
     # shuffle-hash build side must FIT IN TASK MEMORY — at a 100x
     # corpus (measured: the 10x/sf10 probe) the per-partition index
     # exceeds the hash-map budget and the join dies with
@@ -207,8 +255,14 @@ def ngram_jaccard_pairs(
     # splits skewed shingle buckets).
     pairs = (
         a.hint("merge")
-        .join(b, "ngram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(
+            b,
+            (F.col("h1") == F.col("g1"))
+            & (F.col("h2") == F.col("g2"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("size_b").cast("double") >= t * F.col("size_a"))
+            & (F.col("size_a").cast("double") >= t * F.col("size_b")),
+        )
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

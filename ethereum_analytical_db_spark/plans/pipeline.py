@@ -181,9 +181,13 @@ _JACCARD_PAIRS_CTE = f"""
     WITH {_JACCARD_PAIRS_CTE}
     SELECT doc_a, doc_b, jaccard FROM pairs
     """,
-    note="exact n-gram Jaccard near-dup pairs via shingle inverted index "
-    "(cost ~ Σ df(shingle)², not n² over docs); stop-shingles with "
-    f"df > {MAX_SHINGLE_DF} are dropped before the self-join (skew cap)",
+    note="exact n-gram Jaccard near-dup pairs, PPJoin-style (r8): "
+    "candidates from a PREFIX-filtered inverted index (each doc indexes "
+    "only its rarest ksize-⌈t·size⌉+1 shingles under a global df order) "
+    "+ symmetric length filter, then exact array_intersect verify — "
+    "pair volume concentrates in the high-df shingles the prefix "
+    f"excludes; stop-shingles with df > {MAX_SHINGLE_DF} are dropped "
+    "from the index entirely (skew cap)",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)

@@ -270,3 +270,112 @@ def test_toint64_precise_above_2_53(spark, compat):
     big = str(10**18 + 1)
     row = compat.sql(f"SELECT toInt64('{big}') AS v").first()
     assert row["v"] == 10**18 + 1
+
+
+# ---- translator fuzzing (r8): translate-correctly-or-raise ------------
+#
+# Round 7's ANY-JOIN alias bug was a silent mistranslation — the class
+# of defect these properties target. Two layers:
+#   1. mutation fuzz over corpus-shaped seeds: any token-level damage
+#      must either translate or raise UnsupportedClickHouseSQL — never
+#      escape as IndexError/KeyError/etc. (crash-class) — and the
+#      rewrite must never invent an `AS <join-keyword>` alias;
+#   2. generated ANY/LEFT/INNER join chains: every JOIN in the input
+#      survives with its type intact (LEFT never demoted, none dropped).
+
+_FUZZ_SEEDS = [
+    "SELECT address, sum(value) AS v FROM eth_token_transaction "
+    "WHERE token = '0xab' GROUP BY address ORDER BY v DESC LIMIT 10",
+    "SELECT toDateTime(intDiv(toUInt32(ts), 3600) * 3600) AS t, count() "
+    "FROM eth_event WHERE topics[1] = '0x1' GROUP BY t",
+    "SELECT quantile(0.95)(gasPrice) FROM eth_transaction FINAL",
+    "SELECT a.k, b.v FROM ta AS a ANY LEFT JOIN tb AS b USING (k)",
+    "SELECT k FROM ta ANY JOIN tb LEFT JOIN tc ON ta.k = tc.k",
+    "SELECT from, to, value FROM eth_internal_transaction "
+    "WHERE from != to AND value > 0",
+]
+
+_FUZZ_EXTRA_TOKENS = [
+    "ANY", "LEFT", "JOIN", "USING", "ON", "FINAL", "(", ")", ",",
+    "SELECT", "FROM", "WHERE", "`q`", "'x'", "topics", "[", "]", "1",
+]
+
+
+def _join_shape(sql: str) -> list[str]:
+    """('left'|'inner') per JOIN token, ANY modifiers ignored — the
+    invariant the rewriter must preserve."""
+    toks = [t.lower() for t in sql.replace("(", " ( ").split()]
+    shape = []
+    for i, t in enumerate(toks):
+        if t != "join":
+            continue
+        j = i - 1
+        if j >= 0 and toks[j] in ("left", "inner"):
+            shape.append(toks[j])
+        else:
+            shape.append("inner")
+    return shape
+
+
+def test_fuzz_token_mutations_translate_or_raise():
+    import random
+
+    from ethereum_analytical_db_spark.compat.clickhouse_sql import (
+        UnsupportedClickHouseSQL,
+    )
+
+    rnd = random.Random(8)
+    for trial in range(2000):
+        seed = rnd.choice(_FUZZ_SEEDS)
+        toks = seed.split()
+        op = rnd.randrange(4)
+        if op == 0 and len(toks) > 1:  # drop a token
+            del toks[rnd.randrange(len(toks))]
+        elif op == 1:  # duplicate a token
+            i = rnd.randrange(len(toks))
+            toks.insert(i, toks[i])
+        elif op == 2 and len(toks) > 2:  # swap adjacent tokens
+            i = rnd.randrange(len(toks) - 1)
+            toks[i], toks[i + 1] = toks[i + 1], toks[i]
+        else:  # insert a grammar-relevant token
+            toks.insert(rnd.randrange(len(toks) + 1), rnd.choice(_FUZZ_EXTRA_TOKENS))
+        mutated = " ".join(toks)
+        try:
+            out = translate(mutated).sql
+        except UnsupportedClickHouseSQL:
+            continue  # the documented loud-failure contract
+        assert "AS LEFT" not in out.upper().replace("  ", " "), mutated
+        assert "AS INNER" not in out.upper().replace("  ", " "), mutated
+
+
+def test_fuzz_generated_join_chains_preserve_types():
+    import random
+
+    from ethereum_analytical_db_spark.compat.clickhouse_sql import (
+        UnsupportedClickHouseSQL,
+    )
+
+    rnd = random.Random(88)
+    for trial in range(1000):
+        n_joins = rnd.randrange(1, 4)
+        sql = "SELECT t0.k FROM t0"
+        for j in range(1, n_joins + 1):
+            any_mod = rnd.random() < 0.5
+            jtype = rnd.choice(["", "LEFT ", "INNER "])
+            alias = rnd.choice(["", f" AS x{j}", f" x{j}"])
+            cond = rnd.choice(
+                [f" USING (k)", f" ON t0.k = t{j}.k", ""]
+            )
+            # a bare-alias right side followed by a join keyword is the
+            # r7 bug shape; quoted identifiers exercise the tokenizer
+            tbl = rnd.choice([f"t{j}", f"`t{j}`"])
+            sql += (
+                (" ANY " if any_mod else " ")
+                + jtype + "JOIN " + tbl + alias + cond
+            )
+        try:
+            out = translate(sql).sql
+        except UnsupportedClickHouseSQL:
+            continue
+        got, want = _join_shape(out), _join_shape(sql)
+        assert got == want, f"join shape {want} -> {got}\n in: {sql}\nout: {out}"
