@@ -353,6 +353,49 @@ class Warehouse:
             if self.exists(t):
                 self.read(t, final=final).createOrReplaceTempView(t)
 
+    def materialize_bucketed(
+        self,
+        table: str,
+        buckets: int,
+        by: list[str],
+        name: str | None = None,
+        final: bool = True,
+    ) -> str:
+        """Freeze a (FINAL) view of ``table`` into a HASH-BUCKETED,
+        bucket-sorted catalog table for repeated join-heavy analytics —
+        the co-located-join layout this module's header promises at
+        scale.
+
+        Two tables bucketed by the same columns into the same bucket
+        count join with ZERO Exchange on either side: each bucket file
+        pair sort-merges locally (asserted on the physical plan in
+        ``test_catalog.py``). At 100 TB this is the difference between
+        re-shuffling the fact table on every analytical join and paying
+        the shuffle once at materialization; the same layout makes the
+        FINAL window and groupBys on the bucket key exchange-free too.
+
+        Bucket metadata lives in the session catalog (``spark.table``),
+        which is how Spark's scan planner learns the layout — reading
+        the files path-wise would silently lose it, so the return value
+        is the CATALOG name to query. Overwrites any previous
+        materialization of the same name.
+        """
+        name = name or f"{table}_bucketed"
+        df = self.read(table, final=final)
+        internal = [c for c in df.columns if c.startswith("_")]
+        if internal:
+            df = df.drop(*internal)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(buckets, *by)
+            .sortBy(*by)
+            .option("path", self._path(name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        return name
+
 
 def paginate(df: DataFrame, per: int = 1000):
     """Stream a (small-schema) frame to the driver in bounded pages —
