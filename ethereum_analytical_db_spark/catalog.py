@@ -378,7 +378,18 @@ class Warehouse:
         which is how Spark's scan planner learns the layout — reading
         the files path-wise would silently lose it, so the return value
         is the CATALOG name to query. Overwrites any previous
-        materialization of the same name.
+        materialization of the same name. The catalog namespace is
+        SESSION-GLOBAL: two Warehouse instances sharing one
+        SparkSession must use distinct ``name``s or the later
+        materialization repoints the shared name.
+
+        Files land under ``<root>/_bucketed/<name>`` — an
+        underscore-prefixed directory OUTSIDE the logical-table path
+        namespace, so ``exists()/write()/read()`` can never alias a
+        plain warehouse table into the bucketed layout (a path-wise
+        append would violate the bucket invariant while the catalog
+        still advertises it, silently corrupting exchange-free joins —
+        review find).
         """
         name = name or f"{table}_bucketed"
         df = self.read(table, final=final)
@@ -390,7 +401,7 @@ class Warehouse:
             df.write.format("parquet")
             .bucketBy(buckets, *by)
             .sortBy(*by)
-            .option("path", self._path(name))
+            .option("path", os.path.join(self.root, "_bucketed", name))
             .mode("overwrite")
             .saveAsTable(name)
         )

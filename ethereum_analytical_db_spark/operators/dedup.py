@@ -183,10 +183,15 @@ def ngram_jaccard_pairs(
        each posting carries a 128-bit shingle identity (two independent
        ``xxhash64`` lanes), so the shuffle/sort payload per posting is
        16 fixed-width bytes instead of a ~n·word-length string, and the
-       sort-merge comparisons are long compares. Exact up to a 128-bit
-       collision between two DISTINCT shingles (P < 10⁻¹⁴ even at 10¹²
-       distinct shingles — far below any hardware error rate); the
-       output and the SQL oracle still see true string semantics.
+       sort-merge comparisons are long compares. The two lanes use
+       DIFFERENT seeds (a literal is prepended, not appended — Spark's
+       multi-arg xxhash64 chains the running hash as the next seed, so
+       an appended literal would leave lane 2 a pure function of lane
+       1). Exact up to a simultaneous two-seed collision between two
+       DISTINCT shingles (≈2⁻¹²⁸-scale for truly independent lanes;
+       conservatively bounded far below any hardware error rate even if
+       the seeded variants correlate); the output and the SQL oracle
+       still see true string semantics.
     2. WITNESS filter: a shingle with document frequency 1 cannot be
        shared by any pair — it contributes nothing to any intersection
        count — so only postings with df ∈ [2, max_shingle_df] enter the
@@ -215,8 +220,14 @@ def ngram_jaccard_pairs(
     ).select(
         "doc",
         "set_size",
+        # two DIFFERENT-SEEDED lanes: Spark's multi-arg xxhash64 CHAINS
+        # the running hash as the next seed, so xxhash64(ngram, lit(1))
+        # would be a pure function of xxhash64(ngram) — a 64-bit
+        # identity dressed as 128 (review find). Prepending the literal
+        # instead makes h2 = XXH64(ngram, seed'=XXH64(1, 42)) ≠ h1's
+        # seed 42, so a collision must hold under two unrelated seeds.
         F.xxhash64("ngram").alias("h1"),
-        F.xxhash64("ngram", F.lit(1)).alias("h2"),
+        F.xxhash64(F.lit(1), F.col("ngram")).alias("h2"),
     )
     # materialized once: the df aggregate and the self-join sides read
     # the same computed index instead of re-shingling the corpus

@@ -126,14 +126,22 @@ def cosine_topk_exact_decimal(
     # already-collected query row instead of re-summing qval*qval inside
     # every per-id group (≈⅓ of the decimal work) or via another Spark
     # job. Replicates the engine arithmetic exactly: double → DECIMAL
-    # scale-6 HALF_UP (Spark's Cast rounding), exact scale-12 products
-    # and sum, one ties-to-even rounding to double at the end — so the
-    # DuckDB oracle, which keeps the per-group decimal form, still
-    # hashes identically (given the uniform-dimension filter above).
+    # scale-6 HALF_UP, exact scale-12 products and sum, one
+    # ties-to-even rounding to double at the end — so the DuckDB
+    # oracle, which keeps the per-group decimal form, still hashes
+    # identically (given the uniform-dimension filter above).
+    # Decimal(repr(x)), NOT Decimal(x): Spark's double→decimal Cast
+    # quantizes the SHORTEST ROUND-TRIP STRING of the double (Scala
+    # BigDecimal(Double) routes through Double.toString), and Python's
+    # repr produces the same shortest string — Decimal(x) would
+    # HALF_UP-round the exact binary expansion instead, which can land
+    # on the other side of a decimal tie (review find).
     from decimal import ROUND_HALF_UP, Decimal
 
     _q6 = Decimal("0.000001")
-    q6 = [Decimal(float(x)).quantize(_q6, rounding=ROUND_HALF_UP) for x in qvec]
+    q6 = [
+        Decimal(repr(float(x))).quantize(_q6, rounding=ROUND_HALF_UP) for x in qvec
+    ]
     qnorm2 = float(sum((v * v for v in q6), Decimal(0)))
     per_vec = joined.groupBy(id_col).agg(
         F.sum(val * qval).cast("double").alias("dot"),

@@ -181,13 +181,14 @@ _JACCARD_PAIRS_CTE = f"""
     WITH {_JACCARD_PAIRS_CTE}
     SELECT doc_a, doc_b, jaccard FROM pairs
     """,
-    note="exact n-gram Jaccard near-dup pairs, PPJoin-style (r8): "
-    "candidates from a PREFIX-filtered inverted index (each doc indexes "
-    "only its rarest ksize-⌈t·size⌉+1 shingles under a global df order) "
-    "+ symmetric length filter, then exact array_intersect verify — "
-    "pair volume concentrates in the high-df shingles the prefix "
-    f"excludes; stop-shingles with df > {MAX_SHINGLE_DF} are dropped "
-    "from the index entirely (skew cap)",
+    note="exact n-gram Jaccard near-dup pairs via shingle inverted "
+    "index (r8 re-engineering, profiled at sf10 in SCALE.md): 128-bit "
+    "two-seed-hashed join keys replace shingle strings across the "
+    "shuffle/sort path, df=1 shingles are witness-filtered out of the "
+    "self-join (they can never be shared), and the Bayardo length "
+    "filter rides the join condition; stop-shingles with "
+    f"df > {MAX_SHINGLE_DF} are dropped from the index entirely "
+    "(skew cap, mirrored in the oracle)",
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
@@ -613,8 +614,8 @@ _IVF_FROZEN: dict[str, tuple[str, list, list]] = {}
 
 
 def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
+    import hashlib
     import os
-    import re
     import tempfile
 
     key = os.path.abspath(sf_dir)
@@ -624,10 +625,15 @@ def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
             float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
         ]
         centroids = similarity.ivf_train_centroids(emb, n_centroids=8, iterations=2)
+        # path is PER-PROCESS (pid) + collision-free (md5 of the abs
+        # dir, not a lossy \W+ squeeze): the cache is per-process
+        # anyway, and a shared fixed path let two concurrent
+        # bench/pytest processes overwrite the directory under each
+        # other's partition-pruned reads (review find)
         path = os.path.join(
             tempfile.gettempdir(),
             "spark_graft_ivf_index",
-            re.sub(r"\W+", "_", key).strip("_"),
+            f"{hashlib.md5(key.encode()).hexdigest()[:16]}_{os.getpid()}",
         )
         # the index holds the candidate set (query row excluded, same as
         # ann_cosine_ivf); centroids still train on the full corpus

@@ -446,12 +446,18 @@ def fetch_events(
         )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        transport = make_transport()
+        # transport is built LAZILY on the first non-empty batch: the
+        # frame branch fans out to defaultParallelism tasks, and a tiny
+        # incremental tick would otherwise dial the (rate-limited) RPC
+        # endpoint once per EMPTY task (review find)
+        transport = None
         cols = [
             "address", "topics", "data", "blockNumber", "transactionHash",
             "transactionLogIndex", "logIndex", "blockHash", "type",
         ]
         for pdf in batches:
+            if len(pdf) and transport is None:
+                transport = make_transport()
             rows = []
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 # real eth_getLogs filter object; ranges here are
