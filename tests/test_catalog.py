@@ -450,5 +450,13 @@ def test_materialize_bucketed_join_is_exchange_free(spark, tmp_path):
     # re-materialization overwrites cleanly
     a2 = wh.materialize_bucketed("block_flag", buckets=4, by=["id"])
     assert a2 == a and spark.table(a2).count() == 20
+    # namespace isolation (review find): bucketed files live OUTSIDE the
+    # logical-table path namespace, so the warehouse can never alias a
+    # plain table into the bucketed layout (a path-wise append would
+    # break the bucket invariant the catalog still advertises)
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(wh.root, "_bucketed", a))
+    assert not wh.exists(a)
     spark.sql(f"DROP TABLE IF EXISTS {a}")
     spark.sql(f"DROP TABLE IF EXISTS {b}")
