@@ -293,11 +293,23 @@ _FUZZ_SEEDS = [
     "SELECT k FROM ta ANY JOIN tb LEFT JOIN tc ON ta.k = tc.k",
     "SELECT from, to, value FROM eth_internal_transaction "
     "WHERE from != to AND value > 0",
+    "SELECT quantileExact(0.2)(x) AS p, count() FROM t GROUP BY k "
+    "INTO OUTFILE 'o.csv' FORMAT CSVWithNames",
+    "SELECT token, address, income - outcome AS balance FROM "
+    "(SELECT token, from AS address, sum(value) AS outcome FROM ttx GROUP BY token, from) "
+    "ANY INNER JOIN "
+    "(SELECT token, to AS address, sum(value) AS income FROM ttx GROUP BY token, to) "
+    "USING token, address WHERE balance > 0",
+    "SELECT toFloat64(count()) AS calls FROM itx FINAL "
+    "WHERE to IN(SELECT address FROM c) GROUP BY from ORDER BY calls DESC LIMIT 10",
 ]
 
 _FUZZ_EXTRA_TOKENS = [
     "ANY", "LEFT", "JOIN", "USING", "ON", "FINAL", "(", ")", ",",
     "SELECT", "FROM", "WHERE", "`q`", "'x'", "topics", "[", "]", "1",
+    # documented-unsupported constructs: inserting one must RAISE the
+    # named error, never crash or silently mistranslate
+    "PREWHERE", "SAMPLE", "GLOBAL", "ASOF", "TOTALS", "arrayJoin", "AS",
 ]
 
 
@@ -344,8 +356,14 @@ def test_fuzz_token_mutations_translate_or_raise():
             out = translate(mutated).sql
         except UnsupportedClickHouseSQL:
             continue  # the documented loud-failure contract
-        assert "AS LEFT" not in out.upper().replace("  ", " "), mutated
-        assert "AS INNER" not in out.upper().replace("  ", " "), mutated
+        # the rewriter must never INTRODUCE an 'AS <join-keyword>' alias
+        # (the r7 demotion bug); a mutation that inserts one into the
+        # input itself may pass through verbatim
+        src_norm = " ".join(mutated.upper().split())
+        out_norm = " ".join(out.upper().split())
+        for phantom in ("AS LEFT", "AS INNER"):
+            if phantom not in src_norm:
+                assert phantom not in out_norm, (mutated, out)
 
 
 def test_fuzz_generated_join_chains_preserve_types():
