@@ -15,8 +15,11 @@ baseline JPEG (full Huffman + IDCT + chroma upsampling, see
 ``operators/jpeg.py``) are decoded without PIL. Audio/video containers
 are parsed for real too: WAV (RIFF chunk walk, PCM/IEEE-float frames)
 and MP4 (ISO-BMFF box walk — track geometry, frame counts, audio
-sample rate, mdat payload). The remaining declared seam is compressed
-BITSTREAM decode (H.264/AAC inside mdat, ADPCM-in-wav), rejected
+sample rate, mdat payload). IMA/DVI ADPCM-in-WAV (format 0x11) is a
+REAL compressed-bitstream codec, decoded to PCM16 in pure Python
+(hand-verified against the IMA 1992 spec vectors in
+test_multimodal.py). The remaining declared seam is the heavyweight
+bitstreams (H.264/AAC inside mdat, MS-ADPCM/mp3-in-wav), rejected
 loudly per-row at the same single dispatch point: wire a library codec
 there and every downstream operator keeps working unchanged. A
 deterministic synthetic codec (``format='fake'``) parses this module's
@@ -221,6 +224,91 @@ def _decode_png(content: bytes) -> dict:
     return {"width": width, "height": height, "channels": channels, "payload": payload}
 
 
+# IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", 1992; the same constants every
+# interoperable decoder ships)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_expand_nibble(nibble: int, predictor: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble → (new predictor, new step index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return predictor, index
+
+
+def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> tuple[bytes, int]:
+    """IMA ADPCM-in-WAV (format tag 0x11) → interleaved 16-bit PCM.
+
+    Block layout per the IMA/Microsoft mapping: each block starts with a
+    4-byte header PER CHANNEL (int16 initial predictor, step index,
+    reserved), followed by the channels' nibble data interleaved in
+    4-byte (8-nibble) groups; low nibble of each byte decodes first.
+    Returns (pcm_le16_interleaved, n_sample_frames). A short trailing
+    block decodes as many whole 8-nibble groups as it carries — the
+    header sample counts as frame one of the block.
+
+    Pure Python on purpose, like every codec in this module: it runs
+    row-at-a-time inside the Arrow batch already crossed into Python,
+    and a production deployment swaps a native codec into the same
+    seam without touching the Spark plumbing.
+    """
+    if block_align < 4 * channels:
+        raise ValueError("IMA ADPCM block_align smaller than its headers")
+    out = bytearray()
+    n_frames = 0
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hBx", block, 4 * c)
+            if i > 88:
+                raise ValueError(f"IMA ADPCM step index {i} out of range")
+            preds.append(p)
+            idxs.append(i)
+        # the header predictor IS the block's first output frame
+        for c in range(channels):
+            out += struct.pack("<h", preds[c])
+        n_frames += 1
+        body = block[4 * channels :]
+        # channels interleave in 4-byte groups: 8 samples per channel
+        # per group round
+        group = 4 * channels
+        for gstart in range(0, len(body) - (len(body) % group), group):
+            samples = [[0] * 8 for _ in range(channels)]
+            for c in range(channels):
+                chunk = body[gstart + 4 * c : gstart + 4 * c + 4]
+                for bi, byte in enumerate(chunk):
+                    for half, nib in ((0, byte & 0xF), (1, byte >> 4)):
+                        preds[c], idxs[c] = _ima_expand_nibble(
+                            nib, preds[c], idxs[c]
+                        )
+                        samples[c][2 * bi + half] = preds[c]
+            for s in range(8):
+                for c in range(channels):
+                    out += struct.pack("<h", samples[c][s])
+            n_frames += 8
+    return bytes(out), n_frames
+
+
 def _decode_wav(content: bytes) -> dict:
     """RIFF/WAVE audio: chunk walk (fmt / data), PCM and IEEE-float
     sample formats. Returns the raw interleaved sample frames as the
@@ -249,10 +337,25 @@ def _decode_wav(content: bytes) -> dict:
     audio_format, channels, sample_rate, _brate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    # 1 = integer PCM, 3 = IEEE float; compressed formats (ADPCM, mp3-in-
-    # wav) are the remaining bitstream seam, same policy as mp4 below
+    # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM (decoded
+    # below — a real compressed-bitstream codec, closing that much of
+    # the declared seam); other compressed formats (MS-ADPCM, mp3-in-
+    # wav) remain the loud-rejection seam, same policy as mp4 below
+    if audio_format == 0x11:
+        if channels == 0 or block_align == 0:
+            raise ValueError("bad WAV fmt geometry")
+        pcm, n_frames = _decode_ima_adpcm(data, channels, block_align)
+        return {
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "n_frames": n_frames,
+            "payload": pcm,
+        }
     if audio_format not in (1, 3):
-        raise ValueError(f"unsupported WAV audio format {audio_format} (PCM/float only)")
+        raise ValueError(
+            f"unsupported WAV audio format {audio_format} "
+            "(PCM/float/IMA-ADPCM only)"
+        )
     if channels == 0 or block_align == 0:
         raise ValueError("bad WAV fmt geometry")
     if block_align != channels * (bits // 8):

@@ -556,3 +556,73 @@ def test_resize_plan_preserves_aspect(media):
     r = out[3]
     assert (r["out_w"], r["out_h"]) == (640, 360)  # 1920x1080 → fit 640x480
     assert abs(r["scale"] - 1 / 3) < 1e-9
+
+
+# ---- IMA ADPCM (WAV format 0x11): hand-computed spec vectors ----
+
+
+def _make_adpcm_wav(channels, sample_rate, block_align, data):
+    fmt = struct.pack("<HHIIHH", 0x11, channels, sample_rate,
+                      sample_rate * block_align, block_align, 4)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ima_adpcm_mono_hand_vector():
+    """One mono block, nibbles hand-decoded from the IMA 1992 spec:
+    header predictor 100 @ step index 4, body nibbles
+    [4, 8, 0, 0, 0, 0, 0, 0] (byte 0x84 then zeros) give exactly
+    [100, 112, 111, 112, 113, 114, 115, 116, 116]."""
+    block = struct.pack("<hBx", 100, 4) + bytes([0x84, 0, 0, 0])
+    d = mm._decode_wav(_make_adpcm_wav(1, 8000, 8, block))
+    assert d["channels"] == 1 and d["sample_rate"] == 8000
+    assert d["n_frames"] == 9
+    got = list(struct.unpack("<9h", d["payload"]))
+    assert got == [100, 112, 111, 112, 113, 114, 115, 116, 116]
+
+
+def test_ima_adpcm_stereo_interleave_and_silence():
+    """Stereo block: per-channel 4-byte headers then 4-byte-group
+    interleave. All-zero nibbles at step index 0 are perfect silence
+    (diff = 7>>3 = 0), so each channel holds its header predictor for
+    the whole block — pinning both the channel separation and the
+    interleaved output order."""
+    block = (
+        struct.pack("<hBx", 0, 0) + struct.pack("<hBx", 1000, 0)
+        + bytes(8)  # one 4-byte group per channel, all-zero nibbles
+    )
+    d = mm._decode_wav(_make_adpcm_wav(2, 22050, 16, block))
+    assert d["channels"] == 2 and d["n_frames"] == 9
+    got = list(struct.unpack("<18h", d["payload"]))
+    assert got == [0, 1000] * 9
+
+
+def test_ima_adpcm_multi_block_and_bad_geometry():
+    block = struct.pack("<hBx", -5, 0) + bytes(4)
+    two = block * 2
+    d = mm._decode_wav(_make_adpcm_wav(1, 8000, 8, two))
+    assert d["n_frames"] == 18
+    assert list(struct.unpack("<18h", d["payload"])) == [-5] * 18
+    # step index out of range fails loudly, not via a table IndexError
+    bad = struct.pack("<hBx", 0, 99) + bytes(4)
+    with pytest.raises(ValueError, match="step index"):
+        mm._decode_wav(_make_adpcm_wav(1, 8000, 8, bad))
+    # header bigger than the block fails loudly
+    with pytest.raises(ValueError, match="block_align"):
+        mm._decode_wav(_make_adpcm_wav(2, 8000, 4, bytes(4)))
+
+
+def test_ima_adpcm_through_decode_media(spark):
+    """The compressed-bitstream path rides the same Spark plumbing as
+    every other codec: schema, meta fields, payload all populated."""
+    block = struct.pack("<hBx", 100, 4) + bytes([0x84, 0, 0, 0])
+    wav = _make_adpcm_wav(1, 8000, 8, block)
+    df = spark.createDataFrame(
+        [(1, "wav", bytearray(wav))], "media_id long, fmt string, content binary"
+    )
+    row = mm.decode_media(df).first()
+    assert row["decode_error"] is None
+    assert row["dec_n_frames"] == 9
+    assert row["dec_sample_rate"] == 8000
+    assert row["payload_bytes"] == 18  # 9 frames of mono PCM16
