@@ -15,11 +15,13 @@ baseline JPEG (full Huffman + IDCT + chroma upsampling, see
 ``operators/jpeg.py``) are decoded without PIL. Audio/video containers
 are parsed for real too: WAV (RIFF chunk walk, PCM/IEEE-float frames)
 and MP4 (ISO-BMFF box walk — track geometry, frame counts, audio
-sample rate, mdat payload). IMA/DVI ADPCM-in-WAV (format 0x11) is a
-REAL compressed-bitstream codec, decoded to PCM16 in pure Python
-(hand-verified against the IMA 1992 spec vectors in
-test_multimodal.py). The remaining declared seam is the heavyweight
-bitstreams (H.264/AAC inside mdat, MS-ADPCM/mp3-in-wav), rejected
+sample rate, mdat payload). Both ADPCM-in-WAV families are REAL
+compressed-bitstream codecs decoded to PCM16 in pure Python —
+IMA/DVI (format 0x11, 1992 spec tables) and MS-ADPCM (format 2,
+coefficient predictor + delta adaption, in-file coefficient tables
+honored) — each pinned by hand-computed spec vectors in
+test_multimodal.py. The remaining declared seam is the heavyweight
+perceptual bitstreams (H.264/AAC inside mdat, mp3-in-wav), rejected
 loudly per-row at the same single dispatch point: wire a library codec
 there and every downstream operator keeps working unchanged. A
 deterministic synthetic codec (``format='fake'``) parses this module's
@@ -309,6 +311,83 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> tuple[byt
     return bytes(out), n_frames
 
 
+# MS-ADPCM (WAV format tag 2) constants from the Microsoft multimedia
+# standards update (1994): 7 built-in predictor coefficient pairs and
+# the 16-entry delta adaption table
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _decode_ms_adpcm(
+    data: bytes, channels: int, block_align: int, coefs: list[tuple[int, int]]
+) -> tuple[bytes, int]:
+    """MS-ADPCM → interleaved 16-bit PCM.
+
+    Block layout (fields grouped per channel): 1-byte predictor index,
+    int16 initial delta, int16 sample1, int16 sample2 — then nibble
+    data, HIGH nibble first (opposite of IMA), channels alternating per
+    nibble for stereo. Output begins with sample2 then sample1 (the two
+    seed frames), then the decoded nibbles. Per nibble n (signed 4-bit):
+    predicted = (s1·c1 + s2·c2) >> 8; sample = clamp(predicted +
+    n·delta); delta = max(16, (adapt[nibble]·delta) >> 8).
+    """
+    header = 7 * channels
+    if block_align <= header:
+        raise ValueError("MS ADPCM block_align smaller than its headers")
+    out = bytearray()
+    n_frames = 0
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart : bstart + block_align]
+        pred_idx = list(block[:channels])
+        if any(p >= len(coefs) for p in pred_idx):
+            raise ValueError(
+                f"MS ADPCM predictor index {max(pred_idx)} out of range"
+            )
+        deltas = list(
+            struct.unpack_from(f"<{channels}h", block, channels)
+        )
+        s1 = list(struct.unpack_from(f"<{channels}h", block, 3 * channels))
+        s2 = list(struct.unpack_from(f"<{channels}h", block, 5 * channels))
+        c1 = [coefs[p][0] for p in pred_idx]
+        c2 = [coefs[p][1] for p in pred_idx]
+        for c in range(channels):
+            out += struct.pack("<h", s2[c])
+        for c in range(channels):
+            out += struct.pack("<h", s1[c])
+        n_frames += 2
+        ch = 0
+        pending: list[int] = []
+        for byte in block[header:]:
+            for nib in (byte >> 4, byte & 0xF):
+                signed = nib - 16 if nib >= 8 else nib
+                predicted = (s1[ch] * c1[ch] + s2[ch] * c2[ch]) >> 8
+                sample = max(-32768, min(32767, predicted + signed * deltas[ch]))
+                s2[ch], s1[ch] = s1[ch], sample
+                deltas[ch] = max(16, (_MS_ADAPT[nib] * deltas[ch]) >> 8)
+                pending.append(sample)
+                ch = (ch + 1) % channels
+                if ch == 0:
+                    for s in pending:
+                        out += struct.pack("<h", s)
+                    pending = []
+                    n_frames += 1
+    return bytes(out), n_frames
+
+
+def _ms_adpcm_coefs_from_fmt(fmt: bytes) -> list[tuple[int, int]]:
+    """Coefficient table from the fmt extension when present (cbSize →
+    wSamplesPerBlock, wNumCoef, then int16 pairs); the built-in 7-pair
+    standard table otherwise."""
+    if len(fmt) >= 22:
+        (n_coef,) = struct.unpack_from("<H", fmt, 20)
+        if n_coef and len(fmt) >= 22 + 4 * n_coef:
+            return [
+                struct.unpack_from("<hh", fmt, 22 + 4 * i) for i in range(n_coef)
+            ]
+    return list(_MS_COEFS)
+
+
 def _decode_wav(content: bytes) -> dict:
     """RIFF/WAVE audio: chunk walk (fmt / data), PCM and IEEE-float
     sample formats. Returns the raw interleaved sample frames as the
@@ -341,10 +420,15 @@ def _decode_wav(content: bytes) -> dict:
     # below — a real compressed-bitstream codec, closing that much of
     # the declared seam); other compressed formats (MS-ADPCM, mp3-in-
     # wav) remain the loud-rejection seam, same policy as mp4 below
-    if audio_format == 0x11:
+    if audio_format in (0x11, 2):
         if channels == 0 or block_align == 0:
             raise ValueError("bad WAV fmt geometry")
-        pcm, n_frames = _decode_ima_adpcm(data, channels, block_align)
+        if audio_format == 0x11:
+            pcm, n_frames = _decode_ima_adpcm(data, channels, block_align)
+        else:
+            pcm, n_frames = _decode_ms_adpcm(
+                data, channels, block_align, _ms_adpcm_coefs_from_fmt(fmt)
+            )
         return {
             "channels": channels,
             "sample_rate": sample_rate,
@@ -354,7 +438,7 @@ def _decode_wav(content: bytes) -> dict:
     if audio_format not in (1, 3):
         raise ValueError(
             f"unsupported WAV audio format {audio_format} "
-            "(PCM/float/IMA-ADPCM only)"
+            "(PCM/float/IMA-ADPCM/MS-ADPCM only)"
         )
     if channels == 0 or block_align == 0:
         raise ValueError("bad WAV fmt geometry")

@@ -227,8 +227,8 @@ def test_wav_decode():
     # IEEE float accepted; mono 8-bit geometry
     d = mm._decode_wav(_make_wav(1, 8000, 5, bits=32, audio_format=3, extra_chunk=False))
     assert (d["channels"], d["n_frames"]) == (1, 5)
-    with pytest.raises(ValueError):  # ADPCM = compressed bitstream seam
-        mm._decode_wav(_make_wav(1, 8000, 5, audio_format=2))
+    with pytest.raises(ValueError):  # mp3-in-wav = remaining bitstream seam
+        mm._decode_wav(_make_wav(1, 8000, 5, audio_format=85))
     with pytest.raises(ValueError):  # truncated data chunk
         mm._decode_wav(_make_wav(2, 44100, 100)[:-10])
 
@@ -626,3 +626,55 @@ def test_ima_adpcm_through_decode_media(spark):
     assert row["dec_n_frames"] == 9
     assert row["dec_sample_rate"] == 8000
     assert row["payload_bytes"] == 18  # 9 frames of mono PCM16
+
+
+# ---- MS-ADPCM (WAV format 2): hand-computed spec vectors ----
+
+
+def _make_ms_adpcm_wav(channels, sample_rate, block_align, data):
+    fmt = struct.pack("<HHIIHH", 2, channels, sample_rate,
+                      sample_rate * block_align, block_align, 4)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ms_adpcm_mono_hand_vector():
+    """Predictor 0 (coef 256,0), delta 16, seeds s1=100 s2=50, nibble
+    byte 0x10 (high first): n=+1 gives (100*256)>>8 + 16 = 116, then
+    n=0 repeats 116. Output order is s2, s1, then nibbles."""
+    block = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x10])
+    d = mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 8, block))
+    assert d["n_frames"] == 4
+    assert list(struct.unpack("<4h", d["payload"])) == [50, 100, 116, 116]
+
+
+def test_ms_adpcm_negative_nibble():
+    """0xF is signed -1: from zero seeds it lands at -delta."""
+    block = bytes([0]) + struct.pack("<hhh", 16, 0, 0) + bytes([0xF0])
+    d = mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 8, block))
+    assert list(struct.unpack("<4h", d["payload"])) == [0, 0, -16, -16]
+
+
+def test_ms_adpcm_stereo_alternates_channels():
+    """Stereo nibbles alternate ch0/ch1; header fields group per
+    channel (both predictors, both deltas, both s1, both s2)."""
+    block = (
+        bytes([0, 0])
+        + struct.pack("<hh", 16, 16)          # deltas
+        + struct.pack("<hh", 100, -100)       # sample1 per channel
+        + struct.pack("<hh", 50, -50)         # sample2 per channel
+        + bytes([0x10])                       # ch0 n=+1, ch1 n=0
+    )
+    d = mm._decode_wav(_make_ms_adpcm_wav(2, 44100, 15, block))
+    assert d["channels"] == 2 and d["n_frames"] == 3
+    got = list(struct.unpack("<6h", d["payload"]))
+    assert got == [50, -50, 100, -100, 116, -100]
+
+
+def test_ms_adpcm_bad_predictor_and_geometry():
+    bad = bytes([9]) + struct.pack("<hhh", 16, 0, 0) + bytes([0])
+    with pytest.raises(ValueError, match="predictor index"):
+        mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 8, bad))
+    with pytest.raises(ValueError, match="block_align"):
+        mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 7, bytes(7)))
