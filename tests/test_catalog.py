@@ -458,5 +458,21 @@ def test_materialize_bucketed_join_is_exchange_free(spark, tmp_path):
 
     assert _os.path.isdir(_os.path.join(wh.root, "_bucketed", a))
     assert not wh.exists(a)
+    # the layout also makes aggregation AND the FINAL-style window on
+    # the bucket key exchange-free (SCALE.md claim, pinned here)
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    agg_plan = (
+        ta.groupBy("id").agg(_F.sum("value"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan
+    w = _W.partitionBy("id").orderBy("value")
+    win_plan = (
+        ta.withColumn("rn", _F.row_number().over(w)).filter("rn = 1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in win_plan, win_plan
     spark.sql(f"DROP TABLE IF EXISTS {a}")
     spark.sql(f"DROP TABLE IF EXISTS {b}")
