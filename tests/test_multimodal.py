@@ -678,3 +678,83 @@ def test_ms_adpcm_bad_predictor_and_geometry():
         mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 8, bad))
     with pytest.raises(ValueError, match="block_align"):
         mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 7, bytes(7)))
+
+
+# ---- IMA ADPCM round-trip: independent test-side ENCODER ----
+#
+# The encoder quantizes each residual with the spec's 3-bit successive
+# approximation and tracks its own reconstruction with the same update
+# rule a decoder applies. That makes "decoder output == encoder's
+# reconstruction sequence" an EXACT invariant for arbitrary input — a
+# far stronger pin than fixed vectors — while a loose SNR bound checks
+# the codec actually follows the signal.
+
+_T_STEPS = mm._IMA_STEPS
+_T_ADJ = mm._IMA_INDEX_ADJ
+
+
+def _ima_encode_mono(samples, block_frames):
+    """(blocks_bytes, reconstruction list) for mono input; block_frames =
+    frames per block INCLUDING the header frame, must be 1 + multiple
+    of 8."""
+    assert (block_frames - 1) % 8 == 0
+    out = bytearray()
+    recon = []
+    index = 0
+    pos = 0
+    while pos < len(samples):
+        chunk = samples[pos : pos + block_frames]
+        if len(chunk) < block_frames:
+            break
+        predictor = chunk[0]
+        out += struct.pack("<hBx", predictor, index)
+        recon.append(predictor)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _T_STEPS[index]
+            diff = s - predictor
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            temp, mask = step, 4
+            for _ in range(3):
+                if diff >= temp:
+                    nib |= mask
+                    diff -= temp
+                temp >>= 1
+                mask >>= 1
+            predictor, index = mm._ima_expand_nibble(nib, predictor, index)
+            recon.append(predictor)
+            nibbles.append(nib)
+        for i in range(0, len(nibbles), 2):
+            out += bytes([nibbles[i] | (nibbles[i + 1] << 4)])
+        pos += block_frames
+    return bytes(out), recon
+
+
+def test_ima_adpcm_roundtrip_property():
+    import math
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(10):
+        # mixture of sine + noise, the adversarial part is step tracking
+        n = 1 + 8 * rnd.randrange(4, 20)
+        amp = rnd.choice([300, 5000, 30000])
+        freq = rnd.uniform(0.01, 0.3)
+        samples = [
+            max(-32768, min(32767,
+                int(amp * math.sin(freq * i)) + rnd.randrange(-200, 200)))
+            for i in range(n)
+        ]
+        block_frames = n  # single block per trial
+        data, recon = _ima_encode_mono(samples, block_frames)
+        block_align = 4 + (block_frames - 1) // 2
+        d = mm._decode_wav(_make_adpcm_wav(1, 8000, block_align, data))
+        got = list(struct.unpack(f"<{d['n_frames']}h", d["payload"]))
+        # exact invariant: decoder replays the encoder's reconstruction
+        assert got == recon, trial
+        # and the reconstruction actually tracks the signal
+        err = sum(abs(a - b) for a, b in zip(got, samples)) / len(samples)
+        assert err < max(64, amp * 0.25), (trial, err, amp)
