@@ -958,3 +958,49 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+@register(
+    "clean_corpus_e2e",
+    None,  # composite chain output — the chain's determinism (identical
+    # stats + identical per-doc splits across runs) and stage ordering
+    # are pinned by tests/test_corpus.py; each constituent stage is
+    # separately oracle-checked by its own registry query (dedup_exact,
+    # text_quality, lang_id_heuristic, lm_perplexity_quality,
+    # decontaminate_benchmark, pii_scrub_stats,
+    # stratified_sample_counts, dataset_split)
+    note="END-TO-END training-data pipeline: the clean_corpus composite "
+    "(exact dedup -> line dedup -> quality -> language -> LM perplexity "
+    "-> benchmark decontamination -> PII scrub -> stratified balance -> "
+    "split) with every stage enabled, lazy mode (one materialization; "
+    "the stats-audited form runs in tests), summarized per (split, "
+    "lang); the bench row prices the whole chain, not just its parts",
+)
+def clean_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    docs = docs_table(spark, sf_dir)
+    # deterministic stand-in eval set: every 97th doc's text acts as the
+    # benchmark to decontaminate against (guaranteed 8-gram overlap)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    report = corpus.clean_corpus(
+        docs.select("doc_id", "text"),
+        benchmark=benchmark,
+        langs=["en", "de", "fr", "es", "zh"],
+        max_perplexity=1e9,
+        strata_fractions={"en": 1.0, "de": 0.5},
+        balance_default_fraction=0.9,
+        collect_stats=False,
+    )
+    out = (
+        report.df.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("split", "lang")
+    )
+    # NOTE: lazy mode leaves the LM-stage parents cached for the plan to
+    # consume; the caller (bench loop / driver) fully materializes `out`
+    # in one action, after which release() would normally run. The
+    # registry contract returns a plan, so the cached parents are left
+    # to Spark's LRU — bounded (one corpus-prefix frame + k*B model
+    # rows), same policy as the lm_perplexity_quality query.
+    return out
