@@ -1,0 +1,101 @@
+"""Unit coverage for tools/bench_compare.py's banding logic: median
+baseline (not min), calibration normalization, load-aware widening, the
+absolute sub-second floor, and the exit contract."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "bench_compare.py")
+
+
+def _run(tmp_path, detail, history_rows, extra_args=()):
+    # the tool resolves history relative to its own repo root, so stage a
+    # mini-repo: copy the script into tmp and point --detail at our file
+    import shutil
+
+    tools_dir = tmp_path / "tools"
+    tools_dir.mkdir(exist_ok=True)
+    shutil.copy(TOOL, tools_dir / "bench_compare.py")
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in history_rows)
+    )
+    detail_path = tmp_path / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail))
+    proc = subprocess.run(
+        [sys.executable, str(tools_dir / "bench_compare.py"),
+         "--detail", str(detail_path), *extra_args],
+        capture_output=True, text=True,
+    )
+    return proc.returncode, proc.stdout
+
+
+def _rec(value, factor, queries, spreads=None, loads=None, sf=0.1):
+    return {
+        "sf": sf, "value": value, "calib_factor": factor,
+        "queries": queries,
+        "spread": spreads or {k: 0.05 for k in queries},
+        "loadavg_per_query": loads or {k: 1.0 for k in queries},
+    }
+
+
+def test_within_band_passes_and_normalizes(tmp_path):
+    hist = [_rec(1.0, 1.0, {"q": 1.0}), _rec(1.05, 1.0, {"q": 1.05})]
+    # current run measured on a 2x-slower box: nominal 2.1 but factor 2.0
+    # normalizes to 1.05 — inside the band
+    rc, out = _run(tmp_path, _rec(2.1, 2.0, {"q": 2.1}), hist)
+    assert rc == 0, out
+    assert "1.05" in out and "ok" in out
+
+
+def test_real_regression_fails(tmp_path):
+    hist = [_rec(1.0, 1.0, {"q": 1.0}), _rec(1.05, 1.0, {"q": 1.05})]
+    rc, out = _run(tmp_path, _rec(2.4, 1.0, {"q": 2.4}), hist)
+    assert rc == 1
+    assert "REGRESSED" in out
+
+
+def test_median_not_min_baseline(tmp_path):
+    # one lucky 0.5 sample must not set the bar: median of [0.5, 1.0,
+    # 1.02] is 1.0, so a 1.2 current (ratio 1.2 < band) passes
+    hist = [
+        _rec(0.5, 1.0, {"q": 0.5}),
+        _rec(1.0, 1.0, {"q": 1.0}),
+        _rec(1.02, 1.0, {"q": 1.02}),
+    ]
+    rc, out = _run(tmp_path, _rec(1.2, 1.0, {"q": 1.2}), hist)
+    assert rc == 0, out
+
+
+def test_abs_floor_spares_subsecond_jitter(tmp_path):
+    # 0.1 -> 0.2 is 2x but only +0.1s: under the 0.3s floor → ok
+    hist = [_rec(0.1, 1.0, {"q": 0.1})]
+    rc, out = _run(tmp_path, _rec(0.2, 1.0, {"q": 0.2}), hist)
+    assert rc == 0, out
+
+
+def test_load_widening_absorbs_contention(tmp_path):
+    # 1.0 -> 1.6 (ratio 1.6 > base band 1.3) but the current sample ran
+    # at loadavg 5 vs 1 → +0.32 band → passes; same ratio at equal load
+    # fails
+    hist = [_rec(1.0, 1.0, {"q": 1.0})]
+    cur_hot = _rec(1.6, 1.0, {"q": 1.6}, loads={"q": 5.0})
+    rc, out = _run(tmp_path, cur_hot, hist)
+    assert rc == 0, out
+    cur_cool = _rec(1.6, 1.0, {"q": 1.6}, loads={"q": 1.0})
+    rc, out = _run(tmp_path, cur_cool, hist)
+    assert rc == 1, out
+
+
+def test_pre_r8_history_skipped_and_new_queries_reported(tmp_path):
+    hist = [
+        {"sf": 0.1, "value": 9.9, "queries": {"q": 0.1}},  # no calib → skip
+        # distinct total from the current run (same-total rows are
+        # treated as the current run's own history row and excluded)
+        _rec(1.01, 1.0, {"q": 1.0}),
+    ]
+    rc, out = _run(tmp_path, _rec(1.5, 1.0, {"q": 1.0, "brand_new": 0.5}), hist)
+    assert rc == 0
+    assert "NEW" in out
