@@ -318,6 +318,22 @@ def main() -> None:
             "normalized_total_sec": normalized_total,
         },
     )
+    # Regression gate (r8 VERDICT task 4): run tools/bench_compare.py's
+    # banding logic automatically over this run vs the normalized
+    # history, print the verdict, and RECORD it — the falsifiable
+    # harness acts on what it measures instead of relying on someone
+    # remembering to run the tool. The gate never fails the bench
+    # process (the driver needs the summary line regardless); a "fail"
+    # status in the recorded block is the signal.
+    from tools.bench_compare import compare as _gate_compare
+    from tools.bench_compare import load_history as _gate_history
+    from tools.bench_compare import render as _gate_render
+
+    gate_result = _gate_compare(detail, _gate_history())
+    detail["gate"] = gate_result
+    print("# regression gate:", file=sys.stderr)
+    _gate_render(gate_result, out=sys.stderr)
+
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
     )
@@ -348,6 +364,9 @@ def main() -> None:
         "calib_factor": calib_factor,
         "normalized_total_sec": normalized_total,
     }
+    summary["gate"] = gate_result["status"]
+    if gate_result["regressed"]:
+        summary["gate_regressed"] = gate_result["regressed"]
     if errors:
         summary["errors"] = sorted(errors)
     line = json.dumps(summary, separators=(",", ":"))

@@ -23,6 +23,7 @@ read-side window goes away — the Spark analogue of a background merge.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -392,6 +393,15 @@ class Warehouse:
         review find).
         """
         name = name or f"{table}_bucketed"
+        # The name is interpolated into SQL text and becomes a catalog
+        # identifier; a dash/dot/space would parse-error (or worse,
+        # target another namespace) deep inside Spark, so reject it
+        # here with a message that names the actual problem.
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"bucketed table name {name!r} is not a plain SQL "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*)"
+            )
         df = self.read(table, final=final)
         internal = [c for c in df.columns if c.startswith("_")]
         if internal:

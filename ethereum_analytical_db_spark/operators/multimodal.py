@@ -265,8 +265,11 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> tuple[byt
     reserved), followed by the channels' nibble data interleaved in
     4-byte (8-nibble) groups; low nibble of each byte decodes first.
     Returns (pcm_le16_interleaved, n_sample_frames). A short trailing
-    block decodes as many whole 8-nibble groups as it carries — the
-    header sample counts as frame one of the block.
+    block (real-world files often leave the last block unpadded)
+    decodes as many whole 8-nibble groups as it carries — the header
+    sample counts as frame one of the block; a trailing fragment too
+    short to even hold the per-channel headers raises, per this
+    module's loud-failure policy.
 
     Pure Python on purpose, like every codec in this module: it runs
     row-at-a-time inside the Arrow batch already crossed into Python,
@@ -277,8 +280,13 @@ def _decode_ima_adpcm(data: bytes, channels: int, block_align: int) -> tuple[byt
         raise ValueError("IMA ADPCM block_align smaller than its headers")
     out = bytearray()
     n_frames = 0
-    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+    for bstart in range(0, len(data), block_align):
         block = data[bstart : bstart + block_align]
+        if len(block) < 4 * channels:
+            raise ValueError(
+                f"IMA ADPCM trailing fragment of {len(block)} bytes is "
+                f"shorter than its {4 * channels}-byte channel headers"
+            )
         preds, idxs = [], []
         for c in range(channels):
             p, i = struct.unpack_from("<hBx", block, 4 * c)
@@ -337,8 +345,13 @@ def _decode_ms_adpcm(
         raise ValueError("MS ADPCM block_align smaller than its headers")
     out = bytearray()
     n_frames = 0
-    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+    for bstart in range(0, len(data), block_align):
         block = data[bstart : bstart + block_align]
+        if len(block) < header:
+            raise ValueError(
+                f"MS ADPCM trailing fragment of {len(block)} bytes is "
+                f"shorter than its {header}-byte channel headers"
+            )
         pred_idx = list(block[:channels])
         if any(p >= len(coefs) for p in pred_idx):
             raise ValueError(
@@ -416,10 +429,10 @@ def _decode_wav(content: bytes) -> dict:
     audio_format, channels, sample_rate, _brate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM (decoded
-    # below — a real compressed-bitstream codec, closing that much of
-    # the declared seam); other compressed formats (MS-ADPCM, mp3-in-
-    # wav) remain the loud-rejection seam, same policy as mp4 below
+    # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM and
+    # 2 = MS-ADPCM (both decoded below — real compressed-bitstream
+    # codecs); the remaining loud-rejection seam is perceptual formats
+    # (mp3-in-wav etc.), same policy as mp4 below
     if audio_format in (0x11, 2):
         if channels == 0 or block_align == 0:
             raise ValueError("bad WAV fmt geometry")

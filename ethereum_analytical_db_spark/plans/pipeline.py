@@ -613,13 +613,53 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_FROZEN: dict[str, tuple[str, list, list]] = {}
 
 
+def _ivf_cleanup() -> None:
+    """atexit: remove every index THIS process materialized (the cache
+    is per-process, so nothing else can be reading them at exit)."""
+    import shutil
+
+    for path, _, _ in _IVF_FROZEN.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _IVF_FROZEN.clear()
+
+
+def _ivf_sweep_orphans(base: str) -> None:
+    """Remove sibling index dirs whose owning pid is gone — repeated
+    bench/pytest runs used to accumulate one orphan tree per process
+    (review find). Best-effort: pid-reuse can spare an orphan until the
+    next sweep; a dir owned by a LIVE process is never touched."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        pid_s = d.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: definitely not ours
+
+
 def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
+    import atexit
     import hashlib
     import os
     import tempfile
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_FROZEN:
+        if not _IVF_FROZEN:  # first index this process: lifecycle hooks
+            atexit.register(_ivf_cleanup)
+            _ivf_sweep_orphans(
+                os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index")
+            )
         emb = table(spark, sf_dir, "embeddings")
         qvec = [
             float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]

@@ -99,3 +99,39 @@ def test_pre_r8_history_skipped_and_new_queries_reported(tmp_path):
     rc, out = _run(tmp_path, _rec(1.5, 1.0, {"q": 1.0, "brand_new": 0.5}), hist)
     assert rc == 0
     assert "NEW" in out
+
+
+def test_compare_in_process_api():
+    """bench.py consumes compare() directly (the r8-VERDICT wiring), so
+    the in-process API must agree with the CLI: same banding, a
+    JSON-serializable verdict, and the current run's own history row
+    excluded by total."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    hist = [_rec(1.0, 1.0, {"q": 1.0}), _rec(1.05, 1.0, {"q": 1.05})]
+    ok = compare(_rec(2.1, 2.0, {"q": 2.1}), hist)
+    assert ok["status"] == "pass" and ok["regressed"] == []
+    assert ok["per_query"]["q"]["verdict"] == "ok"
+    bad = compare(_rec(2.4, 1.0, {"q": 2.4}), hist)
+    assert bad["status"] == "fail" and bad["regressed"] == ["q"]
+    assert bad["per_query"]["q"]["verdict"] == "REGRESSED"
+    # current run's own history row (same total) must not self-baseline
+    only_self = compare(_rec(2.4, 1.0, {"q": 2.4}), [_rec(2.4, 1.0, {"q": 2.4})])
+    assert only_self["status"] == "no_history"
+    assert compare({"sf": 0.1, "value": 1.0, "queries": {}}, hist)["status"] == (
+        "no_calibration"
+    )
+    # everything bench.py writes into BENCH_DETAIL must serialize
+    json.dumps({"gate": bad})
+
+
+def test_bench_records_gate_block():
+    """bench.py must invoke the gate after each suite and record the
+    verdict in the detail record (r8 VERDICT task 4) — pinned at the
+    source level because a full bench run spins a Spark session."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    assert "from tools.bench_compare import compare" in src
+    assert 'detail["gate"] = gate_result' in src
+    assert '"gate"' in src and "_gate_render(gate_result" in src
+    assert 'summary["gate"] = gate_result["status"]' in src

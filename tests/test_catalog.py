@@ -476,3 +476,20 @@ def test_materialize_bucketed_join_is_exchange_free(spark, tmp_path):
     assert "Exchange" not in win_plan, win_plan
     spark.sql(f"DROP TABLE IF EXISTS {a}")
     spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_materialize_bucketed_rejects_non_identifier_name(spark, tmp_path):
+    """The name is interpolated into SQL and the session catalog; a
+    dash/dot/quote must fail HERE with a clear message, not as a Spark
+    parse error (or a write into another namespace) — review find."""
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.create("block_flag")
+    wh.write(
+        "block_flag",
+        spark.createDataFrame([Row(id="1", name="n", value=0)]),
+    )
+    for bad in ("a-b", "a.b", "a b", "a`b", "1leading", "x;DROP TABLE y"):
+        with pytest.raises(ValueError, match="identifier"):
+            wh.materialize_bucketed("block_flag", buckets=2, by=["id"], name=bad)

@@ -680,6 +680,47 @@ def test_ms_adpcm_bad_predictor_and_geometry():
         mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 7, bytes(7)))
 
 
+# ---- unpadded trailing blocks: real-world files often leave the last
+# block short; both decoders must decode it, not silently drop it ----
+
+
+def test_ima_adpcm_short_trailing_block_decodes():
+    """A header-only trailing fragment contributes its one header frame;
+    a header+group fragment decodes the group too (the same bytes as
+    the mono hand vector, here as an unpadded last block)."""
+    full = struct.pack("<hBx", -5, 0) + bytes(4)          # 8 = block_align
+    tail = struct.pack("<hBx", 7, 0)                      # header only
+    d = mm._decode_wav(_make_adpcm_wav(1, 8000, 8, full + tail))
+    assert d["n_frames"] == 10
+    assert list(struct.unpack("<10h", d["payload"])) == [-5] * 9 + [7]
+    # whole-file-is-one-short-block: the hand vector under a bigger
+    # block_align decodes identically instead of vanishing
+    frag = struct.pack("<hBx", 100, 4) + bytes([0x84, 0, 0, 0])
+    d = mm._decode_wav(_make_adpcm_wav(1, 8000, 12, frag))
+    assert d["n_frames"] == 9
+    assert list(struct.unpack("<9h", d["payload"])) == [
+        100, 112, 111, 112, 113, 114, 115, 116, 116]
+
+
+def test_ima_adpcm_sub_header_trailing_fragment_raises():
+    full = struct.pack("<hBx", -5, 0) + bytes(4)
+    with pytest.raises(ValueError, match="trailing fragment"):
+        mm._decode_wav(_make_adpcm_wav(1, 8000, 8, full + b"\x00\x00"))
+
+
+def test_ms_adpcm_short_trailing_block_decodes():
+    frag = bytes([0]) + struct.pack("<hhh", 16, 100, 50) + bytes([0x10])
+    d = mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 12, frag))
+    assert d["n_frames"] == 4
+    assert list(struct.unpack("<4h", d["payload"])) == [50, 100, 116, 116]
+
+
+def test_ms_adpcm_sub_header_trailing_fragment_raises():
+    full = bytes([0]) + struct.pack("<hhh", 16, 0, 0) + bytes([0])
+    with pytest.raises(ValueError, match="trailing fragment"):
+        mm._decode_wav(_make_ms_adpcm_wav(1, 8000, 8, full + b"\x00\x00\x00"))
+
+
 # ---- IMA ADPCM round-trip: independent test-side ENCODER ----
 #
 # The encoder quantizes each residual with the spec's 3-bit successive

@@ -510,3 +510,36 @@ def test_registered_ivf_probe_query_matches_build_and_prunes(spark):
     plan = probe_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "cluster" in plan.split("PartitionFilters")[1][:200]
+
+def test_ivf_frozen_index_lifecycle(spark):
+    """The per-process frozen index must not accumulate across runs
+    (review find: bench/pytest sessions left orphaned Parquet trees in
+    $TMPDIR/spark_graft_ivf_index). Two mechanisms, both pinned here:
+    atexit removes THIS process's indexes, and index creation sweeps
+    siblings whose owning pid is dead — simulating the
+    two-sessions-in-a-row scenario without paying a second JVM."""
+    import os
+    import subprocess
+    import tempfile
+
+    from ethereum_analytical_db_spark.plans import pipeline as pl
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index")
+    # ensure this process has materialized an index
+    path, _, _ = pl._ivf_frozen_index(spark, "/root/testdata/sf0.001")
+    assert os.path.isdir(path) and path.startswith(base)
+    # a dir left by a DEAD process (a reaped child's pid) is swept on
+    # the next process's first index creation
+    child = subprocess.Popen(["true"])  # noqa: S603,S607 - pid donor
+    child.wait()  # reaped: os.kill(pid, 0) now raises ProcessLookupError
+    orphan = os.path.join(base, f"deadbeefdeadbeef_{child.pid}")
+    os.makedirs(orphan, exist_ok=True)
+    pl._ivf_sweep_orphans(base)
+    assert not os.path.exists(orphan)
+    # a dir owned by a LIVE pid (ours) survives the sweep
+    pl._ivf_sweep_orphans(base)
+    assert os.path.isdir(path)
+    # atexit hook removes our own index and empties the cache
+    pl._ivf_cleanup()
+    assert not os.path.exists(path)
+    assert pl._IVF_FROZEN == {}

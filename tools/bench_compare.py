@@ -24,6 +24,11 @@ Usage: python tools/bench_compare.py [--margin 0.20] [--sf 0.1]
 Exit 1 if any query regresses beyond the band; prints a table either
 way. History rows without calibration data (pre-r8) are skipped — they
 cannot be normalized, which is exactly why the probe exists.
+
+Since r9 `bench.py` also invokes :func:`compare` directly at the end of
+every suite run and records the verdict as the ``gate`` block in
+BENCH_DETAIL.json — the gate ACTS on what the harness measures instead
+of waiting for someone to remember to run this file.
 """
 
 from __future__ import annotations
@@ -35,6 +40,10 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+DEFAULT_MARGIN = 0.20
+DEFAULT_ABS_FLOOR = 0.3
+DEFAULT_LOAD_COEF = 0.08
+
 
 def _normalized(rec: dict) -> dict[str, float] | None:
     factor = rec.get("calib_factor")
@@ -44,36 +53,58 @@ def _normalized(rec: dict) -> dict[str, float] | None:
     return {k: v / factor for k, v in queries.items()}
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--margin", type=float, default=0.20,
-                    help="extra allowance on top of both runs' spreads")
-    ap.add_argument("--abs-floor", type=float, default=0.3,
-                    help="minimum normalized delta (sec) to count as a regression")
-    ap.add_argument("--load-coef", type=float, default=0.08,
-                    help="extra band per point of per-query loadavg difference")
-    ap.add_argument("--sf", type=float, default=None,
-                    help="scale factor to compare (default: the detail file's)")
-    ap.add_argument("--detail", default=os.path.join(HERE, "BENCH_DETAIL.json"))
-    args = ap.parse_args()
+def load_history(path: str | None = None) -> list[dict]:
+    """BENCH_HISTORY.jsonl rows (empty list when absent/corrupt)."""
+    path = path or os.path.join(HERE, "BENCH_HISTORY.jsonl")
+    try:
+        with open(path) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        return []
 
-    with open(args.detail) as f:
-        current = json.load(f)
-    sf = args.sf if args.sf is not None else current.get("sf")
+
+def compare(
+    current: dict,
+    history_rows: list[dict],
+    *,
+    margin: float = DEFAULT_MARGIN,
+    abs_floor: float = DEFAULT_ABS_FLOOR,
+    load_coef: float = DEFAULT_LOAD_COEF,
+    sf: float | None = None,
+) -> dict:
+    """Gate one run against its normalized history.
+
+    Returns a JSON-serializable verdict::
+
+        {"status": "pass" | "fail" | "no_calibration" | "no_history",
+         "regressed": [query, ...],
+         "params": {...},
+         "per_query": {q: {"now": s, "hist": s|None, "ratio": x|None,
+                            "band": x|None, "verdict": str}}}
+
+    Pure function of its inputs — `bench.py` calls it in-process with
+    the just-measured detail dict (before appending the run to history),
+    and main() below calls it from the CLI over the files on disk.
+    """
+    sf = sf if sf is not None else current.get("sf")
+    params = {
+        "margin": margin,
+        "abs_floor": abs_floor,
+        "load_coef": load_coef,
+        "sf": sf,
+    }
     cur_norm = _normalized(current)
     if cur_norm is None:
-        print("current record lacks calibration data — nothing to gate")
-        return 0
+        return {
+            "status": "no_calibration",
+            "regressed": [],
+            "params": params,
+            "per_query": {},
+        }
 
     hist: dict[str, list[tuple[float, float, float]]] = {}  # q -> [(norm, spread, load)]
-    hist_path = os.path.join(HERE, "BENCH_HISTORY.jsonl")
-    try:
-        with open(hist_path) as f:
-            rows = [json.loads(ln) for ln in f if ln.strip()]
-    except OSError:
-        rows = []
     cur_total = current.get("value")
-    for rec in rows:
+    for rec in history_rows:
         if rec.get("sf") != sf or rec.get("value") == cur_total:
             continue  # other scale, or the current run's own history row
         norm = _normalized(rec)
@@ -87,36 +118,102 @@ def main() -> int:
             )
 
     if not hist:
-        print(f"no normalizable history at sf={sf} yet — gate passes vacuously")
-        return 0
+        return {
+            "status": "no_history",
+            "regressed": [],
+            "params": params,
+            "per_query": {},
+        }
 
     cur_spread = current.get("spread") or {}
     cur_load = current.get("loadavg_per_query") or {}
     regressed = []
-    print(f"{'query':34} {'now':>7} {'hist':>7} {'ratio':>6}  verdict")
+    per_query: dict[str, dict] = {}
     for q in sorted(cur_norm):
         if q not in hist:
-            print(f"{q:34} {cur_norm[q]:7.3f} {'new':>7} {'':>6}  NEW")
+            per_query[q] = {
+                "now": round(cur_norm[q], 4),
+                "hist": None,
+                "ratio": None,
+                "band": None,
+                "verdict": "NEW",
+            }
             continue
         runs = sorted(hist[q])
         b, b_spread, b_load = runs[len(runs) // 2]  # median by normalized time
         ratio = cur_norm[q] / b if b else 1.0
-        band = 1.0 + float(cur_spread.get(q, 0.0)) + b_spread + args.margin
-        band += args.load_coef * max(
-            0.0, float(cur_load.get(q, 0.0)) - b_load
-        )
-        over = ratio > band and (cur_norm[q] - b) > args.abs_floor
-        verdict = "ok" if not over else f"REGRESSED (band {band:.2f}x)"
+        band = 1.0 + float(cur_spread.get(q, 0.0)) + b_spread + margin
+        band += load_coef * max(0.0, float(cur_load.get(q, 0.0)) - b_load)
+        over = ratio > band and (cur_norm[q] - b) > abs_floor
         if over:
             regressed.append(q)
-        print(f"{q:34} {cur_norm[q]:7.3f} {b:7.3f} {ratio:5.2f}x  {verdict}")
+        per_query[q] = {
+            "now": round(cur_norm[q], 4),
+            "hist": round(b, 4),
+            "ratio": round(ratio, 3),
+            "band": round(band, 3),
+            "verdict": "REGRESSED" if over else "ok",
+        }
+    return {
+        "status": "fail" if regressed else "pass",
+        "regressed": regressed,
+        "params": params,
+        "per_query": per_query,
+    }
 
-    if regressed:
-        print(f"\n{len(regressed)} regression(s) beyond the noise band: "
-              f"{', '.join(regressed)}")
-        return 1
-    print("\nall queries within their normalized noise bands")
-    return 0
+
+def render(result: dict, out=sys.stdout) -> None:
+    """Human table for a :func:`compare` result."""
+    status = result["status"]
+    if status == "no_calibration":
+        print("current record lacks calibration data — nothing to gate", file=out)
+        return
+    if status == "no_history":
+        sf = result["params"].get("sf")
+        print(f"no normalizable history at sf={sf} yet — gate passes vacuously",
+              file=out)
+        return
+    print(f"{'query':34} {'now':>7} {'hist':>7} {'ratio':>6}  verdict", file=out)
+    for q, row in result["per_query"].items():
+        if row["verdict"] == "NEW":
+            print(f"{q:34} {row['now']:7.3f} {'new':>7} {'':>6}  NEW", file=out)
+            continue
+        verdict = ("ok" if row["verdict"] == "ok"
+                   else f"REGRESSED (band {row['band']:.2f}x)")
+        print(f"{q:34} {row['now']:7.3f} {row['hist']:7.3f} "
+              f"{row['ratio']:5.2f}x  {verdict}", file=out)
+    if result["regressed"]:
+        print(f"\n{len(result['regressed'])} regression(s) beyond the noise "
+              f"band: {', '.join(result['regressed'])}", file=out)
+    else:
+        print("\nall queries within their normalized noise bands", file=out)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--margin", type=float, default=DEFAULT_MARGIN,
+                    help="extra allowance on top of both runs' spreads")
+    ap.add_argument("--abs-floor", type=float, default=DEFAULT_ABS_FLOOR,
+                    help="minimum normalized delta (sec) to count as a regression")
+    ap.add_argument("--load-coef", type=float, default=DEFAULT_LOAD_COEF,
+                    help="extra band per point of per-query loadavg difference")
+    ap.add_argument("--sf", type=float, default=None,
+                    help="scale factor to compare (default: the detail file's)")
+    ap.add_argument("--detail", default=os.path.join(HERE, "BENCH_DETAIL.json"))
+    args = ap.parse_args()
+
+    with open(args.detail) as f:
+        current = json.load(f)
+    result = compare(
+        current,
+        load_history(),
+        margin=args.margin,
+        abs_floor=args.abs_floor,
+        load_coef=args.load_coef,
+        sf=args.sf,
+    )
+    render(result)
+    return 1 if result["status"] == "fail" else 0
 
 
 if __name__ == "__main__":
