@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _materialize
 from .text import ngrams_from_words
 
 
@@ -169,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.4,
     max_shingle_df: int | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """All pairs with word-n-gram Jaccard >= threshold, via a shingle
     inverted index (exact, no approximation).
@@ -231,7 +233,9 @@ def ngram_jaccard_pairs(
     )
     # materialized once: the df aggregate and the self-join sides read
     # the same computed index instead of re-shingling the corpus
-    exploded = exploded.localCheckpoint()
+    # (materialize="reliable" survives executor loss — see operators/
+    # materialize.py for the 1000-executor rationale)
+    exploded = _materialize(exploded, materialize)
     witness = (
         exploded.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -317,6 +321,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    materialize: str = "local",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, bucket by the band's hash, emit candidate pairs sharing any
@@ -354,7 +359,7 @@ def minhash_lsh_candidates(
     ).select("doc", "bb.band", "bb.bucket")
     # materialize before the self-join so the shingle+minhash pipeline
     # runs once, not once per join branch
-    band_rows = band_rows.localCheckpoint()
+    band_rows = _materialize(band_rows, materialize)
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
     # merge not shuffle-hash: same OOM hazard as the n-gram index join
@@ -409,6 +414,7 @@ def simhash_near_duplicates(
     blocks: int = 4,
     max_chunk_df: int | None = None,
     partial_recall: bool = False,
+    materialize: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
     the standard block-permutation trick: split 64 bits into ``blocks``
@@ -421,10 +427,11 @@ def simhash_near_duplicates(
     with ``partial_recall=True`` (a legitimate cheap heuristic — more
     blocks means a quadratic candidate-join cost on small chunks).
 
-    Signatures are materialized (localCheckpoint) before the self-join:
-    otherwise both join branches recompute the explode + 64-lane
-    aggregation. At warehouse scale this step is "write the signature
-    table, then join it to itself".
+    Signatures are materialized before the self-join (``materialize=``:
+    ``local`` | ``reliable`` — see operators/materialize.py for the
+    executor-loss trade-off): otherwise both join branches recompute
+    the explode + 64-lane aggregation. At warehouse scale this step is
+    "write the signature table, then join it to itself".
 
     ``max_chunk_df``: optional hot-bucket cap, the SimHash analogue of
     the shingle-df cap (``ngram_jaccard_pairs``): chunk values shared by
@@ -442,7 +449,7 @@ def simhash_near_duplicates(
             "every chunk); raise blocks past max_hamming or pass "
             "partial_recall=True to accept the heuristic"
         )
-    sigs = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    sigs = _materialize(simhash_signatures(df, text_col, id_col), materialize)
     chunk_bits = 64 // blocks
     mask = (1 << chunk_bits) - 1
     chunked = sigs.select(
@@ -495,6 +502,7 @@ def connected_components_twophase(
     dst_col: str = "doc_b",
     max_iterations: int = 50,
     stats: dict | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -513,12 +521,13 @@ def connected_components_twophase(
 
     ``stats``: optional dict; receives {"rounds": n} for observability
     (the chain-graph test asserts the O(log n) bound through it).
+    ``materialize``: ``local`` | ``reliable`` — per-round lineage cut
+    mode (operators/materialize.py); the truncation itself is mandatory
+    here, only its fault-tolerance is a knob.
     """
     edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    cur = (
-        edges.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    cur = _materialize(
+        edges.filter(F.col("u") != F.col("v")).distinct(), materialize
     )
     rounds = 0
     for _ in range(max_iterations):
@@ -553,10 +562,10 @@ def connected_components_twophase(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(mins2.select(F.col("u"), F.col("m").alias("v")))
         )
-        new = (
-            small.filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
+        new = _materialize(
+            small.filter(F.col("u") != F.col("v")).distinct(),
+            materialize,
+            eager=False,
         )
         # converged when the (distinct) edge set is unchanged: same size
         # and nothing in new that wasn't in cur
@@ -587,6 +596,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 20,
+    materialize: str = "local",
 ) -> DataFrame:
     """Connected components over a candidate-pair graph → (doc,
     component), component = MIN doc id reachable. The step real dedup
@@ -598,22 +608,24 @@ def connected_components(
     diameter) rounds (near-dup clusters are small and dense, so 2-4
     rounds in practice — the loop exits early on a converged round via
     one cheap count per iteration). Each round is one join + one
-    aggregate, both shuffling on node id; labels are localCheckpointed
-    so the lineage (and its re-execution) doesn't grow per round.
+    aggregate, both shuffling on node id; labels are materialized each
+    round (``materialize=``: ``local`` | ``reliable``, see operators/
+    materialize.py) so the lineage (and its re-execution) doesn't grow
+    per round.
 
     Deterministic: min() over ids, no ordering sensitivity.
     """
-    edges = (
+    edges = _materialize(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionAll(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        materialize,
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("s").alias("doc"))
         .distinct()
-        .withColumn("label", F.col("doc"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc")),
+        materialize,
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -625,7 +637,7 @@ def connected_components(
         # the new label AND the convergence delta (no second join, no
         # separate materialization job — the count() realizes the lazy
         # checkpoint)
-        merged = (
+        merged = _materialize(
             labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
             .select(
                 "doc",
@@ -633,8 +645,9 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            materialize,
+            eager=False,
         )
         changed = merged.filter(F.col("label") != F.col("__old")).count()
         labels = merged.select("doc", "label")

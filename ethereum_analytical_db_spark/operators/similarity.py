@@ -21,6 +21,8 @@ from pyspark import AccumulatorParam
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _materialize
+
 DEC = "decimal(12,6)"
 
 
@@ -288,6 +290,7 @@ def embedding_near_dup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     blocks: int = 8,
+    materialize: str = "local",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact: every (a, b) with
     cosine(a, b) >= threshold and a < b. Fully distributed — nothing is
@@ -328,9 +331,13 @@ def embedding_near_dup_exact(
         ia, ib, _ = _gemm_pair_score(pdf, int(key[0]), int(key[1]), thr)
         return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    cands = repl.groupBy("i", "j").applyInPandas(
-        gemm_block_pair, schema="id_a long, id_b long"
-    ).localCheckpoint(eager=False)
+    cands = _materialize(
+        repl.groupBy("i", "j").applyInPandas(
+            gemm_block_pair, schema="id_a long, id_b long"
+        ),
+        materialize,
+        eager=False,
+    )
 
     # exact DECIMAL verification only for vectors that appear in a
     # candidate pair — the fixed-point fold is interpreted (not codegen),

@@ -396,3 +396,82 @@ def test_substring_dedup_stats_duckdb_parity(spark):
         FROM per_doc
     """).fetchone()
     assert (got["docs"], got["docs_affected"], got["tokens_removed"]) == want
+
+
+def test_reliable_materialize_uses_checkpoint_dir_and_matches_local(spark, tmp_path):
+    """materialize="reliable" (r8 VERDICT task 3) must (a) cut lineage
+    through SparkContext checkpoint files — the mode that SURVIVES
+    executor loss on a real cluster, unlike localCheckpoint's pinned
+    blocks — and (b) be semantically invisible: byte-identical results
+    to the default local mode across the dedup family."""
+    import os
+
+    from ethereum_analytical_db_spark.operators.materialize import materialize
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    df, _ = _corpus(spark)
+
+    def pairs(mode):
+        return {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                df, n=3, threshold=0.5, materialize=mode
+            ).collect()
+        }
+
+    local, reliable = pairs("local"), pairs("reliable")
+    assert reliable == local and local  # same answer, non-empty
+    # the reliable run really wrote RDD checkpoint files
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt)
+        for f in fn
+    ]
+    assert files, "reliable mode produced no checkpoint files"
+    # components in reliable mode: the iterative path (per-round cuts)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components(
+            edges, materialize="reliable"
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    got2 = {
+        (r["doc"], r["component"])
+        for r in dedup.connected_components_twophase(
+            edges, materialize="reliable"
+        ).collect()
+    }
+    assert got2 == got
+    # unknown mode fails loudly at the knob, not deep in Spark
+    with pytest.raises(ValueError, match="materialize mode"):
+        materialize(df, "fast-and-loose")
+
+
+def test_reliable_materialize_defaults_checkpoint_dir_under_warehouse(spark):
+    """With no checkpoint dir configured, reliable mode derives one
+    under spark.sql.warehouse.dir instead of failing — callers without
+    SparkContext plumbing still get fault-tolerant materialization."""
+    import os
+
+    from ethereum_analytical_db_spark.operators.materialize import materialize
+
+    sc = spark.sparkContext
+    # simulate a fresh session: clear any dir a previous test set (the
+    # scala var's setter is `checkpointDir_$eq`, reachable via getattr)
+    none = getattr(getattr(sc._jvm, "scala.None$"), "MODULE$")
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+    assert sc.getCheckpointDir() is None
+    df = spark.range(10).toDF("id")
+    out = materialize(df, "reliable")
+    assert out.count() == 10
+    got_dir = sc.getCheckpointDir()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    assert got_dir is not None
+    assert "_checkpoints" in got_dir
+    assert os.path.basename(warehouse.rstrip("/")) in got_dir
