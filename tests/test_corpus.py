@@ -158,3 +158,145 @@ def test_substring_dedup_stage(spark):
     assert out[2] == "other suffix two"  # the repeated 8-word span cut
     assert out[3] == rows[2][1]
     report.release()
+
+
+def test_clean_corpus_duckdb_full_chain_parity(spark):
+    """Cross-engine replica of the ENTIRE 9-stage chain at sf0.01 (r8
+    VERDICT task 5): DuckDB re-derives exact dedup, line dedup, the
+    quality filter, the lang-ID argmax, the unigram-LM perplexity
+    filter, 8-gram decontamination, PII scrub, stratified balance and
+    the hash split — with the SAME parameters as the registered
+    `clean_corpus_e2e` query — and must agree with Spark on every
+    stage's surviving-row count AND on the exact final row set
+    (doc_id, scrubbed text, lang, split). This is where composite
+    drift would hide: each member stage has its own oracle, but only
+    this test checks their INTERACTIONS (e.g. dedup feeding the LM's
+    training corpus, decontamination seeing line-deduped text)."""
+    import duckdb
+
+    from ethereum_analytical_db_spark.operators.sampling import _hex4
+    from ethereum_analytical_db_spark.plans import pipeline as pl
+
+    sf = "/root/testdata/sf0.01"
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    report = clean_corpus(
+        docs,
+        benchmark=bench,
+        langs=["en", "de", "fr", "es", "zh"],
+        max_perplexity=1e9,
+        lm_vocab_size=20_000,
+        strata_fractions={"en": 1.0, "de": 0.5},
+        balance_default_fraction=0.9,
+        collect_stats=True,
+    )
+    got_rows = {
+        (r["doc_id"], r["text"], r["lang"], r["split"])
+        for r in report.df.collect()
+    }
+    got_stages = dict(report.stages)
+    report.release()
+
+    con = duckdb.connect()
+    grams = (
+        "list_transform(range(1, greatest(len(ws) - 6, 1)), "
+        "i -> list_aggregate(ws[i:i+7], 'string_agg', ' '))"
+    )
+    sample_pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+    split_pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)"
+    con.execute(f"""
+    CREATE VIEW docs0 AS
+      SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet');
+    -- exact dedup: keep the min doc_id of every identical-text group
+    CREATE VIEW s1 AS SELECT d.doc_id, d.text FROM docs0 d
+      JOIN (SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(text))
+      USING (doc_id);
+    -- C4-style line dedup: keep each line's first occurrence, in order
+    CREATE VIEW s2 AS SELECT doc_id,
+      array_to_string(
+        list_transform(
+          list_filter(range(1, len(ls) + 1),
+                      i -> list_position(ls, ls[i]) = i),
+          i -> ls[i]),
+        chr(10)) AS text
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s1);
+    -- heuristic quality: >=5 whitespace tokens, repetition <= 0.6
+    CREATE VIEW s3 AS SELECT * FROM s2
+      WHERE len(string_split(text, ' ')) >= 5
+        AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) <= 0.6;
+    -- lang-ID argmax (the member oracle's own CASE chain, composed)
+    CREATE VIEW s4 AS SELECT doc_id, text, ({pl._expr}) AS lang FROM s3;
+    CREATE VIEW s5 AS SELECT * FROM s4
+      WHERE lang IN ('en', 'de', 'fr', 'es', 'zh');
+    -- unigram LM (vocab 20k, add-k 0.5) trained on the SURVIVORS,
+    -- perplexity cap 1e9 (drops only token-less docs at this scale)
+    CREATE VIEW tok AS SELECT doc_id, w AS word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s5)
+      WHERE w <> '';
+    CREATE VIEW counts AS SELECT word, count(*) AS c FROM tok GROUP BY word;
+    CREATE VIEW topv AS SELECT word, c FROM counts
+      ORDER BY c DESC, word ASC LIMIT 20000;
+    CREATE VIEW consts AS SELECT
+      (SELECT sum(c) FROM counts)
+        + 0.5 * ((SELECT count(*) FROM topv) + 1) AS denom;
+    CREATE VIEW perdoc AS
+      SELECT t.doc_id, count(*) AS n_tokens,
+             -avg(ln(coalesce(tv.c + 0.5, 0.5) / (SELECT denom FROM consts)))
+               AS anl
+      FROM tok t LEFT JOIN topv tv ON t.word = tv.word
+      GROUP BY t.doc_id;
+    CREATE VIEW s6 AS SELECT s5.* FROM s5
+      JOIN perdoc USING (doc_id) WHERE exp(anl) <= 1e9;
+    -- 8-gram decontamination vs the ORIGINAL text of doc_id % 97 == 0
+    CREATE VIEW bsh AS SELECT DISTINCT unnest({grams}) AS ngram
+      FROM (SELECT string_split(text, ' ') AS ws
+            FROM docs0 WHERE doc_id % 97 = 0)
+      WHERE len(ws) >= 8;
+    CREATE VIEW dsh AS SELECT doc_id, unnest(list_distinct({grams})) AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s6)
+      WHERE len(ws) >= 8;
+    CREATE VIEW contaminated AS SELECT doc_id FROM (
+        SELECT d.doc_id,
+               CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS frac
+        FROM dsh d LEFT JOIN bsh b USING (ngram) GROUP BY d.doc_id)
+      WHERE frac > 0.1;
+    CREATE VIEW s7 AS SELECT * FROM s6
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated);
+    -- PII scrub (the member oracle's exact regex chain)
+    CREATE VIEW s8 AS SELECT doc_id, {pl._PII_SCRUB_SQL} AS text, lang
+      FROM s7;
+    -- stratified balance: en 1.0, de 0.5, default 0.9, salt 'sample'
+    CREATE VIEW s9 AS SELECT * FROM s8
+      WHERE doc_id IS NOT NULL AND (
+        CASE lang WHEN 'en' THEN TRUE
+                  WHEN 'de' THEN {sample_pref} < '{_hex4(0.5)}'
+                  ELSE {sample_pref} < '{_hex4(0.9)}' END);
+    -- 90/5/5 hash split, salt 'split'
+    CREATE VIEW s10 AS SELECT doc_id, text, lang,
+      CASE WHEN {split_pref} < '{_hex4(0.90)}' THEN 'train'
+           WHEN {split_pref} < '{_hex4(0.95)}' THEN 'valid'
+           ELSE 'test' END AS split
+      FROM s9;
+    """)
+    stage_views = {
+        "input": "docs0", "exact_dedup": "s1", "line_dedup": "s2",
+        "quality_filter": "s3", "lang_filter": "s5",
+        "perplexity_filter": "s6", "decontaminate": "s7",
+        "pii_scrub": "s8", "balance": "s9", "split": "s10",
+    }
+    want_stages = {
+        name: con.execute(f"SELECT count(*) FROM {view}").fetchone()[0]
+        for name, view in stage_views.items()
+    }
+    assert got_stages == want_stages
+    want_rows = set(
+        map(tuple, con.execute("SELECT doc_id, text, lang, split FROM s10").fetchall())
+    )
+    assert got_rows == want_rows and got_rows
+    # the chain actually filtered something at every major gate — if a
+    # stage were vacuous here the parity above wouldn't be evidence
+    assert want_stages["decontaminate"] < want_stages["perplexity_filter"]
+    assert want_stages["balance"] < want_stages["decontaminate"]
+    assert want_stages["exact_dedup"] <= want_stages["input"]
