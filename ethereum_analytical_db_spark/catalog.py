@@ -288,7 +288,13 @@ class Warehouse:
             w = w.option(k, v)
         return w.mode(mode).save()
 
-    def compact(self, table: str) -> None:
+    def compact(
+        self,
+        table: str,
+        layout: str = "flat",
+        buckets: int = 32,
+        by: list[str] | None = None,
+    ) -> str | None:
         """Rewrite a table to one row per key (background-merge analogue).
 
         The final overwrite deletes the ``_SEQ`` sidecar with the rest of
@@ -301,7 +307,22 @@ class Warehouse:
         every future scan's partition pruning — strictly worse at scale,
         where the block predicate is what keeps incremental readers off
         the 100 TB history.
+
+        ``layout="bucketed"``: after the canonical rewrite, also refresh
+        the table's co-located HASH-BUCKETED materialization
+        (``<table>_bucketed``, see :meth:`materialize_bucketed`) from
+        the just-compacted data, hash-bucketed ``by`` (default: the
+        table's primary key) into ``buckets``. This is the maintenance
+        hook that makes the bucketed layout a LIVE derived layout
+        instead of a one-shot export: each compaction cycle pays the
+        bucketing shuffle once, and every subsequent fact-to-fact join
+        or groupBy on the bucket key reads it exchange-free. Returns
+        the bucketed catalog name (``None`` for the flat layout).
         """
+        if layout not in ("flat", "bucketed"):
+            raise ValueError(
+                f"compact layout {layout!r}: expected 'flat' or 'bucketed'"
+            )
         # roll back a crashed previous compaction BEFORE reading: if the
         # canonical path is missing, .precompact is the only live copy
         # and must become canonical again, never be cleaned up
@@ -346,6 +367,16 @@ class Warehouse:
         os.rename(tmp, final_path)
         self._write_seq_sidecar(table, int(max_seq))
         shutil.rmtree(old, ignore_errors=True)
+        if layout == "bucketed":
+            # final=False: the rewrite above just materialized FINAL, so
+            # the raw scan IS the deduped table — no second window pass
+            return self.materialize_bucketed(
+                table,
+                buckets,
+                by or schemas.primary_key(table),
+                final=False,
+            )
+        return None
 
     def register_views(self, *tables: str, final: bool = True) -> None:
         """Expose tables as temp views for spark.sql() text queries —
@@ -361,6 +392,7 @@ class Warehouse:
         by: list[str],
         name: str | None = None,
         final: bool = True,
+        source: DataFrame | None = None,
     ) -> str:
         """Freeze a (FINAL) view of ``table`` into a HASH-BUCKETED,
         bucket-sorted catalog table for repeated join-heavy analytics —
@@ -391,6 +423,14 @@ class Warehouse:
         append would violate the bucket invariant while the catalog
         still advertises it, silently corrupting exchange-free joins —
         review find).
+
+        ``source``: materialize this frame instead of reading ``table``
+        from the warehouse (``table`` then only names the default
+        catalog entry). This is how non-warehouse inputs — the bench
+        corpus, an external parquet dataset — adopt the co-located
+        layout through the same writer/catalog path; ``final`` is
+        ignored for a ``source`` frame (dedup semantics belong to the
+        warehouse read).
         """
         name = name or f"{table}_bucketed"
         # The name is interpolated into SQL text and becomes a catalog
@@ -402,7 +442,7 @@ class Warehouse:
                 f"bucketed table name {name!r} is not a plain SQL "
                 "identifier ([A-Za-z_][A-Za-z0-9_]*)"
             )
-        df = self.read(table, final=final)
+        df = source if source is not None else self.read(table, final=final)
         internal = [c for c in df.columns if c.startswith("_")]
         if internal:
             df = df.drop(*internal)

@@ -130,6 +130,123 @@ def balances_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# frozen co-located layout for the bucketed serve-path query below:
+# (abs sf_dir) → catalog table name. The bucketing shuffle is paid ONCE
+# per process (the "pay the shuffle at materialization" premise of
+# Warehouse.materialize_bucketed); every subsequent build is a pure
+# exchange-free read — the same build-vs-serve split as the IVF frozen
+# index (`ann_cosine_ivf` vs `ann_cosine_ivf_probe`). Lifecycle rules
+# (atexit removal + dead-pid orphan sweep) shared via plans/frozen.py.
+_BUCKETED_EVENTS: dict[str, str] = {}
+_BUCKETED_EVENTS_DIRS: list[str] = []
+
+
+def _bucketed_events_cleanup() -> None:
+    import shutil
+
+    for d in _BUCKETED_EVENTS_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _BUCKETED_EVENTS.clear()
+    _BUCKETED_EVENTS_DIRS.clear()
+
+
+def _bucketed_events_table(spark: SparkSession, sf_dir: str, buckets: int = 32) -> str:
+    import atexit
+    import hashlib
+    import os
+    import tempfile
+
+    from ..catalog import Warehouse
+    from .frozen import sweep_orphans
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BUCKETED_EVENTS:
+        base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+        if not _BUCKETED_EVENTS:  # first freeze this process
+            atexit.register(_bucketed_events_cleanup)
+            sweep_orphans(base)
+        digest = hashlib.md5(key.encode()).hexdigest()[:12]
+        root = os.path.join(base, f"{digest}_{os.getpid()}")
+        name = f"events_by_user_{digest}_{os.getpid()}"
+        # through the PRODUCTION path: same writer + catalog
+        # registration a warehouse compaction (layout="bucketed") uses;
+        # `source=` feeds the bench corpus in without a warehouse copy
+        Warehouse(spark, root).materialize_bucketed(
+            "events",
+            buckets=buckets,
+            by=["user_id"],
+            name=name,
+            source=table(spark, sf_dir, "events"),
+        )
+        _BUCKETED_EVENTS_DIRS.append(root)
+        _BUCKETED_EVENTS[key] = name
+    return _BUCKETED_EVENTS[key]
+
+
+@register(
+    "balances_pyramid_bucketed",
+    None,  # same result as the hash-checked `balances_pyramid` — exact
+    # parity pinned by tests/test_analytics_bucketed.py, which also
+    # asserts the ZERO-Exchange physical plan; a second oracle entry
+    # would push an existing query out of the driver's 50-slot
+    # hash-check window for no new information
+    note="J8 pyramid on the CO-LOCATED layout: the same 5-aggregate "
+    "fact-to-fact join as balances_pyramid, read from a hash-bucketed "
+    "(user_id, 32 buckets) materialization refreshed via "
+    "Warehouse.materialize_bucketed / compact(layout='bucketed') — "
+    "every groupBy, the universe distinct, and all 5 joins run with "
+    "ZERO Exchange (plan-asserted); this row prices the repeated-read "
+    "path after the bucketing shuffle was paid once at materialization",
+)
+def balances_pyramid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table(_bucketed_events_table(spark, sf_dir))
+
+    def agg_of(event_type: str, alias: str, fee_scaled: bool = False) -> DataFrame:
+        src = ev.filter(F.col("event_type") == event_type)
+        val = (F.col("value") * F.lit(0.01)) if fee_scaled else F.col("value")
+        return src.groupBy(F.col("user_id").alias("address")).agg(
+            _dsum(val).alias(alias)
+        )
+
+    income = agg_of("purchase", "income")
+    outcome = agg_of("click", "outcome")
+    reward = agg_of("signup", "reward")
+    fee = agg_of("error", "fee", fee_scaled=True)
+    fee_reward = agg_of("view", "fee_reward", fee_scaled=True)
+
+    # single-scan isin form of the UNION-ALL universe (identical set:
+    # distinct-of-union == distinct-of-isin-filter) — Union discards
+    # the bucketed output partitioning, the filter form keeps it, which
+    # is precisely the re-plan the co-located layout exists to enable
+    universe = (
+        ev.filter(F.col("event_type").isin("purchase", "click", "signup"))
+        .select(F.col("user_id").alias("address"))
+        .distinct()
+    )
+    # merge-hinted: the fixture sizes would take broadcast, but the
+    # layout exists for the both-sides-big case — force the sort-merge
+    # path the 100 TB join takes (bucket-co-located: sorts, no shuffle)
+    out = (
+        universe.join(income.hint("merge"), "address", "left")
+        .join(outcome.hint("merge"), "address", "left")
+        .join(reward.hint("merge"), "address", "left")
+        .join(fee.hint("merge"), "address", "left")
+        .join(fee_reward.hint("merge"), "address", "left")
+    )
+    balance = (
+        F.coalesce(F.col("income"), F.lit(0.0))
+        - F.coalesce(F.col("outcome"), F.lit(0.0))
+        + F.coalesce(F.col("reward"), F.lit(0.0))
+        - F.coalesce(F.col("fee"), F.lit(0.0))
+        + F.coalesce(F.col("fee_reward"), F.lit(0.0))
+    )
+    return out.select(
+        "address",
+        balance.alias("balance"),
+        F.greatest(balance, F.lit(0.0)).alias("balance_floored"),
+    )
+
+
 @register(
     "token_balances",
     """

@@ -624,27 +624,10 @@ def _ivf_cleanup() -> None:
 
 
 def _ivf_sweep_orphans(base: str) -> None:
-    """Remove sibling index dirs whose owning pid is gone — repeated
-    bench/pytest runs used to accumulate one orphan tree per process
-    (review find). Best-effort: pid-reuse can spare an orphan until the
-    next sweep; a dir owned by a LIVE process is never touched."""
-    import os
-    import shutil
+    """Shared frozen-artifact orphan rule — see plans/frozen.py."""
+    from .frozen import sweep_orphans
 
-    try:
-        entries = os.listdir(base)
-    except OSError:
-        return
-    for d in entries:
-        pid_s = d.rsplit("_", 1)[-1]
-        if not pid_s.isdigit() or int(pid_s) == os.getpid():
-            continue
-        try:
-            os.kill(int(pid_s), 0)
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another user: definitely not ours
+    sweep_orphans(base)
 
 
 def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
