@@ -397,3 +397,72 @@ def test_fuzz_generated_join_chains_preserve_types():
             continue
         got, want = _join_shape(out), _join_shape(sql)
         assert got == want, f"join shape {want} -> {got}\n in: {sql}\nout: {out}"
+
+
+def test_fuzz_generated_join_chains_roundtrip_duckdb(spark):
+    """translate-EQUIVALENTLY-or-raise (r8 VERDICT item 8): for
+    generated join chains the translator accepts, run the ClickHouse
+    input on DuckDB (its ANSI subset — backticks adapted to double
+    quotes) and the TRANSLATED SQL on Spark over identical fixture
+    tables, and require the same result multiset. The shape tests above
+    pin join types syntactically; this pins the semantics end-to-end.
+    ANY-modifier chains are excluded (DuckDB has no ANY JOIN; those
+    semantics are oracle-checked by `any_left_join_first_lineitem`).
+    A DuckDB-side error skips the trial (the dialect's validity
+    boundary, not the translator's); a Spark-side error on input DuckDB
+    executed is a translator bug and fails loudly."""
+    import random
+
+    import duckdb
+
+    from ethereum_analytical_db_spark.compat.clickhouse_sql import (
+        UnsupportedClickHouseSQL,
+    )
+
+    data = {
+        "t0": [0, 1, 1, 2, 3, 5],
+        "t1": [1, 1, 2, 4],
+        "t2": [0, 2, 2, 5],
+        "t3": [1, 3, 5, 5],
+    }
+    for t, ks in data.items():
+        spark.createDataFrame([(k,) for k in ks], "k int").createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t, ks in data.items():
+        vals = ", ".join(f"({k})" for k in ks)
+        con.execute(f"CREATE TABLE {t} AS SELECT * FROM (VALUES {vals}) v(k)")
+
+    rnd = random.Random(77)
+    compared = translated = 0
+    for trial in range(400):
+        n_joins = rnd.randrange(1, 4)
+        sql = "SELECT t0.k FROM t0"
+        for j in range(1, n_joins + 1):
+            jtype = rnd.choice(["", "LEFT ", "INNER "])
+            alias = rnd.choice(["", f" AS x{j}", f" x{j}"])
+            tbl = rnd.choice([f"t{j}", f"`t{j}`"])
+            ref = f"x{j}" if alias else f"t{j}"
+            cond = rnd.choice([" USING (k)", f" ON t0.k = {ref}.k"])
+            sql += " " + jtype + "JOIN " + tbl + alias + cond
+        try:
+            out = translate(sql).sql
+        except UnsupportedClickHouseSQL:
+            continue
+        translated += 1
+        try:
+            want = sorted(r[0] for r in con.execute(sql.replace("`", '"')).fetchall())
+        except duckdb.Error:
+            continue  # not valid ANSI: outside the equivalence contract
+        try:
+            got = sorted(r["k"] for r in spark.sql(out).collect())
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"DuckDB executed the input but Spark rejected the "
+                f"translation\n in: {sql}\nout: {out}\nerr: {exc}"
+            ) from exc
+        assert got == want, f"rows diverge\n in: {sql}\nout: {out}"
+        compared += 1
+        if compared >= 60 and translated >= 100:
+            break  # evidence bar met; don't pay Spark latency for more
+    # the round-trip must not pass vacuously
+    assert translated >= 100 and compared >= 60, (translated, compared)
