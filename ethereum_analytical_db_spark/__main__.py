@@ -677,13 +677,17 @@ def cmd_download_prices(wh: Warehouse, args) -> int:
 
 def cmd_compact(wh: Warehouse, args) -> int:
     """ClickHouse OPTIMIZE TABLE analogue: materialize the FINAL-deduped
-    state so the read-side window disappears (catalog.Warehouse.compact)."""
+    state so the read-side window disappears (catalog.Warehouse.compact).
+    ``--layout bucketed`` additionally refreshes each table's co-located
+    hash-bucketed materialization (pay the join shuffle once per
+    maintenance cycle instead of per query)."""
     tables = [args.table] if args.table else [
         t for t in schemas.TABLES if wh.exists(t)
     ]
+    by = args.bucket_by.split(",") if args.bucket_by else None
     for t in tables:
-        wh.compact(t)
-        print(f"compacted {t}")
+        name = wh.compact(t, layout=args.layout, buckets=args.buckets, by=by)
+        print(f"compacted {t}" + (f" (bucketed -> {name})" if name else ""))
     return 0
 
 
@@ -775,6 +779,16 @@ def build_parser() -> argparse.ArgumentParser:
         "compact", help="materialize FINAL dedup (ClickHouse OPTIMIZE analogue)"
     )
     co.add_argument("--table", default=None, help="one table (default: all)")
+    co.add_argument(
+        "--layout", default="flat", choices=["flat", "bucketed"],
+        help="bucketed: also refresh the co-located hash-bucketed "
+        "materialization (<table>_bucketed) for exchange-free joins",
+    )
+    co.add_argument("--buckets", type=int, default=32, help="bucket count")
+    co.add_argument(
+        "--bucket-by", default=None,
+        help="comma-separated bucket key (default: the table's primary key)",
+    )
 
     sub.add_parser("test", help="run the engine's test suite (reference `test`)")
     return p

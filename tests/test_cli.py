@@ -311,6 +311,18 @@ def test_cli_compact(spark, tmp_path):
                  "--table", "block_flag"]) == 0
     assert wh.read("block_flag", final=False).count() == 1
     assert wh.read("block_flag").first()["value"] == 1
+    # --layout bucketed refreshes the co-located materialization too
+    assert main(["--warehouse", whdir, "--cpus", "4", "compact",
+                 "--table", "block_flag", "--layout", "bucketed",
+                 "--buckets", "4", "--bucket-by", "id,name"]) == 0
+    bucketed = spark.table("block_flag_bucketed")
+    assert {r["value"] for r in bucketed.collect()} == {1}
+    plan = (
+        bucketed.groupBy("id", "name").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS block_flag_bucketed")
 
 
 def test_parse_inputs_case_insensitive_and_noop_passes(spark, tmp_path):
