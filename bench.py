@@ -325,14 +325,24 @@ def main() -> None:
     # remembering to run the tool. The gate never fails the bench
     # process (the driver needs the summary line regardless); a "fail"
     # status in the recorded block is the signal.
-    from tools.bench_compare import compare as _gate_compare
-    from tools.bench_compare import load_history as _gate_history
-    from tools.bench_compare import render as _gate_render
+    try:
+        from tools.bench_compare import compare as _gate_compare
+        from tools.bench_compare import load_history as _gate_history
+        from tools.bench_compare import render as _gate_render
 
-    gate_result = _gate_compare(detail, _gate_history())
+        gate_result = _gate_compare(detail, _gate_history())
+        print("# regression gate:", file=sys.stderr)
+        _gate_render(gate_result, out=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 - the gate must never cost
+        # the run its record: a multi-minute suite just finished and the
+        # detail/history/summary writes below are the whole point
+        gate_result = {
+            "status": "gate_error",
+            "regressed": [],
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }
+        print(f"# regression gate ERROR: {gate_result['error']}", file=sys.stderr)
     detail["gate"] = gate_result
-    print("# regression gate:", file=sys.stderr)
-    _gate_render(gate_result, out=sys.stderr)
 
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
@@ -341,9 +351,17 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
     with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        # history keeps the gate VERDICT but not the ~6 KB per_query
+        # band table (derivable from fields already in the row; the full
+        # block lives in BENCH_DETAIL.json) — the file is read whole by
+        # every future gate run, so rows stay lean (review find)
+        hist_row = {
+            **detail,
+            "gate": {k: v for k, v in gate_result.items() if k != "per_query"},
+        }
         f.write(
             json.dumps(
-                {"ts": round(time.time(), 1), **detail}, separators=(",", ":")
+                {"ts": round(time.time(), 1), **hist_row}, separators=(",", ":")
             )
             + "\n"
         )

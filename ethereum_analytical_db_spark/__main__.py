@@ -684,7 +684,13 @@ def cmd_compact(wh: Warehouse, args) -> int:
     tables = [args.table] if args.table else [
         t for t in schemas.TABLES if wh.exists(t)
     ]
-    by = args.bucket_by.split(",") if args.bucket_by else None
+    by = None
+    if args.bucket_by:
+        if not args.table:
+            # one explicit key list cannot fit every table's schema; the
+            # all-tables form buckets each by its own primary key
+            raise SystemExit("--bucket-by requires --table (one table's key)")
+        by = [c.strip() for c in args.bucket_by.split(",") if c.strip()]
     for t in tables:
         name = wh.compact(t, layout=args.layout, buckets=args.buckets, by=by)
         print(f"compacted {t}" + (f" (bucketed -> {name})" if name else ""))

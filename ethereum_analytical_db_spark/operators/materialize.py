@@ -29,6 +29,15 @@ Two modes, one knob:
 Both modes truncate lineage identically; results are byte-identical
 (pinned by test_dedup's reliable-mode parity test). See SCALE.md
 "Materialization & executor loss".
+
+Checkpoint-file lifecycle: ``checkpoint()`` files are NOT removed by
+Spark by default — a long-lived session running repeated reliable-mode
+jobs would grow the checkpoint FS without bound. The session factory
+(``session.get_spark``) therefore enables
+``spark.cleaner.referenceTracking.cleanCheckpoints`` (startup-only
+conf), which deletes a checkpoint's files once its RDD is
+garbage-collected; deployments handing us an external session should
+set the same flag, and may clear the ``_checkpoints`` dir between jobs.
 """
 
 from __future__ import annotations

@@ -142,32 +142,32 @@ _BUCKETED_EVENTS_DIRS: list[str] = []
 
 
 def _bucketed_events_cleanup() -> None:
-    import shutil
+    """Remove this process's frozen layouts and drop the cache (tests /
+    explicit invalidation; at exit the shared frozen.release_all handles
+    the trees)."""
+    from .frozen import release
 
     for d in _BUCKETED_EVENTS_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
+        release(d)
     _BUCKETED_EVENTS.clear()
     _BUCKETED_EVENTS_DIRS.clear()
 
 
 def _bucketed_events_table(spark: SparkSession, sf_dir: str, buckets: int = 32) -> str:
-    import atexit
-    import hashlib
     import os
     import tempfile
 
     from ..catalog import Warehouse
-    from .frozen import sweep_orphans
+    from .frozen import acquire
 
     key = os.path.abspath(sf_dir)
     if key not in _BUCKETED_EVENTS:
-        base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
-        if not _BUCKETED_EVENTS:  # first freeze this process
-            atexit.register(_bucketed_events_cleanup)
-            sweep_orphans(base)
-        digest = hashlib.md5(key.encode()).hexdigest()[:12]
-        root = os.path.join(base, f"{digest}_{os.getpid()}")
-        name = f"events_by_user_{digest}_{os.getpid()}"
+        # atexit cleanup + dead-pid orphan sweep are the shared frozen
+        # lifecycle (plans/frozen.py), same as the IVF index
+        root = acquire(
+            os.path.join(tempfile.gettempdir(), "spark_graft_bucketed"), key
+        )
+        name = f"events_by_user_{os.path.basename(root)}"
         # through the PRODUCTION path: same writer + catalog
         # registration a warehouse compaction (layout="bucketed") uses;
         # `source=` feeds the bench corpus in without a warehouse copy

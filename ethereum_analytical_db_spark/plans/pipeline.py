@@ -614,12 +614,13 @@ _IVF_FROZEN: dict[str, tuple[str, list, list]] = {}
 
 
 def _ivf_cleanup() -> None:
-    """atexit: remove every index THIS process materialized (the cache
-    is per-process, so nothing else can be reading them at exit)."""
-    import shutil
+    """Remove every index THIS process materialized and drop the cache
+    (tests / explicit invalidation; at exit the shared frozen.release_all
+    handles the trees)."""
+    from .frozen import release
 
     for path, _, _ in _IVF_FROZEN.values():
-        shutil.rmtree(path, ignore_errors=True)
+        release(path)
     _IVF_FROZEN.clear()
 
 
@@ -631,32 +632,25 @@ def _ivf_sweep_orphans(base: str) -> None:
 
 
 def _ivf_frozen_index(spark: SparkSession, sf_dir: str):
-    import atexit
-    import hashlib
     import os
     import tempfile
 
+    from .frozen import acquire
+
     key = os.path.abspath(sf_dir)
     if key not in _IVF_FROZEN:
-        if not _IVF_FROZEN:  # first index this process: lifecycle hooks
-            atexit.register(_ivf_cleanup)
-            _ivf_sweep_orphans(
-                os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index")
-            )
         emb = table(spark, sf_dir, "embeddings")
         qvec = [
             float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
         ]
         centroids = similarity.ivf_train_centroids(emb, n_centroids=8, iterations=2)
-        # path is PER-PROCESS (pid) + collision-free (md5 of the abs
-        # dir, not a lossy \W+ squeeze): the cache is per-process
-        # anyway, and a shared fixed path let two concurrent
-        # bench/pytest processes overwrite the directory under each
-        # other's partition-pruned reads (review find)
-        path = os.path.join(
-            tempfile.gettempdir(),
-            "spark_graft_ivf_index",
-            f"{hashlib.md5(key.encode()).hexdigest()[:16]}_{os.getpid()}",
+        # per-process (pid-suffixed) + collision-free (md5 of the abs
+        # dir): two concurrent bench/pytest processes must never
+        # overwrite each other's partition-pruned reads (review find);
+        # atexit cleanup + dead-pid orphan sweep are the shared frozen
+        # lifecycle (plans/frozen.py)
+        path = acquire(
+            os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index"), key
         )
         # the index holds the candidate set (query row excluded, same as
         # ann_cosine_ivf); centroids still train on the full corpus

@@ -52,6 +52,12 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # reliable-mode materialization (operators/materialize.py) writes
+        # RDD checkpoints; with the cleaner on, checkpoint files whose
+        # RDDs are garbage-collected are deleted instead of accumulating
+        # in the checkpoint FS for the life of the deployment (review
+        # find). Startup-only conf — tune_session cannot set it.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

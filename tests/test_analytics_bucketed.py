@@ -111,3 +111,21 @@ def test_compact_bucketed_layout_refreshes_with_the_table(spark, tmp_path):
     with pytest.raises(ValueError, match="layout"):
         wh.compact("block_flag", layout="zigzag")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_sweep_orphans_survives_hostile_pid_names(tmp_path):
+    """$TMPDIR is world-writable: a garbage dir whose 'pid' overflows a
+    C long (os.kill raises OverflowError, not ProcessLookupError) must
+    be treated as dead and removed, never crash the freeze (review
+    find)."""
+    from ethereum_analytical_db_spark.plans.frozen import sweep_orphans
+
+    base = tmp_path / "frozen"
+    base.mkdir()
+    huge = base / ("x_" + "9" * 25)
+    huge.mkdir()
+    notpid = base / "x_notanumber"
+    notpid.mkdir()
+    sweep_orphans(str(base))
+    assert not huge.exists()       # impossible pid == dead
+    assert notpid.exists()         # non-numeric suffix: not ours, kept

@@ -135,3 +135,46 @@ def test_bench_records_gate_block():
     assert 'detail["gate"] = gate_result' in src
     assert '"gate"' in src and "_gate_render(gate_result" in src
     assert 'summary["gate"] = gate_result["status"]' in src
+    # the gate must never cost a completed run its record (review find):
+    # any gate exception degrades to a recorded gate_error status
+    assert '"gate_error"' in src
+    # and history rows must stay lean: verdict recorded, band table not
+    assert 'k != "per_query"' in src
+
+
+def test_errored_query_fails_gate_but_subset_runs_pass():
+    """Regressed-to-a-crash must not read as 'pass' (review find): a
+    query the current run ERRORED on, that history has timings for,
+    fails the gate with an ERRORED verdict. A query merely absent from
+    a SPARK_GRAFT_BENCH_ONLY subset run (no error recorded) is ignored."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    hist = [_rec(2.0, 1.0, {"q": 1.0, "other": 1.0})]
+    crashed = {**_rec(1.0, 1.0, {"other": 1.0}), "errors": {"q": "Boom: died"}}
+    res = compare(crashed, hist)
+    assert res["status"] == "fail" and res["regressed"] == ["q"]
+    assert res["per_query"]["q"]["verdict"] == "ERRORED"
+    # subset run: 'q' absent but NOT errored -> gate ignores it
+    subset = _rec(1.0, 1.0, {"other": 1.0})
+    assert compare(subset, hist)["status"] == "pass"
+
+
+def test_corrupt_history_line_does_not_disable_the_gate(tmp_path):
+    """A truncated tail line (bench killed mid-append) must cost only
+    that line, not the whole history — otherwise the gate passes
+    vacuously forever (review find)."""
+    import json as _json
+
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import load_history
+
+    p = tmp_path / "BENCH_HISTORY.jsonl"
+    good = _rec(1.0, 1.0, {"q": 1.0})
+    p.write_text(
+        _json.dumps(good) + "\n"
+        + "null\n"                       # valid JSON, not an object
+        + '{"sf": 0.1, "value": 1.5, "queries": {"q"'  # truncated tail
+    )
+    rows = load_history(str(p))
+    assert rows == [good]

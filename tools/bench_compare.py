@@ -54,13 +54,26 @@ def _normalized(rec: dict) -> dict[str, float] | None:
 
 
 def load_history(path: str | None = None) -> list[dict]:
-    """BENCH_HISTORY.jsonl rows (empty list when absent/corrupt)."""
+    """BENCH_HISTORY.jsonl rows. Corruption is handled PER LINE: a
+    truncated tail (bench killed mid-append) or a non-object line must
+    not discard the rest of the history — that would silently disable
+    the gate forever ('no_history' passes vacuously) while a real
+    regression sails through (review find)."""
     path = path or os.path.join(HERE, "BENCH_HISTORY.jsonl")
+    rows: list[dict] = []
     try:
         with open(path) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
-    except (OSError, ValueError):
-        return []
+            lines = [ln for ln in f if ln.strip()]
+    except OSError:
+        return rows
+    for ln in lines:
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue  # that one line is lost, the gate keeps its history
+        if isinstance(rec, dict):
+            rows.append(rec)
+    return rows
 
 
 def compare(
@@ -129,6 +142,18 @@ def compare(
     cur_load = current.get("loadavg_per_query") or {}
     regressed = []
     per_query: dict[str, dict] = {}
+    # regressed-to-a-crash is the WORST regression and must not slip
+    # through as 'pass' just because the query has no timing this run
+    # (review find): a query the current run recorded an ERROR for,
+    # that history knows, fails the gate. Queries merely absent (a
+    # SPARK_GRAFT_BENCH_ONLY subset run) are not errors and stay out.
+    for q in sorted(current.get("errors") or {}):
+        if q in hist:
+            per_query[q] = {
+                "now": None, "hist": round(sorted(hist[q])[len(hist[q]) // 2][0], 4),
+                "ratio": None, "band": None, "verdict": "ERRORED",
+            }
+            regressed.append(q)
     for q in sorted(cur_norm):
         if q not in hist:
             per_query[q] = {
@@ -175,6 +200,10 @@ def render(result: dict, out=sys.stdout) -> None:
         return
     print(f"{'query':34} {'now':>7} {'hist':>7} {'ratio':>6}  verdict", file=out)
     for q, row in result["per_query"].items():
+        if row["verdict"] == "ERRORED":
+            print(f"{q:34} {'ERROR':>7} {row['hist']:7.3f} {'':>6}  "
+                  "ERRORED (ran in history, crashed now)", file=out)
+            continue
         if row["verdict"] == "NEW":
             print(f"{q:34} {row['now']:7.3f} {'new':>7} {'':>6}  NEW", file=out)
             continue
