@@ -751,27 +751,67 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-SPLIT_ORACLE = """
-SELECT doc_id,
-       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'e666' THEN 'train'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'f333' THEN 'valid'
-            ELSE 'test' END AS split
-FROM documents
-"""
+def _split_oracle() -> str:
+    """Per-doc split assignment + stratified keep flag, one slot.
+
+    r9 consolidation (same class as r8's range_predicate→scan_projection
+    fold, which freed the slot `substring_dedup_stats` was promoted
+    into): the former `stratified_sample_counts` oracle's per-stratum
+    md5-threshold keep logic is folded in as a per-doc BOOLEAN column,
+    which is STRICTLY STRONGER evidence than the old per-stratum counts
+    — the driver now hashes every doc's (split, kept) pair. The freed
+    slot promotes `clean_corpus_e2e` into the hash-checked window."""
+    from ..operators.sampling import _hex4
+
+    pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'e666' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'f333' THEN 'valid'
+                ELSE 'test' END AS split,
+           (doc_id IS NOT NULL AND
+            CASE lang
+              WHEN 'en' THEN TRUE
+              WHEN 'de' THEN {pref} < '{_hex4(0.3)}'
+              WHEN 'fr' THEN {pref} < '{_hex4(0.1)}'
+              ELSE {pref} < '{_hex4(0.05)}'
+            END) AS kept
+    FROM documents
+    """
 
 
 @register(
     "dataset_split",
-    SPLIT_ORACLE,
+    _split_oracle(),
     note="deterministic train/valid/test split (90/5/5) by salted-md5 "
     "bucket — engine-portable (md5 prefix compare), shuffle-free, "
-    "re-salting gives an independent split",
+    "re-salting gives an independent split — PLUS the per-doc stratified "
+    "corpus-balancing keep flag (en 100% / de 30% / fr 10% / default 5%, "
+    "salt 'sample'): the former stratified_sample_counts slot folded in "
+    "as strictly stronger per-doc evidence (r9 consolidation)",
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import hash_split
+    from ..operators.sampling import hash_split, stratified_sample
 
     docs = table(spark, sf_dir, "documents")
-    return hash_split(docs, "doc_id").select("doc_id", "split")
+    kept_flags = stratified_sample(
+        docs,
+        "lang",
+        {"en": 1.0, "de": 0.3, "fr": 0.1},
+        "doc_id",
+        default_fraction=0.05,
+    ).select("doc_id").withColumn("kept", F.lit(True))
+    return (
+        hash_split(docs, "doc_id")
+        .select("doc_id", "lang", "split")
+        .join(kept_flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "split",
+            F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
+        )
+    )
 
 
 VOCAB_ORACLE = """
@@ -928,64 +968,119 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strat_oracle() -> str:
-    """DuckDB replica of the registry's stratified sample: identical
-    salted-md5 thresholds (operators/sampling.py `_hex4`), so the KEPT
-    SET — not just the rate — matches exactly."""
+# (the former `stratified_sample_counts` query was folded into
+# `dataset_split` above as a per-doc `kept` column — strictly stronger
+# than the per-stratum counts, and it frees the 50-slot-window seat the
+# promoted `clean_corpus_e2e` oracle below now occupies)
+
+
+def _clean_corpus_oracle() -> str:
+    """The ENTIRE 9-stage chain as one DuckDB CTE pipeline — exact
+    dedup, line dedup, quality filter, lang-ID argmax, unigram-LM
+    perplexity (trained on the survivors, same V=20k/add-k=0.5), 8-gram
+    decontamination against the original doc_id%97==0 slice, stratified
+    balance and the hash split — mirroring clean_corpus_e2e's
+    parameters stage for stage. The one elision: the PII scrub is a
+    text-only transform that cannot change the (split, lang) counts this
+    query outputs, so it is skipped here; its text-level parity is
+    pinned cross-engine (incl. scrubbed text equality) in
+    tests/test_corpus.py::test_clean_corpus_duckdb_full_chain_parity,
+    which validated this exact SQL chain before promotion (r9; the
+    window slot came from folding stratified_sample_counts into
+    dataset_split)."""
     from ..operators.sampling import _hex4
 
-    pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+    grams = (
+        "list_transform(range(1, greatest(len(ws) - 6, 1)), "
+        "i -> list_aggregate(ws[i:i+7], 'string_agg', ' '))"
+    )
+    sample_pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+    split_pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)"
     return f"""
-    SELECT lang, count(*) AS n_kept
-    FROM documents
-    WHERE doc_id IS NOT NULL AND (
-      CASE lang
-        WHEN 'en' THEN TRUE
-        WHEN 'de' THEN {pref} < '{_hex4(0.3)}'
-        WHEN 'fr' THEN {pref} < '{_hex4(0.1)}'
-        ELSE {pref} < '{_hex4(0.05)}'
-      END)
-    GROUP BY lang ORDER BY lang
-    """
-
-
-@register(
-    "stratified_sample_counts",
-    _strat_oracle(),
-    note="deterministic per-stratum downsampling (corpus balancing — "
-    "keep 100% of one source, 30%/10% of others) by salted-md5 "
-    "threshold per stratum: partition-layout independent, unlike "
-    "sampleBy's seeded Bernoulli. The oracle rebuilds the identical "
-    "md5-threshold kept set in DuckDB (promoted into the hash-checked "
-    "window per the round-5 review).",
+WITH docs0 AS (SELECT doc_id, text FROM documents),
+s1 AS (
+  SELECT d.doc_id, d.text FROM docs0 d
+  JOIN (SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY md5(text)) c USING (doc_id)
+),
+s2 AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             list_filter(range(1, len(ls) + 1),
+                         i -> list_position(ls, ls[i]) = i),
+             i -> ls[i]),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s1)
+),
+s3 AS (
+  SELECT * FROM s2
+  WHERE len(string_split(text, ' ')) >= 5
+    AND 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) <= 0.6
+),
+s4 AS (SELECT doc_id, text, ({_expr}) AS lang FROM s3),
+s5 AS (SELECT * FROM s4 WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')),
+tok AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM s5)
+  WHERE w <> ''
+),
+wcounts AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+topv AS (SELECT word, c FROM wcounts ORDER BY c DESC, word ASC LIMIT 20000),
+consts AS (
+  SELECT (SELECT sum(c) FROM wcounts)
+           + 0.5 * ((SELECT count(*) FROM topv) + 1) AS denom
+),
+perdoc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         -avg(ln(coalesce(tv.c + 0.5, 0.5) / (SELECT denom FROM consts))) AS anl
+  FROM tok t LEFT JOIN topv tv ON t.word = tv.word
+  GROUP BY t.doc_id
+),
+s6 AS (SELECT s5.* FROM s5 JOIN perdoc USING (doc_id) WHERE exp(anl) <= 1e9),
+bsh AS (
+  SELECT DISTINCT unnest({grams}) AS ngram
+  FROM (SELECT string_split(text, ' ') AS ws FROM docs0 WHERE doc_id % 97 = 0)
+  WHERE len(ws) >= 8
+),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct({grams})) AS ngram
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM s6)
+  WHERE len(ws) >= 8
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           CAST(sum(CASE WHEN b.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS frac
+    FROM dsh d LEFT JOIN bsh b USING (ngram) GROUP BY d.doc_id)
+  WHERE frac > 0.1
+),
+s7 AS (SELECT * FROM s6 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+s9 AS (
+  SELECT * FROM s7
+  WHERE doc_id IS NOT NULL AND (
+    CASE lang WHEN 'en' THEN TRUE
+              WHEN 'de' THEN {sample_pref} < '{_hex4(0.5)}'
+              ELSE {sample_pref} < '{_hex4(0.9)}' END)
 )
-def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import stratified_sample
-
-    docs = table(spark, sf_dir, "documents")
-    kept = stratified_sample(
-        docs,
-        "lang",
-        {"en": 1.0, "de": 0.3, "fr": 0.1},
-        "doc_id",
-        default_fraction=0.05,
-    )
-    return (
-        kept.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("lang")
-    )
+SELECT
+  CASE WHEN {split_pref} < '{_hex4(0.90)}' THEN 'train'
+       WHEN {split_pref} < '{_hex4(0.95)}' THEN 'valid'
+       ELSE 'test' END AS split,
+  lang, count(*) AS docs
+FROM s9
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
 
 
 @register(
     "clean_corpus_e2e",
-    None,  # composite chain output — the chain's determinism (identical
-    # stats + identical per-doc splits across runs) and stage ordering
-    # are pinned by tests/test_corpus.py; each constituent stage is
-    # separately oracle-checked by its own registry query (dedup_exact,
-    # text_quality, lang_id_heuristic, lm_perplexity_quality,
-    # decontaminate_benchmark, pii_scrub_stats,
-    # stratified_sample_counts, dataset_split)
+    _clean_corpus_oracle(),  # promoted r9: hash-checked full-chain
+    # replica (the stage interactions, not just the members); the
+    # chain's determinism and per-stage counts are additionally pinned
+    # by tests/test_corpus.py
     note="END-TO-END training-data pipeline: the clean_corpus composite "
     "(exact dedup -> line dedup -> quality -> language -> LM perplexity "
     "-> benchmark decontamination -> PII scrub -> stratified balance -> "
