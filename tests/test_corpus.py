@@ -295,6 +295,22 @@ def test_clean_corpus_duckdb_full_chain_parity(spark):
         map(tuple, con.execute("SELECT doc_id, text, lang, split FROM s10").fetchall())
     )
     assert got_rows == want_rows and got_rows
+    # the registered clean_corpus_e2e ORACLE (promoted r9) is the same
+    # chain in CTE form — tie it to this replica so the two can't drift:
+    # run it on the same corpus and require its (split, lang, docs)
+    # counts to equal both this replica's counts and Spark's
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    qdef = all_queries()["clean_corpus_e2e"]
+    assert qdef.oracle is not None and "list_position(ls, ls[i])" in qdef.oracle
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle_counts = set(map(tuple, con.execute(qdef.oracle).fetchall()))
+    replica_counts = set(map(tuple, con.execute(
+        "SELECT split, lang, count(*) AS docs FROM s10 GROUP BY 1, 2"
+    ).fetchall()))
+    assert oracle_counts == replica_counts
     # the chain actually filtered something at every major gate — if a
     # stage were vacuous here the parity above wouldn't be evidence
     assert want_stages["decontaminate"] < want_stages["perplexity_filter"]
