@@ -20,7 +20,9 @@ compressed-bitstream codecs decoded to PCM16 in pure Python —
 IMA/DVI (format 0x11, 1992 spec tables) and MS-ADPCM (format 2,
 coefficient predictor + delta adaption, in-file coefficient tables
 honored) — each pinned by hand-computed spec vectors in
-test_multimodal.py. The remaining declared seam is the heavyweight
+test_multimodal.py; both G.711 companding laws (A-law format 6, µ-law
+format 7) expand to PCM16 via the ITU formulas, all 256 codes
+cross-checked per law. The remaining declared seam is the heavyweight
 perceptual bitstreams (H.264/AAC inside mdat, mp3-in-wav), rejected
 loudly per-row at the same single dispatch point: wire a library codec
 there and every downstream operator keeps working unchanged. A
@@ -401,6 +403,48 @@ def _ms_adpcm_coefs_from_fmt(fmt: bytes) -> list[tuple[int, int]]:
     return list(_MS_COEFS)
 
 
+def _ulaw_expand(u: int) -> int:
+    """G.711 µ-law byte → linear PCM16 (ITU-T G.711 / the classic
+    public-domain CCITT tables' formula: bias 0x84, 3-bit exponent,
+    4-bit mantissa, inverted code on the wire). 0xFF decodes to +0,
+    0x00 to the -32124 rail."""
+    u = ~u & 0xFF
+    sample = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    sample -= 0x84
+    return -sample if u & 0x80 else sample
+
+
+def _alaw_expand(a: int) -> int:
+    """G.711 A-law byte → linear PCM16 (even bits inverted on the wire;
+    exponent 0 is the linear segment). Unlike µ-law, a SET sign bit
+    means POSITIVE in A-law: 0x55 decodes to -8, 0xD5 to +8 (A-law has
+    no ±0 codes)."""
+    a ^= 0x55
+    exponent = (a >> 4) & 7
+    mantissa = a & 0x0F
+    if exponent == 0:
+        sample = (mantissa << 4) + 8
+    else:
+        sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+    return sample if a & 0x80 else -sample
+
+
+_ULAW_TABLE = [_ulaw_expand(i) for i in range(256)]
+_ALAW_TABLE = [_alaw_expand(i) for i in range(256)]
+
+
+def _decode_g711(data: bytes, channels: int, table: list[int]) -> tuple[bytes, int]:
+    """G.711 (µ-law / A-law) → interleaved PCM16: one byte per sample,
+    pure table lookup; frames are already channel-interleaved on the
+    wire so the expansion preserves order."""
+    if len(data) % channels:
+        raise ValueError("G.711 data not a whole number of sample frames")
+    out = bytearray(2 * len(data))
+    for i, byte in enumerate(data):
+        struct.pack_into("<h", out, 2 * i, table[byte])
+    return bytes(out), len(data) // channels
+
+
 def _decode_wav(content: bytes) -> dict:
     """RIFF/WAVE audio: chunk walk (fmt / data), PCM and IEEE-float
     sample formats. Returns the raw interleaved sample frames as the
@@ -429,18 +473,23 @@ def _decode_wav(content: bytes) -> dict:
     audio_format, channels, sample_rate, _brate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM and
-    # 2 = MS-ADPCM (both decoded below — real compressed-bitstream
-    # codecs); the remaining loud-rejection seam is perceptual formats
-    # (mp3-in-wav etc.), same policy as mp4 below
-    if audio_format in (0x11, 2):
+    # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM,
+    # 2 = MS-ADPCM, 6 = G.711 A-law, 7 = G.711 µ-law (all decoded
+    # below — real compressed/companded bitstreams); the remaining
+    # loud-rejection seam is perceptual formats (mp3-in-wav etc.),
+    # same policy as mp4 below
+    if audio_format in (0x11, 2, 6, 7):
         if channels == 0 or block_align == 0:
             raise ValueError("bad WAV fmt geometry")
         if audio_format == 0x11:
             pcm, n_frames = _decode_ima_adpcm(data, channels, block_align)
-        else:
+        elif audio_format == 2:
             pcm, n_frames = _decode_ms_adpcm(
                 data, channels, block_align, _ms_adpcm_coefs_from_fmt(fmt)
+            )
+        else:
+            pcm, n_frames = _decode_g711(
+                data, channels, _ALAW_TABLE if audio_format == 6 else _ULAW_TABLE
             )
         return {
             "channels": channels,
@@ -451,7 +500,7 @@ def _decode_wav(content: bytes) -> dict:
     if audio_format not in (1, 3):
         raise ValueError(
             f"unsupported WAV audio format {audio_format} "
-            "(PCM/float/IMA-ADPCM/MS-ADPCM only)"
+            "(PCM/float/IMA-ADPCM/MS-ADPCM/G.711 only)"
         )
     if channels == 0 or block_align == 0:
         raise ValueError("bad WAV fmt geometry")

@@ -799,3 +799,60 @@ def test_ima_adpcm_roundtrip_property():
         # and the reconstruction actually tracks the signal
         err = sum(abs(a - b) for a, b in zip(got, samples)) / len(samples)
         assert err < max(64, amp * 0.25), (trial, err, amp)
+
+
+# ---- G.711 companding (WAV formats 6 = A-law, 7 = µ-law) ----
+
+
+def _make_g711_wav(fmt_tag, channels, sample_rate, data):
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, sample_rate,
+                      sample_rate * channels, channels, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ulaw_spec_vectors():
+    """ITU G.711 µ-law rails and signs: 0x00 is the -32124 rail, 0x80
+    its positive mirror, 0xFF/0x7F the two zero codes, 0x01/0x81 one
+    quantization step in from the rails."""
+    assert [mm._ULAW_TABLE[c] for c in (0x00, 0x80, 0xFF, 0x7F, 0x01, 0x81)] == [
+        -32124, 32124, 0, 0, -31100, 31100]
+    d = mm._decode_wav(_make_g711_wav(7, 1, 8000, bytes([0x00, 0xFF, 0x80])))
+    assert d["n_frames"] == 3 and d["sample_rate"] == 8000
+    assert list(struct.unpack("<3h", d["payload"])) == [-32124, 0, 32124]
+
+
+def test_alaw_spec_vectors():
+    """A-law: even bits inverted, SET sign bit means POSITIVE (opposite
+    of µ-law), no zero codes — 0x55/0xD5 are ∓8, 0x2A/0xAA the rails."""
+    assert [mm._ALAW_TABLE[c] for c in (0x55, 0xD5, 0x2A, 0xAA)] == [
+        -8, 8, -32256, 32256]
+    d = mm._decode_wav(_make_g711_wav(6, 2, 16000, bytes([0x55, 0xD5, 0xAA, 0x2A])))
+    assert d["channels"] == 2 and d["n_frames"] == 2
+    assert list(struct.unpack("<4h", d["payload"])) == [-8, 8, 32256, -32256]
+
+
+def test_g711_tables_match_reference_codec_all_codes():
+    """Every one of the 512 (law, code) pairs against an independent
+    reference implementation (CPython's audioop, the Sun g711.c
+    lineage) — gated: audioop is deprecated/removed in newer Pythons."""
+    audioop = pytest.importorskip("audioop")
+    for code in range(256):
+        want_u = struct.unpack("<h", audioop.ulaw2lin(bytes([code]), 2))[0]
+        want_a = struct.unpack("<h", audioop.alaw2lin(bytes([code]), 2))[0]
+        assert mm._ULAW_TABLE[code] == want_u, code
+        assert mm._ALAW_TABLE[code] == want_a, code
+
+
+def test_g711_through_decode_media_and_geometry(spark):
+    wav = _make_g711_wav(7, 1, 8000, bytes([0xFF] * 5))
+    df = spark.createDataFrame(
+        [(1, "wav", bytearray(wav))], "media_id long, fmt string, content binary"
+    )
+    row = mm.decode_media(df).first()
+    assert row["decode_error"] is None
+    assert row["dec_n_frames"] == 5 and row["payload_bytes"] == 10
+    # stereo data must be a whole number of frames
+    with pytest.raises(ValueError, match="whole number"):
+        mm._decode_wav(_make_g711_wav(6, 2, 8000, bytes(3)))
