@@ -314,18 +314,22 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    materialize: str = "local",
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows-per-band
-    groups, bucket by the band's hash, emit candidate pairs sharing any
-    bucket. Output: (doc_a, doc_b, bands_in_common)."""
+    """``(doc, band, bucket)`` LSH band rows: split each doc's MinHash
+    signature into ``bands`` groups of ``num_hashes/bands`` lanes and
+    hash each group into a 64-bit bucket. One row per (doc, band);
+    purely per-doc, so a doc's rows are identical whether it is hashed
+    alone or with the whole corpus — which is what makes the frozen
+    corpus index (:func:`minhash_index_write`) exact w.r.t. a full
+    recompute. This is also the candidate-join key layout
+    :func:`minhash_lsh_candidates` self-joins on."""
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes}: the "
@@ -335,7 +339,7 @@ def minhash_lsh_candidates(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_rows = sigs.select(
+    return sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -357,6 +361,21 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    materialize: str = "local",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band
+    groups, bucket by the band's hash, emit candidate pairs sharing any
+    bucket. Output: (doc_a, doc_b, bands_in_common)."""
+    band_rows = minhash_band_rows(df, text_col, id_col, n, num_hashes, bands)
     # materialize before the self-join so the shingle+minhash pipeline
     # runs once, not once per join branch
     band_rows = _materialize(band_rows, materialize)
@@ -369,6 +388,85 @@ def minhash_lsh_candidates(
         a.hint("merge")
         .join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("bands_in_common"))
+    )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Materialize the corpus's LSH band index (``(doc, band, bucket)``)
+    as Parquet at ``path``, partitioned by ``band``. This is the
+    pay-the-hashing-once half of incremental dedup: the corpus's
+    shingle→minhash→band pipeline runs exactly once here, and every
+    future :func:`minhash_probe_candidates` call only *scans* the
+    result. Band partitioning keeps per-directory files bounded and lets
+    a probe configured with fewer bands prune whole directories."""
+    minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path)
+
+
+def minhash_probe_candidates(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs between a NEW document batch
+    and a frozen corpus index (:func:`minhash_index_write`), plus pairs
+    within the new batch itself. Output matches
+    :func:`minhash_lsh_candidates` — (doc_a, doc_b, bands_in_common),
+    doc_a < doc_b — restricted to pairs touching the new batch: because
+    band rows are purely per-doc, the result is EXACTLY the full
+    recompute over (corpus ∪ batch) filtered to pairs with a new-batch
+    side (pinned by tests/test_dedup.py). Doc ids must be disjoint from
+    the indexed corpus — re-submitting an indexed doc would pair it with
+    itself under two row identities.
+
+    100 TB story: the corpus never re-hashes and never shuffles — the
+    incoming shard's band rows broadcast to the index scan
+    (BroadcastHashJoin, zero Exchange above the corpus-side Parquet
+    scan; plan-asserted in tests), so per-shard cost is O(shard hashing
+    + corpus scan + matches), not O(corpus hashing). For a shard too
+    large to broadcast, ``broadcast_new=False`` falls back to a
+    sort-merge join that shuffles both sides (still O(docs×bands) keys,
+    the same bound as the batch form)."""
+    new_rows = minhash_band_rows(new_df, text_col, id_col, n, num_hashes, bands)
+    # computed once, consumed by two join branches (index probe + batch
+    # self-join): cut lineage so the shingle+minhash pipeline runs once
+    new_rows = _materialize(new_rows, "local")
+    idx = spark.read.parquet(index_path)
+    probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
+    cross = (
+        idx.join(probe.withColumnRenamed("doc", "doc_new"), ["band", "bucket"])
+        .filter(F.col("doc") != F.col("doc_new"))
+        .select(
+            F.least("doc", "doc_new").alias("doc_a"),
+            F.greatest("doc", "doc_new").alias("doc_b"),
+        )
+    )
+    a = new_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = new_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    within = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return (
+        cross.unionByName(within)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("bands_in_common"))
     )

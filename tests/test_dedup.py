@@ -475,3 +475,95 @@ def test_reliable_materialize_defaults_checkpoint_dir_under_warehouse(spark):
     assert got_dir is not None
     assert "_checkpoints" in got_dir
     assert os.path.basename(warehouse.rstrip("/")) in got_dir
+
+
+def test_minhash_probe_matches_full_recompute(spark, tmp_path):
+    """Incremental dedup exactness: probing a frozen corpus band index
+    with a new shard must return EXACTLY the full batch recompute over
+    (corpus ∪ shard), filtered to pairs touching the shard — same pairs,
+    same bands_in_common. Holds because band rows are purely per-doc
+    (minhash_band_rows docstring), so freezing changes nothing."""
+    df, _ = _corpus(spark)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates(df, n=3, num_hashes=32, bands=8).collect()
+    }
+    corpus = df.filter(F.col("doc_id") % 10 != 0)
+    new = df.filter(F.col("doc_id") % 10 == 0)
+    assert new.count() > 0 and corpus.count() > 0
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(corpus, path, n=3, num_hashes=32, bands=8)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_probe_candidates(
+            spark, path, new, n=3, num_hashes=32, bands=8
+        ).collect()
+    }
+    want = {p: c for p, c in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0}
+    assert got == want
+    assert want  # the planted near-dup pairs guarantee shard-touching hits
+    # non-broadcast fallback (shard too big to broadcast): same result
+    got_merge = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_probe_candidates(
+            spark, path, new, n=3, num_hashes=32, bands=8, broadcast_new=False
+        ).collect()
+    }
+    assert got_merge == want
+
+
+def test_minhash_probe_corpus_scan_is_exchange_free(spark, tmp_path):
+    """The 100 TB claim in minhash_probe_candidates' docstring: the
+    corpus-index side of the probe join must be a BroadcastHashJoin
+    streamed side with NO Exchange between the Parquet scan and the
+    join — the corpus never shuffles. The index scan is the left child,
+    so in the printed plan no Exchange may appear between the BHJ line
+    and the index FileScan line."""
+    df, _ = _corpus(spark)
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(df.filter(F.col("doc_id") % 10 != 0), path)
+    probe = dedup.minhash_probe_candidates(
+        spark, path, df.filter(F.col("doc_id") % 10 == 0)
+    )
+    lines = probe._jdf.queryExecution().executedPlan().toString().splitlines()
+    bhj = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    # the index is the ONLY Parquet scan in this plan (the shard's band
+    # rows are lineage-cut RDD scans); the plan string may truncate the
+    # file path, so match on the scan node alone
+    scan = next(i for i, l in enumerate(lines[bhj:], bhj) if "Scan parquet" in l)
+    between = [l for l in lines[bhj + 1 : scan] if "Exchange" in l]
+    assert not between, f"corpus side shuffles: {between}"
+
+
+def test_registered_minhash_probe_query_matches_batch_form(spark):
+    """The registered serve-path query (`minhash_dedup_probe`) must
+    equal the registered full-recompute query (`minhash_lsh_candidates`)
+    filtered to shard-touching pairs, on the real documents table — and
+    the frozen index must be cached (second build reuses the path) with
+    the same lifecycle hooks as the IVF index."""
+    import os
+
+    from ethereum_analytical_db_spark.plans import pipeline as pl
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in qs["minhash_dedup_probe"].build(spark, sf).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in qs["minhash_lsh_candidates"].build(spark, sf).collect()
+    }
+    assert got == {
+        p: c for p, c in full.items() if p[0] % 10 == 0 or p[1] % 10 == 0
+    }
+    key = os.path.abspath(sf)
+    path = pl._MINHASH_FROZEN[key]
+    assert os.path.isdir(path)
+    qs["minhash_dedup_probe"].build(spark, sf)
+    assert pl._MINHASH_FROZEN[key] == path  # cached, not rebuilt
+    pl._minhash_cleanup()
+    assert not os.path.exists(path)
+    assert pl._MINHASH_FROZEN == {}
