@@ -414,6 +414,31 @@ def minhash_index_write(
     ).partitionBy("band").parquet(path)
 
 
+def minhash_index_append(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Fold a probed shard into the frozen index: append its band rows
+    (computed with the SAME parameters the index was built with — the
+    caller owns that invariant, a mismatched band count would corrupt
+    every future probe) so the next shard's probe sees it as corpus.
+    ``probe → append`` per shard is the complete incremental-ingest
+    loop: no corpus row is ever re-hashed, and after K shards the index
+    equals :func:`minhash_index_write` over the union (parity pinned in
+    tests). Parquet append only adds files — existing data files are
+    never rewritten, so at 100 TB this is an O(shard) metadata+write
+    operation (run a compaction over small files on whatever cadence
+    the store needs, exactly like any log-structured table)."""
+    minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
+        "append"
+    ).partitionBy("band").parquet(path)
+
+
 def minhash_probe_candidates(
     spark,
     index_path: str,

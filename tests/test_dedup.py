@@ -567,3 +567,45 @@ def test_registered_minhash_probe_query_matches_batch_form(spark):
     pl._minhash_cleanup()
     assert not os.path.exists(path)
     assert pl._MINHASH_FROZEN == {}
+
+
+def test_minhash_probe_append_sequential_shards(spark, tmp_path):
+    """The full incremental-ingest loop: start from an indexed corpus,
+    then per shard (probe, append). Union of per-shard probe results
+    must equal the full batch recompute minus the corpus-internal pairs
+    (every pair is found exactly once, by the FIRST shard that completes
+    it), and after all appends the index equals a fresh build over
+    everything."""
+    df, _ = _corpus(spark)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates(df, n=3, num_hashes=32, bands=8).collect()
+    }
+    base = df.filter(F.col("doc_id") % 3 == 0)
+    shard1 = df.filter(F.col("doc_id") % 3 == 1)
+    shard2 = df.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(base, path, n=3, num_hashes=32, bands=8)
+    found = {}
+    for shard in (shard1, shard2):
+        for r in dedup.minhash_probe_candidates(
+            spark, path, shard, n=3, num_hashes=32, bands=8
+        ).collect():
+            pair = (r["doc_a"], r["doc_b"])
+            assert pair not in found  # each pair found exactly once
+            found[pair] = r["bands_in_common"]
+        dedup.minhash_index_append(shard, path, n=3, num_hashes=32, bands=8)
+    want = {
+        p: c
+        for p, c in full.items()
+        if not (p[0] % 3 == 0 and p[1] % 3 == 0)  # corpus-internal: pre-existed
+    }
+    assert found == want and found
+    # the appended index now equals a fresh build over the whole corpus
+    fresh = str(tmp_path / "fresh_index")
+    dedup.minhash_index_write(df, fresh, n=3, num_hashes=32, bands=8)
+    rows = lambda p: {  # noqa: E731
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert rows(path) == rows(fresh)
