@@ -449,6 +449,7 @@ def minhash_probe_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     broadcast_new: bool = True,
+    index_filter=None,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW document batch
     and a frozen corpus index (:func:`minhash_index_write`), plus pairs
@@ -474,6 +475,11 @@ def minhash_probe_candidates(
     # self-join): cut lineage so the shingle+minhash pipeline runs once
     new_rows = _materialize(new_rows, "local")
     idx = spark.read.parquet(index_path)
+    if index_filter is not None:
+        # e.g. exclude a retried micro-batch's own rows (a partition
+        # predicate on the streaming index's `batch` column — prunes
+        # directories, see streaming/dedupe_stream.near_dedup_stream)
+        idx = idx.filter(index_filter)
     probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
     cross = (
         idx.join(probe.withColumnRenamed("doc", "doc_new"), ["band", "bucket"])

@@ -60,3 +60,102 @@ def dedup_exact_stream(
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so it answers
+    correctly for HDFS/S3 paths on a real cluster, not just local files."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def near_dedup_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """Streaming NEAR-dup detection — the streaming twin of the
+    incremental-ingest loop (``operators/dedup.minhash_probe_candidates``
+    + ``minhash_index_append``): each micro-batch probes the corpus band
+    index for near-dup candidate pairs (new-vs-corpus and within-batch),
+    lands them under ``pairs_path``, then folds its own band rows into
+    the index so later batches see it as corpus.
+
+    State design: unlike ``dedup_exact_stream``, the dedup state lives
+    in the INDEX (Parquet on the warehouse filesystem), not in Spark
+    streaming state — so it is unbounded-corpus-sized without growing
+    executor state stores, survives query restarts for free, and is the
+    same index the batch probe reads. foreachBatch gives at-least-once
+    batch execution, so the whole loop is made replay-deterministic:
+    each batch writes its pairs and its index rows under a
+    ``batch=<id>`` partition with dynamic partition overwrite (a retry
+    REPLACES its own directories, never duplicates them), and the probe
+    reads only STRICTLY EARLIER batches (``batch < id``, a
+    directory-pruning partition predicate). Probing earlier-only is
+    what makes every candidate pair land in exactly one batch partition
+    — the batch containing its later doc — under retries AND under a
+    full from-scratch replay over a surviving index (probing "all other
+    batches" would double-report cross-batch pairs in that replay).
+
+    The index path must be stream-owned (this writer's layout): to seed
+    from an existing corpus, feed the corpus through as the first
+    file(s) of the stream rather than pre-building with
+    ``minhash_index_write``, whose un-partitioned layout cannot mix
+    with the ``batch=`` directories.
+
+    Returns the ``DataStreamWriter`` — caller adds checkpoint/trigger
+    and ``.start()``.
+    """
+    from ..operators.dedup import minhash_band_rows, minhash_probe_candidates
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            if _hadoop_path_exists(spark, index_path):
+                pairs = minhash_probe_candidates(
+                    spark,
+                    index_path,
+                    batch_df,
+                    text_col,
+                    id_col,
+                    n,
+                    num_hashes,
+                    bands,
+                    index_filter=F.col("batch") < batch_id,
+                )
+            else:
+                # bootstrap: no corpus yet — within-batch pairs only
+                # (probe_candidates' `within` branch, via the batch op)
+                from ..operators.dedup import minhash_lsh_candidates
+
+                pairs = minhash_lsh_candidates(
+                    batch_df, text_col, id_col, n, num_hashes, bands
+                )
+            (
+                pairs.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(pairs_path)
+            )
+            (
+                minhash_band_rows(batch_df, text_col, id_col, n, num_hashes, bands)
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch", "band")
+                .parquet(index_path)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return stream_docs.writeStream.foreachBatch(_process)

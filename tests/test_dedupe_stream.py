@@ -86,3 +86,82 @@ def test_stream_matches_batch_operator(spark, tmp_path):
     assert sorted(r["text"] for r in streamed.collect()) == sorted(
         r["text"] for r in batch.collect()
     )
+
+
+def test_near_dedup_stream_matches_batch_and_replays_identically(spark, tmp_path):
+    """Streaming near-dup twin: the union of per-batch candidate pairs
+    must equal the batch operator over the whole corpus (each pair found
+    exactly once, in the batch of its LATER doc), the index must equal a
+    fresh batch build, and a from-scratch replay (fresh checkpoint,
+    surviving index + pairs dirs — the at-least-once worst case) must
+    leave both outputs unchanged."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(50))))
+    for k in range(5):  # near-dups of docs 0..4, landing in later files
+        words = rows[k][1].split()
+        words[7] = "edited"
+        rows.append((100 + k, " ".join(words)))
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+    want_pairs = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates(df_all, n=3, num_hashes=32, bands=8).collect()
+    }
+    assert want_pairs  # planted near-dups guarantee candidates
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for j in range(3):  # three files → three single-file micro-batches
+        part = df_all.filter(F.col("doc_id") % 3 == j)
+        part.coalesce(1).write.mode("append").parquet(str(src))
+    index_path = str(tmp_path / "band_index")
+    pairs_path = str(tmp_path / "pairs")
+    schema = df_all.schema
+
+    def run(checkpoint: str) -> None:
+        stream = st.stream_from_files(
+            spark, str(src), schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(stream, index_path, pairs_path)
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+
+    def got_pairs() -> dict:
+        return {
+            (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    run("ckpt1")
+    assert got_pairs() == want_pairs
+    # each pair appears in exactly ONE batch partition (no double count)
+    assert spark.read.parquet(pairs_path).count() == len(want_pairs)
+    idx_rows = lambda: {  # noqa: E731
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_path).collect()
+    }
+    fresh = str(tmp_path / "fresh_index")
+    dedup.minhash_index_write(df_all, fresh, n=3, num_hashes=32, bands=8)
+    want_idx = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(fresh).collect()
+    }
+    assert idx_rows() == want_idx
+
+    # from-scratch replay over the surviving index + pairs dirs
+    run("ckpt2")
+    assert got_pairs() == want_pairs
+    assert spark.read.parquet(pairs_path).count() == len(want_pairs)
+    assert idx_rows() == want_idx
