@@ -450,6 +450,7 @@ def minhash_probe_candidates(
     bands: int = 8,
     broadcast_new: bool = True,
     index_filter=None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW document batch
     and a frozen corpus index (:func:`minhash_index_write`), plus pairs
@@ -469,11 +470,14 @@ def minhash_probe_candidates(
     + corpus scan + matches), not O(corpus hashing). For a shard too
     large to broadcast, ``broadcast_new=False`` falls back to a
     sort-merge join that shuffles both sides (still O(docs×bands) keys,
-    the same bound as the batch form)."""
+    the same bound as the batch form); the within-batch self-join then
+    inherits the same merge hint (shard-sized band table, same SHJ task
+    -memory hazard the batch form documents). ``materialize`` is the
+    standard local|reliable lineage-cut knob (operators/materialize.py)."""
     new_rows = minhash_band_rows(new_df, text_col, id_col, n, num_hashes, bands)
     # computed once, consumed by two join branches (index probe + batch
     # self-join): cut lineage so the shingle+minhash pipeline runs once
-    new_rows = _materialize(new_rows, "local")
+    new_rows = _materialize(new_rows, materialize)
     idx = spark.read.parquet(index_path)
     if index_filter is not None:
         # e.g. exclude a retried micro-batch's own rows (a partition
@@ -491,6 +495,8 @@ def minhash_probe_candidates(
     )
     a = new_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = new_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    if not broadcast_new:
+        a = a.hint("merge")
     within = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))

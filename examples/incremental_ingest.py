@@ -1,0 +1,109 @@
+"""Incremental corpus ingest: dedup each arriving shard without ever
+re-hashing the corpus.
+
+Two equivalent drivers over the same loop (pick with ``--mode``):
+
+- ``batch``  — explicit probe → append per shard
+  (``operators/dedup.minhash_probe_candidates`` / ``minhash_index_append``):
+
+      python examples/incremental_ingest.py /root/testdata/sf0.01 /tmp/ingest_out
+
+- ``stream`` — the Structured Streaming twin
+  (``streaming/dedupe_stream.near_dedup_stream``): shards dropped as
+  files become micro-batches; the probe→append loop runs in
+  ``foreachBatch`` with replay-deterministic batch-partitioned writes:
+
+      python examples/incremental_ingest.py /root/testdata/sf0.01 /tmp/ingest_out --mode stream
+
+Both modes print, per shard, the near-dup candidate pairs found against
+everything ingested before it — each pair reported exactly once, by the
+shard of its later document (parity with the one-shot batch operator is
+pinned in tests/test_dedup.py and tests/test_dedupe_stream.py). At
+100 TB the point is the cost model: per-shard work is O(shard hashing +
+corpus scan + matches); the corpus's own shingle→minhash pipeline ran
+once, at index build, and never again.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("sf_dir", help="directory with documents.parquet")
+    p.add_argument("out_dir", help="working directory (index + pairs land here)")
+    p.add_argument("--mode", choices=("batch", "stream"), default="batch")
+    p.add_argument("--shards", type=int, default=4)
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.session import get_spark
+
+    spark = get_spark(app_name="incremental_ingest", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    shutil.rmtree(args.out_dir, ignore_errors=True)
+    os.makedirs(args.out_dir)
+    index_path = os.path.join(args.out_dir, "band_index")
+    pairs_path = os.path.join(args.out_dir, "pairs")
+    shard_of = F.col("doc_id") % args.shards
+
+    if args.mode == "batch":
+        from ethereum_analytical_db_spark.operators.dedup import (
+            minhash_index_append,
+            minhash_index_write,
+            minhash_probe_candidates,
+        )
+
+        # shard 0 seeds the index; later shards probe then join the corpus
+        minhash_index_write(docs.filter(shard_of == 0), index_path)
+        print(f"shard 0: indexed {docs.filter(shard_of == 0).count()} docs (seed)")
+        for s in range(1, args.shards):
+            shard = docs.filter(shard_of == s)
+            pairs = minhash_probe_candidates(spark, index_path, shard)
+            hits = pairs.orderBy("doc_a", "doc_b").collect()
+            print(f"shard {s}: {shard.count()} docs, {len(hits)} near-dup candidates")
+            for r in hits[:5]:
+                print(f"    ({r['doc_a']}, {r['doc_b']}) bands_in_common={r['bands_in_common']}")
+            minhash_index_append(shard, index_path)
+    else:
+        from ethereum_analytical_db_spark.streaming import dedupe_stream as ds
+        from ethereum_analytical_db_spark.streaming import stream as st
+
+        src = os.path.join(args.out_dir, "arrivals")
+        os.makedirs(src)
+        for s in range(args.shards):  # one file per shard → one micro-batch each
+            docs.filter(shard_of == s).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            ds.near_dedup_stream(
+                st.stream_from_files(spark, src, docs.schema, max_files_per_trigger=1),
+                index_path,
+                pairs_path,
+            )
+            .option("checkpointLocation", os.path.join(args.out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+        pairs = spark.read.parquet(pairs_path)
+        for row in pairs.groupBy("batch").count().orderBy("batch").collect():
+            print(f"batch {row['batch']}: {row['count']} near-dup candidates")
+        pairs.orderBy("doc_a", "doc_b").show(5)
+
+    n_idx = spark.read.parquet(index_path).count()
+    print(f"index now holds {n_idx} band rows — next shard probes it as corpus")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
