@@ -259,3 +259,66 @@ def test_substring_dedup_matches_python_model(spark, word_lists, k):
     for doc_id, _ in rows:
         assert got[doc_id]["text_clean"] == exp_clean[doc_id], (doc_id, k)
         assert got[doc_id]["tokens_removed"] == exp_removed[doc_id], (doc_id, k)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from("abcdef"), min_size=5, max_size=10),
+            st.integers(min_value=0, max_value=2),  # shard of this doc
+        ),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_incremental_probe_append_equals_full_recompute(spark, docs):
+    """For ANY corpus and ANY 3-way sharding, sequentially probing and
+    appending each non-empty shard against the growing band index
+    reproduces the one-shot batch recompute exactly: every candidate
+    pair surfaces exactly once — in the shard of its LATER doc — with
+    the same bands_in_common. The tiny 6-word vocabulary forces heavy
+    shingle collisions, so pairs are plentiful."""
+    import shutil
+    import tempfile
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    rows = [(i, " ".join(words)) for i, (words, _) in enumerate(docs)]
+    shard_of = {i: s for i, (_, s) in enumerate(docs)}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates(df, n=3, num_hashes=8, bands=4).collect()
+    }
+    base = tempfile.mkdtemp()
+    try:
+        path = f"{base}/idx"
+        found: dict = {}
+        seen_shards = []
+        for s in (0, 1, 2):
+            shard = df.filter(
+                F.col("doc_id").isin([i for i, v in shard_of.items() if v == s] or [-1])
+            )
+            if shard.isEmpty():
+                continue
+            if not seen_shards:
+                dedup.minhash_index_write(shard, path, n=3, num_hashes=8, bands=4)
+            else:
+                for r in dedup.minhash_probe_candidates(
+                    spark, path, shard, n=3, num_hashes=8, bands=4
+                ).collect():
+                    pair = (r["doc_a"], r["doc_b"])
+                    assert pair not in found
+                    found[pair] = r["bands_in_common"]
+                dedup.minhash_index_append(shard, path, n=3, num_hashes=8, bands=4)
+            seen_shards.append(s)
+        first = seen_shards[0]
+        expected = {
+            p: c
+            for p, c in want.items()
+            if not (shard_of[p[0]] == first and shard_of[p[1]] == first)
+        }
+        assert found == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
