@@ -393,6 +393,46 @@ def minhash_lsh_candidates(
     )
 
 
+_BAND_INDEX_META = "_band_index_meta.json"
+
+
+def _write_band_index_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+    """Parameter sidecar (leading-underscore name — Parquet readers skip
+    it). Driver-local ``open()``, same caveat as the IVF sidecar: on a
+    real cluster put the index on a driver-mounted path or swap these
+    two helpers for the Hadoop FS API."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _BAND_INDEX_META), "w") as f:
+        _json.dump({"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}, f)
+
+
+def _check_band_index_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+    """Refuse to probe or append with parameters other than the ones the
+    index was built with — a mismatched shingle width, hash count, or
+    band count silently yields wrong buckets (the same footgun
+    ivf_index_append's centroid digest guards against)."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, _BAND_INDEX_META)
+    if not _os.path.exists(meta_path):
+        raise ValueError(
+            f"no {_BAND_INDEX_META} sidecar at {path}: index was not "
+            "written by minhash_index_write/near_dedup_stream, cannot "
+            "validate probe parameters"
+        )
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    want = {"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}
+    if meta != want:
+        raise ValueError(
+            f"band index at {path} was built with {meta}, used with "
+            f"{want} — mismatched parameters would corrupt every result"
+        )
+
+
 def minhash_index_write(
     df: DataFrame,
     path: str,
@@ -412,6 +452,7 @@ def minhash_index_write(
     minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(path)
+    _write_band_index_meta(path, n, num_hashes, bands)
 
 
 def minhash_index_append(
@@ -424,8 +465,8 @@ def minhash_index_append(
     bands: int = 8,
 ) -> None:
     """Fold a probed shard into the frozen index: append its band rows
-    (computed with the SAME parameters the index was built with — the
-    caller owns that invariant, a mismatched band count would corrupt
+    (validated against the parameter sidecar the index was written with
+    — a mismatched shingle/hash/band count raises instead of corrupting
     every future probe) so the next shard's probe sees it as corpus.
     ``probe → append`` per shard is the complete incremental-ingest
     loop: no corpus row is ever re-hashed, and after K shards the index
@@ -434,6 +475,7 @@ def minhash_index_append(
     never rewritten, so at 100 TB this is an O(shard) metadata+write
     operation (run a compaction over small files on whatever cadence
     the store needs, exactly like any log-structured table)."""
+    _check_band_index_meta(path, n, num_hashes, bands)
     minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
         "append"
     ).partitionBy("band").parquet(path)
@@ -474,6 +516,7 @@ def minhash_probe_candidates(
     inherits the same merge hint (shard-sized band table, same SHJ task
     -memory hazard the batch form documents). ``materialize`` is the
     standard local|reliable lineage-cut knob (operators/materialize.py)."""
+    _check_band_index_meta(index_path, n, num_hashes, bands)
     new_rows = minhash_band_rows(new_df, text_col, id_col, n, num_hashes, bands)
     # computed once, consumed by two join branches (index probe + batch
     # self-join): cut lineage so the shingle+minhash pipeline runs once

@@ -112,7 +112,11 @@ def near_dedup_stream(
     Returns the ``DataStreamWriter`` — caller adds checkpoint/trigger
     and ``.start()``.
     """
-    from ..operators.dedup import minhash_band_rows, minhash_probe_candidates
+    from ..operators.dedup import (
+        _write_band_index_meta,
+        minhash_band_rows,
+        minhash_probe_candidates,
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -155,6 +159,10 @@ def near_dedup_stream(
                 .partitionBy("batch", "band")
                 .parquet(index_path)
             )
+            # parameter sidecar: later batches' probes (and any batch
+            # probe of a stream-owned index) validate against it;
+            # idempotent re-write per batch
+            _write_band_index_meta(index_path, n, num_hashes, bands)
         finally:
             batch_df.unpersist()
 

@@ -609,3 +609,28 @@ def test_minhash_probe_append_sequential_shards(spark, tmp_path):
         for r in spark.read.parquet(p).collect()
     }
     assert rows(path) == rows(fresh)
+
+
+def test_band_index_parameter_sidecar_guards_mismatch(spark, tmp_path):
+    """Probing or appending with parameters other than the ones the
+    index was written with must raise (mismatched shingle/hash/band
+    configs silently yield wrong buckets otherwise — the same footgun
+    ivf_index_append's centroid digest guards); an index dir without the
+    sidecar is rejected as not-ours."""
+    df, _ = _corpus(spark)
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(df, path, n=3, num_hashes=32, bands=8)
+    probe_df = df.limit(3)
+    for bad in (dict(bands=4), dict(num_hashes=16), dict(n=2)):
+        kw = {"n": 3, "num_hashes": 32, "bands": 8, **bad}
+        with pytest.raises(ValueError, match="mismatched parameters"):
+            dedup.minhash_probe_candidates(spark, path, probe_df, **kw)
+        with pytest.raises(ValueError, match="mismatched parameters"):
+            dedup.minhash_index_append(probe_df, path, **kw)
+    # matching parameters still pass
+    assert dedup.minhash_probe_candidates(spark, path, probe_df).count() >= 0
+    # a foreign parquet dir (no sidecar) is rejected loudly
+    bare = str(tmp_path / "bare")
+    df.limit(1).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.minhash_probe_candidates(spark, bare, probe_df)
