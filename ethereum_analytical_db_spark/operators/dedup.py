@@ -584,6 +584,170 @@ def simhash_signatures(
     return bit_sums.select("doc", sig.alias("simhash"))
 
 
+def _chunked_signatures(sigs: DataFrame, blocks: int) -> DataFrame:
+    """``(doc, simhash, blk, chunk)`` rows: the 64-bit signature split
+    into ``blocks`` bit chunks (the block-permutation candidate key).
+    Purely per-doc — a doc's rows are identical alone or with the whole
+    corpus, which is what makes the frozen SimHash index
+    (:func:`simhash_index_write`) exact w.r.t. a full recompute."""
+    chunk_bits = 64 // blocks
+    mask = (1 << chunk_bits) - 1
+    return sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.blk", "c.chunk")
+
+
+_SIMHASH_INDEX_META = "_simhash_index_meta.json"
+
+
+def _write_simhash_index_meta(path: str, blocks: int) -> None:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _SIMHASH_INDEX_META), "w") as f:
+        _json.dump({"kind": "simhash_blocks", "bits": 64, "blocks": blocks}, f)
+
+
+def _check_simhash_index_meta(path: str, blocks: int) -> None:
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, _SIMHASH_INDEX_META)
+    if not _os.path.exists(meta_path):
+        raise ValueError(
+            f"no {_SIMHASH_INDEX_META} sidecar at {path}: index was not "
+            "written by simhash_index_write, cannot validate parameters"
+        )
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    want = {"kind": "simhash_blocks", "bits": 64, "blocks": blocks}
+    if meta != want:
+        raise ValueError(
+            f"simhash index at {path} was built with {meta}, used with "
+            f"{want} — mismatched parameters would corrupt every result"
+        )
+
+
+def simhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> None:
+    """Materialize the corpus's SimHash chunk index (``(doc, simhash,
+    blk, chunk)``) as Parquet at ``path``, partitioned by ``blk`` —
+    the SimHash twin of :func:`minhash_index_write`: the corpus's
+    tokenize→64-lane-vote pipeline runs exactly once here."""
+    chunked = _chunked_signatures(
+        simhash_signatures(df, text_col, id_col), blocks
+    )
+    chunked.write.mode("overwrite").partitionBy("blk").parquet(path)
+    _write_simhash_index_meta(path, blocks)
+
+
+def simhash_index_append(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> None:
+    """Fold a probed shard into the frozen SimHash index (validated
+    against the parameter sidecar); ``probe → append`` per shard is the
+    same incremental-ingest loop :func:`minhash_index_append` documents
+    — O(shard) writes, resident files untouched."""
+    _check_simhash_index_meta(path, blocks)
+    _chunked_signatures(simhash_signatures(df, text_col, id_col), blocks).write.mode(
+        "append"
+    ).partitionBy("blk").parquet(path)
+
+
+def simhash_probe_candidates(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    partial_recall: bool = False,
+    broadcast_new: bool = True,
+    materialize: str = "local",
+) -> DataFrame:
+    """Incremental SimHash near-dup: pairs (Hamming <= max_hamming)
+    between a NEW batch and a frozen chunk index, plus pairs within the
+    batch — EXACTLY :func:`simhash_near_duplicates` over (corpus ∪
+    batch) filtered to pairs touching the batch (chunk rows are purely
+    per-doc; parity pinned in tests/test_dedup.py). Same pigeonhole
+    guarantee/opt-out and the same broadcast-probe plan shape as
+    :func:`minhash_probe_candidates`: the corpus side never re-hashes
+    and never shuffles. Doc ids must be disjoint from the index."""
+    if max_hamming >= blocks and not partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= blocks={blocks} voids the "
+            "block-permutation recall guarantee (a pair can differ in "
+            "every chunk); raise blocks past max_hamming or pass "
+            "partial_recall=True to accept the heuristic"
+        )
+    _check_simhash_index_meta(index_path, blocks)
+    new_rows = _materialize(
+        _chunked_signatures(simhash_signatures(new_df, text_col, id_col), blocks),
+        materialize,
+    )
+    idx = spark.read.parquet(index_path)
+    probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
+    hamming_x = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sig_new")))
+    cross = (
+        idx.join(
+            probe.withColumnsRenamed({"doc": "doc_new", "simhash": "sig_new"}),
+            ["blk", "chunk"],
+        )
+        .filter(F.col("doc") != F.col("doc_new"))
+        .select(
+            F.least("doc", "doc_new").alias("doc_a"),
+            F.greatest("doc", "doc_new").alias("doc_b"),
+            hamming_x.alias("hamming"),
+        )
+    )
+    a = new_rows.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "chunk"
+    )
+    b = new_rows.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "chunk"
+    )
+    if not broadcast_new:
+        a = a.hint("merge")
+    within = (
+        a.join(b, ["blk", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -628,25 +792,7 @@ def simhash_near_duplicates(
             "partial_recall=True to accept the heuristic"
         )
     sigs = _materialize(simhash_signatures(df, text_col, id_col), materialize)
-    chunk_bits = 64 // blocks
-    mask = (1 << chunk_bits) - 1
-    chunked = sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc", "simhash", "c.blk", "c.chunk")
+    chunked = _chunked_signatures(sigs, blocks)
     if max_chunk_df is not None:
         hot = (
             chunked.groupBy("blk", "chunk")

@@ -634,3 +634,56 @@ def test_band_index_parameter_sidecar_guards_mismatch(spark, tmp_path):
     df.limit(1).write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         dedup.minhash_probe_candidates(spark, bare, probe_df)
+
+
+def test_simhash_probe_matches_full_recompute_and_appends(spark, tmp_path):
+    """SimHash incremental twin: probing the frozen chunk index with a
+    new shard equals the full batch recompute filtered to shard-touching
+    pairs (same pairs, same hamming); after appending shard 1, shard 2's
+    probe sees it as corpus — the full sequence reproduces the batch
+    result minus corpus-internal pairs. Parameter-sidecar mismatches and
+    pigeonhole-voiding configs raise."""
+    df, _ = _corpus(spark)
+    kw = dict(max_hamming=12, blocks=4, partial_recall=True)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(df, **kw).collect()
+    }
+    assert full
+    base = df.filter(F.col("doc_id") % 3 == 0)
+    s1 = df.filter(F.col("doc_id") % 3 == 1)
+    s2 = df.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "simhash_index")
+    dedup.simhash_index_write(base, path, blocks=4)
+    found = {}
+    for shard in (s1, s2):
+        for r in dedup.simhash_probe_candidates(spark, path, shard, **kw).collect():
+            pair = (r["doc_a"], r["doc_b"])
+            assert pair not in found
+            found[pair] = r["hamming"]
+        dedup.simhash_index_append(shard, path, blocks=4)
+    want = {
+        p: h
+        for p, h in full.items()
+        if not (p[0] % 3 == 0 and p[1] % 3 == 0)
+    }
+    assert found == want
+    # appended index equals a fresh build over everything
+    fresh = str(tmp_path / "fresh")
+    dedup.simhash_index_write(df, fresh, blocks=4)
+    rows = lambda p: {  # noqa: E731
+        (r["doc"], r["simhash"], r["blk"], r["chunk"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert rows(path) == rows(fresh)
+    # guards: mismatched blocks, missing sidecar, voided pigeonhole
+    with pytest.raises(ValueError, match="mismatched parameters"):
+        dedup.simhash_probe_candidates(
+            spark, path, s1, max_hamming=3, blocks=8
+        )
+    with pytest.raises(ValueError, match="recall guarantee"):
+        dedup.simhash_probe_candidates(spark, path, s1, max_hamming=4, blocks=4)
+    bare = str(tmp_path / "bare")
+    df.limit(1).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.simhash_probe_candidates(spark, bare, s1, max_hamming=3, blocks=4)
