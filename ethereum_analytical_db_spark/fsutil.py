@@ -1,0 +1,55 @@
+"""Small-file IO through the Hadoop FileSystem API.
+
+The frozen-index sidecars (IVF centroid digest, LSH plane meta, MinHash
+band / SimHash chunk parameters) are tiny JSON files living INSIDE a
+Parquet index directory. Writing them with driver-local ``open()``
+works in local mode but silently targets the wrong filesystem when the
+index lives on HDFS/S3 — exactly the 100 TB deployment the indexes
+exist for. These helpers route the same reads/writes through the
+JVM-side Hadoop FileSystem resolved from the path itself, so
+``file:/``, ``hdfs:/`` and ``s3a:/`` index paths all behave
+identically. Driver-side only (sidecars are bounded metadata, never
+data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.exists(jpath)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite a small text file at ``path``."""
+    fs, jpath = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file at ``path``; raises FileNotFoundError when
+    absent so callers can produce their own actionable message."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    jvm = spark._jvm
+    stream = fs.open(jpath)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        # Hadoop's own IOUtils — always on the classpath with the FS API
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()

@@ -396,35 +396,38 @@ def minhash_lsh_candidates(
 _BAND_INDEX_META = "_band_index_meta.json"
 
 
-def _write_band_index_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+def _write_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int) -> None:
     """Parameter sidecar (leading-underscore name — Parquet readers skip
-    it). Driver-local ``open()``, same caveat as the IVF sidecar: on a
-    real cluster put the index on a driver-mounted path or swap these
-    two helpers for the Hadoop FS API."""
+    it). Written through the Hadoop FS API (`fsutil`) so HDFS/S3 index
+    paths work identically to local ones."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, _BAND_INDEX_META), "w") as f:
-        _json.dump({"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}, f)
+    from .. import fsutil
+
+    fsutil.write_text(
+        spark,
+        f"{path}/{_BAND_INDEX_META}",
+        _json.dumps({"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}),
+    )
 
 
-def _check_band_index_meta(path: str, n: int, num_hashes: int, bands: int) -> None:
+def _check_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int) -> None:
     """Refuse to probe or append with parameters other than the ones the
     index was built with — a mismatched shingle width, hash count, or
     band count silently yields wrong buckets (the same footgun
     ivf_index_append's centroid digest guards against)."""
     import json as _json
-    import os as _os
 
-    meta_path = _os.path.join(path, _BAND_INDEX_META)
-    if not _os.path.exists(meta_path):
+    from .. import fsutil
+
+    try:
+        meta = _json.loads(fsutil.read_text(spark, f"{path}/{_BAND_INDEX_META}"))
+    except FileNotFoundError:
         raise ValueError(
             f"no {_BAND_INDEX_META} sidecar at {path}: index was not "
             "written by minhash_index_write/near_dedup_stream, cannot "
             "validate probe parameters"
-        )
-    with open(meta_path) as f:
-        meta = _json.load(f)
+        ) from None
     want = {"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}
     if meta != want:
         raise ValueError(
@@ -452,7 +455,7 @@ def minhash_index_write(
     minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(path)
-    _write_band_index_meta(path, n, num_hashes, bands)
+    _write_band_index_meta(df.sparkSession, path, n, num_hashes, bands)
 
 
 def minhash_index_append(
@@ -475,7 +478,7 @@ def minhash_index_append(
     never rewritten, so at 100 TB this is an O(shard) metadata+write
     operation (run a compaction over small files on whatever cadence
     the store needs, exactly like any log-structured table)."""
-    _check_band_index_meta(path, n, num_hashes, bands)
+    _check_band_index_meta(df.sparkSession, path, n, num_hashes, bands)
     minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
         "append"
     ).partitionBy("band").parquet(path)
@@ -516,7 +519,7 @@ def minhash_probe_candidates(
     inherits the same merge hint (shard-sized band table, same SHJ task
     -memory hazard the batch form documents). ``materialize`` is the
     standard local|reliable lineage-cut knob (operators/materialize.py)."""
-    _check_band_index_meta(index_path, n, num_hashes, bands)
+    _check_band_index_meta(spark, index_path, n, num_hashes, bands)
     new_rows = minhash_band_rows(new_df, text_col, id_col, n, num_hashes, bands)
     # computed once, consumed by two join branches (index probe + batch
     # self-join): cut lineage so the shingle+minhash pipeline runs once
@@ -614,26 +617,30 @@ def _chunked_signatures(sigs: DataFrame, blocks: int) -> DataFrame:
 _SIMHASH_INDEX_META = "_simhash_index_meta.json"
 
 
-def _write_simhash_index_meta(path: str, blocks: int) -> None:
+def _write_simhash_index_meta(spark, path: str, blocks: int) -> None:
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, _SIMHASH_INDEX_META), "w") as f:
-        _json.dump({"kind": "simhash_blocks", "bits": 64, "blocks": blocks}, f)
+    from .. import fsutil
+
+    fsutil.write_text(
+        spark,
+        f"{path}/{_SIMHASH_INDEX_META}",
+        _json.dumps({"kind": "simhash_blocks", "bits": 64, "blocks": blocks}),
+    )
 
 
-def _check_simhash_index_meta(path: str, blocks: int) -> None:
+def _check_simhash_index_meta(spark, path: str, blocks: int) -> None:
     import json as _json
-    import os as _os
 
-    meta_path = _os.path.join(path, _SIMHASH_INDEX_META)
-    if not _os.path.exists(meta_path):
+    from .. import fsutil
+
+    try:
+        meta = _json.loads(fsutil.read_text(spark, f"{path}/{_SIMHASH_INDEX_META}"))
+    except FileNotFoundError:
         raise ValueError(
             f"no {_SIMHASH_INDEX_META} sidecar at {path}: index was not "
             "written by simhash_index_write, cannot validate parameters"
-        )
-    with open(meta_path) as f:
-        meta = _json.load(f)
+        ) from None
     want = {"kind": "simhash_blocks", "bits": 64, "blocks": blocks}
     if meta != want:
         raise ValueError(
@@ -657,7 +664,7 @@ def simhash_index_write(
         simhash_signatures(df, text_col, id_col), blocks
     )
     chunked.write.mode("overwrite").partitionBy("blk").parquet(path)
-    _write_simhash_index_meta(path, blocks)
+    _write_simhash_index_meta(df.sparkSession, path, blocks)
 
 
 def simhash_index_append(
@@ -671,7 +678,7 @@ def simhash_index_append(
     against the parameter sidecar); ``probe → append`` per shard is the
     same incremental-ingest loop :func:`minhash_index_append` documents
     — O(shard) writes, resident files untouched."""
-    _check_simhash_index_meta(path, blocks)
+    _check_simhash_index_meta(df.sparkSession, path, blocks)
     _chunked_signatures(simhash_signatures(df, text_col, id_col), blocks).write.mode(
         "append"
     ).partitionBy("blk").parquet(path)
@@ -704,7 +711,7 @@ def simhash_probe_candidates(
             "every chunk); raise blocks past max_hamming or pass "
             "partial_recall=True to accept the heuristic"
         )
-    _check_simhash_index_meta(index_path, blocks)
+    _check_simhash_index_meta(spark, index_path, blocks)
     new_rows = _materialize(
         _chunked_signatures(simhash_signatures(new_df, text_col, id_col), blocks),
         materialize,

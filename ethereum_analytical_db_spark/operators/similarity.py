@@ -731,26 +731,28 @@ def _centroid_digest(centroids: list[list[float]]) -> str:
     ).hexdigest()
 
 
-def _write_index_meta(path: str, meta: dict) -> None:
+def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Sidecar IO through the Hadoop FS API (`fsutil`): HDFS/S3 index
+    paths behave like local ones (the indexes exist FOR those stores)."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, _INDEX_META), "w") as f:
-        _json.dump(meta, f)
+    from .. import fsutil
+
+    fsutil.write_text(spark, f"{path}/{_INDEX_META}", _json.dumps(meta))
 
 
-def _read_index_meta(path: str) -> dict:
+def _read_index_meta(spark: SparkSession, path: str) -> dict:
     import json as _json
-    import os as _os
 
-    meta_path = _os.path.join(path, _INDEX_META)
-    if not _os.path.exists(meta_path):
+    from .. import fsutil
+
+    try:
+        return _json.loads(fsutil.read_text(spark, f"{path}/{_INDEX_META}"))
+    except FileNotFoundError:
         raise ValueError(
             f"no {_INDEX_META} sidecar at {path}: index was not written by "
             "ivf_index_write/lsh_index_write, cannot validate probe parameters"
-        )
-    with open(meta_path) as f:
-        return _json.load(f)
+        ) from None
 
 
 def ivf_index_write(
@@ -770,6 +772,7 @@ def ivf_index_write(
         "overwrite"
     ).partitionBy("cluster").parquet(path)
     _write_index_meta(
+        embeddings.sparkSession,
         path,
         {
             "kind": "ivf",
@@ -800,7 +803,7 @@ def ivf_index_append(
     probe's candidate set). Re-train + rewrite when drift makes the
     frozen centroids a poor quantizer (the standard IVF trade-off).
     """
-    meta = _read_index_meta(path)
+    meta = _read_index_meta(embeddings.sparkSession, path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"index at {path} is {meta.get('kind')!r}, not ivf")
     if meta.get("centroid_digest") != _centroid_digest(centroids):
@@ -827,7 +830,7 @@ def cosine_topk_ivf_index(
     partition filter on the cluster-partitioned layout, so the scan reads
     ~nprobe/n_centroids of the files. Train once (``ivf_train_centroids``),
     write once (``ivf_index_write``), probe per query."""
-    meta = _read_index_meta(path)
+    meta = _read_index_meta(spark, path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"index at {path} is {meta.get('kind')!r}, not ivf")
     if meta.get("centroid_digest") != _centroid_digest(centroids):
@@ -862,7 +865,9 @@ def lsh_index_write(
         embeddings, _plane_matrix(dim, planes, seed), id_col, vec_col
     ).write.mode("overwrite").partitionBy("bucket").parquet(path)
     _write_index_meta(
-        path, {"kind": "lsh", "dim": dim, "planes": planes, "seed": seed}
+        embeddings.sparkSession,
+        path,
+        {"kind": "lsh", "dim": dim, "planes": planes, "seed": seed},
     )
 
 
@@ -877,7 +882,7 @@ def lsh_index_append(
     the index wasn't built with) and append to the bucket-partitioned
     layout. Same contract as :func:`ivf_index_append`: batch ids must be
     new; each append touches only the partitions its vectors hash to."""
-    meta = _read_index_meta(path)
+    meta = _read_index_meta(embeddings.sparkSession, path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"index at {path} is {meta.get('kind')!r}, not lsh")
     planes = _plane_matrix(meta["dim"], meta["planes"], meta["seed"])
@@ -940,7 +945,7 @@ def cosine_topk_lsh_index(
     ``nprobe`` directories out of 2^planes (multi-probe: the extra
     buckets are the lowest-margin bit flips, the standard recall knob
     that costs probes, not index copies)."""
-    meta = _read_index_meta(path)
+    meta = _read_index_meta(spark, path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"index at {path} is {meta.get('kind')!r}, not lsh")
     built = (meta.get("dim"), meta.get("planes"), meta.get("seed"))

@@ -65,9 +65,9 @@ def dedup_exact_stream(
 def _hadoop_path_exists(spark, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API so it answers
     correctly for HDFS/S3 paths on a real cluster, not just local files."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+    from .. import fsutil
+
+    return fsutil.exists(spark, path)
 
 
 def near_dedup_stream(
@@ -162,7 +162,7 @@ def near_dedup_stream(
             # parameter sidecar: later batches' probes (and any batch
             # probe of a stream-owned index) validate against it;
             # idempotent re-write per batch
-            _write_band_index_meta(index_path, n, num_hashes, bands)
+            _write_band_index_meta(spark, index_path, n, num_hashes, bands)
         finally:
             batch_df.unpersist()
 
