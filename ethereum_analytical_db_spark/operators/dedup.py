@@ -694,6 +694,7 @@ def simhash_probe_candidates(
     blocks: int = 4,
     partial_recall: bool = False,
     broadcast_new: bool = True,
+    index_filter=None,
     materialize: str = "local",
 ) -> DataFrame:
     """Incremental SimHash near-dup: pairs (Hamming <= max_hamming)
@@ -717,6 +718,11 @@ def simhash_probe_candidates(
         materialize,
     )
     idx = spark.read.parquet(index_path)
+    if index_filter is not None:
+        # e.g. the streaming twin's strictly-earlier-batches predicate
+        # (a directory-pruning partition filter) — see
+        # streaming/dedupe_stream.near_dedup_stream
+        idx = idx.filter(index_filter)
     probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
     hamming_x = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sig_new")))
     cross = (

@@ -76,9 +76,13 @@ def near_dedup_stream(
     pairs_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    family: str = "minhash",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    partial_recall: bool = False,
 ):
     """Streaming NEAR-dup detection — the streaming twin of the
     incremental-ingest loop (``operators/dedup.minhash_probe_candidates``
@@ -86,6 +90,13 @@ def near_dedup_stream(
     index for near-dup candidate pairs (new-vs-corpus and within-batch),
     lands them under ``pairs_path``, then folds its own band rows into
     the index so later batches see it as corpus.
+
+    ``family`` selects the signature scheme: ``"minhash"`` (Jaccard-ish
+    candidates via LSH bands; ``n``/``num_hashes``/``bands``) or
+    ``"simhash"`` (Hamming near-dups via block-permutation chunks;
+    ``max_hamming``/``blocks``/``partial_recall``). Both run the
+    identical loop below — only the per-doc row computation and the
+    probe operator differ.
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
     in the INDEX (Parquet on the warehouse filesystem), not in Spark
@@ -112,11 +123,53 @@ def near_dedup_stream(
     Returns the ``DataStreamWriter`` — caller adds checkpoint/trigger
     and ``.start()``.
     """
-    from ..operators.dedup import (
-        _write_band_index_meta,
-        minhash_band_rows,
-        minhash_probe_candidates,
-    )
+    from ..operators import dedup as d
+
+    if family == "minhash":
+        def probe(spark, batch_df, flt):
+            return d.minhash_probe_candidates(
+                spark, index_path, batch_df, text_col, id_col,
+                n, num_hashes, bands, index_filter=flt,
+            )
+
+        def bootstrap(batch_df):
+            return d.minhash_lsh_candidates(
+                batch_df, text_col, id_col, n, num_hashes, bands
+            )
+
+        def index_rows(batch_df):
+            return d.minhash_band_rows(
+                batch_df, text_col, id_col, n, num_hashes, bands
+            )
+
+        def write_meta(spark):
+            d._write_band_index_meta(spark, index_path, n, num_hashes, bands)
+
+        index_partition = "band"
+    elif family == "simhash":
+        def probe(spark, batch_df, flt):
+            return d.simhash_probe_candidates(
+                spark, index_path, batch_df, text_col, id_col,
+                max_hamming, blocks, partial_recall, index_filter=flt,
+            )
+
+        def bootstrap(batch_df):
+            return d.simhash_near_duplicates(
+                batch_df, text_col, id_col, max_hamming, blocks,
+                partial_recall=partial_recall,
+            )
+
+        def index_rows(batch_df):
+            return d._chunked_signatures(
+                d.simhash_signatures(batch_df, text_col, id_col), blocks
+            )
+
+        def write_meta(spark):
+            d._write_simhash_index_meta(spark, index_path, blocks)
+
+        index_partition = "blk"
+    else:
+        raise ValueError(f"family {family!r}: expected 'minhash' or 'simhash'")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -125,25 +178,11 @@ def near_dedup_stream(
         batch_df.persist()
         try:
             if _hadoop_path_exists(spark, index_path):
-                pairs = minhash_probe_candidates(
-                    spark,
-                    index_path,
-                    batch_df,
-                    text_col,
-                    id_col,
-                    n,
-                    num_hashes,
-                    bands,
-                    index_filter=F.col("batch") < batch_id,
-                )
+                pairs = probe(spark, batch_df, F.col("batch") < batch_id)
             else:
                 # bootstrap: no corpus yet — within-batch pairs only
-                # (probe_candidates' `within` branch, via the batch op)
-                from ..operators.dedup import minhash_lsh_candidates
-
-                pairs = minhash_lsh_candidates(
-                    batch_df, text_col, id_col, n, num_hashes, bands
-                )
+                # (the probe's `within` branch, via the batch op)
+                pairs = bootstrap(batch_df)
             (
                 pairs.withColumn("batch", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -152,17 +191,17 @@ def near_dedup_stream(
                 .parquet(pairs_path)
             )
             (
-                minhash_band_rows(batch_df, text_col, id_col, n, num_hashes, bands)
+                index_rows(batch_df)
                 .withColumn("batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch", "band")
+                .partitionBy("batch", index_partition)
                 .parquet(index_path)
             )
             # parameter sidecar: later batches' probes (and any batch
             # probe of a stream-owned index) validate against it;
             # idempotent re-write per batch
-            _write_band_index_meta(spark, index_path, n, num_hashes, bands)
+            write_meta(spark)
         finally:
             batch_df.unpersist()
 

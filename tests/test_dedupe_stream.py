@@ -165,3 +165,77 @@ def test_near_dedup_stream_matches_batch_and_replays_identically(spark, tmp_path
     assert got_pairs() == want_pairs
     assert spark.read.parquet(pairs_path).count() == len(want_pairs)
     assert idx_rows() == want_idx
+
+
+def test_near_dedup_stream_simhash_family(spark, tmp_path):
+    """The simhash family runs the identical streaming loop: union of
+    per-batch pairs equals the batch operator over the whole corpus
+    (each pair exactly once), and a from-scratch replay over the
+    surviving dirs is byte-stable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    rnd = random.Random(9)
+    vocab = [f"w{i}" for i in range(400)]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(50))) for i in range(24)]
+    for k in range(4):
+        words = rows[k][1].split()
+        words[3] = "edited"
+        rows.append((100 + k, " ".join(words)))
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(max_hamming=12, blocks=4)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            df_all, partial_recall=True, **kw
+        ).collect()
+    }
+    assert want
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for j in range(3):
+        df_all.filter(F.col("doc_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    index_path = str(tmp_path / "chunk_index")
+    pairs_path = str(tmp_path / "pairs")
+
+    def run(checkpoint: str) -> None:
+        stream = st.stream_from_files(
+            spark, str(src), df_all.schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(
+                stream, index_path, pairs_path,
+                family="simhash", partial_recall=True, **kw,
+            )
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+
+    def got() -> dict:
+        return {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    run("ckpt1")
+    assert got() == want
+    assert spark.read.parquet(pairs_path).count() == len(want)
+    run("ckpt2")  # from-scratch replay over surviving index + pairs
+    assert got() == want
+    assert spark.read.parquet(pairs_path).count() == len(want)
+    # unknown family rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="family"):
+        ds.near_dedup_stream(
+            st.stream_from_files(spark, str(src), df_all.schema),
+            index_path, pairs_path, family="md5",
+        )
