@@ -15,6 +15,10 @@ Two equivalent drivers over the same loop (pick with ``--mode``):
 
       python examples/incremental_ingest.py /root/testdata/sf0.01 /tmp/ingest_out --mode stream
 
+``--family simhash`` switches both modes from the MinHash band index
+(Jaccard-ish candidates) to the SimHash chunk index (Hamming
+near-dups) — same loop, same cost model.
+
 Both modes print, per shard, the near-dup candidate pairs found against
 everything ingested before it — each pair reported exactly once, by the
 shard of its later document (parity with the one-shot batch operator is
@@ -39,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("sf_dir", help="directory with documents.parquet")
     p.add_argument("out_dir", help="working directory (index + pairs land here)")
     p.add_argument("--mode", choices=("batch", "stream"), default="batch")
+    p.add_argument(
+        "--family",
+        choices=("minhash", "simhash"),
+        default="minhash",
+        help="signature scheme: LSH bands (Jaccard-ish) or SimHash chunks (Hamming)",
+    )
     p.add_argument("--shards", type=int, default=4)
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
@@ -59,23 +69,31 @@ def main(argv: list[str] | None = None) -> int:
     shard_of = F.col("doc_id") % args.shards
 
     if args.mode == "batch":
-        from ethereum_analytical_db_spark.operators.dedup import (
-            minhash_index_append,
-            minhash_index_write,
-            minhash_probe_candidates,
-        )
+        from ethereum_analytical_db_spark.operators import dedup
+
+        if args.family == "minhash":
+            write, append = dedup.minhash_index_write, dedup.minhash_index_append
+            probe = lambda shard: dedup.minhash_probe_candidates(  # noqa: E731
+                spark, index_path, shard
+            )
+            score_col = "bands_in_common"
+        else:
+            write, append = dedup.simhash_index_write, dedup.simhash_index_append
+            probe = lambda shard: dedup.simhash_probe_candidates(  # noqa: E731
+                spark, index_path, shard
+            )
+            score_col = "hamming"
 
         # shard 0 seeds the index; later shards probe then join the corpus
-        minhash_index_write(docs.filter(shard_of == 0), index_path)
+        write(docs.filter(shard_of == 0), index_path)
         print(f"shard 0: indexed {docs.filter(shard_of == 0).count()} docs (seed)")
         for s in range(1, args.shards):
             shard = docs.filter(shard_of == s)
-            pairs = minhash_probe_candidates(spark, index_path, shard)
-            hits = pairs.orderBy("doc_a", "doc_b").collect()
+            hits = probe(shard).orderBy("doc_a", "doc_b").collect()
             print(f"shard {s}: {shard.count()} docs, {len(hits)} near-dup candidates")
             for r in hits[:5]:
-                print(f"    ({r['doc_a']}, {r['doc_b']}) bands_in_common={r['bands_in_common']}")
-            minhash_index_append(shard, index_path)
+                print(f"    ({r['doc_a']}, {r['doc_b']}) {score_col}={r[score_col]}")
+            append(shard, index_path)
     else:
         from ethereum_analytical_db_spark.streaming import dedupe_stream as ds
         from ethereum_analytical_db_spark.streaming import stream as st
@@ -89,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
                 st.stream_from_files(spark, src, docs.schema, max_files_per_trigger=1),
                 index_path,
                 pairs_path,
+                family=args.family,
             )
             .option("checkpointLocation", os.path.join(args.out_dir, "ckpt"))
             .trigger(availableNow=True)
