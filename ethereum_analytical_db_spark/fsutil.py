@@ -28,6 +28,16 @@ def exists(spark: SparkSession, path: str) -> bool:
     return fs.exists(jpath)
 
 
+def glob_exists(spark: SparkSession, pattern: str) -> bool:
+    """True when the glob ``pattern`` matches at least one path (e.g.
+    ``<index>/batch=*`` — "does this layout hold any data partitions").
+    globStatus returns null for a non-existent parent and an empty array
+    for no matches; both mean False."""
+    fs, jpath = _fs_and_path(spark, pattern)
+    matches = fs.globStatus(jpath)
+    return matches is not None and len(matches) > 0
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Create/overwrite a small text file at ``path``."""
     fs, jpath = _fs_and_path(spark, path)

@@ -62,14 +62,6 @@ def dedup_exact_stream(
     )
 
 
-def _hadoop_path_exists(spark, path: str) -> bool:
-    """Existence check through the Hadoop FileSystem API so it answers
-    correctly for HDFS/S3 paths on a real cluster, not just local files."""
-    from .. import fsutil
-
-    return fsutil.exists(spark, path)
-
-
 def near_dedup_stream(
     stream_docs: DataFrame,
     index_path: str,
@@ -171,13 +163,27 @@ def near_dedup_stream(
     else:
         raise ValueError(f"family {family!r}: expected 'minhash' or 'simhash'")
 
+    # parameter sidecar written at WIRING time, before any batch runs:
+    # writing it inside the batch (after the index parquet) left a crash
+    # window — index present, sidecar absent — in which every future
+    # probe's parameter check failed and the stream was permanently
+    # stuck (review find). Idempotent: each (re)wiring rewrites it.
+    write_meta(stream_docs.sparkSession)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         batch_df.persist()
         try:
-            if _hadoop_path_exists(spark, index_path):
+            from .. import fsutil
+
+            # probe iff the layout holds DATA partitions — the sidecar
+            # alone (wiring creates it) isn't a readable parquet source,
+            # and a crashed bootstrap retry with batch=0 data present
+            # probes `batch < 0` = empty, degenerating correctly to
+            # within-batch pairs
+            if fsutil.glob_exists(spark, f"{index_path}/batch=*"):
                 pairs = probe(spark, batch_df, F.col("batch") < batch_id)
             else:
                 # bootstrap: no corpus yet — within-batch pairs only
@@ -198,10 +204,6 @@ def near_dedup_stream(
                 .partitionBy("batch", index_partition)
                 .parquet(index_path)
             )
-            # parameter sidecar: later batches' probes (and any batch
-            # probe of a stream-owned index) validate against it;
-            # idempotent re-write per batch
-            write_meta(spark)
         finally:
             batch_df.unpersist()
 
