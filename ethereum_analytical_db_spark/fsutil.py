@@ -48,6 +48,17 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, jsrc = _fs_and_path(spark, src)
+    return fs.rename(jsrc, _fs_and_path(spark, dst)[1])
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete; False when the path didn't exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.delete(jpath, True)
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file at ``path``; raises FileNotFoundError when
     absent so callers can produce their own actionable message."""

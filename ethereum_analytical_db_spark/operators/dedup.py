@@ -476,12 +476,65 @@ def minhash_index_append(
     equals :func:`minhash_index_write` over the union (parity pinned in
     tests). Parquet append only adds files — existing data files are
     never rewritten, so at 100 TB this is an O(shard) metadata+write
-    operation (run a compaction over small files on whatever cadence
-    the store needs, exactly like any log-structured table)."""
+    operation (run :func:`compact_index` over the small files on
+    whatever cadence the scan profile needs, exactly like any
+    log-structured table)."""
     _check_band_index_meta(df.sparkSession, path, n, num_hashes, bands)
     minhash_band_rows(df, text_col, id_col, n, num_hashes, bands).write.mode(
         "append"
     ).partitionBy("band").parquet(path)
+
+
+def compact_index(spark, path: str, partition_cols: list[str]) -> None:
+    """Rewrite a frozen-index directory to ONE file per partition
+    directory — the compaction the append operators delegate to
+    ("run a compaction over small files on whatever cadence the store
+    needs"): K appends leave K small files per partition, and at some K
+    the scan's file-open overhead beats the rewrite cost. Works for any
+    of the append-able layouts (band index ``["band"]``, SimHash chunk
+    index ``["blk"]``, a streaming index ``["batch", "band"]`` — batch
+    dirs survive, as the earlier-only probe requires; IVF/LSH via their
+    partition column).
+
+    Crash-safe the same way ``Warehouse.compact`` is: write to
+    ``<path>.compact``, copy every ``_*.json`` sidecar, then two
+    metadata renames — the data always exists in full at one of the
+    paths, and a leftover ``.precompact`` from a crash is recovered
+    (canonical missing → the backup IS the index) or cleaned (canonical
+    present → provably stale) on the next compact. All FS ops go
+    through the Hadoop API (fsutil), so HDFS/S3 index paths work;
+    note object stores make `rename` a copy, the standard caveat."""
+    import posixpath
+
+    from .. import fsutil
+
+    tmp, old = path + ".compact", path + ".precompact"
+    if not fsutil.exists(spark, path):
+        if fsutil.exists(spark, old):
+            fsutil.rename(spark, old, path)  # recover crashed compact
+        else:
+            raise ValueError(f"no index directory at {path}")
+    elif fsutil.exists(spark, old):
+        fsutil.delete(spark, old)  # canonical present → backup is stale
+    fsutil.delete(spark, tmp)
+    df = spark.read.parquet(path)
+    # repartition BY the partition values: each value's rows land whole
+    # in one task → exactly one file per partition directory
+    df.repartition(*[F.col(c) for c in partition_cols]).write.partitionBy(
+        *partition_cols
+    ).parquet(tmp)
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("_") and name.endswith(".json"):  # sidecars
+            fsutil.write_text(
+                spark,
+                posixpath.join(tmp, name),
+                fsutil.read_text(spark, posixpath.join(path, name)),
+            )
+    fsutil.rename(spark, path, old)
+    fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, old)
 
 
 def minhash_probe_candidates(

@@ -687,3 +687,52 @@ def test_simhash_probe_matches_full_recompute_and_appends(spark, tmp_path):
     df.limit(1).write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         dedup.simhash_probe_candidates(spark, bare, s1, max_hamming=3, blocks=4)
+
+
+def test_compact_index_one_file_per_partition_and_recovery(spark, tmp_path):
+    """compact_index: after K appends (K files per band dir) the rewrite
+    leaves exactly one file per partition dir with identical rows, the
+    parameter sidecar survives (probes still validate), and the
+    crash-recovery branches work (canonical missing -> .precompact is
+    restored; canonical present -> stale backup cleaned)."""
+    import os
+
+    df, _ = _corpus(spark)
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(df.filter(F.col("doc_id") % 3 == 0), path)
+    dedup.minhash_index_append(df.filter(F.col("doc_id") % 3 == 1), path)
+    dedup.minhash_index_append(df.filter(F.col("doc_id") % 3 == 2), path)
+    rows = lambda: sorted(  # noqa: E731
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(path).collect()
+    )
+    before = rows()
+
+    def files_per_band():
+        counts = []
+        for d in os.listdir(path):
+            if d.startswith("band="):
+                counts.append(
+                    len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+                )
+        return counts
+
+    assert max(files_per_band()) >= 3  # the appends left small files
+    dedup.compact_index(spark, path, ["band"])
+    assert files_per_band() and set(files_per_band()) == {1}
+    assert rows() == before
+    # sidecar survived: a probe still validates and returns pairs
+    probe = dedup.minhash_probe_candidates(spark, path, df.limit(5))
+    assert probe.count() >= 0
+    # recovery: canonical missing, .precompact present -> restored
+    os.rename(path, path + ".precompact")
+    dedup.compact_index(spark, path, ["band"])
+    assert rows() == before
+    # stale backup with canonical present -> cleaned, compact proceeds
+    os.makedirs(path + ".precompact")
+    dedup.compact_index(spark, path, ["band"])
+    assert not os.path.exists(path + ".precompact")
+    assert rows() == before
+    # no index at all -> loud
+    with pytest.raises(ValueError, match="no index directory"):
+        dedup.compact_index(spark, str(tmp_path / "nope"), ["band"])
