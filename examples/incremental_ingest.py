@@ -121,6 +121,23 @@ def main(argv: list[str] | None = None) -> int:
 
     n_idx = spark.read.parquet(index_path).count()
     print(f"index now holds {n_idx} band rows — next shard probes it as corpus")
+
+    if args.mode == "batch":
+        # the appends left one small file per shard per partition dir;
+        # compact to one file per dir (crash-safe swap, sidecar kept)
+        import glob
+
+        from ethereum_analytical_db_spark.operators.dedup import compact_index
+
+        pat = os.path.join(index_path, "*=*", "*.parquet")
+        before = len(glob.glob(pat))
+        compact_index(
+            spark, index_path, ["band" if args.family == "minhash" else "blk"]
+        )
+        print(
+            f"compacted: {before} -> {len(glob.glob(pat))} files, "
+            f"{spark.read.parquet(index_path).count()} rows unchanged"
+        )
     return 0
 
 
