@@ -363,6 +363,24 @@ def minhash_band_rows(
     ).select("doc", "bb.band", "bb.bucket")
 
 
+def _drop_hot_buckets(band_rows: DataFrame, max_bucket_df: int) -> DataFrame:
+    """Remove band rows whose (band, bucket) is shared by more than
+    ``max_bucket_df`` docs — the MinHash analogue of SimHash's
+    ``max_chunk_df`` and the Jaccard ``max_shingle_df``: a degenerate
+    bucket (boilerplate-dominated corpus, near-constant field) makes
+    the candidate join O(bucket²), and at 100 TB that single bucket is
+    the job. A pair is lost only if EVERY band it agrees on is hot —
+    both docs sitting entirely inside degenerate clusters (subset
+    property, pinned in tests)."""
+    hot = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_bucket_df)
+        .drop("df")
+    )
+    return band_rows.join(hot, ["band", "bucket"], "left_anti")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -370,15 +388,22 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket_df: int | None = None,
     materialize: str = "local",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, bucket by the band's hash, emit candidate pairs sharing any
-    bucket. Output: (doc_a, doc_b, bands_in_common)."""
+    bucket. Output: (doc_a, doc_b, bands_in_common).
+
+    ``max_bucket_df``: optional hot-bucket cap (see
+    :func:`_drop_hot_buckets`); the default (None) keeps exact LSH
+    candidate semantics."""
     band_rows = minhash_band_rows(df, text_col, id_col, n, num_hashes, bands)
     # materialize before the self-join so the shingle+minhash pipeline
     # runs once, not once per join branch
     band_rows = _materialize(band_rows, materialize)
+    if max_bucket_df is not None:
+        band_rows = _drop_hot_buckets(band_rows, max_bucket_df)
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
     # merge not shuffle-hash: same OOM hazard as the n-gram index join
@@ -548,6 +573,7 @@ def minhash_probe_candidates(
     bands: int = 8,
     broadcast_new: bool = True,
     index_filter=None,
+    max_bucket_df: int | None = None,
     materialize: str = "local",
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW document batch
@@ -571,7 +597,15 @@ def minhash_probe_candidates(
     the same bound as the batch form); the within-batch self-join then
     inherits the same merge hint (shard-sized band table, same SHJ task
     -memory hazard the batch form documents). ``materialize`` is the
-    standard local|reliable lineage-cut knob (operators/materialize.py)."""
+    standard local|reliable lineage-cut knob (operators/materialize.py).
+
+    ``max_bucket_df``: the hot-bucket cap, computed over (index ∪
+    batch) so the result stays EXACTLY the capped batch recompute
+    filtered to batch-touching pairs. Costs one extra map-side-combined
+    aggregation pass over the index per probe (the price of an exact
+    corpus-wide document frequency); the hot set broadcasts into
+    anti-joins on both sides, so the index branch stays Exchange-free
+    below the probe join. Default None keeps single-scan probes."""
     _check_band_index_meta(spark, index_path, n, num_hashes, bands)
     new_rows = minhash_band_rows(new_df, text_col, id_col, n, num_hashes, bands)
     # computed once, consumed by two join branches (index probe + batch
@@ -583,6 +617,17 @@ def minhash_probe_candidates(
         # predicate on the streaming index's `batch` column — prunes
         # directories, see streaming/dedupe_stream.near_dedup_stream)
         idx = idx.filter(index_filter)
+    if max_bucket_df is not None:
+        hot = F.broadcast(
+            idx.select("band", "bucket")
+            .unionByName(new_rows.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_bucket_df)
+            .drop("df")
+        )
+        idx = idx.join(hot, ["band", "bucket"], "left_anti")
+        new_rows = new_rows.join(hot, ["band", "bucket"], "left_anti")
     probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
     cross = (
         idx.join(probe.withColumnRenamed("doc", "doc_new"), ["band", "bucket"])
@@ -745,6 +790,7 @@ def simhash_probe_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_chunk_df: int | None = None,
     partial_recall: bool = False,
     broadcast_new: bool = True,
     index_filter=None,
@@ -757,7 +803,10 @@ def simhash_probe_candidates(
     per-doc; parity pinned in tests/test_dedup.py). Same pigeonhole
     guarantee/opt-out and the same broadcast-probe plan shape as
     :func:`minhash_probe_candidates`: the corpus side never re-hashes
-    and never shuffles. Doc ids must be disjoint from the index."""
+    and never shuffles. ``max_chunk_df`` is the hot-chunk cap computed
+    over (index ∪ batch), exactly the batch op's semantics — one extra
+    aggregation pass over the index per probe when set. Doc ids must be
+    disjoint from the index."""
     if max_hamming >= blocks and not partial_recall:
         raise ValueError(
             f"max_hamming={max_hamming} >= blocks={blocks} voids the "
@@ -776,6 +825,17 @@ def simhash_probe_candidates(
         # (a directory-pruning partition filter) — see
         # streaming/dedupe_stream.near_dedup_stream
         idx = idx.filter(index_filter)
+    if max_chunk_df is not None:
+        hot = F.broadcast(
+            idx.select("blk", "chunk")
+            .unionByName(new_rows.select("blk", "chunk"))
+            .groupBy("blk", "chunk")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_chunk_df)
+            .drop("df")
+        )
+        idx = idx.join(hot, ["blk", "chunk"], "left_anti")
+        new_rows = new_rows.join(hot, ["blk", "chunk"], "left_anti")
     probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
     hamming_x = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sig_new")))
     cross = (

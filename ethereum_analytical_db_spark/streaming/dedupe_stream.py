@@ -142,7 +142,8 @@ def near_dedup_stream(
         def probe(spark, batch_df, flt):
             return d.simhash_probe_candidates(
                 spark, index_path, batch_df, text_col, id_col,
-                max_hamming, blocks, partial_recall, index_filter=flt,
+                max_hamming, blocks,
+                partial_recall=partial_recall, index_filter=flt,
             )
 
         def bootstrap(batch_df):

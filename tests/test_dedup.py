@@ -736,3 +736,86 @@ def test_compact_index_one_file_per_partition_and_recovery(spark, tmp_path):
     # no index at all -> loud
     with pytest.raises(ValueError, match="no index directory"):
         dedup.compact_index(spark, str(tmp_path / "nope"), ["band"])
+
+
+def test_minhash_hot_bucket_cap_subsets_and_bounds(spark):
+    """The MinHash hot-bucket cap mirrors SimHash's max_chunk_df: it
+    only ever REMOVES candidate pairs (subset property), cap=0 removes
+    everything, and planted near-dup pairs survive a generous cap (their
+    shared buckets are cold)."""
+    df, planted = _corpus(spark)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(df, n=3, num_hashes=32, bands=8).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            df, n=3, num_hashes=32, bands=8, max_bucket_df=10
+        ).collect()
+    }
+    assert capped <= full
+    assert sum(1 for p in planted if p in capped) >= len(planted) - 1
+    assert (
+        dedup.minhash_lsh_candidates(
+            df, n=3, num_hashes=32, bands=8, max_bucket_df=0
+        ).count()
+        == 0
+    )
+
+
+def test_probe_caps_match_capped_batch_recompute(spark, tmp_path):
+    """Capped probes stay exact: with the df cap computed over
+    (index ∪ shard), both families' probes equal the capped batch
+    recompute filtered to shard-touching pairs. Exercised on a corpus
+    with a planted hot bucket (several identical docs) so the cap
+    actually fires."""
+    df, _ = _corpus(spark)
+    # plant a degenerate cluster: 8 identical docs -> identical
+    # signatures -> one hot bucket per band/chunk
+    clones = [(200 + i, df.filter(F.col("doc_id") == 0).first()["text"]) for i in range(8)]
+    df = df.unionByName(spark.createDataFrame(clones, "doc_id long, text string"))
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+    shard = df.filter(F.col("doc_id") % 2 == 1)
+
+    mh_full = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates(
+            df, n=3, num_hashes=32, bands=8, max_bucket_df=5
+        ).collect()
+    }
+    mh_path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(corpus, mh_path, n=3, num_hashes=32, bands=8)
+    mh_probe = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_probe_candidates(
+            spark, mh_path, shard, n=3, num_hashes=32, bands=8, max_bucket_df=5
+        ).collect()
+    }
+    assert mh_probe == {
+        p: c for p, c in mh_full.items() if p[0] % 2 == 1 or p[1] % 2 == 1
+    }
+
+    kw = dict(max_hamming=12, blocks=4)
+    sh_full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            df, max_chunk_df=5, partial_recall=True, **kw
+        ).collect()
+    }
+    sh_path = str(tmp_path / "chunk_index")
+    dedup.simhash_index_write(corpus, sh_path, blocks=4)
+    sh_probe = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_probe_candidates(
+            spark, sh_path, shard, max_chunk_df=5, partial_recall=True, **kw
+        ).collect()
+    }
+    assert sh_probe == {
+        p: h for p, h in sh_full.items() if p[0] % 2 == 1 or p[1] % 2 == 1
+    }
+    # the caps actually fired on the planted cluster: its pair count
+    # shrank vs the uncapped runs
+    assert len(mh_full) < dedup.minhash_lsh_candidates(
+        df, n=3, num_hashes=32, bands=8
+    ).count()
