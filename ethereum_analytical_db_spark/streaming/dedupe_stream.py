@@ -75,6 +75,8 @@ def near_dedup_stream(
     max_hamming: int = 3,
     blocks: int = 4,
     partial_recall: bool = False,
+    max_bucket_df: int | None = None,
+    max_chunk_df: int | None = None,
 ):
     """Streaming NEAR-dup detection — the streaming twin of the
     incremental-ingest loop (``operators/dedup.minhash_probe_candidates``
@@ -89,6 +91,17 @@ def near_dedup_stream(
     ``max_hamming``/``blocks``/``partial_recall``). Both run the
     identical loop below — only the per-doc row computation and the
     probe operator differ.
+
+    ``max_bucket_df`` (minhash) / ``max_chunk_df`` (simhash): the
+    hot-bucket caps, forwarded to the probe and bootstrap operators. In
+    a stream this is the knob that keeps a boilerplate-dominated corpus
+    from making each micro-batch slower than the last: a degenerate
+    bucket otherwise grows the probe join linearly with corpus size.
+    NOTE the cap's frame of reference is per-batch here — each batch's
+    probe computes document frequency over (index so far ∪ batch), so a
+    bucket can be cold in early batches and hot later; pairs already
+    emitted are never retracted. Default None keeps exact LSH/pigeonhole
+    candidate semantics.
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
     in the INDEX (Parquet on the warehouse filesystem), not in Spark
@@ -122,11 +135,13 @@ def near_dedup_stream(
             return d.minhash_probe_candidates(
                 spark, index_path, batch_df, text_col, id_col,
                 n, num_hashes, bands, index_filter=flt,
+                max_bucket_df=max_bucket_df,
             )
 
         def bootstrap(batch_df):
             return d.minhash_lsh_candidates(
-                batch_df, text_col, id_col, n, num_hashes, bands
+                batch_df, text_col, id_col, n, num_hashes, bands,
+                max_bucket_df=max_bucket_df,
             )
 
         def index_rows(batch_df):
@@ -144,12 +159,14 @@ def near_dedup_stream(
                 spark, index_path, batch_df, text_col, id_col,
                 max_hamming, blocks,
                 partial_recall=partial_recall, index_filter=flt,
+                max_chunk_df=max_chunk_df,
             )
 
         def bootstrap(batch_df):
             return d.simhash_near_duplicates(
                 batch_df, text_col, id_col, max_hamming, blocks,
                 partial_recall=partial_recall,
+                max_chunk_df=max_chunk_df,
             )
 
         def index_rows(batch_df):

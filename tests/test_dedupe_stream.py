@@ -306,3 +306,84 @@ def test_near_dedup_stream_survives_bootstrap_crash_window(spark, tmp_path):
     }
     assert got == want
     assert spark.read.parquet(pairs_path).count() == len(want)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("family", ["minhash", "simhash"])
+def test_near_dedup_stream_hot_bucket_cap(spark, tmp_path, family):
+    """The hot-bucket caps ride through the streaming loop: with a
+    degenerate cluster (identical boilerplate docs) spread across
+    micro-batches, a capped stream emits a strict subset of the
+    uncapped stream's pairs, still finds the planted genuine near-dups,
+    and drops (at least) the boilerplate pile-up."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(40))) for i in range(16)]
+    planted = []
+    for k in range(3):  # genuine near-dups: one edit
+        words = rows[k][1].split()
+        words[2] = "edited"
+        rows.append((100 + k, " ".join(words)))
+        planted.append((k, 100 + k))
+    boiler = "the same boilerplate footer " * 10
+    boiler_ids = list(range(200, 210))
+    rows += [(i, boiler) for i in boiler_ids]  # degenerate cluster
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for j in range(3):
+        df_all.filter(F.col("doc_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    if family == "minhash":
+        kw: dict = {"n": 3, "num_hashes": 32, "bands": 8}
+        cap = {"max_bucket_df": 4}
+    else:
+        kw = {"max_hamming": 12, "blocks": 4, "partial_recall": True}
+        cap = {"max_chunk_df": 4}
+
+    def run(tag: str, **extra) -> set:
+        pairs_path = str(tmp_path / f"pairs_{tag}")
+        stream = st.stream_from_files(
+            spark, str(src), df_all.schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(
+                stream, str(tmp_path / f"index_{tag}"), pairs_path,
+                family=family, **kw, **extra,
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    full = run("full")
+    capped = run("capped", **cap)
+    norm = lambda s: {tuple(sorted(p)) for p in s}  # noqa: E731
+    assert norm(capped) <= norm(full)
+    assert all(p in norm(capped) for p in planted)
+    # the cap's frame is per-batch (index-so-far + batch): the first
+    # micro-batch holds only 3 boilerplate docs (df=3 <= cap), so its
+    # within-batch pairs legitimately emit; every LATER batch sees the
+    # bucket hot and adds nothing — so all surviving boilerplate pairs
+    # are same-batch (doc_id % 3 equal), and the cross-batch pile-up
+    # (the part that grows with corpus size) is gone
+    boiler_pairs = lambda s: {  # noqa: E731
+        p for p in s if p[0] in boiler_ids and p[1] in boiler_ids
+    }
+    assert len(boiler_pairs(capped)) < len(boiler_pairs(full))
+    assert all(a % 3 == b % 3 for a, b in boiler_pairs(capped))
+    assert any(a % 3 != b % 3 for a, b in boiler_pairs(full))
