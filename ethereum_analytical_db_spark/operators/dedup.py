@@ -388,8 +388,9 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    max_bucket_df: int | None = None,
     materialize: str = "local",
+    *,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band
     groups, bucket by the band's hash, emit candidate pairs sharing any
@@ -459,6 +460,21 @@ def _check_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int
             f"band index at {path} was built with {meta}, used with "
             f"{want} — mismatched parameters would corrupt every result"
         )
+
+
+def _ensure_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int) -> None:
+    """Write the sidecar iff absent; otherwise VALIDATE against it.
+    The wiring-time call in ``near_dedup_stream`` must not blindly
+    rewrite: a stream restarted with drifted parameters (bands=4 over a
+    bands=8 index) would stamp the new parameters over the old sidecar
+    and turn the mismatch guard into a rubber stamp — every probe then
+    joins incompatible bucket spaces silently (review find)."""
+    from .. import fsutil
+
+    if fsutil.exists(spark, f"{path}/{_BAND_INDEX_META}"):
+        _check_band_index_meta(spark, path, n, num_hashes, bands)
+    else:
+        _write_band_index_meta(spark, path, n, num_hashes, bands)
 
 
 def minhash_index_write(
@@ -536,7 +552,12 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
     tmp, old = path + ".compact", path + ".precompact"
     if not fsutil.exists(spark, path):
         if fsutil.exists(spark, old):
-            fsutil.rename(spark, old, path)  # recover crashed compact
+            # recover crashed compact
+            if not fsutil.rename(spark, old, path):
+                raise IOError(
+                    f"compact_index: recovery rename {old} -> {path} "
+                    "failed (Hadoop rename returned false)"
+                )
         else:
             raise ValueError(f"no index directory at {path}")
     elif fsutil.exists(spark, old):
@@ -557,8 +578,22 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
                 posixpath.join(tmp, name),
                 fsutil.read_text(spark, posixpath.join(path, name)),
             )
-    fsutil.rename(spark, path, old)
-    fsutil.rename(spark, tmp, path)
+    # Hadoop FileSystem.rename reports most failures by returning false,
+    # not raising — unchecked, a failed second rename followed by
+    # delete(old) would destroy the only full copy (review find). Check
+    # both; on a failed swap put the backup back so the canonical path
+    # never stops existing.
+    if not fsutil.rename(spark, path, old):
+        raise IOError(
+            f"compact_index: rename {path} -> {old} failed (Hadoop "
+            "rename returned false); index left untouched"
+        )
+    if not fsutil.rename(spark, tmp, path):
+        restored = fsutil.rename(spark, old, path)
+        raise IOError(
+            f"compact_index: rename {tmp} -> {path} failed; original "
+            + ("restored" if restored else f"left at {old} (restore rename ALSO failed)")
+        )
     fsutil.delete(spark, old)
 
 
@@ -573,8 +608,9 @@ def minhash_probe_candidates(
     bands: int = 8,
     broadcast_new: bool = True,
     index_filter=None,
-    max_bucket_df: int | None = None,
     materialize: str = "local",
+    *,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Incremental dedup: candidate pairs between a NEW document batch
     and a frozen corpus index (:func:`minhash_index_write`), plus pairs
@@ -747,6 +783,17 @@ def _check_simhash_index_meta(spark, path: str, blocks: int) -> None:
         )
 
 
+def _ensure_simhash_index_meta(spark, path: str, blocks: int) -> None:
+    """Write-iff-absent / validate-if-present — same restart-drift guard
+    as :func:`_ensure_band_index_meta` (review find)."""
+    from .. import fsutil
+
+    if fsutil.exists(spark, f"{path}/{_SIMHASH_INDEX_META}"):
+        _check_simhash_index_meta(spark, path, blocks)
+    else:
+        _write_simhash_index_meta(spark, path, blocks)
+
+
 def simhash_index_write(
     df: DataFrame,
     path: str,
@@ -790,11 +837,12 @@ def simhash_probe_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
-    max_chunk_df: int | None = None,
     partial_recall: bool = False,
     broadcast_new: bool = True,
     index_filter=None,
     materialize: str = "local",
+    *,
+    max_chunk_df: int | None = None,
 ) -> DataFrame:
     """Incremental SimHash near-dup: pairs (Hamming <= max_hamming)
     between a NEW batch and a frozen chunk index, plus pairs within the

@@ -96,6 +96,23 @@ def stratified_sample(
     expression, no shuffle, no collected state. Expected kept fraction
     per stratum is exact to 1/65536 granularity.
     """
+    return df.filter(keep_column(strata_col, fractions, id_col, salt, default_fraction))
+
+
+def keep_column(
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> Column:
+    """:func:`stratified_sample`'s per-row keep decision as a boolean
+    Column (never NULL; NULL ids are False, see above) — for plans that
+    want the flag WITHOUT dropping rows (e.g. `dataset_split`'s `kept`
+    column). Exposing the predicate keeps such plans shuffle-free: the
+    alternative — filter, then join the survivors back on id — shuffles
+    the full table twice for a decision that is a literal CASE (review
+    find)."""
     col = F.col(id_col)
     prefix = _md5_prefix(col, salt)
     expr = None
@@ -110,4 +127,5 @@ def stratified_sample(
     else:
         default = prefix < F.lit(_hex4(default_fraction))
     keep_expr = expr.otherwise(default) if expr is not None else default
-    return df.filter(col.isNotNull() & keep_expr)
+    # false AND null = false, so NULL ids come out False, not NULL
+    return col.isNotNull() & keep_expr

@@ -848,26 +848,22 @@ def _split_oracle() -> str:
     "as strictly stronger per-doc evidence (r9 consolidation)",
 )
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import hash_split, stratified_sample
+    from ..operators.sampling import hash_split, keep_column
 
     docs = table(spark, sf_dir, "documents")
-    kept_flags = stratified_sample(
-        docs,
-        "lang",
-        {"en": 1.0, "de": 0.3, "fr": 0.1},
+    # the keep flag is the stratified_sample predicate AS a column —
+    # filter-then-join-back would shuffle the full table twice for a
+    # per-row literal CASE (review find); this plan is one projection
+    return hash_split(docs, "doc_id").select(
         "doc_id",
-        default_fraction=0.05,
-    ).select("doc_id").withColumn("kept", F.lit(True))
-    return (
-        hash_split(docs, "doc_id")
-        .select("doc_id", "lang", "split")
-        .join(kept_flags, "doc_id", "left")
-        .select(
-            "doc_id",
+        "lang",
+        "split",
+        keep_column(
             "lang",
-            "split",
-            F.coalesce(F.col("kept"), F.lit(False)).alias("kept"),
-        )
+            {"en": 1.0, "de": 0.3, "fr": 0.1},
+            "doc_id",
+            default_fraction=0.05,
+        ).alias("kept"),
     )
 
 

@@ -150,7 +150,7 @@ def near_dedup_stream(
             )
 
         def write_meta(spark):
-            d._write_band_index_meta(spark, index_path, n, num_hashes, bands)
+            d._ensure_band_index_meta(spark, index_path, n, num_hashes, bands)
 
         index_partition = "band"
     elif family == "simhash":
@@ -175,7 +175,7 @@ def near_dedup_stream(
             )
 
         def write_meta(spark):
-            d._write_simhash_index_meta(spark, index_path, blocks)
+            d._ensure_simhash_index_meta(spark, index_path, blocks)
 
         index_partition = "blk"
     else:
@@ -185,7 +185,9 @@ def near_dedup_stream(
     # writing it inside the batch (after the index parquet) left a crash
     # window — index present, sidecar absent — in which every future
     # probe's parameter check failed and the stream was permanently
-    # stuck (review find). Idempotent: each (re)wiring rewrites it.
+    # stuck (review find). Write-iff-absent, VALIDATE if present: a
+    # restart with drifted parameters must raise here, not stamp the new
+    # parameters over the index it would corrupt (second review find).
     write_meta(stream_docs.sparkSession)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

@@ -819,3 +819,41 @@ def test_probe_caps_match_capped_batch_recompute(spark, tmp_path):
     assert len(mh_full) < dedup.minhash_lsh_candidates(
         df, n=3, num_hashes=32, bands=8
     ).count()
+
+
+def test_compact_index_aborts_when_swap_rename_fails(spark, tmp_path, monkeypatch):
+    """Hadoop FileSystem.rename reports failure by returning false —
+    unchecked, a failed swap followed by delete(old) destroys the only
+    full copy of the index (review find). Either failing rename must
+    raise and leave the index fully readable at the canonical path."""
+    from ethereum_analytical_db_spark import fsutil
+
+    df, _ = _corpus(spark)
+    path = str(tmp_path / "band_index")
+    dedup.minhash_index_write(df, path)
+    want = {(r["doc"], r["band"], r["bucket"]) for r in spark.read.parquet(path).collect()}
+    real = fsutil.rename
+
+    # first swap rename (path -> .precompact) fails: nothing moved yet
+    monkeypatch.setattr(fsutil, "rename", lambda s, src, dst: False)
+    with pytest.raises(IOError, match="left untouched"):
+        dedup.compact_index(spark, path, ["band"])
+    got = {(r["doc"], r["band"], r["bucket"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+    # second swap rename (.compact -> path) fails: backup restored
+    monkeypatch.setattr(
+        fsutil,
+        "rename",
+        lambda s, src, dst: False if src.endswith(".compact") else real(s, src, dst),
+    )
+    with pytest.raises(IOError, match="restored"):
+        dedup.compact_index(spark, path, ["band"])
+    got = {(r["doc"], r["band"], r["bucket"]) for r in spark.read.parquet(path).collect()}
+    assert got == want
+
+    # and with renames healthy again the same dirs compact fine
+    monkeypatch.setattr(fsutil, "rename", real)
+    dedup.compact_index(spark, path, ["band"])
+    got = {(r["doc"], r["band"], r["bucket"]) for r in spark.read.parquet(path).collect()}
+    assert got == want

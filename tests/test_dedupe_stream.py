@@ -387,3 +387,26 @@ def test_near_dedup_stream_hot_bucket_cap(spark, tmp_path, family):
     assert len(boiler_pairs(capped)) < len(boiler_pairs(full))
     assert all(a % 3 == b % 3 for a, b in boiler_pairs(capped))
     assert any(a % 3 != b % 3 for a, b in boiler_pairs(full))
+
+
+def test_near_dedup_stream_rejects_parameter_drift(spark, tmp_path):
+    """Restart-drift guard (review find): wiring a stream over an index
+    whose sidecar records different parameters must raise at wiring
+    time, not stamp the new parameters over the index it would corrupt."""
+    import pytest
+
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    src = tmp_path / "docs"
+    src.mkdir()
+    for family, kw, drift in (
+        ("minhash", {"bands": 8}, {"bands": 4}),
+        ("simhash", {"blocks": 4}, {"blocks": 8, "max_hamming": 3}),
+    ):
+        index_path = str(tmp_path / f"idx_{family}")
+        pairs_path = str(tmp_path / f"pairs_{family}")
+        stream = st.stream_from_files(spark, str(src), schema)
+        ds.near_dedup_stream(stream, index_path, pairs_path, family=family, **kw)
+        with pytest.raises(ValueError, match="built with"):
+            ds.near_dedup_stream(
+                stream, index_path, pairs_path, family=family, **drift
+            )

@@ -125,3 +125,33 @@ def test_stratified_sample_null_ids_always_dropped(spark):
     ids = {r["id"] for r in out.collect()}
     assert None not in ids
     assert 1 in ids  # fraction-1.0 stratum keeps every non-null row
+
+
+def test_dataset_split_kept_flag_is_shuffle_free_and_matches_filter_form(spark):
+    """The registered dataset_split derives `kept` from the
+    stratified_sample PREDICATE as a column (keep_column) — the
+    filter-then-join-back form shuffled the full table twice for a
+    per-row literal CASE (review find). Pin both halves: the physical
+    plan holds no Exchange and no Join, and the flag agrees row-for-row
+    with the filter form's membership."""
+    import os
+
+    from ethereum_analytical_db_spark.operators.sampling import stratified_sample
+    from ethereum_analytical_db_spark.plans.pipeline import dataset_split
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    out = dataset_split(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept_ids = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, "lang", {"en": 1.0, "de": 0.3, "fr": 0.1}, "doc_id",
+            default_fraction=0.05,
+        ).select("doc_id").collect()
+    }
+    rows = out.select("doc_id", "kept").collect()
+    assert {r["doc_id"] for r in rows if r["kept"]} == kept_ids
+    assert all(r["kept"] is not None for r in rows)
