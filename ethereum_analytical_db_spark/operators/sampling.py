@@ -129,3 +129,75 @@ def keep_column(
     keep_expr = expr.otherwise(default) if expr is not None else default
     # false AND null = false, so NULL ids come out False, not NULL
     return col.isNotNull() & keep_expr
+
+
+def mixture_copies_column(
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "mixture",
+    default_weight: float = 0.0,
+) -> Column:
+    """Per-row copy count for deterministic mixture resampling: a
+    stratum with weight ``w`` replicates each row ``floor(w)`` times
+    plus one more iff the salted-md5 prefix falls under ``frac(w)`` —
+    the replication generalization of :func:`keep_column` (``w <= 1``
+    reduces to Bernoulli keep with probability w). NULL ids get 0
+    copies (same deterministic-identity rule as stratified_sample)."""
+    import math
+
+    col = F.col(id_col)
+    prefix = _md5_prefix(col, salt)
+
+    def _copies(w: float) -> Column:
+        if w < 0:
+            raise ValueError(f"mixture weight {w} < 0")
+        base = int(math.floor(w))
+        frac = w - base
+        if frac <= 0:
+            return F.lit(base)
+        return F.lit(base) + F.when(prefix < F.lit(_hex4(frac)), 1).otherwise(0)
+
+    expr = None
+    for name, w in weights.items():
+        cond = F.col(strata_col) == F.lit(name)
+        expr = F.when(cond, _copies(w)) if expr is None else expr.when(cond, _copies(w))
+    out = expr.otherwise(_copies(default_weight)) if expr is not None else _copies(default_weight)
+    return F.when(col.isNotNull(), out).otherwise(F.lit(0))
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "mixture",
+    default_weight: float = 0.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic data-mixture resampling — the domain-weighting step
+    of a pretraining pipeline (temperature-style upsampling of scarce
+    domains, downsampling of dominant ones, e.g. books 2.5x,
+    common-crawl 0.3x). Each row appears ``mixture_copies_column`` times
+    with ``copy_col`` = 0..copies-1 so downstream shuffling/packing can
+    tell replicas apart.
+
+    Unlike seeded ``sample``/``sampleBy`` replication, the outcome is a
+    pure function of (id, salt) — identical on any cluster, any
+    partitioning, any engine (exactly reproducible by a DuckDB oracle),
+    and re-salting draws an independent mixture.
+
+    Scale: one narrow projection + explode — no shuffle, no state;
+    output rows = Σ_s w_s·n_s exactly (to md5 granularity, 1/65536 per
+    stratum). Skew note: explode replicates WITHIN the source
+    partition, so a wildly-upweighted small stratum concentrated in few
+    files can leave fat partitions — follow with the writer's
+    range/hash partitioning (or AQE rebalance) when w >> 10, the same
+    advice as any generator expression."""
+    copies = mixture_copies_column(strata_col, weights, id_col, salt, default_weight)
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+    )

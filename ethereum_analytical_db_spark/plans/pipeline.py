@@ -231,12 +231,18 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              / len(string_split(text, ' ')) AS mean_word_len,
            length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS non_alpha,
            1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')) AS repetition_ratio
+             / len(string_split(text, ' ')) AS repetition_ratio,
+           md5(lower(text)) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
     FROM documents
     """,
-    note="text quality signals: token count, stopword ratio, mean word "
-    "length, punctuation count, duplicated-word repetition ratio — all "
-    "JVM-side Column exprs",
+    note="per-doc text profile: quality signals (token count, stopword "
+    "ratio, mean word length, punctuation count, duplicated-word "
+    "repetition ratio) plus the document fingerprints (exact-content md5 "
+    "+ order-insensitive bag-of-words md5 — the former doc_fingerprints "
+    "slot folded in as the same per-doc projection, r9 consolidation "
+    "freeing the oracle window slot for mixture_resample) — all JVM-side "
+    "Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
@@ -248,6 +254,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.mean_word_length("text").alias("mean_word_len"),
         text.non_alpha_chars("text").alias("non_alpha"),
         text.repetition_ratio("text").alias("repetition_ratio"),
+        text.content_fingerprint("text").alias("content_fp"),
+        text.bag_of_words_fingerprint("text").alias("bow_fp"),
     )
 
 
@@ -289,23 +297,61 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_fingerprints",
+_MIX_WEIGHTS = {"en": 1.0, "de": 2.5, "fr": 0.4}
+_MIX_DEFAULT = 0.25
+
+
+def _mixture_oracle() -> str:
+    """DuckDB replica of the deterministic mixture resample: per-stratum
+    copies = floor(w) + (salted-md5 prefix < frac(w)), replicated via a
+    small numbers table (copies never exceeds ceil(max weight))."""
+    import math
+
+    from ..operators.sampling import _hex4
+
+    pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'mixture'), 1, 4)"
+
+    def copies(w: float) -> str:
+        base = int(math.floor(w))
+        frac = w - base
+        if frac <= 0:
+            return str(base)
+        return f"{base} + CASE WHEN {pref} < '{_hex4(frac)}' THEN 1 ELSE 0 END"
+
+    case = (
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {copies(w)}" for k, w in _MIX_WEIGHTS.items())
+        + f" ELSE {copies(_MIX_DEFAULT)} END"
+    )
+    return f"""
+    WITH n(i) AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+    d AS (SELECT doc_id, lang, {case} AS copies
+          FROM documents WHERE doc_id IS NOT NULL)
+    SELECT d.doc_id, d.lang, n.i AS copy
+    FROM d JOIN n ON n.i < d.copies
     """
-    SELECT doc_id,
-           md5(lower(text)) AS content_fp,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
-    FROM documents
-    """,
-    note="document fingerprinting: exact-content md5 + order-insensitive "
-    "bag-of-words md5",
+
+
+@register(
+    "mixture_resample",
+    _mixture_oracle(),
+    note="deterministic data-mixture resampling (domain weighting for "
+    "pretraining: en 1.0x / de 2.5x / fr 0.4x / default 0.25x, salt "
+    "'mixture'): copies = floor(w) + salted-md5 Bernoulli(frac(w)), "
+    "emitted as replica rows with a copy index — shuffle-free "
+    "projection + explode, pure function of (id, salt) so any engine "
+    "reproduces it exactly",
 )
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mixture_resample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_resample
+
     docs = docs_table(spark, sf_dir)
-    return docs.select(
+    return mixture_resample(
+        docs.select("doc_id", "lang"),
+        "lang",
+        _MIX_WEIGHTS,
         "doc_id",
-        text.content_fingerprint("text").alias("content_fp"),
-        text.bag_of_words_fingerprint("text").alias("bow_fp"),
+        default_weight=_MIX_DEFAULT,
     )
 
 

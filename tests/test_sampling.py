@@ -155,3 +155,49 @@ def test_dataset_split_kept_flag_is_shuffle_free_and_matches_filter_form(spark):
     rows = out.select("doc_id", "kept").collect()
     assert {r["doc_id"] for r in rows if r["kept"]} == kept_ids
     assert all(r["kept"] is not None for r in rows)
+
+
+def test_mixture_resample_semantics(spark):
+    """Deterministic mixture resampling: integer weights replicate
+    exactly, fractional weights hit the expected rate, w<=1 reduces to
+    the stratified_sample keep set, copy indexes are contiguous from 0,
+    NULL ids drop, negative weights raise, and the plan is shuffle-free
+    (projection + explode only)."""
+    import pytest
+
+    from ethereum_analytical_db_spark.operators.sampling import (
+        mixture_resample,
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)] + [(None, "a")]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = mixture_resample(df, "dom", {"a": 3.0, "b": 0.4}, "id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+    pdf = out.toPandas()
+    assert not pdf["id"].isna().any()  # NULL id contributes nothing
+    a = pdf[pdf.dom == "a"]
+    assert len(a) == 3000  # integer weight: exactly 3 copies each
+    assert set(a.groupby("id")["copy"].apply(lambda s: tuple(sorted(s)))) == {(0, 1, 2)}
+    b = pdf[pdf.dom == "b"]
+    assert set(b["copy"]) == {0}
+    assert 0.3 * 1000 < len(b) < 0.5 * 1000  # ~40% of 1000
+    # w <= 1: the surviving id set IS the stratified_sample keep set
+    # (same salt, same threshold)
+    kept = {
+        r["id"]
+        for r in stratified_sample(
+            df, "dom", {"b": 0.4}, "id", salt="mixture"
+        ).filter("dom = 'b'").collect()
+    }
+    assert set(b["id"]) == kept
+    # determinism: a second plan collects the identical multiset
+    again = mixture_resample(df, "dom", {"a": 3.0, "b": 0.4}, "id").toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(map(tuple, again.values.tolist()))
+    # unknown stratum with default_weight=0 vanishes
+    extra = spark.createDataFrame([(7, "zz")], "id long, dom string")
+    assert mixture_resample(extra, "dom", {"a": 1.0}, "id").count() == 0
+    with pytest.raises(ValueError, match="< 0"):
+        mixture_resample(df, "dom", {"a": -1.0}, "id").count()
