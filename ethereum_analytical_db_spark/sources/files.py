@@ -50,6 +50,8 @@ def export_jsonl(
     shard_max_rows: int | None = None,
     compress: bool = False,
     order_by: str | None = None,
+    shuffle_by: str | None = None,
+    shuffle_salt: str = "shuffle",
 ) -> int:
     """Training-data delivery: JSONL shards (the standard corpus
     interchange format). Returns the shard count.
@@ -61,8 +63,27 @@ def export_jsonl(
     range-partitions instead, so shard k holds a contiguous key range
     (reproducible corpus ordering); ``compress`` writes gzip parts. The
     write is fully distributed — one file per task, nothing driver-side.
+
+    ``shuffle_by``: deterministic GLOBAL shuffle — the standard last
+    step before pretraining (decorrelate adjacent documents so a
+    sequential reader sees an unbiased stream). Orders the corpus by
+    ``md5(id || shuffle_salt)``: a pure function of (id, salt), so the
+    same corpus shuffles identically on any cluster/partitioning (vs
+    ``orderBy(rand())``, which is neither reproducible nor restart-
+    stable), and a new salt draws an independent permutation for the
+    next epoch. Costs exactly the one range-partition shuffle any
+    total order costs. Mutually exclusive with ``order_by``.
     """
     path = os.path.abspath(path)
+    if shuffle_by is not None:
+        if order_by is not None:
+            raise ValueError("order_by and shuffle_by are mutually exclusive")
+        key = "_shuffle_key"
+        df = df.withColumn(
+            key,
+            F.md5(F.concat(F.col(shuffle_by).cast("string"), F.lit(shuffle_salt))),
+        )
+        order_by = key
     if shard_max_rows is not None:
         n = df.count()
         shards = max(1, -(-n // shard_max_rows))
@@ -72,6 +93,9 @@ def export_jsonl(
             df = df.repartition(shards)
     elif order_by is not None:
         df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
+    if shuffle_by is not None:
+        # a projection preserves the within-partition sort (no exchange)
+        df = df.drop("_shuffle_key")
     w = df.write.mode("overwrite")
     if compress:
         w = w.option("compression", "gzip")

@@ -334,3 +334,48 @@ def test_merge_transaction_gas_top_level_only(spark):
     assert out[("0xtxA", ())] == 20e9 / 1e18  # ether-scaled, reference units
     assert out[("0xtxA", (0,))] is None  # sub-call: no gasPrice
     assert out[("0xtxB", ())] is None  # no chain tx row fetched
+
+
+def test_export_jsonl_deterministic_shuffle(spark, tmp_path):
+    """shuffle_by: the exported stream is the corpus ordered by
+    md5(id || salt) — same permutation on re-export (restart-stable),
+    different permutation under a different salt (next epoch), no key
+    column leaked into the JSON, and order_by+shuffle_by rejected."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    import pytest
+
+    from ethereum_analytical_db_spark.sources.files import export_jsonl
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('text-', id) AS text")
+
+    def read_stream(path):
+        rows = []
+        for part in sorted(glob.glob(os.path.join(path, "part-*"))):
+            rows += [json.loads(line) for line in open(part)]
+        return rows
+
+    out = str(tmp_path / "shuf")
+    export_jsonl(df, out, shard_max_rows=25, shuffle_by="doc_id")
+    rows = read_stream(out)
+    assert sorted(r["doc_id"] for r in rows) == list(range(100))
+    assert all(set(r) == {"doc_id", "text"} for r in rows)  # no _shuffle_key
+    want = sorted(range(100), key=lambda i: hashlib.md5(f"{i}shuffle".encode()).hexdigest())
+    # shard files sort lexicographically in range order, so the
+    # concatenated stream IS the global md5 order
+    assert [r["doc_id"] for r in rows] == want
+
+    out2 = str(tmp_path / "shuf2")
+    export_jsonl(df, out2, shard_max_rows=25, shuffle_by="doc_id")
+    assert [r["doc_id"] for r in read_stream(out2)] == want  # restart-stable
+
+    epoch2 = str(tmp_path / "epoch2")
+    export_jsonl(df, epoch2, shard_max_rows=25, shuffle_by="doc_id", shuffle_salt="epoch2")
+    perm2 = [r["doc_id"] for r in read_stream(epoch2)]
+    assert sorted(perm2) == list(range(100)) and perm2 != want
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_jsonl(df, str(tmp_path / "x"), order_by="doc_id", shuffle_by="doc_id")
