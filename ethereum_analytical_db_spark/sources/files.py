@@ -52,6 +52,7 @@ def export_jsonl(
     order_by: str | None = None,
     shuffle_by: str | None = None,
     shuffle_salt: str = "shuffle",
+    shuffle_within_order: str | None = None,
 ) -> int:
     """Training-data delivery: JSONL shards (the standard corpus
     interchange format). Returns the shard count.
@@ -73,8 +74,15 @@ def export_jsonl(
     stable), and a new salt draws an independent permutation for the
     next epoch. Costs exactly the one range-partition shuffle any
     total order costs. Mutually exclusive with ``order_by``.
+
+    ``shuffle_within_order``: secondary sort inside each shuffle key —
+    for multi-row units (a packed sequence's rows share ``seq_id``),
+    shuffling by the unit id keeps the unit's rows adjacent, and this
+    keeps them in reading order (``seq_pos``) instead of arbitrary
+    task order. Ignored without ``shuffle_by``.
     """
     path = os.path.abspath(path)
+    sort_cols: list[str] = []
     if shuffle_by is not None:
         if order_by is not None:
             raise ValueError("order_by and shuffle_by are mutually exclusive")
@@ -84,15 +92,19 @@ def export_jsonl(
             F.md5(F.concat(F.col(shuffle_by).cast("string"), F.lit(shuffle_salt))),
         )
         order_by = key
+        if shuffle_within_order is not None:
+            sort_cols = [shuffle_within_order]
     if shard_max_rows is not None:
         n = df.count()
         shards = max(1, -(-n // shard_max_rows))
         if order_by is not None:
-            df = df.repartitionByRange(shards, order_by).sortWithinPartitions(order_by)
+            df = df.repartitionByRange(shards, order_by).sortWithinPartitions(
+                order_by, *sort_cols
+            )
         else:
             df = df.repartition(shards)
     elif order_by is not None:
-        df = df.repartitionByRange(order_by).sortWithinPartitions(order_by)
+        df = df.repartitionByRange(order_by).sortWithinPartitions(order_by, *sort_cols)
     if shuffle_by is not None:
         # a projection preserves the within-partition sort (no exchange)
         df = df.drop("_shuffle_key")

@@ -15,7 +15,9 @@ Stages (each an already-scale-audited operator — see SCALE.md):
    budget, per-split; fill-ratio summary printed.
 3. ``export_jsonl``: each split shipped as row-budgeted JSONL shards
    (train shards ordered by packed sequence so one shard holds whole
-   sequences contiguously).
+   sequences contiguously); ``--epoch-salt e1`` instead ships the
+   deterministic epoch shuffle — sequences in salted-md5 order, each
+   sequence's rows kept whole and in ``seq_pos`` order.
 """
 
 from __future__ import annotations
@@ -36,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--substring-k", type=int, default=8)
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--gzip", action="store_true")
+    p.add_argument(
+        "--epoch-salt",
+        default=None,
+        help="ship a deterministic epoch shuffle (sequences in "
+        "md5(seq_id||salt) order) instead of contiguous seq_id ranges",
+    )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
 
@@ -82,12 +90,20 @@ def main(argv: list[str] | None = None) -> int:
                 part.join(packed.select("doc_id", "seq_id", "seq_pos"), "doc_id")
                 .select("doc_id", "seq_id", "seq_pos", "lang", "text")
             )
+            if args.epoch_salt is not None:
+                ship_kw = dict(
+                    shuffle_by="seq_id",
+                    shuffle_salt=args.epoch_salt,
+                    shuffle_within_order="seq_pos",
+                )
+            else:
+                ship_kw = dict(order_by="seq_id")
             n = export_jsonl(
                 shipped,
                 os.path.join(args.out_dir, split),
                 shard_max_rows=args.shard_rows,
                 compress=args.gzip,
-                order_by="seq_id",
+                **ship_kw,
             )
             total_shards += n
             packed.unpersist()

@@ -379,3 +379,38 @@ def test_export_jsonl_deterministic_shuffle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         export_jsonl(df, str(tmp_path / "x"), order_by="doc_id", shuffle_by="doc_id")
+
+
+def test_export_jsonl_shuffle_keeps_units_whole_and_ordered(spark, tmp_path):
+    """shuffle_within_order: shuffling packed sequences by seq_id keeps
+    each sequence's rows adjacent (equal keys range-partition together)
+    and in seq_pos order, while the sequence-level stream follows the
+    salted-md5 permutation."""
+    import glob
+    import hashlib
+    import itertools
+    import json
+    import os
+
+    from ethereum_analytical_db_spark.sources.files import export_jsonl
+
+    rows = [
+        {"seq_id": s, "seq_pos": p, "tok": f"{s}:{p}"}
+        for s in range(30)
+        for p in range(4)
+    ]
+    df = spark.createDataFrame(rows, "seq_id long, seq_pos long, tok string")
+    out = str(tmp_path / "packed_shuf")
+    export_jsonl(
+        df, out, shard_max_rows=40, shuffle_by="seq_id",
+        shuffle_salt="e1", shuffle_within_order="seq_pos",
+    )
+    stream = []
+    for part in sorted(glob.glob(os.path.join(out, "part-*"))):
+        stream += [json.loads(line) for line in open(part)]
+    units = [(sid, [r["seq_pos"] for r in grp]) for sid, grp in
+             itertools.groupby(stream, key=lambda r: r["seq_id"])]
+    assert len(units) == 30  # each sequence appears exactly once, whole
+    assert all(pos == [0, 1, 2, 3] for _, pos in units)  # reading order
+    want = sorted(range(30), key=lambda s: hashlib.md5(f"{s}e1".encode()).hexdigest())
+    assert [sid for sid, _ in units] == want
