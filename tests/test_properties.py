@@ -322,3 +322,50 @@ def test_incremental_probe_append_equals_full_recompute(spark, docs):
         assert found == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@SPARK_EXAMPLES
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=3.5, allow_nan=False, width=32),
+        min_size=1,
+        max_size=3,
+    ),
+    default_w=st.floats(min_value=0.0, max_value=1.5, allow_nan=False, width=32),
+)
+def test_mixture_resample_matches_python_model(spark, ids, weights, default_w):
+    """mixture_resample vs a pure-Python model: per-row copies equal
+    floor(w) + (md5(id||salt) prefix < frac(w) threshold), copy indexes
+    are exactly 0..copies-1 — over arbitrary weights (incl. 0 and
+    integer-valued floats) and arbitrary strata assignment."""
+    import hashlib
+    import math
+
+    from ethereum_analytical_db_spark.operators.sampling import (
+        _hex4,
+        mixture_resample,
+    )
+
+    rows = [(i, ["a", "b", "c", "zz"][i % 4]) for i in ids]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    got = {}
+    for r in mixture_resample(df, "dom", weights, "id", default_weight=default_w).collect():
+        got.setdefault((r["id"], r["dom"]), []).append(r["copy"])
+
+    def model_copies(i, dom):
+        w = weights.get(dom, default_w)
+        base = int(math.floor(w))
+        frac = w - base
+        if frac > 0:
+            prefix = hashlib.md5(f"{i}mixture".encode()).hexdigest()[:4]
+            base += 1 if prefix < _hex4(frac) else 0
+        return base
+
+    want = {
+        (i, dom): list(range(model_copies(i, dom)))
+        for i, dom in rows
+        if model_copies(i, dom) > 0
+    }
+    assert {k: sorted(v) for k, v in got.items()} == want
