@@ -309,6 +309,11 @@ def _mixture_oracle() -> str:
 
     from ..operators.sampling import _hex4
 
+    # the numbers table below enumerates copy indexes 0..3 — a weight
+    # >= 4 would silently truncate the replica, so refuse it here
+    assert all(w < 4 for w in [*_MIX_WEIGHTS.values(), _MIX_DEFAULT]), (
+        "mixture oracle numbers table covers copies <= 4; widen VALUES"
+    )
     pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'mixture'), 1, 4)"
 
     def copies(w: float) -> str:

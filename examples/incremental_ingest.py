@@ -50,6 +50,13 @@ def main(argv: list[str] | None = None) -> int:
         help="signature scheme: LSH bands (Jaccard-ish) or SimHash chunks (Hamming)",
     )
     p.add_argument("--shards", type=int, default=4)
+    p.add_argument(
+        "--max-bucket-df",
+        type=int,
+        default=None,
+        help="hot-bucket cap (minhash: band buckets, simhash: chunks) — "
+        "the boilerplate-corpus guard; probes compute it over index+shard",
+    )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
 
@@ -74,13 +81,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.family == "minhash":
             write, append = dedup.minhash_index_write, dedup.minhash_index_append
             probe = lambda shard: dedup.minhash_probe_candidates(  # noqa: E731
-                spark, index_path, shard
+                spark, index_path, shard, max_bucket_df=args.max_bucket_df
             )
             score_col = "bands_in_common"
         else:
             write, append = dedup.simhash_index_write, dedup.simhash_index_append
             probe = lambda shard: dedup.simhash_probe_candidates(  # noqa: E731
-                spark, index_path, shard
+                spark, index_path, shard, max_chunk_df=args.max_bucket_df
             )
             score_col = "hamming"
 
@@ -108,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
                 index_path,
                 pairs_path,
                 family=args.family,
+                max_bucket_df=args.max_bucket_df if args.family == "minhash" else None,
+                max_chunk_df=args.max_bucket_df if args.family == "simhash" else None,
             )
             .option("checkpointLocation", os.path.join(args.out_dir, "ckpt"))
             .trigger(availableNow=True)
