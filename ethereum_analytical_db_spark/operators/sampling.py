@@ -115,20 +115,34 @@ def keep_column(
     find)."""
     col = F.col(id_col)
     prefix = _md5_prefix(col, salt)
-    expr = None
-    for name, frac in fractions.items():
-        cond = F.col(strata_col) == F.lit(name)
-        keep = F.lit(True) if frac >= 1.0 else prefix < F.lit(_hex4(frac))
-        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
-    if default_fraction >= 1.0:
-        default = F.lit(True)
-    elif default_fraction <= 0.0:
-        default = F.lit(False)
-    else:
-        default = prefix < F.lit(_hex4(default_fraction))
-    keep_expr = expr.otherwise(default) if expr is not None else default
+
+    def keep_of(frac: float) -> Column:
+        if frac >= 1.0:
+            return F.lit(True)
+        if frac <= 0.0:
+            return F.lit(False)
+        return prefix < F.lit(_hex4(frac))
+
+    keep_expr = _strata_case(strata_col, fractions, keep_of, default_fraction)
     # false AND null = false, so NULL ids come out False, not NULL
     return col.isNotNull() & keep_expr
+
+
+def _strata_case(
+    strata_col: str,
+    mapping: dict[str, float],
+    value_of,
+    default_value: float,
+) -> Column:
+    """One CASE over the strata dict: ``value_of(mapping[stratum])`` per
+    listed stratum, ``value_of(default_value)`` otherwise — the fold
+    keep_column and mixture_copies_column share (review find: it was
+    hand-rolled in both; a semantics fix must land once, not twice)."""
+    expr = None
+    for name, v in mapping.items():
+        cond = F.col(strata_col) == F.lit(name)
+        expr = F.when(cond, value_of(v)) if expr is None else expr.when(cond, value_of(v))
+    return expr.otherwise(value_of(default_value)) if expr is not None else value_of(default_value)
 
 
 def mixture_copies_column(
@@ -158,11 +172,7 @@ def mixture_copies_column(
             return F.lit(base)
         return F.lit(base) + F.when(prefix < F.lit(_hex4(frac)), 1).otherwise(0)
 
-    expr = None
-    for name, w in weights.items():
-        cond = F.col(strata_col) == F.lit(name)
-        expr = F.when(cond, _copies(w)) if expr is None else expr.when(cond, _copies(w))
-    out = expr.otherwise(_copies(default_weight)) if expr is not None else _copies(default_weight)
+    out = _strata_case(strata_col, weights, _copies, default_weight)
     return F.when(col.isNotNull(), out).otherwise(F.lit(0))
 
 
@@ -194,6 +204,14 @@ def mixture_resample(
     files can leave fat partitions — follow with the writer's
     range/hash partitioning (or AQE rebalance) when w >> 10, the same
     advice as any generator expression."""
+    # withColumn REPLACES an existing column of the same name — silently
+    # destroying caller data (review find); refuse the collision instead
+    taken = set(df.columns) & {copy_col, "_copies"}
+    if taken:
+        raise ValueError(
+            f"mixture_resample would overwrite input column(s) {sorted(taken)}; "
+            "rename them or pass a different copy_col"
+        )
     copies = mixture_copies_column(strata_col, weights, id_col, salt, default_weight)
     return (
         df.withColumn("_copies", copies)

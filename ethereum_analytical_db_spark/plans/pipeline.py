@@ -309,11 +309,17 @@ def _mixture_oracle() -> str:
 
     from ..operators.sampling import _hex4
 
-    # the numbers table below enumerates copy indexes 0..3 — a weight
-    # >= 4 would silently truncate the replica, so refuse it here
-    assert all(w < 4 for w in [*_MIX_WEIGHTS.values(), _MIX_DEFAULT]), (
-        "mixture oracle numbers table covers copies <= 4; widen VALUES"
-    )
+    # the numbers table below enumerates copy indexes 0..3, i.e. up to
+    # 4 copies = weight <= 4 exactly — a larger weight would silently
+    # truncate the replica. Explicit raise, not assert: python -O would
+    # strip an assert and the truncation would resurface as an opaque
+    # hash mismatch (review find).
+    bad = [w for w in [*_MIX_WEIGHTS.values(), _MIX_DEFAULT] if w > 4]
+    if bad:
+        raise ValueError(
+            f"mixture oracle numbers table covers copies <= 4; weights {bad} "
+            "need a wider VALUES list"
+        )
     pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'mixture'), 1, 4)"
 
     def copies(w: float) -> str:

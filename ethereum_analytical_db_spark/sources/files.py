@@ -52,7 +52,7 @@ def export_jsonl(
     order_by: str | None = None,
     shuffle_by: str | None = None,
     shuffle_salt: str = "shuffle",
-    shuffle_within_order: str | None = None,
+    within_order: str | None = None,
 ) -> int:
     """Training-data delivery: JSONL shards (the standard corpus
     interchange format). Returns the shard count.
@@ -75,25 +75,33 @@ def export_jsonl(
     next epoch. Costs exactly the one range-partition shuffle any
     total order costs. Mutually exclusive with ``order_by``.
 
-    ``shuffle_within_order``: secondary sort inside each shuffle key —
-    for multi-row units (a packed sequence's rows share ``seq_id``),
-    shuffling by the unit id keeps the unit's rows adjacent, and this
-    keeps them in reading order (``seq_pos``) instead of arbitrary
-    task order. Ignored without ``shuffle_by``.
+    ``within_order``: secondary sort under whichever primary ordering
+    is active — for multi-row units (a packed sequence's rows share
+    ``seq_id``), ordering or shuffling by the unit id keeps the unit's
+    rows adjacent, and this keeps them in reading order (``seq_pos``)
+    instead of arbitrary task order. Tie order under a bare ``order_by``
+    is otherwise UNDEFINED (sortWithinPartitions is not stable across
+    the preceding shuffle), so any consumer that concatenates rows in
+    file order wants this set.
     """
     path = os.path.abspath(path)
-    sort_cols: list[str] = []
+    sort_cols = [within_order] if within_order is not None else []
     if shuffle_by is not None:
         if order_by is not None:
             raise ValueError("order_by and shuffle_by are mutually exclusive")
         key = "_shuffle_key"
+        if key in df.columns:
+            # withColumn would silently REPLACE it and the drop below
+            # would delete the caller's data (review find)
+            raise ValueError(
+                f"export_jsonl(shuffle_by=...) needs the {key!r} column name "
+                "for its sort key; rename that input column"
+            )
         df = df.withColumn(
             key,
             F.md5(F.concat(F.col(shuffle_by).cast("string"), F.lit(shuffle_salt))),
         )
         order_by = key
-        if shuffle_within_order is not None:
-            sort_cols = [shuffle_within_order]
     if shard_max_rows is not None:
         n = df.count()
         shards = max(1, -(-n // shard_max_rows))

@@ -91,13 +91,13 @@ def main(argv: list[str] | None = None) -> int:
                 .select("doc_id", "seq_id", "seq_pos", "lang", "text")
             )
             if args.epoch_salt is not None:
-                ship_kw = dict(
-                    shuffle_by="seq_id",
-                    shuffle_salt=args.epoch_salt,
-                    shuffle_within_order="seq_pos",
-                )
+                ship_kw = dict(shuffle_by="seq_id", shuffle_salt=args.epoch_salt)
             else:
                 ship_kw = dict(order_by="seq_id")
+            # either way the rows of a sequence must ship in reading
+            # order — tie order under the primary sort alone is
+            # undefined (review find)
+            ship_kw["within_order"] = "seq_pos"
             n = export_jsonl(
                 shipped,
                 os.path.join(args.out_dir, split),

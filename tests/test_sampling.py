@@ -201,3 +201,21 @@ def test_mixture_resample_semantics(spark):
     assert mixture_resample(extra, "dom", {"a": 1.0}, "id").count() == 0
     with pytest.raises(ValueError, match="< 0"):
         mixture_resample(df, "dom", {"a": -1.0}, "id").count()
+
+
+def test_mixture_resample_refuses_column_collisions(spark):
+    """withColumn silently replaces same-named columns, so inputs that
+    already carry `copy` (default copy_col) or `_copies` are refused
+    (review find)."""
+    import pytest
+
+    from ethereum_analytical_db_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(1, "a", 0)], "id long, dom string, copy long")
+    with pytest.raises(ValueError, match="overwrite"):
+        mixture_resample(df, "dom", {"a": 1.0}, "id")
+    out = mixture_resample(df, "dom", {"a": 1.0}, "id", copy_col="replica")
+    assert out.columns == ["id", "dom", "copy", "replica"]
+    df2 = spark.createDataFrame([(1, "a", 0)], "id long, dom string, _copies long")
+    with pytest.raises(ValueError, match="overwrite"):
+        mixture_resample(df2, "dom", {"a": 1.0}, "id")

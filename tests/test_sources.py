@@ -403,7 +403,7 @@ def test_export_jsonl_shuffle_keeps_units_whole_and_ordered(spark, tmp_path):
     out = str(tmp_path / "packed_shuf")
     export_jsonl(
         df, out, shard_max_rows=40, shuffle_by="seq_id",
-        shuffle_salt="e1", shuffle_within_order="seq_pos",
+        shuffle_salt="e1", within_order="seq_pos",
     )
     stream = []
     for part in sorted(glob.glob(os.path.join(out, "part-*"))):
@@ -414,3 +414,40 @@ def test_export_jsonl_shuffle_keeps_units_whole_and_ordered(spark, tmp_path):
     assert all(pos == [0, 1, 2, 3] for _, pos in units)  # reading order
     want = sorted(range(30), key=lambda s: hashlib.md5(f"{s}e1".encode()).hexdigest())
     assert [sid for sid, _ in units] == want
+
+
+def test_export_jsonl_within_order_and_collision_guard(spark, tmp_path):
+    """within_order also applies under plain order_by (tie order under
+    the primary sort alone is undefined — review find), and a real
+    input column named _shuffle_key is refused rather than silently
+    overwritten and dropped."""
+    import glob
+    import itertools
+    import json
+    import os
+
+    import pytest
+
+    from ethereum_analytical_db_spark.sources.files import export_jsonl
+
+    rows = [
+        {"seq_id": s, "seq_pos": p, "tok": f"{s}:{p}"}
+        for s in range(20)
+        for p in range(4)
+    ]
+    df = spark.createDataFrame(rows, "seq_id long, seq_pos long, tok string")
+    # adversarial upstream order so a missing secondary sort shows
+    df = df.orderBy("tok")
+    out = str(tmp_path / "ordered_within")
+    export_jsonl(df, out, shard_max_rows=30, order_by="seq_id", within_order="seq_pos")
+    stream = []
+    for part in sorted(glob.glob(os.path.join(out, "part-*"))):
+        stream += [json.loads(line) for line in open(part)]
+    units = [(sid, [r["seq_pos"] for r in grp]) for sid, grp in
+             itertools.groupby(stream, key=lambda r: r["seq_id"])]
+    assert [sid for sid, _ in units] == list(range(20))  # contiguous ranges
+    assert all(pos == [0, 1, 2, 3] for _, pos in units)  # reading order
+
+    clash = df.withColumnRenamed("tok", "_shuffle_key")
+    with pytest.raises(ValueError, match="_shuffle_key"):
+        export_jsonl(clash, str(tmp_path / "x"), shuffle_by="seq_id")
