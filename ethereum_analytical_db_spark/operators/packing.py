@@ -148,3 +148,57 @@ def packing_stats(assignments: DataFrame, seq_len: int) -> DataFrame:
             / denom
         ).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents LONGER than the context window into overlapping
+    token-window chunks — the long-document half of window fitting
+    (:func:`pack_sequences` handles the short-document half; chunk
+    first, pack the chunks). Standard pretraining prep: without it a
+    long document is either truncated (data loss) or rejected.
+
+    Chunk k covers whitespace tokens ``[k*stride, k*stride+max_tokens)``
+    with ``stride = max_tokens - overlap``; the final chunk is the first
+    one whose tail reaches the document end (a chunk fully contained in
+    the previous chunk's overlap is never emitted). Every token appears
+    in at least one chunk; consecutive chunks share exactly ``overlap``
+    tokens (boundary context for the model).
+
+    Output: ``(doc_id, chunk_idx, chunk_text, chunk_tokens)`` — one row
+    per chunk, ``chunk_idx`` contiguous from 0. A document with ≤
+    ``max_tokens`` tokens passes through whole as chunk 0.
+
+    Scale: pure projection + explode over JVM array ops (split / slice /
+    array_join) — no shuffle, no Python, no state; output token mass ≤
+    input × max_tokens/stride. Deterministic and engine-exact (DuckDB
+    oracle replicates it list-op for list-op).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    k_max = F.when(
+        n > overlap, F.floor((n - overlap - 1) / F.lit(stride))
+    ).otherwise(F.lit(0))
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    return (
+        docs.withColumn("_toks", toks)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), k_max)))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"), start + 1, max_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.size(F.col("_toks")) - start, F.lit(max_tokens))
+            .cast("long")
+            .alias("chunk_tokens"),
+        )
+    )

@@ -19,6 +19,11 @@ from .registry import register, table
 STOPWORDS = ["the", "a", "value", "row", "data"]
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+# BPE-ish lexer classes (letters / digits / punctuation) — shared by the
+# text_quality fold (n_bpe_tokens) and defined up here so the oracle
+# f-string below can embed it
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
 
 def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Restore parallelism IF the scan lacks it: a single small parquet
@@ -233,16 +238,19 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')) AS repetition_ratio,
            md5(lower(text)) AS content_fp,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
     FROM documents
     """,
     note="per-doc text profile: quality signals (token count, stopword "
     "ratio, mean word length, punctuation count, duplicated-word "
-    "repetition ratio) plus the document fingerprints (exact-content md5 "
-    "+ order-insensitive bag-of-words md5 — the former doc_fingerprints "
-    "slot folded in as the same per-doc projection, r9 consolidation "
-    "freeing the oracle window slot for mixture_resample) — all JVM-side "
-    "Column exprs",
+    "repetition ratio), the document fingerprints (exact-content md5 + "
+    "order-insensitive bag-of-words md5 — former doc_fingerprints slot) "
+    "and the BPE-ish lexer token count (former token_count_bpe slot; "
+    "its n_ws_tokens column was already this query's n_words). Both "
+    "folds are the same per-doc projection over documents — r9 "
+    "consolidation freeing oracle-window slots for mixture_resample "
+    "and chunk_documents — all JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
@@ -256,6 +264,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.repetition_ratio("text").alias("repetition_ratio"),
         text.content_fingerprint("text").alias("content_fp"),
         text.bag_of_words_fingerprint("text").alias("bow_fp"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -545,28 +556,47 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_CHUNK_MAX_TOKENS = 64
+_CHUNK_OVERLAP = 16
 
 
 @register(
-    "token_count_bpe",
+    "chunk_documents",
     f"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
-           len(string_split(text, ' ')) AS n_ws_tokens
-    FROM documents
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), e AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               CASE WHEN n > {_CHUNK_OVERLAP}
+                    THEN CAST(FLOOR(CAST(n - {_CHUNK_OVERLAP} - 1 AS DOUBLE)
+                              / {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP}) AS BIGINT)
+                    ELSE 0 END)) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(list_slice(toks,
+             chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP} + 1,
+             chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_MAX_TOKENS}), ' ')
+             AS chunk_text,
+           least(n - chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP},
+                 {_CHUNK_MAX_TOKENS}) AS chunk_tokens
+    FROM e
     """,
-    note="token counting: whitespace + BPE-ish regex lexer (letters / "
-    "digits / punctuation classes) — JVM regexp, no Python",
+    note="long-document chunking: split into 64-token windows with "
+    "16-token overlap (chunk k = tokens [k*48, k*48+64); final chunk = "
+    "first to reach the document end) — the long-doc half of context-"
+    "window fitting, pack_sequences being the short-doc half; pure "
+    "projection + explode, no shuffle",
 )
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_documents
+
     docs = docs_table(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)).cast(
-            "long"
-        ).alias("n_tokens"),
-        text.token_count("text").alias("n_ws_tokens"),
+    return chunk_documents(
+        docs, max_tokens=_CHUNK_MAX_TOKENS, overlap=_CHUNK_OVERLAP
     )
 
 

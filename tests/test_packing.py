@@ -91,3 +91,52 @@ def test_stats_and_fill_ratio(spark):
     assert stats["sequences"] >= 1
     # BFD on many small docs packs tightly; generous floor guards noise
     assert stats["fill_ratio"] > 0.7
+
+
+def test_chunk_documents_semantics(spark):
+    """Window math pinned: every token covered, consecutive chunks share
+    exactly `overlap` tokens, the final chunk reaches the end, short
+    docs pass through whole, chunk_idx contiguous from 0, and a chunk
+    fully inside the previous overlap is never emitted; bad overlap
+    raises; plan is shuffle-free."""
+    import pytest
+
+    from ethereum_analytical_db_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 3 chunks
+        (2, " ".join(f"t{i}" for i in range(4))),    # == max: 1 chunk
+        (3, "a"),                                     # 1 tok: 1 chunk
+        (4, " ".join(f"t{i}" for i in range(5))),    # max+1: 2 chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=1)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+            r["chunk_text"].split(" "), r["chunk_tokens"]
+        )
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        chunks = got[doc_id]
+        assert sorted(chunks) == list(range(len(chunks)))  # contiguous
+        covered = []
+        for k in sorted(chunks):
+            ctoks, n = chunks[k]
+            assert ctoks == toks[k * 3 : k * 3 + 4]  # stride 3, window 4
+            assert n == len(ctoks)
+            covered.extend(ctoks)
+        assert set(covered) == set(toks)  # every token appears
+        if len(chunks) > 1:  # consecutive chunks share exactly `overlap`
+            for k in range(len(chunks) - 1):
+                assert chunks[k][0][-1:] == chunks[k + 1][0][:1]
+        # last chunk reaches the end and is NOT contained in the overlap
+        last = chunks[max(chunks)][0]
+        assert last[-1] == toks[-1]
+        assert len(last) > 1 or len(chunks) == 1
+    assert len(got[1]) == 3 and len(got[2]) == 1 and len(got[3]) == 1 and len(got[4]) == 2
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=-1)

@@ -369,3 +369,33 @@ def test_mixture_resample_matches_python_model(spark, ids, weights, default_w):
         if model_copies(i, dom) > 0
     }
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+@SPARK_EXAMPLES
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=12),
+    max_tokens=st.integers(min_value=2, max_value=16),
+    data=st.data(),
+)
+def test_chunk_documents_matches_python_model(spark, lens, max_tokens, data):
+    """chunk_documents vs a pure-Python window model over arbitrary
+    document lengths and (max_tokens, overlap) shapes."""
+    from ethereum_analytical_db_spark.operators.packing import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    stride = max_tokens - overlap
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+    }
+    want = {}
+    for i, text in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        k_max = (n - overlap - 1) // stride if n > overlap else 0
+        for k in range(k_max + 1):
+            w = toks[k * stride : k * stride + max_tokens]
+            want[(i, k)] = (" ".join(w), len(w))
+    assert got == want
