@@ -156,6 +156,7 @@ def chunk_documents(
     overlap: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Split documents LONGER than the context window into overlapping
     token-window chunks — the long-document half of window fitting
@@ -173,6 +174,9 @@ def chunk_documents(
     Output: ``(doc_id, chunk_idx, chunk_text, chunk_tokens)`` — one row
     per chunk, ``chunk_idx`` contiguous from 0. A document with ≤
     ``max_tokens`` tokens passes through whole as chunk 0.
+    ``passthrough`` names per-document columns (lang, split, …) to copy
+    onto every chunk row — a projection, not the join a caller would
+    otherwise need to recover them.
 
     Scale: pure projection + explode over JVM array ops (split / slice /
     array_join) — no shuffle, no Python, no state; output token mass ≤
@@ -200,5 +204,6 @@ def chunk_documents(
             F.least(F.size(F.col("_toks")) - start, F.lit(max_tokens))
             .cast("long")
             .alias("chunk_tokens"),
+            *(passthrough or []),
         )
     )

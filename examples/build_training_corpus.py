@@ -12,7 +12,9 @@ Stages (each an already-scale-audited operator — see SCALE.md):
    line dedup → quality filter → language ID → PII scrub → split,
    with per-stage survival counts printed as the audit trail.
 2. ``pack_sequences``: best-fit-decreasing sample packing to the token
-   budget, per-split; fill-ratio summary printed.
+   budget, per-split; fill-ratio summary printed. ``--chunk-overlap N``
+   first splits over-window documents into overlapping chunks
+   (``chunk_documents``), so nothing is truncated.
 3. ``export_jsonl``: each split shipped as row-budgeted JSONL shards
    (train shards ordered by packed sequence so one shard holds whole
    sequences contiguously); ``--epoch-salt e1`` instead ships the
@@ -37,6 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shard-rows", type=int, default=10_000)
     p.add_argument("--substring-k", type=int, default=8)
     p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument(
+        "--chunk-overlap",
+        type=int,
+        default=None,
+        help="chunk documents longer than --seq-len into overlapping "
+        "windows (this many shared tokens) before packing — otherwise "
+        "the packer truncates them",
+    )
     p.add_argument("--gzip", action="store_true")
     p.add_argument(
         "--epoch-salt",
@@ -76,6 +86,27 @@ def main(argv: list[str] | None = None) -> int:
         total_shards = 0
         for split in ("train", "valid", "test"):
             part = report.df.filter(F.col("split") == split)
+            if args.chunk_overlap is not None:
+                from ethereum_analytical_db_spark.operators.packing import (
+                    chunk_documents,
+                )
+
+                # long docs become window chunks (unique id per chunk);
+                # the packer then never truncates
+                part = (
+                    chunk_documents(
+                        part,
+                        max_tokens=args.seq_len,
+                        overlap=args.chunk_overlap,
+                        passthrough=["lang"],
+                    )
+                    .withColumn(
+                        "doc_id",
+                        F.concat_ws("-", F.col("doc_id"), F.col("chunk_idx")),
+                    )
+                    .withColumnRenamed("chunk_text", "text")
+                    .drop("chunk_idx", "chunk_tokens")
+                )
             # cache: the stats pass and the export join both materialize
             # the packing — uncached, the count + shuffle + best-fit
             # applyInPandas would run twice per split
