@@ -173,7 +173,11 @@ def chunk_documents(
 
     Output: ``(doc_id, chunk_idx, chunk_text, chunk_tokens)`` — one row
     per chunk, ``chunk_idx`` contiguous from 0. A document with ≤
-    ``max_tokens`` tokens passes through whole as chunk 0.
+    ``max_tokens`` tokens passes through whole as chunk 0. A NULL text
+    yields one chunk 0 row with NULL ``chunk_text`` and ``chunk_tokens``
+    = 0 (the module's null policy — ``pack_sequences`` coalesces null
+    token counts the same way), preserving row identity instead of
+    silently dropping the document.
     ``passthrough`` names per-document columns (lang, split, …) to copy
     onto every chunk row — a projection, not the join a caller would
     otherwise need to recover them.
@@ -201,7 +205,13 @@ def chunk_documents(
             F.array_join(
                 F.slice(F.col("_toks"), start + 1, max_tokens), " "
             ).alias("chunk_text"),
-            F.least(F.size(F.col("_toks")) - start, F.lit(max_tokens))
+            # coalesce the SIZE, not the least: Spark's least() SKIPS
+            # nulls, so least(NULL - start, max) returns max and a NULL
+            # document would be credited max_tokens (review find)
+            F.least(
+                F.coalesce(F.size(F.col("_toks")), F.lit(0)) - start,
+                F.lit(max_tokens),
+            )
             .cast("long")
             .alias("chunk_tokens"),
             *(passthrough or []),

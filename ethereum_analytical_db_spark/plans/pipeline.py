@@ -581,7 +581,7 @@ _CHUNK_OVERLAP = 16
              chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP} + 1,
              chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_MAX_TOKENS}), ' ')
              AS chunk_text,
-           least(n - chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP},
+           least(COALESCE(n, 0) - chunk_idx * {_CHUNK_MAX_TOKENS - _CHUNK_OVERLAP},
                  {_CHUNK_MAX_TOKENS}) AS chunk_tokens
     FROM e
     """,

@@ -56,11 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)
+    if args.chunk_overlap is not None and not 0 <= args.chunk_overlap < args.seq_len:
+        # validate BEFORE the (expensive) cleaning pipeline runs — the
+        # operator would raise the same constraint minutes later
+        p.error(f"--chunk-overlap must satisfy 0 <= overlap < --seq-len ({args.seq_len})")
 
     from pyspark.sql import functions as F
 
     from ethereum_analytical_db_spark.operators.corpus import clean_corpus
     from ethereum_analytical_db_spark.operators.packing import (
+        chunk_documents,
         pack_sequences,
         packing_stats,
     )
@@ -86,13 +91,14 @@ def main(argv: list[str] | None = None) -> int:
         total_shards = 0
         for split in ("train", "valid", "test"):
             part = report.df.filter(F.col("split") == split)
+            ship_cols = ["doc_id", "seq_id", "seq_pos", "lang", "text"]
+            pack_id = "doc_id"
             if args.chunk_overlap is not None:
-                from ethereum_analytical_db_spark.operators.packing import (
-                    chunk_documents,
-                )
-
-                # long docs become window chunks (unique id per chunk);
-                # the packer then never truncates
+                # long docs become window chunks; the packer then never
+                # truncates. doc_id stays UNCHANGED (shipped rows carry
+                # chunk_idx alongside, so consumers can still join the
+                # shards back to documents.parquet — review find); the
+                # packer gets a synthetic per-chunk id instead
                 part = (
                     chunk_documents(
                         part,
@@ -101,26 +107,32 @@ def main(argv: list[str] | None = None) -> int:
                         passthrough=["lang"],
                     )
                     .withColumn(
-                        "doc_id",
+                        "_cid",
                         F.concat_ws("-", F.col("doc_id"), F.col("chunk_idx")),
                     )
                     .withColumnRenamed("chunk_text", "text")
-                    .drop("chunk_idx", "chunk_tokens")
+                    .drop("chunk_tokens")
                 )
+                ship_cols = ["doc_id", "chunk_idx", "seq_id", "seq_pos", "lang", "text"]
+                pack_id = "_cid"
             # cache: the stats pass and the export join both materialize
             # the packing — uncached, the count + shuffle + best-fit
             # applyInPandas would run twice per split
-            packed = pack_sequences(part, seq_len=args.seq_len).cache()
+            packed = pack_sequences(part, seq_len=args.seq_len, id_col=pack_id).cache()
             stats = packing_stats(packed, args.seq_len).first()
             print(
                 f"{split}: {stats['sequences']} sequences, "
                 f"fill {float(stats['fill_ratio'] or 0):.1%}, "
                 f"{stats['truncated_sequences']} truncated"
             )
-            shipped = (
-                part.join(packed.select("doc_id", "seq_id", "seq_pos"), "doc_id")
-                .select("doc_id", "seq_id", "seq_pos", "lang", "text")
-            )
+            shipped = part.join(
+                # pack_sequences names its id column doc_id whatever the
+                # input id_col was — alias it back to the join key
+                packed.select(
+                    F.col("doc_id").alias(pack_id), "seq_id", "seq_pos"
+                ),
+                pack_id,
+            ).select(*ship_cols)
             if args.epoch_salt is not None:
                 ship_kw = dict(shuffle_by="seq_id", shuffle_salt=args.epoch_salt)
             else:

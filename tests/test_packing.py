@@ -136,6 +136,16 @@ def test_chunk_documents_semantics(spark):
         assert last[-1] == toks[-1]
         assert len(last) > 1 or len(chunks) == 1
     assert len(got[1]) == 3 and len(got[2]) == 1 and len(got[3]) == 1 and len(got[4]) == 2
+    # NULL text: one chunk-0 row, NULL text, ZERO tokens — Spark's
+    # least() skips nulls, so without the coalesce an empty document
+    # would be credited max_tokens (review find)
+    nulls = chunk_documents(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        max_tokens=4, overlap=1,
+    ).collect()
+    assert [(r["chunk_idx"], r["chunk_text"], r["chunk_tokens"]) for r in nulls] == [
+        (0, None, 0)
+    ]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="overlap"):
