@@ -219,3 +219,33 @@ def test_mixture_resample_refuses_column_collisions(spark):
     df2 = spark.createDataFrame([(1, "a", 0)], "id long, dom string, _copies long")
     with pytest.raises(ValueError, match="overwrite"):
         mixture_resample(df2, "dom", {"a": 1.0}, "id")
+
+
+def test_mixture_and_chunk_run_on_streams(spark, tmp_path):
+    """mixture_resample and chunk_documents are stateless projections,
+    so they run DIRECTLY on streaming frames (no foreachBatch needed)
+    and equal their batch results — the property that makes the
+    continuous-ingest story free for these stages."""
+    from ethereum_analytical_db_spark.operators.packing import chunk_documents
+    from ethereum_analytical_db_spark.operators.sampling import mixture_resample
+    from ethereum_analytical_db_spark.streaming import stream as st
+
+    rows = [(i, ["a", "b"][i % 2], " ".join(f"w{i}x{j}" for j in range(10))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, text string")
+    src = tmp_path / "docs"
+    src.mkdir()
+    df.coalesce(2).write.mode("append").parquet(str(src))
+    stream = st.stream_from_files(spark, str(src), df.schema)
+
+    for name, fn in (
+        ("mix", lambda d: mixture_resample(d.select("doc_id", "dom"), "dom", {"a": 2.0, "b": 0.5}, "doc_id")),
+        ("chunk", lambda d: chunk_documents(d, max_tokens=4, overlap=1)),
+    ):
+        q = (
+            fn(stream).writeStream.format("memory").queryName(f"s_{name}")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        st.run_available_now(q)
+        got = sorted(map(tuple, spark.table(f"s_{name}").collect()))
+        want = sorted(map(tuple, fn(df).collect()))
+        assert got == want
