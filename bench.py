@@ -120,6 +120,45 @@ def _calibration_probe(spark) -> dict:
     return {"cpu_sec": round(cpu_min, 4), "shuffle_sec": round(shuffle_min, 4)}
 
 
+def _probe_factor(probe: dict) -> float:
+    """A single probe's box-speed factor vs the quiet reference (1.0 =
+    reference speed; >1 = slower box, e.g. external contention)."""
+    return round(
+        (
+            probe["cpu_sec"] / CALIB_CPU_REF_SEC
+            + probe["shuffle_sec"] / CALIB_SHUFFLE_REF_SEC
+        )
+        / 2,
+        4,
+    )
+
+
+def _per_query_factors(
+    boundaries: list[tuple[int, float]], positions: dict[str, int]
+) -> dict[str, float]:
+    """Per-query normalization factors from SEGMENT calibration probes.
+
+    ``boundaries``: (queries_iterated_before_probe, probe_factor),
+    ascending — probes run before the suite, every K queries, and after.
+    A query at iteration index j is priced by the MEAN of its two
+    bracketing probes (the last boundary ≤ j and the first > j), so
+    contention that arrives mid-run — the one failure mode the r8
+    start/end min-of-pair provably misses, documented six times in the
+    late-r9 records — is priced against exactly the queries it hit,
+    not averaged into (or hidden from) the whole suite.
+    """
+    out: dict[str, float] = {}
+    for name, j in positions.items():
+        prior = [(b, f) for b, f in boundaries if b <= j]
+        later = [(b, f) for b, f in boundaries if b > j]
+        if not prior or not later:
+            continue
+        before = max(prior)[1]  # factor of the LAST probe at/before j
+        after = min(later)[1]  # factor of the FIRST probe after j
+        out[name] = round((before + after) / 2, 4)
+    return out
+
+
 def _cross_round_table(here: str, current: dict) -> list[dict]:
     """r4+ comparison table: per-round driver-recorded totals
     (BENCH_rNN.json), joined to their BENCH_HISTORY.jsonl rows (by
@@ -196,6 +235,16 @@ def main() -> None:
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
 
     calib_start = _calibration_probe(spark)
+    # segment probes (late-r9): the start/end pair prices the suite as a
+    # whole and its min-of-pair deliberately isolates box speed from JVM
+    # warm-up — but contention arriving MID-run is then invisible to
+    # normalization (observed repeatedly: quiet probes bracketing a
+    # loadavg-7 middle). Re-probing every K queries prices each segment
+    # under the conditions it actually ran in.
+    seg_every = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_EVERY", "12"))
+    calib_probes: list[dict] = [
+        {"after": 0, **calib_start, "factor": _probe_factor(calib_start)}
+    ]
 
     # median-of-N with a warmed session: this box shows ±50% per-query
     # jitter (scheduler/GC/load), which best-of-2 cannot average away —
@@ -217,7 +266,18 @@ def main() -> None:
     n_samples: dict[str, int] = {}
     loads: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, qdef in sorted(qs.items()):
+    positions: dict[str, int] = {}  # iteration index per timed query
+    for idx, (name, qdef) in enumerate(sorted(qs.items())):
+        if idx and seg_every > 0 and idx % seg_every == 0:
+            probe = _calibration_probe(spark)
+            calib_probes.append(
+                {"after": idx, **probe, "factor": _probe_factor(probe)}
+            )
+            print(
+                f"# calib probe after {idx} queries: factor "
+                f"{calib_probes[-1]['factor']}",
+                file=sys.stderr,
+            )
         samples: list[float] = []
         n = 0
         loads[name] = round(os.getloadavg()[0], 2)
@@ -251,6 +311,7 @@ def main() -> None:
         timings[name] = round(med, 4)
         spreads[name] = round(spread, 3)
         n_samples[name] = len(samples)
+        positions[name] = idx
         print(
             f"# {name}: {timings[name]:.3f}s ({n} rows, median of fastest "
             f"{runs}/{len(samples)}, spread {spreads[name]:.0%}, "
@@ -259,6 +320,20 @@ def main() -> None:
         )
 
     calib_end = _calibration_probe(spark)
+    calib_probes.append(
+        {"after": len(qs), **calib_end, "factor": _probe_factor(calib_end)}
+    )
+    per_query_factor = _per_query_factors(
+        [(p["after"], p["factor"]) for p in calib_probes], positions
+    )
+    queries_normalized = {
+        k: round(v / per_query_factor[k], 4)
+        for k, v in timings.items()
+        if per_query_factor.get(k)
+    }
+    normalized_total_segmented = (
+        round(sum(queries_normalized.values()), 4) if queries_normalized else None
+    )
     # factor from the MIN of the start/end probes: the end-of-run probe
     # is fully JIT-warmed (measured: cpu 0.20 at start vs 0.11 at end of
     # the same quiet run), so the minimum isolates box speed from JVM
@@ -291,6 +366,12 @@ def main() -> None:
         "calib_end": calib_end,
         "calib_factor": calib_factor,
         "normalized_total_sec": normalized_total,
+        # segment calibration (late r9): per-query normalization against
+        # the probe pair that bracketed the query's own segment — the
+        # gate prefers this map when present (tools/bench_compare)
+        "calib_probes": calib_probes,
+        "queries_normalized": queries_normalized,
+        "normalized_total_segmented_sec": normalized_total_segmented,
         "cpus": cpus,
         "errors": errors,
         # external-contention attribution: this is a shared box, and a
@@ -381,6 +462,7 @@ def main() -> None:
         "stat": "median_of_fastest",
         "calib_factor": calib_factor,
         "normalized_total_sec": normalized_total,
+        "normalized_total_segmented_sec": normalized_total_segmented,
     }
     summary["gate"] = gate_result["status"]
     if gate_result["regressed"]:

@@ -178,3 +178,32 @@ def test_corrupt_history_line_does_not_disable_the_gate(tmp_path):
     )
     rows = load_history(str(p))
     assert rows == [good]
+
+
+def test_segment_normalization_preferred_and_prices_midrun_contention():
+    """Late-r9 segment calibration: _normalized prefers the per-query
+    queries_normalized map when present (falling back to the suite-level
+    factor otherwise), and bench._per_query_factors prices a query by
+    the MEAN of its two bracketing probes — so contention that arrives
+    mid-run normalizes exactly the queries it hit."""
+    sys.path.insert(0, REPO)
+    import bench
+    from tools.bench_compare import _normalized
+
+    # preference: segment map wins over the factor path
+    rec = {**_rec(2.0, 2.0, {"q": 2.0}), "queries_normalized": {"q": 1.23}}
+    assert _normalized(rec) == {"q": 1.23}
+    assert _normalized(_rec(2.0, 2.0, {"q": 2.0})) == {"q": 1.0}  # fallback
+
+    # probes at boundaries 0 (factor 1.0), 2 (3.0: contention arrived),
+    # 4 (1.0: contention left); queries at iterations 0..3
+    boundaries = [(0, 1.0), (2, 3.0), (4, 1.0)]
+    positions = {"a": 0, "b": 1, "c": 2, "d": 3}
+    factors = bench._per_query_factors(boundaries, positions)
+    # a,b bracketed by (1.0, 3.0) -> 2.0 ; c,d by (3.0, 1.0) -> 2.0
+    assert factors == {"a": 2.0, "b": 2.0, "c": 2.0, "d": 2.0}
+    # asymmetric: probe only got hot at the END
+    factors = bench._per_query_factors([(0, 1.0), (2, 1.0), (4, 3.0)], positions)
+    assert factors["a"] == 1.0 and factors["d"] == 2.0
+    # a query with no bracketing probe pair is skipped, not mispriced
+    assert bench._per_query_factors([(0, 1.0)], {"a": 0}) == {}

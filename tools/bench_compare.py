@@ -46,6 +46,13 @@ DEFAULT_LOAD_COEF = 0.08
 
 
 def _normalized(rec: dict) -> dict[str, float] | None:
+    # prefer the per-query SEGMENT normalization (late r9): each query
+    # priced by the calibration probes that bracketed its own segment,
+    # so mid-run contention — invisible to the suite-level start/end
+    # factor — normalizes the queries it actually hit
+    seg = rec.get("queries_normalized")
+    if isinstance(seg, dict) and seg:
+        return dict(seg)
     factor = rec.get("calib_factor")
     queries = rec.get("queries")
     if not factor or not isinstance(queries, dict) or not queries:
