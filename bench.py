@@ -197,6 +197,9 @@ def _cross_round_table(here: str, current: dict) -> list[dict]:
                     "shuffle_sec"
                 ),
                 "normalized_total_sec": hist.get("normalized_total_sec"),
+                "normalized_total_segmented_sec": hist.get(
+                    "normalized_total_segmented_sec"
+                ),
             }
         )
     rows.append(current)
@@ -234,6 +237,15 @@ def main() -> None:
     # worker daemon spin-up; don't charge it to whichever query runs first
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
 
+    # discard one full probe first: even with _calibration_probe's
+    # internal warm call, the session's FIRST probe runs ~10-25% slow
+    # from residual JIT/JVM warm-up (the same effect the suite factor's
+    # min-of-pair was built around) — and the segment normalization
+    # below uses each probe's raw factor, so a warm-up-inflated start
+    # probe would systematically deflate the first segment's normalized
+    # times (review find). After the discard, calib_start measures
+    # conditions, not warm-up.
+    _calibration_probe(spark)
     calib_start = _calibration_probe(spark)
     # segment probes (late-r9): the start/end pair prices the suite as a
     # whole and its min-of-pair deliberately isolates box speed from JVM
@@ -269,15 +281,26 @@ def main() -> None:
     positions: dict[str, int] = {}  # iteration index per timed query
     for idx, (name, qdef) in enumerate(sorted(qs.items())):
         if idx and seg_every > 0 and idx % seg_every == 0:
-            probe = _calibration_probe(spark)
-            calib_probes.append(
-                {"after": idx, **probe, "factor": _probe_factor(probe)}
-            )
-            print(
-                f"# calib probe after {idx} queries: factor "
-                f"{calib_probes[-1]['factor']}",
-                file=sys.stderr,
-            )
+            # a probe failure must not cost the round its record (the
+            # same invariant the per-query try below states — review
+            # find): skip the probe, the neighbors bracket wider
+            try:
+                probe = _calibration_probe(spark)
+            except Exception as exc:  # noqa: BLE001
+                print(
+                    f"# calib probe after {idx} queries FAILED: "
+                    f"{type(exc).__name__}: {exc}"[:200],
+                    file=sys.stderr,
+                )
+            else:
+                calib_probes.append(
+                    {"after": idx, **probe, "factor": _probe_factor(probe)}
+                )
+                print(
+                    f"# calib probe after {idx} queries: factor "
+                    f"{calib_probes[-1]['factor']}",
+                    file=sys.stderr,
+                )
         samples: list[float] = []
         n = 0
         loads[name] = round(os.getloadavg()[0], 2)
@@ -319,7 +342,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    calib_end = _calibration_probe(spark)
+    try:
+        calib_end = _calibration_probe(spark)
+    except Exception as exc:  # noqa: BLE001 - a dead session at the very
+        # end must not discard the whole run's record; degrade to the
+        # last good probe and say so
+        print(
+            f"# end calib probe FAILED, reusing last good probe: "
+            f"{type(exc).__name__}: {exc}"[:200],
+            file=sys.stderr,
+        )
+        calib_end = {
+            "cpu_sec": calib_probes[-1]["cpu_sec"],
+            "shuffle_sec": calib_probes[-1]["shuffle_sec"],
+        }
     calib_probes.append(
         {"after": len(qs), **calib_end, "factor": _probe_factor(calib_end)}
     )
@@ -397,6 +433,10 @@ def main() -> None:
             "calib_cpu_sec": calib_start["cpu_sec"],
             "calib_shuffle_sec": calib_start["shuffle_sec"],
             "normalized_total_sec": normalized_total,
+            # the segmented figure is the honest cross-round number —
+            # leaving only the min-of-pair total here would record
+            # exactly the artifact this round documents (review find)
+            "normalized_total_segmented_sec": normalized_total_segmented,
         },
     )
     # Regression gate (r8 VERDICT task 4): run tools/bench_compare.py's
@@ -437,7 +477,14 @@ def main() -> None:
         # block lives in BENCH_DETAIL.json) — the file is read whole by
         # every future gate run, so rows stay lean (review find)
         hist_row = {
-            **detail,
+            # leanness (same rationale as stripping gate.per_query):
+            # nothing reads calib_probes or the cross_round table back
+            # from history — queries_normalized is what the gate needs
+            **{
+                k: v
+                for k, v in detail.items()
+                if k not in ("cross_round", "calib_probes")
+            },
             "gate": {k: v for k, v in gate_result.items() if k != "per_query"},
         }
         f.write(
