@@ -387,6 +387,10 @@ def main() -> None:
     normalized_total = round(total / calib_factor, 4) if calib_factor else None
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
+        # stamped HERE (not at history-append) so BENCH_DETAIL.json and
+        # the run's history row share one timestamp — the regression
+        # gate keys its self-row exclusion on it (tools/bench_compare)
+        "ts": round(time.time(), 1),
         "metric": "registry_suite_total_sec",
         "value": total,
         "unit": "sec",
@@ -487,12 +491,8 @@ def main() -> None:
             },
             "gate": {k: v for k, v in gate_result.items() if k != "per_query"},
         }
-        f.write(
-            json.dumps(
-                {"ts": round(time.time(), 1), **hist_row}, separators=(",", ":")
-            )
-            + "\n"
-        )
+        # hist_row already carries detail["ts"] — same stamp in both files
+        f.write(json.dumps(hist_row, separators=(",", ":")) + "\n")
 
     # The driver keeps only the final ~2000 chars of stdout, so the line
     # must be compact AND last. Spreads live in BENCH_DETAIL.json only;

@@ -48,6 +48,27 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Create/overwrite ``path`` via temp-file + rename, so a crash
+    mid-write can never leave a truncated file at the canonical name.
+    ``write_text`` is a plain create/truncate — a crash between truncate
+    and flush leaves partial JSON that surfaces later as an opaque
+    ``json.JSONDecodeError`` and permanently blocks every reader (review
+    find). The worst a crash here leaves is an orphan ``.tmp`` beside an
+    intact (old or absent) canonical file. Hadoop ``rename`` refuses an
+    existing destination on most filesystems, so the old file is deleted
+    first: the visible states are old-complete, absent (a loud, already
+    handled ``FileNotFoundError``), or new-complete — never truncated."""
+    import uuid
+
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    write_text(spark, tmp, text)
+    fs, jpath = _fs_and_path(spark, path)
+    fs.delete(jpath, False)
+    if not fs.rename(_fs_and_path(spark, tmp)[1], jpath):
+        raise IOError(f"write_text_atomic: rename {tmp} -> {path} failed")
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     fs, jsrc = _fs_and_path(spark, src)
     return fs.rename(jsrc, _fs_and_path(spark, dst)[1])

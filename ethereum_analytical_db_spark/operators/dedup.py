@@ -422,15 +422,41 @@ def minhash_lsh_candidates(
 _BAND_INDEX_META = "_band_index_meta.json"
 
 
+def _recover_precompact(spark, path: str) -> bool:
+    """Finish a :func:`compact_index` that crashed between its two
+    renames: canonical path absent, the only full copy parked at
+    ``<path>.precompact``. Every index entry point (ensure/check meta)
+    runs this FIRST — without it, a stream restart's sidecar write
+    recreates the canonical dir with only the sidecar, the probe
+    bootstraps as an empty corpus (silently missing all cross-corpus
+    dups), and the next compact sees canonical-present and deletes the
+    backup as 'provably stale', destroying the only full copy (review
+    find). When canonical exists the backup is left alone —
+    ``compact_index`` itself adjudicates staleness. Returns True iff a
+    recovery rename happened."""
+    from .. import fsutil
+
+    old = path + ".precompact"
+    if fsutil.exists(spark, old) and not fsutil.exists(spark, path):
+        if not fsutil.rename(spark, old, path):
+            raise IOError(
+                f"recovery rename {old} -> {path} failed (Hadoop rename "
+                "returned false); index left at the backup path"
+            )
+        return True
+    return False
+
+
 def _write_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int) -> None:
     """Parameter sidecar (leading-underscore name — Parquet readers skip
     it). Written through the Hadoop FS API (`fsutil`) so HDFS/S3 index
-    paths work identically to local ones."""
+    paths work identically to local ones; temp+rename so a crash can't
+    leave truncated JSON blocking every future reader."""
     import json as _json
 
     from .. import fsutil
 
-    fsutil.write_text(
+    fsutil.write_text_atomic(
         spark,
         f"{path}/{_BAND_INDEX_META}",
         _json.dumps({"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}),
@@ -446,6 +472,7 @@ def _check_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int
 
     from .. import fsutil
 
+    _recover_precompact(spark, path)
     try:
         meta = _json.loads(fsutil.read_text(spark, f"{path}/{_BAND_INDEX_META}"))
     except FileNotFoundError:
@@ -453,6 +480,12 @@ def _check_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: int
             f"no {_BAND_INDEX_META} sidecar at {path}: index was not "
             "written by minhash_index_write/near_dedup_stream, cannot "
             "validate probe parameters"
+        ) from None
+    except ValueError as e:  # json.JSONDecodeError ⊂ ValueError
+        raise ValueError(
+            f"{_BAND_INDEX_META} sidecar at {path} is corrupt ({e}): "
+            "likely a crash mid-write by an older writer — rebuild the "
+            "index (minhash_index_write) or restore the sidecar by hand"
         ) from None
     want = {"kind": "minhash_bands", "n": n, "num_hashes": num_hashes, "bands": bands}
     if meta != want:
@@ -471,6 +504,7 @@ def _ensure_band_index_meta(spark, path: str, n: int, num_hashes: int, bands: in
     joins incompatible bucket spaces silently (review find)."""
     from .. import fsutil
 
+    _recover_precompact(spark, path)
     if fsutil.exists(spark, f"{path}/{_BAND_INDEX_META}"):
         _check_band_index_meta(spark, path, n, num_hashes, bands)
     else:
@@ -550,17 +584,10 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
     from .. import fsutil
 
     tmp, old = path + ".compact", path + ".precompact"
+    _recover_precompact(spark, path)  # finish a crashed prior compact
     if not fsutil.exists(spark, path):
-        if fsutil.exists(spark, old):
-            # recover crashed compact
-            if not fsutil.rename(spark, old, path):
-                raise IOError(
-                    f"compact_index: recovery rename {old} -> {path} "
-                    "failed (Hadoop rename returned false)"
-                )
-        else:
-            raise ValueError(f"no index directory at {path}")
-    elif fsutil.exists(spark, old):
+        raise ValueError(f"no index directory at {path}")
+    if fsutil.exists(spark, old):
         fsutil.delete(spark, old)  # canonical present → backup is stale
     fsutil.delete(spark, tmp)
     df = spark.read.parquet(path)
@@ -756,7 +783,7 @@ def _write_simhash_index_meta(spark, path: str, blocks: int) -> None:
 
     from .. import fsutil
 
-    fsutil.write_text(
+    fsutil.write_text_atomic(
         spark,
         f"{path}/{_SIMHASH_INDEX_META}",
         _json.dumps({"kind": "simhash_blocks", "bits": 64, "blocks": blocks}),
@@ -768,12 +795,19 @@ def _check_simhash_index_meta(spark, path: str, blocks: int) -> None:
 
     from .. import fsutil
 
+    _recover_precompact(spark, path)
     try:
         meta = _json.loads(fsutil.read_text(spark, f"{path}/{_SIMHASH_INDEX_META}"))
     except FileNotFoundError:
         raise ValueError(
             f"no {_SIMHASH_INDEX_META} sidecar at {path}: index was not "
             "written by simhash_index_write, cannot validate parameters"
+        ) from None
+    except ValueError as e:  # json.JSONDecodeError ⊂ ValueError
+        raise ValueError(
+            f"{_SIMHASH_INDEX_META} sidecar at {path} is corrupt ({e}): "
+            "likely a crash mid-write by an older writer — rebuild the "
+            "index (simhash_index_write) or restore the sidecar by hand"
         ) from None
     want = {"kind": "simhash_blocks", "bits": 64, "blocks": blocks}
     if meta != want:
@@ -788,6 +822,7 @@ def _ensure_simhash_index_meta(spark, path: str, blocks: int) -> None:
     as :func:`_ensure_band_index_meta` (review find)."""
     from .. import fsutil
 
+    _recover_precompact(spark, path)
     if fsutil.exists(spark, f"{path}/{_SIMHASH_INDEX_META}"):
         _check_simhash_index_meta(spark, path, blocks)
     else:

@@ -738,20 +738,27 @@ def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
 
     from .. import fsutil
 
-    fsutil.write_text(spark, f"{path}/{_INDEX_META}", _json.dumps(meta))
+    fsutil.write_text_atomic(spark, f"{path}/{_INDEX_META}", _json.dumps(meta))
 
 
 def _read_index_meta(spark: SparkSession, path: str) -> dict:
     import json as _json
 
     from .. import fsutil
+    from .dedup import _recover_precompact
 
+    _recover_precompact(spark, path)
     try:
         return _json.loads(fsutil.read_text(spark, f"{path}/{_INDEX_META}"))
     except FileNotFoundError:
         raise ValueError(
             f"no {_INDEX_META} sidecar at {path}: index was not written by "
             "ivf_index_write/lsh_index_write, cannot validate probe parameters"
+        ) from None
+    except ValueError as e:  # json.JSONDecodeError ⊂ ValueError
+        raise ValueError(
+            f"{_INDEX_META} sidecar at {path} is corrupt ({e}): likely a "
+            "crash mid-write by an older writer — rebuild the index"
         ) from None
 
 

@@ -82,9 +82,19 @@ def export_jsonl(
     instead of arbitrary task order. Tie order under a bare ``order_by``
     is otherwise UNDEFINED (sortWithinPartitions is not stable across
     the preceding shuffle), so any consumer that concatenates rows in
-    file order wants this set.
+    file order wants this set. Requires ``order_by`` or ``shuffle_by``:
+    without a primary ordering there is no unit key colocating a unit's
+    rows, so "reading order within the unit" is unsatisfiable — sorting
+    a partition by position alone would interleave units. Raises rather
+    than silently shipping rows in arbitrary task order (review find).
     """
     path = os.path.abspath(path)
+    if within_order is not None and order_by is None and shuffle_by is None:
+        raise ValueError(
+            "export_jsonl(within_order=...) needs order_by or shuffle_by: "
+            "with no primary ordering a unit's rows are not colocated, so "
+            "within-unit reading order cannot be delivered"
+        )
     sort_cols = [within_order] if within_order is not None else []
     if shuffle_by is not None:
         if order_by is not None:

@@ -58,7 +58,21 @@ def main(argv: list[str] | None = None) -> int:
         "the boilerplate-corpus guard; probes compute it over index+shard",
     )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="wipe a non-empty out_dir instead of refusing to run",
+    )
     args = p.parse_args(argv)
+
+    # out_dir is DESTROYED and rebuilt each run; refuse a non-empty
+    # target unless --force, so a typo'd path (or a previous run worth
+    # keeping) is never silently deleted (review find)
+    if os.path.isdir(args.out_dir) and os.listdir(args.out_dir) and not args.force:
+        p.error(
+            f"out_dir {args.out_dir!r} exists and is not empty; pass "
+            "--force to wipe it"
+        )
 
     from pyspark.sql import functions as F
 

@@ -59,41 +59,51 @@ def test_real_regression_fails(tmp_path):
 
 def test_median_not_min_baseline(tmp_path):
     # one lucky 0.5 sample must not set the bar: median of [0.5, 1.0,
-    # 1.02] is 1.0, so a 1.2 current (ratio 1.2 < band) passes
+    # 1.02] is 1.0, so a 1.15 current (ratio 1.15 < band ≈ 1.17) passes
+    # — against a min baseline it would read as a 2.3x "regression"
     hist = [
         _rec(0.5, 1.0, {"q": 0.5}),
         _rec(1.0, 1.0, {"q": 1.0}),
         _rec(1.02, 1.0, {"q": 1.02}),
     ]
-    rc, out = _run(tmp_path, _rec(1.2, 1.0, {"q": 1.2}), hist)
+    rc, out = _run(tmp_path, _rec(1.15, 1.0, {"q": 1.15}), hist)
     assert rc == 0, out
 
 
 def test_abs_floor_spares_subsecond_jitter(tmp_path):
-    # 0.1 -> 0.2 is 2x but only +0.1s: under the 0.3s floor → ok
+    # 0.1 -> 0.18 is 1.8x but only +0.08s: under the 0.1s floor → ok
     hist = [_rec(0.1, 1.0, {"q": 0.1})]
-    rc, out = _run(tmp_path, _rec(0.2, 1.0, {"q": 0.2}), hist)
+    rc, out = _run(tmp_path, _rec(0.18, 1.0, {"q": 0.18}), hist)
     assert rc == 0, out
 
 
-def test_load_widening_absorbs_contention(tmp_path):
-    # 1.0 -> 1.6 (ratio 1.6 > base band 1.3) but the current sample ran
-    # at loadavg 5 vs 1 → +0.32 band → passes; same ratio at equal load
-    # fails
+def test_load_widening_absorbs_unpriced_contention_only(tmp_path):
+    # 1.0 -> 1.4 (ratio 1.4 > base band ≈ 1.17) but the current sample
+    # ran at loadavg 5 vs 1 with calibration factor 1.0 (probes saw a
+    # calm box — the contention was NOT priced) → +0.32 band → passes;
+    # same ratio at equal load fails
     hist = [_rec(1.0, 1.0, {"q": 1.0})]
-    cur_hot = _rec(1.6, 1.0, {"q": 1.6}, loads={"q": 5.0})
+    cur_hot = _rec(1.4, 1.0, {"q": 1.4}, loads={"q": 5.0})
     rc, out = _run(tmp_path, cur_hot, hist)
     assert rc == 0, out
-    cur_cool = _rec(1.6, 1.0, {"q": 1.6}, loads={"q": 1.0})
+    cur_cool = _rec(1.4, 1.0, {"q": 1.4}, loads={"q": 1.0})
     rc, out = _run(tmp_path, cur_cool, hist)
+    assert rc == 1, out
+    # r10 recalibration: when the segment calibration ALREADY priced the
+    # query's contention (factor = raw/normalized ≥ 1.05), the loadavg
+    # allowance would double-count it — no widening, the 1.4x normalized
+    # regression trips even at loadavg 5
+    cur_priced = {
+        **_rec(1.54, 1.0, {"q": 1.54}, loads={"q": 5.0}),
+        "queries_normalized": {"q": 1.4},  # factor 1.1 — priced
+    }
+    rc, out = _run(tmp_path, cur_priced, hist)
     assert rc == 1, out
 
 
 def test_pre_r8_history_skipped_and_new_queries_reported(tmp_path):
     hist = [
         {"sf": 0.1, "value": 9.9, "queries": {"q": 0.1}},  # no calib → skip
-        # distinct total from the current run (same-total rows are
-        # treated as the current run's own history row and excluded)
         _rec(1.01, 1.0, {"q": 1.0}),
     ]
     rc, out = _run(tmp_path, _rec(1.5, 1.0, {"q": 1.0, "brand_new": 0.5}), hist)
@@ -101,11 +111,38 @@ def test_pre_r8_history_skipped_and_new_queries_reported(tmp_path):
     assert "NEW" in out
 
 
+def test_self_row_excluded_by_ts_not_total(tmp_path):
+    """The current run's own history row is keyed by the shared `ts`
+    stamp, NOT by raw-total equality — a genuine historical run that
+    happens to share the rounded total must stay in the baseline
+    (review find)."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    # same-ts row is the self row → excluded → no usable history
+    self_row = {**_rec(2.4, 1.0, {"q": 2.4}), "ts": 123.4}
+    assert compare(self_row, [self_row])["status"] == "no_history"
+    # a DIFFERENT run sharing the total stays in: q regressed 2.4 vs its
+    # 1.0 baseline and the gate sees it
+    other_same_total = {**_rec(2.4, 1.0, {"q": 1.0}), "ts": 99.9}
+    res = compare(self_row, [self_row, other_same_total])
+    assert res["status"] == "fail" and res["regressed"] == ["q"]
+    # legacy CLI path (detail without ts): only the NEWEST same-sf row
+    # with a matching total is dropped — an older run sharing the total
+    # still baselines
+    hist = [
+        {**_rec(2.4, 1.0, {"q": 1.0}), "ts": 1.0},   # genuine old run
+        {**_rec(2.4, 1.0, {"q": 2.4}), "ts": 2.0},   # the self row (newest)
+    ]
+    rc, out = _run(tmp_path, _rec(2.4, 1.0, {"q": 2.4}), hist)
+    assert rc == 1 and "REGRESSED" in out
+
+
 def test_compare_in_process_api():
     """bench.py consumes compare() directly (the r8-VERDICT wiring), so
     the in-process API must agree with the CLI: same banding, a
     JSON-serializable verdict, and the current run's own history row
-    excluded by total."""
+    excluded by its ts stamp."""
     sys.path.insert(0, REPO)
     from tools.bench_compare import compare
 
@@ -116,8 +153,9 @@ def test_compare_in_process_api():
     bad = compare(_rec(2.4, 1.0, {"q": 2.4}), hist)
     assert bad["status"] == "fail" and bad["regressed"] == ["q"]
     assert bad["per_query"]["q"]["verdict"] == "REGRESSED"
-    # current run's own history row (same total) must not self-baseline
-    only_self = compare(_rec(2.4, 1.0, {"q": 2.4}), [_rec(2.4, 1.0, {"q": 2.4})])
+    # current run's own history row (same ts stamp) must not self-baseline
+    self_row = {**_rec(2.4, 1.0, {"q": 2.4}), "ts": 7.0}
+    only_self = compare(self_row, [self_row])
     assert only_self["status"] == "no_history"
     assert compare({"sf": 0.1, "value": 1.0, "queries": {}}, hist)["status"] == (
         "no_calibration"
@@ -207,3 +245,84 @@ def test_segment_normalization_preferred_and_prices_midrun_contention():
     assert factors["a"] == 1.0 and factors["d"] == 2.0
     # a query with no bracketing probe pair is skipped, not mispriced
     assert bench._per_query_factors([(0, 1.0)], {"a": 0}) == {}
+
+
+def test_r10_recalibration_catches_subsecond_regression():
+    """The r10 done criterion, synthetic half: a 1.3x regression on a
+    0.5 s query — invisible under the old band (sum-of-spreads + 0.20
+    margin + 0.3 s floor) — trips the recalibrated gate. Spreads are the
+    observed history p50 (0.112)."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    sp = {"q": 0.112}
+    hist = [
+        {**_rec(0.50, 1.0, {"q": 0.50}, spreads=sp), "ts": float(i)}
+        for i in range(3)
+    ]
+    cur = {**_rec(0.65, 1.0, {"q": 0.65}, spreads=sp), "ts": 9.0}
+    res = compare(cur, hist)
+    assert res["status"] == "fail" and res["regressed"] == ["q"]
+    # ratio 1.3 vs band 1 + sqrt(2)*0.112 + 0.10 ≈ 1.258; delta 0.15 > 0.1
+    assert res["per_query"]["q"]["ratio"] == 1.3
+    assert res["per_query"]["q"]["band"] < 1.3
+
+
+R9_CLOSING_TS = 1786782800.5  # the driver-recorded r9 bench (38.23 s raw)
+
+
+def _r9_replay():
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import load_history
+
+    rows = load_history()
+    closing = [r for r in rows if r.get("ts") == R9_CLOSING_TS]
+    if not closing:
+        return None, None
+    hist = [r for r in rows if (r.get("ts") or 0) < R9_CLOSING_TS]
+    return closing[0], hist
+
+
+def test_r10_recalibration_passes_real_r9_record():
+    """The r10 done criterion, replay half: the real r9 closing record —
+    measured on a load-contaminated box (loadavg 2.1→9.5, first-segment
+    factor 1.47) — still passes the tightened gate, because segment
+    normalization priced the contention. Pinned against the immutable
+    history prefix (rows only ever append), so this replay never drifts."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    closing, hist = _r9_replay()
+    if closing is None:
+        import pytest
+
+        pytest.skip("r9 closing record not in BENCH_HISTORY.jsonl")
+    res = compare(closing, hist)
+    assert res["status"] == "pass", res["regressed"]
+    # not vacuous: dozens of queries actually gated against real history
+    gated = [q for q, row in res["per_query"].items() if row["verdict"] == "ok"]
+    assert len(gated) >= 50
+
+
+def test_r10_recalibration_catches_synthetic_regression_in_real_record():
+    """Strongest form: inject a 1.3x regression into ONE sub-second query
+    of the real r9 record and the gate trips on exactly that query —
+    with the old constants this was impossible for any of the 47
+    sub-second queries."""
+    import copy
+
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    closing, hist = _r9_replay()
+    if closing is None:
+        import pytest
+
+        pytest.skip("r9 closing record not in BENCH_HISTORY.jsonl")
+    cur = copy.deepcopy(closing)
+    victim = "sessionize_gap"  # 0.43 s normalized in the r9 record
+    assert cur["queries_normalized"][victim] < 1.0
+    cur["queries_normalized"][victim] *= 1.3
+    cur["queries"][victim] *= 1.3
+    res = compare(cur, hist)
+    assert victim in res["regressed"], res["per_query"][victim]

@@ -13,14 +13,39 @@ harness: a "regression" that doesn't survive normalization and spread
 is box noise, not code.
 
 The band is per-query-load-aware (the r8 loadavg_per_query column):
-contention the min-probe calibration cannot capture mid-run widens the
-allowance by --load-coef per loadavg point of difference, and
-sub-second queries additionally need to regress by --abs-floor seconds
-before they count — on this box 100 ms of scheduler jitter is a 1.4x
-"regression" on a 0.25 s query with zero code change (measured while
-building this tool).
+contention the calibration did NOT price widens the allowance by
+--load-coef per loadavg point of difference, and sub-second queries
+additionally need to regress by --abs-floor seconds before they count
+— on this box 100 ms of scheduler jitter is a 1.4x "regression" on a
+0.25 s query with zero code change (measured while building this tool).
 
-Usage: python tools/bench_compare.py [--margin 0.20] [--sf 0.1]
+**r10 recalibration for the segment-normalization era.** The original
+constants (margin 0.20, abs_floor 0.3 s, spreads SUMMED, load
+widening unconditional) were sized for the pre-segment harness, where
+the suite-level min-probe factor missed all mid-run contention. With
+per-segment pricing (late r9) that noise is absorbed upstream, and the
+stacked allowances double-counted it: 47 of 60 registry queries run
+under 1 s at sf0.1, and under the old band a genuine 1.5x regression
+on any of them could never trip (delta < 0.3 s floor). Recalibrated
+against the 82-row BENCH_HISTORY (23 normalizable sf0.1 rows;
+per-query spread p50 0.112 / p90 0.147 / p99 0.215):
+
+- spreads combine by ROOT-SUM-SQUARE, not sum — the two runs' medians
+  jitter independently, so their ratio noise is ~sqrt(s1²+s2²); the
+  sum overstated it by ~40% at typical spreads and was the main reason
+  sub-second regressions could hide.
+- margin 0.20 → 0.10 (typical band now ≈ 1 + 0.15 + 0.10 = 1.25:
+  tighter than every observed same-code replay ratio on the r9-era
+  segment-normalized runs, which all pass, while a synthetic 1.3x on a
+  0.5 s query trips — both pinned in tests/test_bench_compare.py).
+- abs_floor 0.3 s → 0.1 s (p99 same-code normalized delta on
+  sub-second queries across the r9 replays is < 0.09 s).
+- load widening only when the current run's calibration factor for the
+  query is below 1.05 — if the bracketing probes already priced the
+  contention (factor ≥ 1.05, e.g. the r9 closing run's 1.47 first
+  segment), adding a loadavg allowance on top double-counts it.
+
+Usage: python tools/bench_compare.py [--margin 0.10] [--sf 0.1]
 Exit 1 if any query regresses beyond the band; prints a table either
 way. History rows without calibration data (pre-r8) are skipped — they
 cannot be normalized, which is exactly why the probe exists.
@@ -35,14 +60,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-DEFAULT_MARGIN = 0.20
-DEFAULT_ABS_FLOOR = 0.3
+DEFAULT_MARGIN = 0.10
+DEFAULT_ABS_FLOOR = 0.1
 DEFAULT_LOAD_COEF = 0.08
+# current-run calibration factor above which the probes are considered
+# to have already priced the query's contention (no load widening)
+LOAD_PRICED_FACTOR = 1.05
 
 
 def _normalized(rec: dict) -> dict[str, float] | None:
@@ -123,10 +152,17 @@ def compare(
         }
 
     hist: dict[str, list[tuple[float, float, float]]] = {}  # q -> [(norm, spread, load)]
-    cur_total = current.get("value")
+    # the current run's own history row is identified by its append
+    # timestamp (bench.py stamps `ts` into the detail before writing
+    # either file), NOT by raw-total equality — a genuine historical run
+    # that happens to share the rounded total must stay in the baseline
+    # (review find)
+    cur_ts = current.get("ts")
     for rec in history_rows:
-        if rec.get("sf") != sf or rec.get("value") == cur_total:
-            continue  # other scale, or the current run's own history row
+        if rec.get("sf") != sf:
+            continue  # other scale
+        if cur_ts is not None and rec.get("ts") == cur_ts:
+            continue  # the current run's own history row
         norm = _normalized(rec)
         if norm is None:
             continue  # pre-r8: not normalizable
@@ -147,6 +183,17 @@ def compare(
 
     cur_spread = current.get("spread") or {}
     cur_load = current.get("loadavg_per_query") or {}
+    cur_queries = current.get("queries") or {}
+    cur_seg = current.get("queries_normalized") or {}
+    suite_factor = current.get("calib_factor")
+
+    def _cur_factor(q: str) -> float | None:
+        # the calibration factor the current run priced THIS query with:
+        # raw/segment-normalized when the segment map exists, else the
+        # suite-level factor. None when unknowable.
+        if q in cur_seg and q in cur_queries and cur_seg[q]:
+            return cur_queries[q] / cur_seg[q]
+        return suite_factor
     regressed = []
     per_query: dict[str, dict] = {}
     # regressed-to-a-crash is the WORST regression and must not slip
@@ -174,8 +221,16 @@ def compare(
         runs = sorted(hist[q])
         b, b_spread, b_load = runs[len(runs) // 2]  # median by normalized time
         ratio = cur_norm[q] / b if b else 1.0
-        band = 1.0 + float(cur_spread.get(q, 0.0)) + b_spread + margin
-        band += load_coef * max(0.0, float(cur_load.get(q, 0.0)) - b_load)
+        # RSS, not sum: the two medians jitter independently (r10
+        # recalibration, module docstring)
+        s = float(cur_spread.get(q, 0.0))
+        band = 1.0 + math.sqrt(s * s + b_spread * b_spread) + margin
+        # load widening only for contention the calibration did NOT
+        # price — a factor ≥ LOAD_PRICED_FACTOR means the probes already
+        # normalized it, and a loadavg allowance on top double-counts
+        f = _cur_factor(q)
+        if f is None or f < LOAD_PRICED_FACTOR:
+            band += load_coef * max(0.0, float(cur_load.get(q, 0.0)) - b_load)
         over = ratio > band and (cur_norm[q] - b) > abs_floor
         if over:
             regressed.append(q)
@@ -240,9 +295,21 @@ def main() -> int:
 
     with open(args.detail) as f:
         current = json.load(f)
+    history = load_history()
+    if current.get("ts") is None and history:
+        # legacy detail file with no timestamp (pre-r10): the current
+        # run's history row can only be the NEWEST same-sf row — drop
+        # that one iff its total matches, never a genuine older run that
+        # happens to share the rounded total (review find)
+        sf = args.sf if args.sf is not None else current.get("sf")
+        for i in range(len(history) - 1, -1, -1):
+            if history[i].get("sf") == sf:
+                if history[i].get("value") == current.get("value"):
+                    del history[i]
+                break
     result = compare(
         current,
-        load_history(),
+        history,
         margin=args.margin,
         abs_floor=args.abs_floor,
         load_coef=args.load_coef,
