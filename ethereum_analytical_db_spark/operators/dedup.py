@@ -579,6 +579,52 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
     present → provably stale) on the next compact. All FS ops go
     through the Hadoop API (fsutil), so HDFS/S3 index paths work;
     note object stores make `rename` a copy, the standard caveat."""
+    _rewrite_index(spark, path, partition_cols)
+
+
+def fold_stream_index(
+    spark, path: str, index_partition: str, current_batch: int
+) -> None:
+    """Compact a STREAMING index (``batch=<id>/<band|blk>=...`` layout,
+    the one :func:`~..streaming.dedupe_stream.near_dedup_stream`
+    writes): merge every batch STRICTLY EARLIER than ``current_batch``
+    into the single directory ``batch=<current_batch - 1>`` and rewrite
+    one file per partition dir. Without this the loop appends one
+    file-set per micro-batch forever — at a batch per minute the index
+    is a small-files problem in days; after a fold the layout holds at
+    most two batch directories regardless of stream age.
+
+    Why relabeling is safe: foreachBatch batches commit serially, so
+    when batch b runs, every batch < b is committed and can never
+    retry; a RETRY of b itself probes ``batch < b``, which still
+    matches the folded ``b-1`` directory (content unchanged — exactly
+    the union of batches 0..b-1), and its dynamic overwrite touches
+    only ``batch=b``, which the fold never rewrites. A from-scratch
+    replay over the surviving index behaves as before: replay batch k
+    probes ``batch < k``, sees only its own re-written 0..k-1 dirs
+    (the folded dir sorts at b-1 ≥ k and is invisible until the
+    replay's own batch b-1 overwrite replaces it). Crash-safety is the
+    same swap as :func:`compact_index` (``.precompact`` recovery wired
+    into every index entry point)."""
+    fold_to = current_batch - 1
+    _rewrite_index(
+        spark,
+        path,
+        ["batch", index_partition],
+        transform=lambda df: df.withColumn(
+            "batch",
+            F.when(F.col("batch") < current_batch, F.lit(fold_to)).otherwise(
+                F.col("batch")
+            ),
+        ),
+    )
+
+
+def _rewrite_index(spark, path: str, partition_cols: list[str], transform=None) -> None:
+    """The crash-safe full-rewrite body shared by :func:`compact_index`
+    and :func:`fold_stream_index` (see compact_index for the swap
+    protocol). ``transform`` optionally rewrites the DataFrame between
+    read and write (the fold's batch relabeling)."""
     import posixpath
 
     from .. import fsutil
@@ -591,6 +637,8 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
         fsutil.delete(spark, old)  # canonical present → backup is stale
     fsutil.delete(spark, tmp)
     df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     # repartition BY the partition values: each value's rows land whole
     # in one task → exactly one file per partition directory
     df.repartition(*[F.col(c) for c in partition_cols]).write.partitionBy(

@@ -77,6 +77,7 @@ def near_dedup_stream(
     partial_recall: bool = False,
     max_bucket_df: int | None = None,
     max_chunk_df: int | None = None,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-dup detection — the streaming twin of the
     incremental-ingest loop (``operators/dedup.minhash_probe_candidates``
@@ -102,6 +103,19 @@ def near_dedup_stream(
     bucket can be cold in early batches and hot later; pairs already
     emitted are never retracted. Default None keeps exact LSH/pigeonhole
     candidate semantics.
+
+    ``compact_every``: fold the index every N batches
+    (``operators/dedup.fold_stream_index``) — merges all committed
+    earlier batches into one ``batch=<id-1>`` directory and rewrites one
+    file per partition dir, so the file count stays bounded no matter
+    how long the stream runs (otherwise each micro-batch appends a
+    file-set forever — the small-files death at a batch per minute).
+    Keyed on ``batch_id % N`` so the cadence is restart-stable; the fold
+    runs AFTER the batch's own index write and is crash-safe (the
+    ``.precompact`` swap, with recovery wired into every index entry
+    point), and probe results are byte-identical before and after
+    (pinned in tests). Default None never compacts (run
+    ``compact_index`` out-of-band instead).
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
     in the INDEX (Parquet on the warehouse filesystem), not in Spark
@@ -224,6 +238,8 @@ def near_dedup_stream(
                 .partitionBy("batch", index_partition)
                 .parquet(index_path)
             )
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                d.fold_stream_index(spark, index_path, index_partition, batch_id)
         finally:
             batch_df.unpersist()
 

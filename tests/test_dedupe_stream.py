@@ -410,3 +410,105 @@ def test_near_dedup_stream_rejects_parameter_drift(spark, tmp_path):
             ds.near_dedup_stream(
                 stream, index_path, pairs_path, family=family, **drift
             )
+
+
+def test_near_dedup_stream_compaction_cadence_bounds_files(spark, tmp_path):
+    """compact_every (r9 VERDICT task 3): streaming 6 micro-batches with
+    compact_every=2 must (a) emit exactly the pairs the uncompacted
+    stream emits, (b) keep the index's batch-directory count bounded at
+    ≤ compact_every + 1 and its file count at one per partition dir
+    (instead of one file-set per batch forever), (c) hold index content
+    identical to the uncompacted run on (doc, band, bucket), and (d)
+    answer a post-stream probe identically."""
+    import glob
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    rnd = random.Random(17)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(50))) for i in range(36)]
+    for k in range(6):  # near-dups of docs 0..5 landing in later batches
+        words = rows[k][1].split()
+        words[5] = "edited"
+        rows.append((100 + k, " ".join(words)))
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    n_batches = 6
+    for j in range(n_batches):  # one file per shard → one micro-batch each
+        df_all.filter(F.col("doc_id") % n_batches == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run(tag: str, **extra):
+        index_path = str(tmp_path / f"index_{tag}")
+        pairs_path = str(tmp_path / f"pairs_{tag}")
+        stream = st.stream_from_files(
+            spark, str(src), df_all.schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(stream, index_path, pairs_path, **extra)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+        return index_path, pairs_path
+
+    plain_idx, plain_pairs = run("plain")
+    comp_idx, comp_pairs = run("compacted", compact_every=2)
+
+    pairs = lambda p: {  # noqa: E731
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in spark.read.parquet(p).collect()
+    }
+    assert pairs(comp_pairs) == pairs(plain_pairs) and pairs(plain_pairs)
+
+    # index content identical (batch labels legitimately differ: folded)
+    content = lambda p: sorted(  # noqa: E731
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert content(comp_idx) == content(plain_idx)
+
+    # bounded layout: the last fold ran at batch 5 (5 % 2 == 1), merging
+    # batches 0..4 into batch=4 — so ≤ 2 batch dirs survive plus at most
+    # compact_every - 1 unfolded ones, and exactly one file per dir
+    batch_dirs = glob.glob(f"{comp_idx}/batch=*")
+    assert len(batch_dirs) <= 3, batch_dirs
+    assert len(glob.glob(f"{plain_idx}/batch=*")) == n_batches
+    part_dirs = glob.glob(f"{comp_idx}/batch=*/band=*")
+    files = glob.glob(f"{comp_idx}/batch=*/band=*/*.parquet")
+    assert len(files) == len(part_dirs), (len(files), len(part_dirs))
+
+    # post-compaction probes answer identically (sidecar survived swaps)
+    probe_docs = spark.createDataFrame(
+        [(900, rows[0][1]), (901, " ".join(rnd.choice(vocab) for _ in range(50)))],
+        "doc_id long, text string",
+    )
+    probe = lambda idx: {  # noqa: E731
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_probe_candidates(spark, idx, probe_docs).collect()
+    }
+    assert probe(comp_idx) == probe(plain_idx) and probe(plain_idx)
+
+    # from-scratch replay over the surviving FOLDED index (fresh
+    # checkpoint, at-least-once worst case): outputs byte-stable — the
+    # folded dir stays invisible to earlier-batch probes and is
+    # overwritten exactly at the replay's own batch 4
+    stream = st.stream_from_files(
+        spark, str(src), df_all.schema, max_files_per_trigger=1
+    )
+    q = (
+        ds.near_dedup_stream(stream, comp_idx, comp_pairs, compact_every=2)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    st.run_available_now(q)
+    assert pairs(comp_pairs) == pairs(plain_pairs)
+    assert content(comp_idx) == content(plain_idx)
