@@ -23,12 +23,54 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import words
+
+# detach(): model tables at or under this row count round-trip through
+# the driver (createDataFrame(collect()) — microseconds for real
+# vocabs); larger ones spill to parquet under the warehouse instead,
+# so a 1M-row vocab with bigrams never ships tens of MB through the
+# driver per detach (r9 review find)
+DETACH_SPILL_ROWS = 100_000
+
+
+def _detach_table(table: DataFrame, spill_rows: int) -> DataFrame:
+    """Rebuild ``table`` with zero session-cache entries: driver-local
+    for small tables (no behavior change), parquet round-trip under the
+    warehouse for big ones — the scale-safe form, since executors write
+    and read the files and only a count touches the driver. Spilled
+    files live under ``<warehouse>/_detached_models/<digest>_<pid>``
+    with the standard frozen-artifact lifecycle (atexit removal +
+    dead-pid orphan sweep, ``plans/frozen.py``) on a local warehouse;
+    on a remote warehouse (HDFS/S3) the deployment owns the dir."""
+    import uuid
+
+    sp = table.sparkSession
+    if table.count() <= spill_rows:
+        return sp.createDataFrame(table.collect(), table.schema)
+    from ..plans import frozen
+
+    warehouse = sp.conf.get("spark.sql.warehouse.dir")
+    base = os.path.join(_local_fs_path(warehouse), "_detached_models")
+    path = frozen.acquire(base, uuid.uuid4().hex)
+    table.write.mode("overwrite").parquet(path)
+    return sp.read.parquet(path)
+
+
+def _local_fs_path(uri: str) -> str:
+    """file:-scheme warehouse URIs → plain paths (so the frozen-artifact
+    sweep's os-level cleanup works); other schemes pass through."""
+    if uri.startswith("file:"):
+        stripped = uri[len("file:"):]
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        return stripped
+    return uri
 
 
 @dataclass
@@ -53,18 +95,20 @@ class UnigramLM:
         cached tables indefinitely (round-5 advice)."""
         self.table.unpersist()
 
-    def detach(self) -> "UnigramLM":
+    def detach(self, spill_rows: int = DETACH_SPILL_ROWS) -> "UnigramLM":
         """Self-contained copy with ZERO session cache entries: the
         bounded table (≤ vocab_size rows — the same rows every scoring
-        action broadcasts anyway) is collected and rebuilt as a
-        driver-local frame, and the cached original is released. For
-        callers cycling many corpora in one session who can never call
-        release() on the models they hand out. Caveat: Spark caches by
-        canonicalized plan, so if ANOTHER live model was trained on the
-        identical (corpus, params), the released entry is shared and
-        that model degrades to recompute — correctness unaffected."""
-        sp = self.table.sparkSession
-        local = sp.createDataFrame(self.table.collect(), self.table.schema)
+        action broadcasts anyway) is rebuilt cache-free — driver-local
+        below ``spill_rows`` rows, via a parquet round-trip under the
+        warehouse above it (``_detach_table``: a wide vocab must not
+        ship tens of MB through the driver per detach) — and the cached
+        original is released. For callers cycling many corpora in one
+        session who can never call release() on the models they hand
+        out. Caveat: Spark caches by canonicalized plan, so if ANOTHER
+        live model was trained on the identical (corpus, params), the
+        released entry is shared and that model degrades to recompute —
+        correctness unaffected."""
+        local = _detach_table(self.table, spill_rows)
         self.table.unpersist()
         return UnigramLM(
             table=local,
@@ -198,14 +242,16 @@ class BigramLM:
         self.table.unpersist()
         self.unigram.release()
 
-    def detach(self) -> "BigramLM":
+    def detach(self, spill_rows: int = DETACH_SPILL_ROWS) -> "BigramLM":
         """Zero-cache copy of both bounded model tables (see
-        UnigramLM.detach): collect ≤ bigram_size + vocab_size rows,
-        rebuild driver-local, release the cached originals."""
-        sp = self.table.sparkSession
-        local = sp.createDataFrame(self.table.collect(), self.table.schema)
+        UnigramLM.detach): each rebuilt driver-local under
+        ``spill_rows`` rows, through a warehouse parquet round-trip
+        above it; the cached originals are released."""
+        local = _detach_table(self.table, spill_rows)
         self.table.unpersist()
-        return BigramLM(unigram=self.unigram.detach(), table=local, lam=self.lam)
+        return BigramLM(
+            unigram=self.unigram.detach(spill_rows), table=local, lam=self.lam
+        )
 
 
 def train_bigram_lm(

@@ -244,3 +244,58 @@ def test_train_rejects_nonpositive_add_k(spark):
 
     with pytest.raises(ValueError, match="add_k"):
         train_unigram_lm(docs, add_k=0.0)
+
+
+def test_detach_spills_wide_models_to_parquet_not_driver(spark):
+    """r9 VERDICT task 5: above the spill threshold, detach round-trips
+    the model table through parquet under the warehouse instead of
+    createDataFrame(collect()) — same scores, zero cache entries, files
+    on disk with the frozen-artifact lifecycle; below the threshold the
+    driver-local path is unchanged."""
+    import glob
+    import os
+
+    from ethereum_analytical_db_spark.operators.lm import (
+        _local_fs_path,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta beta alpha") for i in range(30)],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in score_perplexity_bigram(
+            docs, train_bigram_lm(docs, vocab_size=50, bigram_size=100)
+        ).collect()
+    }
+    base = os.path.join(
+        _local_fs_path(spark.conf.get("spark.sql.warehouse.dir")),
+        "_detached_models",
+    )
+    n_before = len(glob.glob(f"{base}/*"))
+    # spill_rows=1 forces every table over the threshold (the real
+    # 100k default needs a 100k-row vocab — the MECHANISM is what's
+    # under test; the small-path twin is test_detach_zero_cache_...)
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    spilled = train_bigram_lm(docs, vocab_size=50, bigram_size=100).detach(
+        spill_rows=1
+    )
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in score_perplexity_bigram(docs, spilled).collect()
+    }
+    assert got == want
+    assert after <= before  # zero cache entries, same as the small path
+    # three tables spilled (bigram + its unigram + the want-model's? no:
+    # only the detached model's two) — at least 2 new artifact dirs, all
+    # owned by this pid (atexit-removed)
+    dirs = glob.glob(f"{base}/*_{os.getpid()}")
+    assert len(glob.glob(f"{base}/*")) - n_before >= 2
+    assert len(dirs) >= 2
+    # and the spilled frame really reads those files, not a local plan
+    assert "FileScan parquet" in spilled.table._sc._jvm.PythonSQLUtils.explainString(
+        spilled.table._jdf.queryExecution(), "simple"
+    ) or "Scan parquet" in spilled.table._jdf.queryExecution().toString()
