@@ -22,13 +22,16 @@ coefficient predictor + delta adaption, in-file coefficient tables
 honored) — each pinned by hand-computed spec vectors in
 test_multimodal.py; both G.711 companding laws (A-law format 6, µ-law
 format 7) expand to PCM16 via the ITU formulas, all 256 codes
-cross-checked per law. The remaining declared seam is the heavyweight
-perceptual bitstreams (H.264/AAC inside mdat, mp3-in-wav), rejected
-loudly per-row at the same single dispatch point: wire a library codec
-there and every downstream operator keeps working unchanged. A
-deterministic synthetic codec (``format='fake'``) parses this module's
-own header layout for tests that need arbitrary metadata without
-building real pixel data.
+cross-checked per law. Perceptual bitstreams (mp3 / AAC-in-ADTS /
+H.264 Annex-B, standalone or mp3-in-wav) get real frame-HEADER
+parsing — duration, average bitrate, sample rate, channel mode, SPS
+resolution, picture counts — which is what a multimodal pipeline
+actually filters on; the remaining declared seam is perceptual SAMPLE
+decode (PCM from mp3/AAC, pixels from H.264), which has no code path
+here: wire a library codec at the same single dispatch point and every
+downstream operator keeps working unchanged. A deterministic synthetic
+codec (``format='fake'``) parses this module's own header layout for
+tests that need arbitrary metadata without building real pixel data.
 
 The pure-Python PNG de-filter is per-byte Python — correct but slow on
 large images; it is the declared correctness baseline at the codec seam
@@ -475,9 +478,10 @@ def _decode_wav(content: bytes) -> dict:
     )
     # 1 = integer PCM, 3 = IEEE float, 0x11 = IMA/DVI ADPCM,
     # 2 = MS-ADPCM, 6 = G.711 A-law, 7 = G.711 µ-law (all decoded
-    # below — real compressed/companded bitstreams); the remaining
-    # loud-rejection seam is perceptual formats (mp3-in-wav etc.),
-    # same policy as mp4 below
+    # below — real compressed/companded bitstreams); 0x55 = MPEG
+    # Layer 3 delegates to the mp3 frame-header walk (metadata, no
+    # sample decode); anything else is the loud-rejection seam, same
+    # policy as mp4 below
     if audio_format in (0x11, 2, 6, 7):
         if channels == 0 or block_align == 0:
             raise ValueError("bad WAV fmt geometry")
@@ -497,10 +501,12 @@ def _decode_wav(content: bytes) -> dict:
             "n_frames": n_frames,
             "payload": pcm,
         }
+    if audio_format == 0x55:  # MPEG Layer 3 in WAV: header metadata only
+        return _parse_mp3(data)
     if audio_format not in (1, 3):
         raise ValueError(
             f"unsupported WAV audio format {audio_format} "
-            "(PCM/float/IMA-ADPCM/MS-ADPCM/G.711 only)"
+            "(PCM/float/IMA-ADPCM/MS-ADPCM/G.711/MP3-metadata only)"
         )
     if channels == 0 or block_align == 0:
         raise ValueError("bad WAV fmt geometry")
@@ -603,10 +609,334 @@ def _decode_mp4(content: bytes) -> dict:
     return info
 
 
+# ---- perceptual-bitstream FRAME HEADERS (mp3 / ADTS-AAC / H.264) ----
+# Full perceptual decode stays out of scope (that is what a library
+# codec is for), but the frame headers — duration, bitrate, sample
+# rate, SPS resolution — are exactly what a multimodal pipeline filters
+# on, and they are tractable pure-Python. These parsers walk every
+# frame (so a truncated or corrupt stream fails loudly per-row, not
+# just at byte 0) and return metadata + the bitstream as payload;
+# requesting SAMPLES for these formats still has no code path.
+
+# bitrate kbps by (version-table, layer), index 1..14; key (3,*) =
+# MPEG1 per layer, (2,1) = MPEG2/2.5 Layer I, (2,2) = MPEG2/2.5 II+III
+_MP3_BITRATES = {
+    (3, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (3, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (3, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rate by version id (3=MPEG1, 2=MPEG2, 0=MPEG2.5) and 2-bit index
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _parse_mp3(content: bytes) -> dict:
+    """MPEG audio (mp3) frame-header walk: every frame's 4-byte header
+    is validated (sync, version, layer, bitrate/sample-rate indices) and
+    the stream length accounted frame by frame; ID3v2 prefix and ID3v1
+    trailer are skipped. ``n_frames`` counts SAMPLE frames (the wav
+    convention); duration and average bitrate derive from the walk, so
+    VBR streams report their true average, not the first frame's."""
+    pos = 0
+    if content[:3] == b"ID3":
+        if len(content) < 10:
+            raise ValueError("truncated ID3v2 tag")
+        if any(b & 0x80 for b in content[6:10]):
+            raise ValueError("bad ID3v2 syncsafe size")
+        pos = 10 + (
+            (content[6] << 21) | (content[7] << 14) | (content[8] << 7) | content[9]
+        )
+        if pos > len(content):
+            raise ValueError("ID3v2 tag extends past end of stream")
+    n = len(content)
+    frames = total_samples = audio_bytes = 0
+    sample_rate = channels = None
+    while pos < n:
+        if content[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            if n - pos != 128:
+                raise ValueError("bad ID3v1 trailer length")
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated MP3 frame header")
+        b0, b1, b2, b3 = content[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        ver = (b1 >> 3) & 3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+        layer_bits = (b1 >> 1) & 3
+        if ver == 1 or layer_bits == 0:
+            raise ValueError("reserved MP3 version/layer bits")
+        layer = 4 - layer_bits  # 1..3 = Layer I..III
+        br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if br_idx in (0, 15):
+            raise ValueError("free-format/bad MP3 bitrate index")
+        if sr_idx == 3:
+            raise ValueError("reserved MP3 sample-rate index")
+        table_ver = 3 if ver == 3 else 2
+        br = _MP3_BITRATES[(table_ver, layer if table_ver == 3 else min(layer, 2))][
+            br_idx - 1
+        ] * 1000
+        sr = _MP3_RATES[ver][sr_idx]
+        if sample_rate is None:
+            sample_rate = sr
+            channels = 1 if (b3 >> 6) == 3 else 2
+        spf = 384 if layer == 1 else (1152 if layer == 2 or table_ver == 3 else 576)
+        size = (12 * br // sr + pad) * 4 if layer == 1 else (spf // 8) * br // sr + pad
+        if pos + size > n:
+            raise ValueError(f"truncated MP3 frame at byte {pos}")
+        frames += 1
+        total_samples += spf
+        audio_bytes += size
+        pos += size
+    if not frames:
+        raise ValueError("no MP3 frames in stream")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": total_samples,
+        "duration_ms": round(total_samples * 1000 / sample_rate),
+        "bitrate_kbps": round(audio_bytes * 8 * sample_rate / (total_samples * 1000)),
+        "payload": content[pos - audio_bytes : pos],
+    }
+
+
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350]
+
+
+def _parse_adts(content: bytes) -> dict:
+    """AAC-in-ADTS frame-header walk (ISO 14496-3): 1024 samples per raw
+    data block, frame length from the 13-bit header field, loud failure
+    on lost sync / reserved indices / truncation."""
+    pos, n = 0, len(content)
+    frames = total_samples = 0
+    sample_rate = channels = None
+    while pos < n:
+        if pos + 7 > n:
+            raise ValueError("truncated ADTS header")
+        b = content[pos : pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+            raise ValueError(f"lost ADTS sync at byte {pos}")
+        if (b[1] >> 1) & 3:
+            raise ValueError("bad ADTS layer bits (must be 00)")
+        sr_idx = (b[2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            raise ValueError("reserved ADTS sampling-frequency index")
+        cfg = ((b[2] & 1) << 2) | (b[3] >> 6)
+        flen = ((b[3] & 3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        header_len = 7 if b[1] & 1 else 9  # CRC adds two bytes
+        if flen < header_len or pos + flen > n:
+            raise ValueError(f"bad ADTS frame length at byte {pos}")
+        if sample_rate is None:
+            sample_rate = _ADTS_RATES[sr_idx]
+            # channel_configuration 7 means 7.1 = 8 channels; 0 means
+            # "in AOT config", unknowable from the header alone
+            channels = 8 if cfg == 7 else (cfg or None)
+        frames += 1
+        total_samples += 1024 * ((b[6] & 3) + 1)
+        pos += flen
+    if not frames:
+        raise ValueError("no ADTS frames in stream")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": total_samples,
+        "duration_ms": round(total_samples * 1000 / sample_rate),
+        "bitrate_kbps": round(n * 8 * sample_rate / (total_samples * 1000)),
+        "payload": content,
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader with H.264's exp-Golomb codes."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("bitstream exhausted")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb code too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(data: bytes) -> bytes:
+    """Remove H.264 emulation-prevention bytes: 00 00 03 followed by
+    00/01/02/03 drops the 03 (ISO 14496-10 §7.4.1)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        if (
+            i + 2 < len(data)
+            and data[i] == 0
+            and data[i + 1] == 0
+            and data[i + 2] == 3
+            and (i + 3 == len(data) or data[i + 3] <= 3)
+        ):
+            out += data[i : i + 2]
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    last = nxt = 8
+    for _ in range(size):
+        if nxt:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt or last
+
+
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _parse_sps(rbsp: bytes) -> tuple[int, int, float | None]:
+    """H.264 sequence parameter set → (width, height, fps|None), per
+    ISO 14496-10 §7.3.2.1 (crop units from the chroma format, fps from
+    VUI timing info when present: time_scale / (2·num_units_in_tick))."""
+    r = _BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    r.u(8)  # level_idc
+    r.ue()  # seq_parameter_set_id
+    chroma = 1
+    if profile in _H264_HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(8 if chroma != 3 else 12):
+                if r.u(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw = r.ue()
+    ph = r.ue()
+    fmof = r.u(1)  # frame_mbs_only_flag
+    if not fmof:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop = [r.ue() for _ in range(4)] if r.u(1) else [0, 0, 0, 0]
+    if chroma == 0:
+        crop_w, crop_h = 1, 2 - fmof
+    else:
+        sub_w = 2 if chroma in (1, 2) else 1
+        sub_h = 2 if chroma == 1 else 1
+        crop_w, crop_h = sub_w, sub_h * (2 - fmof)
+    width = (pw + 1) * 16 - (crop[0] + crop[1]) * crop_w
+    height = (2 - fmof) * (ph + 1) * 16 - (crop[2] + crop[3]) * crop_h
+    fps = None
+    if r.u(1):  # vui_parameters_present_flag
+        if r.u(1):  # aspect_ratio_info_present_flag
+            if r.u(8) == 255:  # Extended_SAR
+                r.u(32)
+        if r.u(1):  # overscan_info_present_flag
+            r.u(1)
+        if r.u(1):  # video_signal_type_present_flag
+            r.u(4)  # video_format(3) + video_full_range_flag
+            if r.u(1):  # colour_description_present_flag
+                r.u(24)
+        if r.u(1):  # chroma_loc_info_present_flag
+            r.ue()
+            r.ue()
+        if r.u(1):  # timing_info_present_flag
+            nuit = r.u(32)
+            ts = r.u(32)
+            r.u(1)  # fixed_frame_rate_flag
+            if nuit:
+                fps = ts / (2 * nuit)
+    return width, height, fps
+
+
+def _h264_nals(buf: bytes):
+    """Annex-B byte stream → NAL unit payloads (start codes stripped,
+    trailing zero padding trimmed — a NAL never ends in a zero byte)."""
+    starts = []
+    i = 0
+    while True:
+        j = buf.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else len(buf)
+        while e > s and buf[e - 1] == 0:
+            e -= 1
+        yield buf[s:e]
+
+
+def _parse_h264(content: bytes) -> dict:
+    """H.264 Annex-B elementary stream: SPS parse for resolution (+ fps
+    from VUI timing when present), picture count from slice NALs whose
+    first_mb_in_slice is 0 (= a new picture, ISO 14496-10 §7.4.3)."""
+    width = height = fps = None
+    pictures = 0
+    saw_nal = False
+    for nal in _h264_nals(content):
+        if not nal:
+            continue
+        saw_nal = True
+        ntype = nal[0] & 0x1F
+        if ntype == 7 and width is None:
+            width, height, fps = _parse_sps(_strip_emulation(nal[1:]))
+        elif ntype in (1, 5):  # non-IDR / IDR slice
+            if _BitReader(_strip_emulation(nal[1:9])).ue() == 0:
+                pictures += 1
+    if not saw_nal:
+        raise ValueError("no Annex-B start codes in H.264 stream")
+    if width is None:
+        raise ValueError("no H.264 SPS NAL in stream")
+    out = {
+        "width": width,
+        "height": height,
+        "n_frames": pictures or None,
+        "payload": content,
+    }
+    if fps and pictures:
+        out["duration_ms"] = round(pictures * 1000 / fps)
+        out["bitrate_kbps"] = round(len(content) * 8 * fps / (pictures * 1000))
+    return out
+
+
 # decode_media's dispatch table. Every container format the test corpus
-# carries now has a real parser; the remaining seam is compressed
-# BITSTREAM decode (H.264/AAC inside mp4 mdat, ADPCM-in-wav), which the
-# wav/mp4 codecs reject loudly per-row rather than guessing.
+# carries has a real parser, and the perceptual bitstreams (mp3, AAC in
+# ADTS, H.264 Annex-B) get real frame-HEADER metadata — duration,
+# bitrate, sample rate, SPS resolution. The remaining seam is perceptual
+# SAMPLE decode (PCM from mp3/AAC, pixels from H.264), which has no
+# code path here: wire a library codec in and downstream operators keep
+# working unchanged.
 _CODECS = {
     "fake": _decode_fake,
     "ppm": _decode_netpbm,
@@ -617,6 +947,10 @@ _CODECS = {
     "jpg": decode_jpeg,
     "wav": _decode_wav,
     "mp4": _decode_mp4,
+    "mp3": _parse_mp3,
+    "aac": _parse_adts,
+    "adts": _parse_adts,
+    "h264": _parse_h264,
 }
 
 
@@ -636,14 +970,14 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
     )
     out_schema = (
         f"{fields}, dec_width int, dec_height int, dec_channels int, "
-        "dec_sample_rate int, dec_n_frames int, payload_bytes long, "
-        "decode_error string"
+        "dec_sample_rate int, dec_n_frames int, dec_duration_ms int, "
+        "dec_bitrate_kbps int, payload_bytes long, decode_error string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {
-                k: [] for k in ("w", "h", "ch", "sr", "nf", "nb", "err")
+                k: [] for k in ("w", "h", "ch", "sr", "nf", "dur", "br", "nb", "err")
             }
             for fmt, content in zip(pdf[fmt_col], pdf[content_col]):
                 try:
@@ -658,10 +992,12 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
                     cols["ch"].append(d.get("channels"))
                     cols["sr"].append(d.get("sample_rate"))
                     cols["nf"].append(d.get("n_frames"))
+                    cols["dur"].append(d.get("duration_ms"))
+                    cols["br"].append(d.get("bitrate_kbps"))
                     cols["nb"].append(len(d["payload"]))
                     cols["err"].append(None)
                 except Exception as e:  # malformed/unsupported → row-level error
-                    for k in ("w", "h", "ch", "sr", "nf", "nb"):
+                    for k in ("w", "h", "ch", "sr", "nf", "dur", "br", "nb"):
                         cols[k].append(None)
                     cols["err"].append(f"{type(e).__name__}: {e}")
             pdf = pdf.copy()
@@ -670,6 +1006,8 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
             pdf["dec_channels"] = pd.array(cols["ch"], dtype="Int32")
             pdf["dec_sample_rate"] = pd.array(cols["sr"], dtype="Int32")
             pdf["dec_n_frames"] = pd.array(cols["nf"], dtype="Int32")
+            pdf["dec_duration_ms"] = pd.array(cols["dur"], dtype="Int32")
+            pdf["dec_bitrate_kbps"] = pd.array(cols["br"], dtype="Int32")
             pdf["payload_bytes"] = pd.array(cols["nb"], dtype="Int64")
             pdf["decode_error"] = cols["err"]
             yield pdf

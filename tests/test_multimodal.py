@@ -102,8 +102,9 @@ def test_decode_fake_and_stub_boundary(media):
     assert out[1]["dec_width"] == 640 and out[1]["payload_bytes"] == 200
     assert out[2]["dec_sample_rate"] == 16000
     assert out[3]["dec_n_frames"] == 25
-    # codec-less format → NotImplementedError captured per-row, not a crash
-    assert out[4]["decode_error"].startswith("NotImplementedError")
+    # mp3 now has a frame-header parser: garbage after an ID3 magic is a
+    # row-level ValueError (corrupt stream), still not a crash
+    assert out[4]["decode_error"].startswith("ValueError")
     assert out[4]["dec_width"] is None
     # malformed synthetic content → row-level error too
     assert out[5]["decode_error"] is not None
@@ -278,8 +279,10 @@ def test_decode_media_real_formats_end_to_end(spark):
     assert (out[7]["dec_n_frames"], out[7]["dec_sample_rate"]) == (12, 44100)
     assert out[7]["payload_bytes"] == len(mdat)
     assert all(out[i]["decode_error"] is None for i in (1, 2, 3, 4, 6, 7))
-    # formats without any container codec stay a loud seam
-    assert out[5]["decode_error"].startswith("NotImplementedError")
+    # a corrupt mp3 stream is a loud row-level error (the header parser
+    # walks every frame); formats with NO codec at all stay the
+    # NotImplementedError seam (test_decode_media_unknown_format)
+    assert out[5]["decode_error"].startswith("ValueError")
 
 
 # ---- baseline JPEG: independent test-side encoder ----
@@ -856,3 +859,246 @@ def test_g711_through_decode_media_and_geometry(spark):
     # stereo data must be a whole number of frames
     with pytest.raises(ValueError, match="whole number"):
         mm._decode_wav(_make_g711_wav(6, 2, 8000, bytes(3)))
+
+
+# ---- perceptual frame-header metadata (mp3 / ADTS / H.264 SPS) ----
+# Independent test-side writers: headers are packed here from the
+# published bit layouts (ISO 11172-3 / 14496-3 / 14496-10) with
+# hardcoded table values, so the round-trips check the parsers against
+# a second implementation — same strategy as the JPEG/ADPCM fixtures.
+
+
+def test_mp3_header_walk_cbr_with_id3_tags():
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo: header FF FB 90 00,
+    # frame size 144*128000/44100 = 417 bytes; wrapped in ID3v2 (10-byte
+    # header + 20-byte body) and ID3v1 ("TAG" + 125 zeros)
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    id3v1 = b"TAG" + bytes(125)
+    d = mm._parse_mp3(id3v2 + frame * 3 + id3v1)
+    assert (d["sample_rate"], d["channels"]) == (44100, 2)
+    assert d["n_frames"] == 3 * 1152
+    assert d["duration_ms"] == round(3 * 1152 * 1000 / 44100)  # 78 ms
+    assert d["bitrate_kbps"] == 128
+    assert len(d["payload"]) == 3 * 417  # audio region only, tags excluded
+
+
+def test_mp3_header_walk_vbr_average_and_mpeg2():
+    # VBR: one 128 kbps + one 160 kbps MPEG1 L3 frame -> average ~144
+    f128 = b"\xff\xfb\x90\x00" + bytes(413)              # 417 bytes
+    f160 = b"\xff\xfb\xa0\x00" + bytes(518)              # 144*160000/44100 = 522
+    d = mm._parse_mp3(f128 + f160)
+    assert d["n_frames"] == 2 * 1152
+    assert d["bitrate_kbps"] == round((417 + 522) * 8 * 44100 / (2 * 1152 * 1000))
+    # MPEG2 Layer III mono, 64 kbps, 22050 Hz: 576 samples/frame,
+    # size 72*64000/22050 = 208
+    d2 = mm._parse_mp3(b"\xff\xf3\x80\xc0" + bytes(204))
+    assert (d2["sample_rate"], d2["channels"], d2["n_frames"]) == (22050, 1, 576)
+    assert d2["duration_ms"] == round(576 * 1000 / 22050)
+
+
+def test_mp3_header_walk_rejects_corruption():
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    with pytest.raises(ValueError, match="sync"):
+        mm._parse_mp3(frame + b"\x12\x34\x56\x78" + bytes(100))
+    with pytest.raises(ValueError, match="truncated MP3 frame"):
+        mm._parse_mp3(frame[:100])
+    with pytest.raises(ValueError, match="bitrate"):
+        mm._parse_mp3(b"\xff\xfb\x00\x00" + bytes(413))  # free-format idx 0
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        mm._parse_mp3(b"")
+
+
+def test_mp3_in_wav_reports_header_metadata():
+    # WAV audio format 0x55 (MPEG L3): container fmt chunk + mp3 frames
+    # in data -> real header metadata instead of a rejection
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    wav = _make_wav(2, 44100, 0, audio_format=0x55, extra_chunk=False)
+    # splice the mp3 bitstream into the (empty) data chunk
+    head, _ = wav.rsplit(b"data", 1)
+    body = head[8:] + b"data" + struct.pack("<I", len(frame * 2)) + frame * 2
+    d = mm._decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (d["sample_rate"], d["n_frames"]) == (44100, 2 * 1152)
+    assert d["bitrate_kbps"] == 128
+
+
+def _adts_frame(flen: int, blocks: int = 1, sr_idx: int = 3, cfg: int = 2,
+                crc: bool = False) -> bytes:
+    # ISO 14496-3 ADTS header: sync FFF, MPEG-4, layer 00,
+    # protection_absent, profile AAC-LC (01), 13-bit frame length,
+    # fullness 0x7FF (VBR), raw-data-blocks-1
+    b1 = 0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1)
+    b2 = (1 << 6) | (sr_idx << 2) | (cfg >> 2)
+    b3 = ((cfg & 3) << 6) | ((flen >> 11) & 3)
+    b4 = (flen >> 3) & 0xFF
+    b5 = ((flen & 7) << 5) | 0x1F
+    b6 = 0xFC | (blocks - 1)
+    hdr = bytes([0xFF, b1, b2, b3, b4, b5, b6])
+    if crc:
+        hdr += b"\x00\x00"
+    return hdr + bytes(flen - len(hdr))
+
+
+def test_adts_header_walk():
+    d = mm._parse_adts(_adts_frame(100) + _adts_frame(80))
+    assert (d["sample_rate"], d["channels"]) == (48000, 2)
+    assert d["n_frames"] == 2 * 1024
+    assert d["duration_ms"] == round(2048 * 1000 / 48000)  # 43 ms
+    assert d["bitrate_kbps"] == round(180 * 8 * 48000 / (2048 * 1000))
+    # CRC variant (protection_absent=0, 9-byte header) and multi-block
+    d2 = mm._parse_adts(_adts_frame(60, blocks=2, sr_idx=8, cfg=1, crc=True))
+    assert (d2["sample_rate"], d2["channels"], d2["n_frames"]) == (16000, 1, 2048)
+    with pytest.raises(ValueError, match="sync"):
+        mm._parse_adts(b"\x12\x34" + bytes(20))
+    with pytest.raises(ValueError, match="frame length"):
+        mm._parse_adts(_adts_frame(100)[:50])
+
+
+class _SpsBitWriter:
+    """Independent MSB-first writer with exp-Golomb, for SPS fixtures."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n, v):
+        self.bits += [(v >> i) & 1 for i in range(n - 1, -1, -1)]
+
+    def ue(self, v):
+        k = v + 1
+        self.u(2 * k.bit_length() - 1, k)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        bits += [0] * (-len(bits) % 8)
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(bits[p : p + 8]))
+            for p in range(0, len(bits), 8)
+        )
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _make_sps_baseline_720p() -> bytes:
+    w = _SpsBitWriter()
+    w.u(8, 66)   # profile_idc baseline
+    w.u(8, 0)    # constraint flags
+    w.u(8, 31)   # level_idc
+    w.ue(0)      # sps id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(0)      # pic_order_cnt_type
+    w.ue(0)      # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)      # max_num_ref_frames
+    w.u(1, 0)    # gaps allowed
+    w.ue(79)     # pic_width_in_mbs_minus1 -> 1280
+    w.ue(44)     # pic_height_in_map_units_minus1 -> 720
+    w.u(1, 1)    # frame_mbs_only
+    w.u(1, 0)    # direct_8x8
+    w.u(1, 0)    # no cropping
+    w.u(1, 1)    # vui present
+    w.u(1, 0); w.u(1, 0); w.u(1, 0); w.u(1, 0)  # aspect/overscan/signal/chroma
+    w.u(1, 1)    # timing info
+    w.u(32, 3)   # num_units_in_tick (bytes 00 00 00 03: exercises escaping)
+    w.u(32, 150)  # time_scale -> fps = 150 / (2*3) = 25
+    w.u(1, 1)    # fixed frame rate
+    return b"\x67" + _escape_rbsp(w.rbsp())
+
+
+def _make_sps_high_1080p() -> bytes:
+    w = _SpsBitWriter()
+    w.u(8, 100)  # profile_idc high -> chroma branch
+    w.u(8, 0)
+    w.u(8, 40)
+    w.ue(0)      # sps id
+    w.ue(1)      # chroma_format_idc 4:2:0
+    w.ue(0); w.ue(0)  # bit depths
+    w.u(1, 0)    # qpprime
+    w.u(1, 0)    # no scaling matrix
+    w.ue(0); w.ue(0)  # log2_max_frame_num, poc_type 0
+    w.ue(0)      # log2_max_poc
+    w.ue(1); w.u(1, 0)
+    w.ue(119)    # 120*16 = 1920
+    w.ue(67)     # 68*16 = 1088
+    w.u(1, 1)    # frame_mbs_only
+    w.u(1, 0)    # direct_8x8
+    w.u(1, 1)    # cropping
+    w.ue(0); w.ue(0); w.ue(0); w.ue(4)  # bottom crop 4 * 2 = 8 -> 1080
+    w.u(1, 0)    # no vui
+    return b"\x67" + _escape_rbsp(w.rbsp())
+
+
+def _slice_nal(nal_header: int, first_mb: int) -> bytes:
+    w = _SpsBitWriter()
+    w.ue(first_mb)
+    return bytes([nal_header]) + w.rbsp()
+
+
+def test_h264_sps_resolution_fps_and_picture_count():
+    sc = b"\x00\x00\x00\x01"
+    stream = (
+        sc + _make_sps_baseline_720p()
+        + sc + _slice_nal(0x65, 0)           # IDR, new picture
+        + sc + _slice_nal(0x41, 0)           # non-IDR, new picture
+        + sc + _slice_nal(0x41, 1)           # same picture, 2nd slice
+        + sc + _slice_nal(0x41, 0)           # new picture
+    )
+    d = mm._parse_h264(stream)
+    assert (d["width"], d["height"], d["n_frames"]) == (1280, 720, 3)
+    assert d["duration_ms"] == 120  # 3 pictures @ 25 fps
+    assert d["bitrate_kbps"] == round(len(stream) * 8 * 25 / (3 * 1000))
+
+    d2 = mm._parse_h264(sc + _make_sps_high_1080p() + sc + _slice_nal(0x65, 0))
+    assert (d2["width"], d2["height"], d2["n_frames"]) == (1920, 1080, 1)
+    assert "duration_ms" not in d2  # no VUI timing -> no duration claim
+
+    with pytest.raises(ValueError, match="start codes"):
+        mm._parse_h264(b"not a bytestream")
+    with pytest.raises(ValueError, match="SPS"):
+        mm._parse_h264(sc + _slice_nal(0x41, 0))
+
+
+def test_strip_emulation_prevention():
+    assert mm._strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert mm._strip_emulation(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
+    # 03 NOT preceded by 00 00, or followed by >3: untouched
+    assert mm._strip_emulation(b"\x00\x03\x01") == b"\x00\x03\x01"
+    assert mm._strip_emulation(b"\x00\x00\x03\xe8") == b"\x00\x00\x03\xe8"
+
+
+def test_decode_media_perceptual_headers_end_to_end(spark):
+    """fmt mp3/aac/h264 rows through the Arrow mapInPandas path: the new
+    dec_duration_ms / dec_bitrate_kbps columns land, formats with no
+    codec at all stay the NotImplementedError seam."""
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    sc = b"\x00\x00\x00\x01"
+    h264 = sc + _make_sps_baseline_720p() + sc + _slice_nal(0x65, 0)
+    rows = [
+        (1, "audio", "mp3", frame * 3, None),
+        (2, "audio", "aac", _adts_frame(100) + _adts_frame(80), None),
+        (3, "video", "h264", h264, None),
+        (4, "video", "webm", b"\x1a\x45\xdf\xa3 no codec", None),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in mm.decode_media(
+            spark.createDataFrame(rows, mm.MEDIA_DDL)
+        ).collect()
+    }
+    assert (out[1]["dec_sample_rate"], out[1]["dec_channels"]) == (44100, 2)
+    assert out[1]["dec_duration_ms"] == 78 and out[1]["dec_bitrate_kbps"] == 128
+    assert out[1]["payload_bytes"] == 3 * 417
+    assert (out[2]["dec_sample_rate"], out[2]["dec_n_frames"]) == (48000, 2048)
+    assert out[2]["dec_duration_ms"] == 43
+    assert (out[3]["dec_width"], out[3]["dec_height"]) == (1280, 720)
+    assert out[3]["dec_n_frames"] == 1 and out[3]["dec_duration_ms"] == 40
+    assert out[4]["decode_error"].startswith("NotImplementedError")
+    assert all(out[i]["decode_error"] is None for i in (1, 2, 3))
