@@ -660,13 +660,13 @@ def _rewrite_index(spark, path: str, partition_cols: list[str], transform=None) 
     # never stops existing.
     if not fsutil.rename(spark, path, old):
         raise IOError(
-            f"compact_index: rename {path} -> {old} failed (Hadoop "
+            f"index rewrite: rename {path} -> {old} failed (Hadoop "
             "rename returned false); index left untouched"
         )
     if not fsutil.rename(spark, tmp, path):
         restored = fsutil.rename(spark, old, path)
         raise IOError(
-            f"compact_index: rename {tmp} -> {path} failed; original "
+            f"index rewrite: rename {tmp} -> {path} failed; original "
             + ("restored" if restored else f"left at {old} (restore rename ALSO failed)")
         )
     fsutil.delete(spark, old)

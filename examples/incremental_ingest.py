@@ -59,6 +59,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     p.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        help="stream mode: fold the index every N micro-batches "
+        "(near_dedup_stream's bounded-file-count knob); batch mode "
+        "always compacts once at the end",
+    )
+    p.add_argument(
         "--force",
         action="store_true",
         help="wipe a non-empty out_dir instead of refusing to run",
@@ -131,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
                 family=args.family,
                 max_bucket_df=args.max_bucket_df if args.family == "minhash" else None,
                 max_chunk_df=args.max_bucket_df if args.family == "simhash" else None,
+                compact_every=args.compact_every,
             )
             .option("checkpointLocation", os.path.join(args.out_dir, "ckpt"))
             .trigger(availableNow=True)
