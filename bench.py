@@ -520,6 +520,18 @@ def main() -> None:
     if errors:
         summary["errors"] = sorted(errors)
     line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900 and gate_result["regressed"]:
+        # a long regressed-name list (the r10 first record: one 18-char
+        # name pushed a 1878-char line over) must not cost the whole
+        # per-query map — degrade the LIST first, to a count + leader
+        summary["gate_regressed"] = (
+            f"{len(gate_result['regressed'])}: {gate_result['regressed'][0]}…"
+        )
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        # then shave per-query precision (60 queries ≈ 60 chars)
+        summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
         summary["queries"] = "see BENCH_DETAIL.json"
         line = json.dumps(summary, separators=(",", ":"))

@@ -326,3 +326,55 @@ def test_r10_recalibration_catches_synthetic_regression_in_real_record():
     cur["queries"][victim] *= 1.3
     res = compare(cur, hist)
     assert victim in res["regressed"], res["per_query"][victim]
+
+
+R10_FIRST_TS = 1786791165.5  # the r10 run that first tripped the tight band
+
+
+def test_empirical_support_absorbs_bimodal_query_noise():
+    """Observed false positive, pinned from the real records: the first
+    r10 bench run flagged embedding_near_dup at ratio 1.211 (band 1.208
+    — within-run spread 0.054 made the band tight), yet the query's
+    normalized history spans 0.83-1.21 over 21 same-code runs: today's
+    value sits INSIDE its own empirical support. The support condition
+    (cur > max(last 12 runs) * 1.05) must absorb it — and a genuine
+    regression clear of the support must still trip."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare, load_history
+
+    rows = load_history()
+    current = [r for r in rows if r.get("ts") == R10_FIRST_TS]
+    if not current:
+        import pytest
+
+        pytest.skip("r10 first record not in BENCH_HISTORY.jsonl")
+    hist = [r for r in rows if (r.get("ts") or 0) < R10_FIRST_TS]
+    res = compare(current[0], hist)
+    assert res["status"] == "pass", res["regressed"]
+    row = res["per_query"]["embedding_near_dup"]
+    assert row["verdict"] == "ok" and row["ratio"] > row["band"]  # support saved it
+    # a value clear of the support on the same history still trips
+    import copy
+
+    bad = copy.deepcopy(current[0])
+    bad["queries_normalized"]["embedding_near_dup"] *= 1.3  # ~1.57 normalized
+    res2 = compare(bad, hist)
+    assert "embedding_near_dup" in res2["regressed"]
+
+
+def test_support_window_uses_recent_runs_only():
+    """One ancient slow run must not widen the support forever: only the
+    last SUPPORT_WINDOW rows count."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import SUPPORT_WINDOW, compare
+
+    old_slow = {**_rec(2.0, 1.0, {"q": 2.0}), "ts": 0.0}
+    steady = [
+        {**_rec(1.0, 1.0, {"q": 1.0}), "ts": float(i + 1)}
+        for i in range(SUPPORT_WINDOW)
+    ]
+    cur = {**_rec(1.4, 1.0, {"q": 1.4}), "ts": 99.0}
+    res = compare(cur, [old_slow, *steady])
+    # the 2.0 run fell out of the window: support = 1.0*1.05, so the
+    # 1.4x regression trips even though history CONTAINS a 2.0
+    assert res["status"] == "fail" and res["regressed"] == ["q"]

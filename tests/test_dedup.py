@@ -857,3 +857,76 @@ def test_compact_index_aborts_when_swap_rename_fails(spark, tmp_path, monkeypatc
     dedup.compact_index(spark, path, ["band"])
     got = {(r["doc"], r["band"], r["bucket"]) for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+def test_precompact_recovery_at_every_index_entry_point(spark, tmp_path):
+    """The crashed-compact destruction window (r9 ADVICE, medium): if
+    compact_index dies between its two renames, the index exists ONLY at
+    <path>.precompact. Every entry point — ensure/check meta (the stream
+    wiring + probe/append paths) — must finish the recovery rename FIRST;
+    previously the wiring-time sidecar write recreated the canonical dir
+    sidecar-only, the probe bootstrapped empty, and the next compact
+    deleted the backup as 'provably stale', destroying the only copy."""
+    import os
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha w{i} beta gamma delta {'x' * (i % 3)}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "band_index")
+    dedup.minhash_index_write(docs, idx)
+    want = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(idx).collect()
+    }
+
+    def crash(entry):
+        os.rename(idx, idx + ".precompact")  # the mid-compact crash state
+        assert not os.path.isdir(idx)
+        entry()
+        assert os.path.isdir(idx) and not os.path.isdir(idx + ".precompact")
+        got = {
+            (r["doc"], r["band"], r["bucket"])
+            for r in spark.read.parquet(idx).collect()
+        }
+        assert got == want  # full content recovered, nothing bootstrapped
+
+    # the stream-wiring path (write-iff-absent would have recreated it)
+    crash(lambda: dedup._ensure_band_index_meta(spark, idx, 3, 32, 8))
+    # the probe/append validation path
+    crash(lambda: dedup._check_band_index_meta(spark, idx, 3, 32, 8))
+    # compact_index itself still recovers-and-compacts in one call
+    crash(lambda: dedup.compact_index(spark, idx, ["band"]))
+
+    # and a probe over the recovered index answers as if nothing happened
+    probe = spark.createDataFrame(
+        [(900, "alpha w3 beta gamma delta")], "doc_id long, text string"
+    )
+    assert dedup.minhash_probe_candidates(spark, idx, probe).count() >= 0
+
+
+def test_corrupt_sidecar_raises_actionable_error(spark, tmp_path):
+    """A crash mid-sidecar-write used to leave truncated JSON that
+    surfaced as an opaque JSONDecodeError blocking every probe forever
+    (r9 ADVICE): writes now go through temp+rename, and a corrupt
+    sidecar (however it got there) raises 'rebuild the index'."""
+    import pytest
+
+    from ethereum_analytical_db_spark import fsutil
+    from ethereum_analytical_db_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "band_index")
+    dedup.minhash_index_write(docs, idx)
+    # no tmp leftovers from the atomic write
+    import glob
+
+    assert not glob.glob(f"{idx}/*_meta.json.tmp.*")
+    # truncate the sidecar the way a crash mid-write would have
+    fsutil.write_text(spark, f"{idx}/{dedup._BAND_INDEX_META}", '{"kind": "minh')
+    with pytest.raises(ValueError, match="corrupt"):
+        dedup._check_band_index_meta(spark, idx, 3, 32, 8)
