@@ -114,8 +114,12 @@ def near_dedup_stream(
     runs AFTER the batch's own index write and is crash-safe (the
     ``.precompact`` swap, with recovery wired into every index entry
     point), and probe results are byte-identical before and after
-    (pinned in tests). Default None never compacts (run
-    ``compact_index`` out-of-band instead).
+    (pinned in tests). The pairs output is compacted on the same
+    cadence WITHOUT relabeling (one file per ``batch=`` dir): its batch
+    column is user-facing provenance — "which shard found this pair" —
+    so dirs must survive even though their file counts are bounded.
+    Default None never compacts (run ``compact_index`` out-of-band
+    instead).
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
     in the INDEX (Parquet on the warehouse filesystem), not in Spark
@@ -212,6 +216,16 @@ def near_dedup_stream(
         try:
             from .. import fsutil
 
+            # finish any crashed compaction FIRST: a pairs (or index)
+            # dir parked at .precompact would otherwise be shadowed by
+            # this batch's write recreating the canonical path, and the
+            # next compaction would delete the backup as stale —
+            # destroying the only full copy (same window the index meta
+            # entry points guard; the pairs path has no meta check, so
+            # the recovery lives here)
+            d._recover_precompact(spark, pairs_path)
+            d._recover_precompact(spark, index_path)
+
             # probe iff the layout holds DATA partitions — the sidecar
             # alone (wiring creates it) isn't a readable parquet source,
             # and a crashed bootstrap retry with batch=0 data present
@@ -240,6 +254,10 @@ def near_dedup_stream(
             )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 d.fold_stream_index(spark, index_path, index_partition, batch_id)
+                if fsutil.glob_exists(spark, f"{pairs_path}/batch=*"):
+                    # guard: all-batches-pair-free leaves a dir with no
+                    # data partitions, which a rewrite cannot even read
+                    d.compact_index(spark, pairs_path, ["batch"])
         finally:
             batch_df.unpersist()
 

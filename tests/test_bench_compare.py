@@ -378,3 +378,32 @@ def test_support_window_uses_recent_runs_only():
     # the 2.0 run fell out of the window: support = 1.0*1.05, so the
     # 1.4x regression trips even though history CONTAINS a 2.0
     assert res["status"] == "fail" and res["regressed"] == ["q"]
+
+
+R10_SECOND_TS = 1786791940.0  # the calm-window r10 run (sessionize flag)
+
+
+def test_support_margin_absorbs_observed_tail_excursions():
+    """Second observed same-code false positive, pinned: the calm r10
+    run flagged sessionize_gap at 0.484 normalized — 1.14x its prior
+    recent max, with nothing on its code path changed. The history-wide
+    excursion statistic value/max(prior 12) reaches p99.5 = 1.18 on
+    same-code runs, so the support margin is 0.15; this replay must
+    pass, and a 1.3x injection on the same query/history still trips."""
+    import copy
+
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare, load_history
+
+    rows = load_history()
+    current = [r for r in rows if r.get("ts") == R10_SECOND_TS]
+    if not current:
+        import pytest
+
+        pytest.skip("r10 second record not in BENCH_HISTORY.jsonl")
+    hist = [r for r in rows if (r.get("ts") or 0) < R10_SECOND_TS]
+    res = compare(current[0], hist)
+    assert res["status"] == "pass", res["regressed"]
+    bad = copy.deepcopy(current[0])
+    bad["queries_normalized"]["sessionize_gap"] *= 1.3
+    assert "sessionize_gap" in compare(bad, hist)["regressed"]

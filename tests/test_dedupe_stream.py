@@ -485,6 +485,18 @@ def test_near_dedup_stream_compaction_cadence_bounds_files(spark, tmp_path):
     files = glob.glob(f"{comp_idx}/batch=*/band=*/*.parquet")
     assert len(files) == len(part_dirs), (len(files), len(part_dirs))
 
+    # pairs compacted too, but WITHOUT relabeling: batch provenance
+    # ("which shard found this pair") survives — per-batch counts match
+    # the uncompacted stream exactly, with one file per batch dir
+    per_batch = lambda p: {  # noqa: E731
+        r["batch"]: r["count"]
+        for r in spark.read.parquet(p).groupBy("batch").count().collect()
+    }
+    assert per_batch(comp_pairs) == per_batch(plain_pairs)
+    pair_dirs = glob.glob(f"{comp_pairs}/batch=*")
+    pair_files = glob.glob(f"{comp_pairs}/batch=*/*.parquet")
+    assert len(pair_files) == len(pair_dirs), (len(pair_files), len(pair_dirs))
+
     # post-compaction probes answer identically (sidecar survived swaps)
     probe_docs = spark.createDataFrame(
         [(900, rows[0][1]), (901, " ".join(rnd.choice(vocab) for _ in range(50)))],

@@ -45,14 +45,21 @@ per-query spread p50 0.112 / p90 0.147 / p99 0.215):
   contention (factor ≥ 1.05, e.g. the r9 closing run's 1.47 first
   segment), adding a loadavg allowance on top double-counts it.
 - empirical-support check: a query additionally fails only when it
-  exceeds the MAX of its last 12 same-code normalized runs by 5%. The
+  exceeds the MAX of its last 12 same-code normalized runs by 15%. The
   within-run spread understates some queries' ACROSS-run dispersion
   (`embedding_near_dup` spans 0.83-1.21 s normalized over 21 recorded
   same-code runs — plan/JIT bimodality — yet measured spread 0.054 on
   the run that first tripped the tightened band at ratio 1.211); the
   recent-window max is the non-parametric noise floor the data itself
-  establishes, so the gate only claims regressions it could actually
-  distinguish from that query's own history. Stable queries have
+  establishes. The 15% margin is calibrated from the full history: the
+  per-(run, query) excursion statistic value/max(prior 12 runs) has
+  p99 = 1.13 / p99.5 = 1.18 / p99.9 = 1.24 over 1,129 samples (a 5%
+  margin produced ~0.3 false flags per 60-query run — observed twice,
+  `embedding_near_dup` then `sessionize_gap` at 1.135× its prior max,
+  both with no code change on their paths and both pinned as replay
+  tests); at 15% + the abs floor the expected same-code false-flag
+  rate is ~0.12 per run while a genuine 1.3× regression still clears
+  the support on any stable-history query. Stable queries have
   recent_max ≈ median, so their bands stay as tight as the spread
   formula allows.
 
@@ -86,7 +93,7 @@ LOAD_PRICED_FACTOR = 1.05
 # empirical-support check: fail only when the current normalized time
 # also exceeds max(last SUPPORT_WINDOW same-code runs) by SUPPORT_MARGIN
 SUPPORT_WINDOW = 12
-SUPPORT_MARGIN = 0.05
+SUPPORT_MARGIN = 0.15
 
 
 def _normalized(rec: dict) -> dict[str, float] | None:
