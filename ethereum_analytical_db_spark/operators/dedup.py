@@ -591,8 +591,9 @@ def fold_stream_index(
     into the single directory ``batch=<current_batch - 1>`` and rewrite
     one file per partition dir. Without this the loop appends one
     file-set per micro-batch forever — at a batch per minute the index
-    is a small-files problem in days; after a fold the layout holds at
-    most two batch directories regardless of stream age.
+    is a small-files problem in days; with a fold every N batches the
+    layout holds at most N+1 batch directories regardless of stream
+    age.
 
     Why relabeling is safe: foreachBatch batches commit serially, so
     when batch b runs, every batch < b is committed and can never
@@ -1245,3 +1246,190 @@ def connected_components(
             "use connected_components_twophase for long-chain graphs"
         )
     return labels.select(F.col("doc"), F.col("label").alias("component"))
+
+
+# ---- incremental EXACT dedup (digest index + probe) ----
+# The exact member of the frozen-index serve-path trio (MinHash and
+# SimHash above): continuous ingest should not re-digest or shuffle the
+# corpus per shard, and the streaming alternative
+# (dropDuplicates[WithinWatermark]) keeps one digest per distinct doc in
+# EXECUTOR state stores — unbounded at 100 TB. Here the state is the
+# on-disk index: probe classifies a shard's rows against it with one
+# broadcast join (zero Exchange above the index scan), append folds the
+# survivors in, compact_index/fold_stream_index bound the file counts.
+
+_EXACT_INDEX_META = "_exact_index_meta.json"
+
+
+def exact_digest_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(doc, digest, pfx)`` — the exact-dedup analogue of band rows:
+    purely per-doc (a doc's row is identical alone or with the corpus,
+    which is what makes the frozen index append-able). ``digest`` is
+    md5 of the content (cross-engine reproducible, same choice as
+    :func:`exact_duplicates`); ``pfx`` = its first byte, the index
+    partition key — 256 uniformly-filled directories keep per-dir file
+    sizes bounded and give compaction a natural unit."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("digest")
+    ).withColumn("pfx", F.substring("digest", 1, 2))
+
+
+def _write_exact_index_meta(spark, path: str) -> None:
+    import json as _json
+
+    from .. import fsutil
+
+    fsutil.write_text_atomic(
+        spark, f"{path}/{_EXACT_INDEX_META}", _json.dumps({"kind": "exact_md5"})
+    )
+
+
+def _check_exact_index_meta(spark, path: str) -> None:
+    """No parameters can drift (md5 is md5), but the sidecar still
+    guards against pointing an exact probe at a BAND or chunk index —
+    the join key would silently be garbage — and hosts the crashed-
+    compact recovery hook like every other index entry point."""
+    import json as _json
+
+    from .. import fsutil
+
+    _recover_precompact(spark, path)
+    try:
+        meta = _json.loads(fsutil.read_text(spark, f"{path}/{_EXACT_INDEX_META}"))
+    except FileNotFoundError:
+        raise ValueError(
+            f"no {_EXACT_INDEX_META} sidecar at {path}: index was not "
+            "written by exact_index_write, cannot validate"
+        ) from None
+    except ValueError as e:  # json.JSONDecodeError ⊂ ValueError
+        raise ValueError(
+            f"{_EXACT_INDEX_META} sidecar at {path} is corrupt ({e}): "
+            "likely a crash mid-write by an older writer — rebuild the "
+            "index (exact_index_write) or restore the sidecar by hand"
+        ) from None
+    if meta != {"kind": "exact_md5"}:
+        raise ValueError(
+            f"index at {path} is {meta}, not an exact_md5 digest index"
+        )
+
+
+def _ensure_exact_index_meta(spark, path: str) -> None:
+    from .. import fsutil
+
+    _recover_precompact(spark, path)
+    if fsutil.exists(spark, f"{path}/{_EXACT_INDEX_META}"):
+        _check_exact_index_meta(spark, path)
+    else:
+        _write_exact_index_meta(spark, path)
+
+
+def exact_index_write(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Materialize the corpus's digest index at ``path`` (pay the
+    corpus's hashing exactly once; every future probe only scans)."""
+    exact_digest_rows(df, text_col, id_col).write.mode("overwrite").partitionBy(
+        "pfx"
+    ).parquet(path)
+    _write_exact_index_meta(df.sparkSession, path)
+
+
+def exact_index_append(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> None:
+    """Fold a probed shard into the index (typically after filtering to
+    the probe's survivors — appending known duplicates is allowed but
+    makes them extra canonical-candidates forever). Parquet append only
+    adds files; run :func:`compact_index` (``["pfx"]``) on cadence."""
+    _check_exact_index_meta(df.sparkSession, path)
+    exact_digest_rows(df, text_col, id_col).write.mode("append").partitionBy(
+        "pfx"
+    ).parquet(path)
+
+
+def _exact_pairs_from_groups(bagg: DataFrame) -> DataFrame:
+    """(digest, bmin, bdocs[, imin, idocs]) → (doc_a, doc_b, digest)
+    pairs, doc_a the per-digest canonical (global min), restricted to
+    pairs with a batch side — the shared tail of probe and bootstrap."""
+    has_idx = "imin" in bagg.columns
+    imin = F.col("imin") if has_idx else F.lit(None).cast("long")
+    idocs = (
+        F.coalesce(F.col("idocs"), F.array().cast("array<long>"))
+        if has_idx
+        else F.array().cast("array<long>")
+    )
+    canon = F.when(imin.isNull() | (F.col("bmin") < imin), F.col("bmin")).otherwise(imin)
+    partners = (
+        F.when(imin.isNull(), F.array_remove(F.col("bdocs"), F.col("bmin")))
+        .when(
+            F.col("bmin") < imin,
+            F.array_remove(F.concat(idocs, F.col("bdocs")), F.col("bmin")),
+        )
+        .otherwise(F.col("bdocs"))
+    )
+    return (
+        bagg.select(canon.alias("doc_a"), F.explode(partners).alias("doc_b"), "digest")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+
+
+def exact_probe_duplicates(
+    spark,
+    index_path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_new: bool = True,
+    index_filter=None,
+    materialize: str = "local",
+) -> DataFrame:
+    """Classify a new shard against the frozen digest index: one row
+    ``(doc_a, doc_b, digest)`` per duplicate relation touching the
+    shard, ``doc_a`` the content's canonical (the global MIN doc id
+    over index ∪ shard holders). The result is EXACTLY the batch
+    semantics — ``exact_duplicates`` over (corpus ∪ shard), expanded to
+    (canonical, other) pairs — filtered to pairs with a shard side
+    (pinned in tests): a shard doc duplicating the corpus pairs with
+    the corpus canonical; a shard doc that UNDERCUTS the corpus ids
+    (out-of-order ingest) becomes the new canonical and pairs with the
+    indexed holders it displaces. Doc ids must be disjoint from the
+    indexed corpus, same contract as the MinHash probe.
+
+    Shard rows to KEEP (then :func:`exact_index_append`) are the ones
+    absent from ``doc_b``: ``shard.join(pairs, shard.doc_id == doc_b,
+    "left_anti")``.
+
+    100 TB story: the shard's digests broadcast to the index scan
+    (BroadcastHashJoin — zero Exchange above the corpus-side Parquet
+    scan, plan-asserted in tests), so per-shard cost is O(shard hashing
+    + corpus scan + matches); the corpus never re-digests.
+    ``broadcast_new=False`` falls back to a merge join for a shard too
+    large to broadcast."""
+    _check_exact_index_meta(spark, index_path)
+    new_rows = _materialize(exact_digest_rows(new_df, text_col, id_col), materialize)
+    idx = spark.read.parquet(index_path)
+    if index_filter is not None:
+        idx = idx.filter(index_filter)
+    probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
+    matched = idx.join(probe.select("digest").distinct(), "digest")
+    iagg = matched.groupBy("digest").agg(
+        F.min("doc").alias("imin"), F.collect_list("doc").alias("idocs")
+    )
+    bagg = new_rows.groupBy("digest").agg(
+        F.min("doc").alias("bmin"), F.collect_list("doc").alias("bdocs")
+    )
+    return _exact_pairs_from_groups(bagg.join(iagg, "digest", "left"))
+
+
+def exact_within_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-batch exact-duplicate pairs ``(doc_a, doc_b, digest)`` —
+    the bootstrap (no corpus yet) branch of the probe; equals
+    :func:`exact_duplicates` expanded to (canonical, other) pairs."""
+    bagg = exact_digest_rows(df, text_col, id_col).groupBy("digest").agg(
+        F.min("doc").alias("bmin"), F.collect_list("doc").alias("bdocs")
+    )
+    return _exact_pairs_from_groups(bagg)

@@ -821,6 +821,59 @@ def minhash_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# `exact_dedup_probe` completes the incremental serve-path trio
+# (MinHash r9, SimHash r9, exact r10): per-shard cost is O(shard
+# digests + corpus scan) with the shard broadcast to the index side.
+_EXACT_FROZEN: dict[str, str] = {}
+
+
+def _exact_cleanup() -> None:
+    """Remove every digest index THIS process materialized and drop the
+    cache (tests / explicit invalidation; at exit the shared
+    frozen.release_all handles the trees)."""
+    from .frozen import release
+
+    for path in _EXACT_FROZEN.values():
+        release(path)
+    _EXACT_FROZEN.clear()
+
+
+def _exact_frozen_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from .frozen import acquire
+
+    key = os.path.abspath(sf_dir)
+    if key not in _EXACT_FROZEN:
+        corpus = docs_table(spark, sf_dir).filter(F.col("doc_id") % 10 != 0)
+        path = acquire(
+            os.path.join(tempfile.gettempdir(), "spark_graft_exact_index"), key
+        )
+        dedup.exact_index_write(corpus, path)
+        _EXACT_FROZEN[key] = path
+    return _EXACT_FROZEN[key]
+
+
+@register(
+    "exact_dedup_probe",
+    None,  # rows-only by design: the probe reads a per-process frozen
+    # on-disk index (driver-side DuckDB cannot see it); exact parity
+    # with the batch recompute-filtered-to-shard model incl. the
+    # id-undercut case is pinned by test_dedup.py, which also asserts
+    # the BroadcastHashJoin plan (zero Exchange above the index scan)
+    note="incremental EXACT dedup serve path: a new shard (doc_id % 10 "
+    "== 0) probes a frozen md5-digest index of the corpus (built once "
+    "per process, cached) for (canonical, duplicate, digest) relations "
+    "- the exact member of the MinHash/SimHash probe trio; per-shard "
+    "cost is O(shard digests + corpus scan), the corpus never re-hashes",
+)
+def exact_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _exact_frozen_index(spark, sf_dir)
+    new = docs_table(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return dedup.exact_probe_duplicates(spark, path, new)
+
+
 SESSIONIZE_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id, value,

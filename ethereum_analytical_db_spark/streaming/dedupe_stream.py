@@ -87,11 +87,16 @@ def near_dedup_stream(
     the index so later batches see it as corpus.
 
     ``family`` selects the signature scheme: ``"minhash"`` (Jaccard-ish
-    candidates via LSH bands; ``n``/``num_hashes``/``bands``) or
+    candidates via LSH bands; ``n``/``num_hashes``/``bands``),
     ``"simhash"`` (Hamming near-dups via block-permutation chunks;
-    ``max_hamming``/``blocks``/``partial_recall``). Both run the
-    identical loop below — only the per-doc row computation and the
-    probe operator differ.
+    ``max_hamming``/``blocks``/``partial_recall``), or ``"exact"``
+    (identical content by md5 digest — the index-backed alternative to
+    ``dedup_exact_stream``, whose dropDuplicates state grows one digest
+    per distinct doc in EXECUTOR state stores forever; here the state is
+    the on-disk index like the near-dup families, and pairs carry
+    (canonical-so-far, duplicate, digest)). All three run the identical
+    loop below — only the per-doc row computation and the probe
+    operator differ.
 
     ``max_bucket_df`` (minhash) / ``max_chunk_df`` (simhash): the
     hot-bucket caps, forwarded to the probe and bootstrap operators. In
@@ -196,8 +201,32 @@ def near_dedup_stream(
             d._ensure_simhash_index_meta(spark, index_path, blocks)
 
         index_partition = "blk"
+    elif family == "exact":
+        # the EXACT member of the trio: duplicate = identical content
+        # (md5), pairs carry (canonical-so-far, duplicate, digest). The
+        # state-store alternative (dedup_exact_stream) holds one digest
+        # per distinct doc in executor state forever; here the state is
+        # the on-disk index, same as the near-dup families.
+        def probe(spark, batch_df, flt):
+            return d.exact_probe_duplicates(
+                spark, index_path, batch_df, text_col, id_col,
+                index_filter=flt,
+            )
+
+        def bootstrap(batch_df):
+            return d.exact_within_pairs(batch_df, text_col, id_col)
+
+        def index_rows(batch_df):
+            return d.exact_digest_rows(batch_df, text_col, id_col)
+
+        def write_meta(spark):
+            d._ensure_exact_index_meta(spark, index_path)
+
+        index_partition = "pfx"
     else:
-        raise ValueError(f"family {family!r}: expected 'minhash' or 'simhash'")
+        raise ValueError(
+            f"family {family!r}: expected 'minhash', 'simhash' or 'exact'"
+        )
 
     # parameter sidecar written at WIRING time, before any batch runs:
     # writing it inside the batch (after the index parquet) left a crash

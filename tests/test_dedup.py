@@ -930,3 +930,147 @@ def test_corrupt_sidecar_raises_actionable_error(spark, tmp_path):
     fsutil.write_text(spark, f"{idx}/{dedup._BAND_INDEX_META}", '{"kind": "minh')
     with pytest.raises(ValueError, match="corrupt"):
         dedup._check_band_index_meta(spark, idx, 3, 32, 8)
+
+
+def _exact_recompute_pairs(rows):
+    """Independent model: exact_duplicates over the union, expanded to
+    (canonical=min id, other) pairs — the contract the incremental probe
+    is filtered from."""
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for doc_id, text in rows:
+        groups[hashlib.md5(text.encode()).hexdigest()].append(doc_id)
+    pairs = set()
+    for docs in groups.values():
+        canon = min(docs)
+        pairs |= {(canon, d) for d in docs if d != canon}
+    return pairs
+
+
+def test_exact_probe_matches_batch_recompute_filtered_to_shard(spark, tmp_path):
+    """The exact member of the incremental trio: probe(shard) over a
+    frozen digest index == the full batch recompute over (corpus ∪
+    shard) expanded to (canonical, other) pairs, filtered to pairs with
+    a shard side — including the out-of-order case where a shard doc
+    UNDERCUTS the corpus ids and becomes the new canonical."""
+    from ethereum_analytical_db_spark.operators import dedup
+
+    corpus = [(10, "alpha beta"), (11, "gamma delta"), (12, "alpha beta"),
+              (13, "unique one"), (14, "epsilon zeta")]
+    shard = [(20, "alpha beta"),     # dup of corpus canonical 10
+             (21, "brand new"),      # unseen
+             (22, "brand new"),      # within-shard dup of 21
+             (5, "gamma delta"),     # UNDERCUTS corpus 11 -> new canonical
+             (23, "unique one")]     # dup of 13
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    sdf = spark.createDataFrame(shard, "doc_id long, text string")
+    idx = str(tmp_path / "digest_index")
+    dedup.exact_index_write(cdf, idx)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.exact_probe_duplicates(spark, idx, sdf).collect()
+    }
+    want_all = _exact_recompute_pairs(corpus + shard)
+    shard_ids = {d for d, _ in shard}
+    want = {p for p in want_all if p[0] in shard_ids or p[1] in shard_ids}
+    assert got == want
+    # spot the undercut: 5 displaced 11 as gamma-delta's canonical
+    assert (5, 11) in got
+    # corpus-internal pairs (10,12) are settled history, not re-emitted
+    assert (10, 12) not in got
+
+    # the keep-filter contract: survivors = shard minus doc_b, appended
+    pairs = dedup.exact_probe_duplicates(spark, idx, sdf)
+    keep = sdf.join(pairs, sdf.doc_id == pairs.doc_b, "left_anti")
+    assert {r["doc_id"] for r in keep.collect()} == {21, 5}
+    dedup.exact_index_append(keep, idx)
+    # a later shard sees the appended docs as corpus
+    later = spark.createDataFrame([(30, "brand new")], "doc_id long, text string")
+    got2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.exact_probe_duplicates(spark, idx, later).collect()
+    }
+    assert got2 == {(21, 30)}
+
+    # zero Exchange above the corpus-index scan (the 100 TB claim):
+    # the shard broadcasts, the index is the streamed side
+    plan = dedup.exact_probe_duplicates(
+        spark, idx, sdf
+    )._sc._jvm.PythonSQLUtils.explainString(
+        dedup.exact_probe_duplicates(spark, idx, sdf)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "BroadcastHashJoin" in plan
+    # within-batch + probe parity for the bootstrap branch
+    got3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.exact_within_pairs(sdf).collect()
+    }
+    assert got3 == _exact_recompute_pairs(shard)
+
+
+def test_exact_index_rejects_wrong_kind_and_validates(spark, tmp_path):
+    import pytest
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    band_idx = str(tmp_path / "band_idx")
+    dedup.minhash_index_write(docs, band_idx)
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup.exact_probe_duplicates(spark, band_idx, docs)
+    exact_idx = str(tmp_path / "exact_idx")
+    dedup.exact_index_write(docs, exact_idx)
+    # a band probe against an exact index: the band sidecar is absent
+    # (the exact one is there), so the check fails loudly either way
+    with pytest.raises(ValueError, match="sidecar"):
+        dedup._check_band_index_meta(spark, exact_idx, 3, 32, 8)
+    # and the kind field catches a hand-mislabeled sidecar
+    import json
+
+    from ethereum_analytical_db_spark import fsutil
+
+    fsutil.write_text_atomic(
+        spark,
+        f"{exact_idx}/{dedup._EXACT_INDEX_META}",
+        json.dumps({"kind": "minhash_bands"}),
+    )
+    with pytest.raises(ValueError, match="not an exact_md5"):
+        dedup._check_exact_index_meta(spark, exact_idx)
+
+
+def test_exact_dedup_probe_registry_query(spark):
+    """The registered serve-path query: frozen digest index (built once
+    per process, cached, cleaned), probe result equals the batch
+    recompute expanded to (canonical, other) pairs filtered to
+    shard-touching ones."""
+    import os
+
+    from ethereum_analytical_db_spark.plans import pipeline as pl
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["exact_dedup_probe"].build(spark, sf).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    want = {
+        p
+        for p in _exact_recompute_pairs(rows)
+        if p[0] % 10 == 0 or p[1] % 10 == 0
+    }
+    assert got == want
+    key = os.path.abspath(sf)
+    path = pl._EXACT_FROZEN[key]
+    assert os.path.isdir(path)
+    qs["exact_dedup_probe"].build(spark, sf)
+    assert pl._EXACT_FROZEN[key] == path  # cached, not rebuilt
+    pl._exact_cleanup()
+    assert not os.path.exists(path)
+    assert pl._EXACT_FROZEN == {}

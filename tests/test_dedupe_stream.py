@@ -524,3 +524,100 @@ def test_near_dedup_stream_compaction_cadence_bounds_files(spark, tmp_path):
     st.run_available_now(q)
     assert pairs(comp_pairs) == pairs(plain_pairs)
     assert content(comp_idx) == content(plain_idx)
+
+
+def test_near_dedup_stream_exact_family(spark, tmp_path):
+    """family='exact': the index-backed streaming exact dedup (state on
+    disk, not in executor state stores). Union of per-batch pairs equals
+    the batch recompute expanded to (canonical, other) pairs — each pair
+    exactly once, in the batch of its later doc — and a from-scratch
+    replay over the surviving dirs is byte-stable."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text number {i % 7}") for i in range(21)]  # 7 contents x 3
+    rows += [(100, "text number 0"), (101, "one of a kind")]
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # the model, batch by batch (files arrive in write order): each
+    # batch emits the recompute-over-seen-so-far pairs touching it —
+    # canonical-SO-FAR semantics, so a late id-undercutting doc re-pairs
+    # with the holders it displaces rather than rewriting history
+    want = set()
+    seen: list = []
+    for j in range(3):
+        batch = [r for r in rows if r[0] % 3 == j]
+        batch_ids = {d for d, _ in batch}
+        groups = defaultdict(list)
+        for i, t in seen + batch:
+            groups[hashlib.md5(t.encode()).hexdigest()].append(i)
+        for g in groups.values():
+            canon = min(g)
+            want |= {
+                (canon, d)
+                for d in g
+                if d != canon and (canon in batch_ids or d in batch_ids)
+            }
+        seen += batch
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for j in range(3):
+        df_all.filter(F.col("doc_id") % 3 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    index_path = str(tmp_path / "digest_index")
+    pairs_path = str(tmp_path / "pairs")
+
+    def run(checkpoint: str) -> None:
+        stream = st.stream_from_files(
+            spark, str(src), df_all.schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(
+                stream, index_path, pairs_path, family="exact",
+                compact_every=2,
+            )
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+
+    def got() -> set:
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    run("ckpt1")
+    assert got() == want
+    assert spark.read.parquet(pairs_path).count() == len(want)
+    # and the pairs connect exactly the true content groups (what a
+    # consumer actually extracts), undercuts and all — tiny union-find
+    comp: dict = {}
+
+    def find(x):
+        while comp.get(x, x) != x:
+            comp[x] = comp.get(comp[x], comp[x])
+            x = comp[x]
+        return x
+
+    for a, b in got():
+        comp.setdefault(a, a)
+        comp.setdefault(b, b)
+        comp[find(b)] = find(a)
+    got_groups = defaultdict(set)
+    for d in comp:
+        got_groups[find(d)].add(d)
+    true_groups = defaultdict(set)
+    for i, t in rows:
+        true_groups[hashlib.md5(t.encode()).hexdigest()].add(i)
+    assert {frozenset(g) for g in got_groups.values()} == {
+        frozenset(g) for g in true_groups.values() if len(g) > 1
+    }
+    run("ckpt2")  # from-scratch replay over surviving folded index
+    assert got() == want
+    assert spark.read.parquet(pairs_path).count() == len(want)
