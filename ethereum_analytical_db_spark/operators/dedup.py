@@ -1268,12 +1268,15 @@ def exact_digest_rows(
     purely per-doc (a doc's row is identical alone or with the corpus,
     which is what makes the frozen index append-able). ``digest`` is
     md5 of the content (cross-engine reproducible, same choice as
-    :func:`exact_duplicates`); ``pfx`` = its first byte, the index
-    partition key — 256 uniformly-filled directories keep per-dir file
-    sizes bounded and give compaction a natural unit."""
+    :func:`exact_duplicates`); ``pfx`` = its first hex char, the index
+    partition key — 16 uniformly-filled directories give compaction and
+    the streaming layout their partition unit WITHOUT multiplying file
+    counts (a 256-way first-byte split was measured to cost the probe
+    5× in file-open overhead at sf1; pruning never applies here — a
+    probe touches all digests — so more dirs buy nothing)."""
     return df.select(
         F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("digest")
-    ).withColumn("pfx", F.substring("digest", 1, 2))
+    ).withColumn("pfx", F.substring("digest", 1, 1))
 
 
 def _write_exact_index_meta(spark, path: str) -> None:
@@ -1329,10 +1332,13 @@ def exact_index_write(
     df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
 ) -> None:
     """Materialize the corpus's digest index at ``path`` (pay the
-    corpus's hashing exactly once; every future probe only scans)."""
-    exact_digest_rows(df, text_col, id_col).write.mode("overwrite").partitionBy(
-        "pfx"
-    ).parquet(path)
+    corpus's hashing — and more importantly its TEXT scan — exactly
+    once; every future probe only scans 32-byte digests). Repartitioned
+    BY the partition value so each dir gets one file per write, not one
+    per upstream input split."""
+    exact_digest_rows(df, text_col, id_col).repartition(F.col("pfx")).write.mode(
+        "overwrite"
+    ).partitionBy("pfx").parquet(path)
     _write_exact_index_meta(df.sparkSession, path)
 
 
@@ -1344,9 +1350,9 @@ def exact_index_append(
     makes them extra canonical-candidates forever). Parquet append only
     adds files; run :func:`compact_index` (``["pfx"]``) on cadence."""
     _check_exact_index_meta(df.sparkSession, path)
-    exact_digest_rows(df, text_col, id_col).write.mode("append").partitionBy(
-        "pfx"
-    ).parquet(path)
+    exact_digest_rows(df, text_col, id_col).repartition(F.col("pfx")).write.mode(
+        "append"
+    ).partitionBy("pfx").parquet(path)
 
 
 def _exact_pairs_from_groups(bagg: DataFrame) -> DataFrame:
@@ -1420,6 +1426,10 @@ def exact_probe_duplicates(
     bagg = new_rows.groupBy("digest").agg(
         F.min("doc").alias("bmin"), F.collect_list("doc").alias("bdocs")
     )
+    # iagg is match-sized (≤ shard digests): broadcast it so the outer
+    # join costs no second shuffle of the shard aggregates
+    if broadcast_new:
+        iagg = F.broadcast(iagg)
     return _exact_pairs_from_groups(bagg.join(iagg, "digest", "left"))
 
 
