@@ -17,7 +17,8 @@ Two equivalent drivers over the same loop (pick with ``--mode``):
 
 ``--family simhash`` switches both modes from the MinHash band index
 (Jaccard-ish candidates) to the SimHash chunk index (Hamming
-near-dups) — same loop, same cost model.
+near-dups); ``--family exact`` to the md5 digest index (identical
+content, (canonical, duplicate) pairs) — same loop, same cost model.
 
 Both modes print, per shard, the near-dup candidate pairs found against
 everything ingested before it — each pair reported exactly once, by the
@@ -45,9 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--mode", choices=("batch", "stream"), default="batch")
     p.add_argument(
         "--family",
-        choices=("minhash", "simhash"),
+        choices=("minhash", "simhash", "exact"),
         default="minhash",
-        help="signature scheme: LSH bands (Jaccard-ish) or SimHash chunks (Hamming)",
+        help="signature scheme: LSH bands (Jaccard-ish), SimHash chunks "
+        "(Hamming), or exact md5 digests (identical content)",
     )
     p.add_argument("--shards", type=int, default=4)
     p.add_argument(
@@ -106,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
                 spark, index_path, shard, max_bucket_df=args.max_bucket_df
             )
             score_col = "bands_in_common"
+        elif args.family == "exact":
+            write, append = dedup.exact_index_write, dedup.exact_index_append
+            probe = lambda shard: dedup.exact_probe_duplicates(  # noqa: E731
+                spark, index_path, shard
+            )
+            score_col = "digest"
         else:
             write, append = dedup.simhash_index_write, dedup.simhash_index_append
             probe = lambda shard: dedup.simhash_probe_candidates(  # noqa: E731
@@ -146,10 +154,18 @@ def main(argv: list[str] | None = None) -> int:
             .start()
         )
         st.run_available_now(q)
-        pairs = spark.read.parquet(pairs_path)
-        for row in pairs.groupBy("batch").count().orderBy("batch").collect():
-            print(f"batch {row['batch']}: {row['count']} near-dup candidates")
-        pairs.orderBy("doc_a", "doc_b").show(5)
+        import glob as _glob
+
+        # a pair-free corpus leaves pairs_path with no data partitions
+        # (dynamic overwrite writes nothing for empty batches), which a
+        # schemaless read cannot even open
+        if _glob.glob(os.path.join(pairs_path, "batch=*")):
+            pairs = spark.read.parquet(pairs_path)
+            for row in pairs.groupBy("batch").count().orderBy("batch").collect():
+                print(f"batch {row['batch']}: {row['count']} near-dup candidates")
+            pairs.orderBy("doc_a", "doc_b").show(5)
+        else:
+            print("no near-dup candidates found in any batch")
 
     n_idx = spark.read.parquet(index_path).count()
     print(f"index now holds {n_idx} band rows — next shard probes it as corpus")
@@ -163,9 +179,8 @@ def main(argv: list[str] | None = None) -> int:
 
         pat = os.path.join(index_path, "*=*", "*.parquet")
         before = len(glob.glob(pat))
-        compact_index(
-            spark, index_path, ["band" if args.family == "minhash" else "blk"]
-        )
+        part_col = {"minhash": "band", "simhash": "blk", "exact": "pfx"}[args.family]
+        compact_index(spark, index_path, [part_col])
         print(
             f"compacted: {before} -> {len(glob.glob(pat))} files, "
             f"{spark.read.parquet(index_path).count()} rows unchanged"

@@ -399,3 +399,120 @@ def test_chunk_documents_matches_python_model(spark, lens, max_tokens, data):
             w = toks[k * stride : k * stride + max_tokens]
             want[(i, k)] = (" ".join(w), len(w))
     assert got == want
+
+
+# ---- perceptual frame-header parsers (r10): pure-Python, run wide ----
+
+_MP3_V1L3 = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_SR1 = [44100, 48000, 32000]
+
+
+@settings(max_examples=120, derandomize=True)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),  # bitrate index
+            st.integers(min_value=0, max_value=2),   # sample-rate index
+            st.booleans(),                           # padding bit
+            st.booleans(),                           # mono
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.booleans(),  # ID3v2 prefix
+    st.booleans(),  # ID3v1 trailer
+)
+def test_mp3_walk_property(frames, id3v2, id3v1):
+    """Any MPEG1-Layer-III frame sequence packed from the published bit
+    layout round-trips: per-frame sizes accounted exactly, totals equal
+    the independent model. NOTE: all frames share one sample-rate index
+    in a real stream; hypothesis varies it per-frame and the parser must
+    still walk (it prices duration by the FIRST frame's rate)."""
+    from ethereum_analytical_db_spark.operators import multimodal as mm
+
+    sr0 = _MP3_SR1[frames[0][1]]
+    blob = b""
+    if id3v2:
+        blob += b"ID3\x03\x00\x00" + bytes([0, 0, 0, 9]) + bytes(9)
+    audio = b""
+    sizes = []
+    for br_idx, sr_idx, pad, mono in frames:
+        br = _MP3_V1L3[br_idx - 1] * 1000
+        sr = _MP3_SR1[sr_idx]
+        size = 144 * br // sr + (1 if pad else 0)
+        b1 = 0b11111011  # MPEG1, Layer III, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2) | ((1 if pad else 0) << 1)
+        b3 = 0xC0 if mono else 0x00
+        audio += bytes([0xFF, b1, b2, b3]) + bytes(size - 4)
+        sizes.append(size)
+    blob += audio
+    if id3v1:
+        blob += b"TAG" + bytes(125)
+    d = mm._parse_mp3(blob)
+    assert d["sample_rate"] == sr0
+    assert d["channels"] == (1 if frames[0][3] else 2)
+    assert d["n_frames"] == 1152 * len(frames)
+    assert len(d["payload"]) == sum(sizes)
+    assert d["duration_ms"] == round(1152 * len(frames) * 1000 / sr0)
+    assert d["bitrate_kbps"] == round(
+        sum(sizes) * 8 * sr0 / (1152 * len(frames) * 1000)
+    )
+
+
+@settings(max_examples=120, derandomize=True)
+@given(
+    st.integers(min_value=1, max_value=200),    # pic_width_in_mbs_minus1
+    st.integers(min_value=1, max_value=200),    # pic_height_in_map_units_minus1
+    st.tuples(*[st.integers(min_value=0, max_value=3)] * 4),  # crops
+    st.sampled_from([66, 77, 100, 110]),        # baseline/main/high profiles
+    st.booleans(),                              # vui timing present
+    st.integers(min_value=1, max_value=60),     # fps numerator
+)
+def test_h264_sps_property(pw, ph, crops, profile, timing, fps):
+    """Arbitrary SPS geometry written with the independent exp-Golomb
+    writer (incl. emulation-prevention escaping) parses back to the spec
+    crop arithmetic, for both the baseline and the high-profile chroma
+    branch, with and without VUI timing."""
+    from ethereum_analytical_db_spark.operators import multimodal as mm
+
+    from test_multimodal import _SpsBitWriter, _escape_rbsp
+
+    w = _SpsBitWriter()
+    w.u(8, profile)
+    w.u(8, 0)
+    w.u(8, 40)
+    w.ue(0)
+    if profile in (100, 110):
+        w.ue(1)          # chroma 4:2:0
+        w.ue(0); w.ue(0)
+        w.u(1, 0)
+        w.u(1, 0)
+    w.ue(0)              # log2_max_frame_num
+    w.ue(0)              # poc type 0
+    w.ue(0)              # log2_max_poc
+    w.ue(1); w.u(1, 0)
+    w.ue(pw); w.ue(ph)
+    w.u(1, 1)            # frame_mbs_only
+    w.u(1, 0)            # direct_8x8
+    any_crop = any(crops)
+    w.u(1, 1 if any_crop else 0)
+    if any_crop:
+        for c in crops:
+            w.ue(c)
+    w.u(1, 1 if timing else 0)
+    if timing:
+        w.u(1, 0); w.u(1, 0); w.u(1, 0); w.u(1, 0)
+        w.u(1, 1)
+        w.u(32, 1); w.u(32, 2 * fps); w.u(1, 1)
+    sps = b"\x67" + _escape_rbsp(w.rbsp())
+    sc = b"\x00\x00\x00\x01"
+    stream = sc + sps + sc + b"\x65\xc0"  # one IDR picture
+    d = mm._parse_h264(stream)
+    l, r, t_, b = crops if any_crop else (0, 0, 0, 0)
+    assert d["width"] == (pw + 1) * 16 - (l + r) * 2
+    assert d["height"] == (ph + 1) * 16 - (t_ + b) * 2
+    assert d["n_frames"] == 1
+    if timing:
+        assert d["duration_ms"] == round(1000 / fps)
+    else:
+        assert "duration_ms" not in d
