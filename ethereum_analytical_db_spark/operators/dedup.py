@@ -1356,28 +1356,12 @@ def exact_index_append(
 
 
 def _exact_pairs_from_groups(bagg: DataFrame) -> DataFrame:
-    """(digest, bmin, bdocs[, imin, idocs]) → (doc_a, doc_b, digest)
-    pairs, doc_a the per-digest canonical (global min), restricted to
-    pairs with a batch side — the shared tail of probe and bootstrap."""
-    has_idx = "imin" in bagg.columns
-    imin = F.col("imin") if has_idx else F.lit(None).cast("long")
-    idocs = (
-        F.coalesce(F.col("idocs"), F.array().cast("array<long>"))
-        if has_idx
-        else F.array().cast("array<long>")
-    )
-    canon = F.when(imin.isNull() | (F.col("bmin") < imin), F.col("bmin")).otherwise(imin)
-    partners = (
-        F.when(imin.isNull(), F.array_remove(F.col("bdocs"), F.col("bmin")))
-        .when(
-            F.col("bmin") < imin,
-            F.array_remove(F.concat(idocs, F.col("bdocs")), F.col("bmin")),
-        )
-        .otherwise(F.col("bdocs"))
-    )
-    return (
-        bagg.select(canon.alias("doc_a"), F.explode(partners).alias("doc_b"), "digest")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+    """(digest, bmin, bdocs) → (doc_a=bmin, doc_b, digest) pairs — the
+    within-batch (bootstrap) expansion; bdocs is batch-sized."""
+    return bagg.select(
+        F.col("bmin").alias("doc_a"),
+        F.explode(F.array_remove(F.col("bdocs"), F.col("bmin"))).alias("doc_b"),
+        "digest",
     )
 
 
@@ -1412,7 +1396,12 @@ def exact_probe_duplicates(
     scan, plan-asserted in tests), so per-shard cost is O(shard hashing
     + corpus scan + matches); the corpus never re-digests.
     ``broadcast_new=False`` falls back to a merge join for a shard too
-    large to broadcast."""
+    large to broadcast. No per-key array is ever built over INDEX rows:
+    a degenerate corpus (the same content appended blindly across a
+    million shards) pairs through a distributed join in the rare
+    undercut case, not a collect_list that concentrates one content's
+    million holders into a single aggregation buffer; the only arrays
+    are batch-sized (per-shard, caller-bounded)."""
     _check_exact_index_meta(spark, index_path)
     new_rows = _materialize(exact_digest_rows(new_df, text_col, id_col), materialize)
     idx = spark.read.parquet(index_path)
@@ -1420,9 +1409,8 @@ def exact_probe_duplicates(
         idx = idx.filter(index_filter)
     probe = F.broadcast(new_rows) if broadcast_new else new_rows.hint("merge")
     matched = idx.join(probe.select("digest").distinct(), "digest")
-    iagg = matched.groupBy("digest").agg(
-        F.min("doc").alias("imin"), F.collect_list("doc").alias("idocs")
-    )
+    # SCALAR per digest — never a holder list over index rows
+    iagg = matched.groupBy("digest").agg(F.min("doc").alias("imin"))
     bagg = new_rows.groupBy("digest").agg(
         F.min("doc").alias("bmin"), F.collect_list("doc").alias("bdocs")
     )
@@ -1430,7 +1418,32 @@ def exact_probe_duplicates(
     # join costs no second shuffle of the shard aggregates
     if broadcast_new:
         iagg = F.broadcast(iagg)
-    return _exact_pairs_from_groups(bagg.join(iagg, "digest", "left"))
+    joined = _materialize(bagg.join(iagg, "digest", "left"), materialize)
+    # batch-side pairs: canonical vs the batch docs (the index side of
+    # the canon=bmin case is handled by the undercut join below)
+    canon = F.when(
+        F.col("imin").isNull() | (F.col("bmin") < F.col("imin")), F.col("bmin")
+    ).otherwise(F.col("imin"))
+    partners = F.when(
+        F.col("imin").isNull() | (F.col("bmin") < F.col("imin")),
+        F.array_remove(F.col("bdocs"), F.col("bmin")),
+    ).otherwise(F.col("bdocs"))
+    batch_pairs = joined.select(
+        canon.alias("doc_a"), F.explode(partners).alias("doc_b"), "digest"
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    # undercut case (rare: a shard id below every indexed holder): the
+    # new canonical pairs with each displaced index holder — a JOIN
+    # against the matched index rows, distributed over however many
+    # holders a hot content has
+    undercut = joined.filter(
+        F.col("imin").isNotNull() & (F.col("bmin") < F.col("imin"))
+    ).select("digest", "bmin")
+    if broadcast_new:
+        undercut = F.broadcast(undercut)
+    undercut_pairs = matched.join(undercut, "digest").select(
+        F.col("bmin").alias("doc_a"), F.col("doc").alias("doc_b"), "digest"
+    )
+    return batch_pairs.unionByName(undercut_pairs)
 
 
 def exact_within_pairs(
