@@ -981,6 +981,15 @@ def test_exact_probe_matches_batch_recompute_filtered_to_shard(spark, tmp_path):
     assert (5, 11) in got
     # corpus-internal pairs (10,12) are settled history, not re-emitted
     assert (10, 12) not in got
+    # the too-big-to-broadcast fallback (merge join) answers identically
+    # (must run BEFORE the append below: ids must stay disjoint from the index)
+    got4 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.exact_probe_duplicates(
+            spark, idx, sdf, broadcast_new=False
+        ).collect()
+    }
+    assert got4 == want
 
     # the keep-filter contract: survivors = shard minus doc_b, appended
     pairs = dedup.exact_probe_duplicates(spark, idx, sdf)
