@@ -15,6 +15,12 @@ Two state regimes, matching how Structured Streaming bounds dedup state:
   same page cluster in time, so a horizon ≥ the crawl revisit interval
   catches them without unbounded state).
 
+For exact-forever dedup over an unbounded corpus, prefer
+``near_dedup_stream(family="exact")`` below (r10): it keeps the digest
+set in an on-disk index instead of executor state stores, so state is
+corpus-sized without growing executors, and emits (canonical,
+duplicate) pairs instead of silently dropping rows.
+
 State is hash-partitioned by digest across executors; a micro-batch
 shuffles only its own rows. No reference analogue (the reference's
 batch loop has no streaming dedup) — capability from the prompt's
