@@ -76,19 +76,46 @@ class Warehouse:
         self._write_seq_sidecar(table, nxt)
         return nxt
 
-    def _write_seq_sidecar(self, table: str, value: int) -> None:
+    def _write_seq_sidecar(
+        self, table: str, value: int, name: str = "_SEQ"
+    ) -> None:
         """Atomic sidecar update: write a temp file, then os.replace() —
         a crash mid-write can never leave a truncated-but-parsable value
         (e.g. '1' from '12') that would re-issue a used seq and break
         last-write-wins replay safety."""
         os.makedirs(self._path(table), exist_ok=True)
-        seq_file = os.path.join(self._path(table), "_SEQ")
+        seq_file = os.path.join(self._path(table), name)
         tmp = seq_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(value))
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, seq_file)
+
+    def _read_sidecar(self, table: str, name: str) -> int | None:
+        path = os.path.join(self._path(table), name)
+        if not os.path.isfile(path):
+            return None
+        try:
+            return int(open(path).read().strip())
+        except ValueError:
+            return None
+
+    def is_dedup_free(self, table: str) -> bool:
+        """True when the table PROVABLY holds one live row per key: the
+        last ``compact()`` recorded the seq it compacted at
+        (``_COMPACTED_AT``) and no ``write()`` has bumped ``_SEQ`` past
+        it since. Both proofs are driver-side sidecar reads — no Spark
+        job. Any write() invalidates the fast path automatically (it
+        bumps ``_SEQ`` *before* appending data, so a crashed append
+        degrades to the safe direction: window runs on a dup-free
+        table). A missing/corrupt sidecar also degrades safe (window
+        runs)."""
+        compacted_at = self._read_sidecar(table, "_COMPACTED_AT")
+        if compacted_at is None:
+            return False
+        seq = self._read_sidecar(table, "_SEQ")
+        return seq is not None and seq == compacted_at
 
     def _recover_precompact(self, table: str) -> None:
         """Crash recovery for compact()'s two-rename swap: if a crash hit
@@ -214,14 +241,27 @@ class Warehouse:
         primary key (SURVEY §1.3 / W2), then drops keys whose winning
         version is a reorg tombstone (operators/reorg.py) — the FINAL
         analogue of a DELETE, resolved per-key AFTER dedup so a later
-        re-insert of the same key revives it."""
+        re-insert of the same key revives it.
+
+        Dedup-free fast path: when :meth:`is_dedup_free` proves no
+        write has landed since the last ``compact()`` (sidecar
+        comparison, no Spark job), FINAL returns the raw scan — the
+        window is a no-op then, but not a free one (FINAL_READ_CURVE
+        measured 2.75–3.5× raw even duplicate-free, the pk Exchange
+        dominating). This matches the reference's economics: ClickHouse
+        FINAL over fully-merged ReplacingMergeTree parts is near-raw
+        cost (reference operations/indices.py:34 picks that engine for
+        exactly this trade). compact() materializes read(final=True),
+        which drops tombstone-winning keys, so the raw scan of a
+        freshly compacted table IS the FINAL view — no residual filter
+        needed."""
         self._recover_precompact(table)
         reader = self.spark.read
         expected = self._read_schema(table)
         if expected is not None:
             reader = reader.schema(expected)
         df = reader.parquet(self._path(table))
-        if final:
+        if final and not self.is_dedup_free(table):
             df = final_dedup(df, schemas.primary_key(table))
             if "_tombstone" in df.columns:
                 df = df.filter(
@@ -366,6 +406,12 @@ class Warehouse:
         os.rename(final_path, old)
         os.rename(tmp, final_path)
         self._write_seq_sidecar(table, int(max_seq))
+        # _COMPACTED_AT last: the renames wiped the old sidecars with the
+        # old directory, so a crash anywhere before this line leaves no
+        # _COMPACTED_AT at all and read(final=True) degrades to the
+        # window — the safe direction. Only the complete pair
+        # (_SEQ == _COMPACTED_AT) unlocks the dedup-free fast path.
+        self._write_seq_sidecar(table, int(max_seq), name="_COMPACTED_AT")
         shutil.rmtree(old, ignore_errors=True)
         if layout == "bucketed":
             # final=False: the rewrite above just materialized FINAL, so

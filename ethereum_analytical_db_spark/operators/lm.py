@@ -51,7 +51,11 @@ def _detach_table(table: DataFrame, spill_rows: int) -> DataFrame:
     import uuid
 
     sp = table.sparkSession
-    if table.count() <= spill_rows:
+    # limit(n+1).count() instead of a full count: the decision only needs
+    # "more than spill_rows or not", and the limit short-circuits the scan
+    # once n+1 rows are seen — a wide model table no longer pays a full
+    # aggregation job just to pick its detach path (r10 verdict note)
+    if table.limit(spill_rows + 1).count() <= spill_rows:
         return sp.createDataFrame(table.collect(), table.schema)
     from ..plans import frozen
 
@@ -64,13 +68,23 @@ def _detach_table(table: DataFrame, spill_rows: int) -> DataFrame:
 
 def _local_fs_path(uri: str) -> str:
     """file:-scheme warehouse URIs → plain paths (so the frozen-artifact
-    sweep's os-level cleanup works); other schemes pass through."""
-    if uri.startswith("file:"):
-        stripped = uri[len("file:"):]
-        while stripped.startswith("//"):
-            stripped = stripped[1:]
-        return stripped
-    return uri
+    sweep's os-level cleanup works); other schemes pass through.
+
+    RFC 8089 via urlparse, not prefix-stripping: ``file://localhost/tmp/wh``
+    carries an authority component, and naively stripping every leading
+    slash after ``file:`` turned it into ``/localhost/tmp/wh`` — a
+    nonexistent path the detach spill would write to while the orphan
+    sweep missed the real directory (r10 advice)."""
+    from urllib.parse import unquote, urlparse
+
+    if not uri.startswith("file:"):
+        return uri
+    parsed = urlparse(uri)
+    if parsed.netloc not in ("", "localhost"):
+        # a genuinely remote file URI (rare, nonstandard): leave it for
+        # the filesystem layer rather than silently mis-localizing it
+        return uri
+    return unquote(parsed.path)
 
 
 @dataclass

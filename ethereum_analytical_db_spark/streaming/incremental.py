@@ -176,6 +176,18 @@ class SyncPipeline:
 
     Stages are callables (warehouse) -> None, already idempotent because
     every write is an upsert by id and flags land after data.
+
+    ``compact_every`` / ``compact_tables``: every N passes, ``compact()``
+    the named fact tables after the derived refresh — the loop's
+    background-merge analogue. Without it, continuous ingest accumulates
+    ``_seq`` versions (and small files) until an out-of-band compact;
+    with it, FINAL readers between passes hit the warehouse's dedup-free
+    fast path (no row_number window) most of the time. The cadence
+    counts in-process passes (unlike the streaming twin's ``batch_id``
+    key there is no durable pass id here); a restart merely delays the
+    next compaction by at most N passes — compaction is a pure
+    optimization, never a correctness event, and the swap itself is
+    crash-safe (two-rename + ``.precompact`` recovery).
     """
 
     def __init__(
@@ -183,11 +195,20 @@ class SyncPipeline:
         wh: Warehouse,
         stages: Iterable[tuple[str, Callable[[Warehouse], None]]],
         derived_refresh: Callable[[Warehouse], None] | None = None,
+        compact_every: int | None = None,
+        compact_tables: Iterable[str] | None = None,
     ):
         self.wh = wh
         self.stages = list(stages)
         self.derived_refresh = derived_refresh
         self.passes = 0
+        self.compact_every = compact_every
+        self.compact_tables = list(compact_tables or [])
+        if compact_every and not self.compact_tables:
+            raise ValueError(
+                "compact_every set but compact_tables is empty — name the "
+                "fact tables the cadence should compact"
+            )
 
     def run_once(self) -> None:
         for _name, stage in self.stages:
@@ -195,6 +216,10 @@ class SyncPipeline:
         if self.derived_refresh is not None:
             self.derived_refresh(self.wh)
         self.passes += 1
+        if self.compact_every and self.passes % self.compact_every == 0:
+            for t in self.compact_tables:
+                if self.wh.exists(t):
+                    self.wh.compact(t)
 
     def run_forever(
         self, sleep_s: float = 10.0, max_passes: int | None = None

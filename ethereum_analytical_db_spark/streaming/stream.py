@@ -50,6 +50,7 @@ def ingest_to_warehouse(
     id_expr=None,
     derived_refresh: Callable[[Warehouse, int], None] | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """writeStream → Warehouse upsert, one pass per trigger.
 
@@ -57,12 +58,27 @@ def ingest_to_warehouse(
     base write — the reference's insert-trigger MV semantics (T8):
     derived tables are consistent with their source at every batch
     boundary, which is when correctness is checked (SURVEY §7.3 (e)).
+
+    ``compact_every``: every N batches (keyed on ``batch_id % N`` so the
+    cadence survives checkpoint restarts, same discipline as
+    ``dedupe_stream.near_dedup_stream``), ``compact()`` the fact table
+    inside the batch — the streaming analogue of ClickHouse's background
+    merge. This keeps two things bounded under continuous ingest: the
+    per-batch small-file count (each micro-batch appends ≥1 file per
+    partition), and the FINAL window's input (version rows accumulate
+    one per re-written key per batch). It also re-arms the warehouse's
+    dedup-free FINAL fast path each cycle: a read landing between a
+    compaction and the next batch's write skips the window entirely.
+    compact() uses the crash-safe two-rename swap, and foreachBatch
+    commits serially, so a replayed batch re-compacts idempotently.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         wh.write(table, batch_df, id_expr=id_expr)
         if derived_refresh is not None:
             derived_refresh(wh, batch_id)
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            wh.compact(table)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

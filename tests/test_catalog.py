@@ -82,6 +82,107 @@ def test_compact_reduces_files_and_preserves_final(spark, wh):
     assert rows[0]["number"] == 2
 
 
+def _final_plan(wh, table):
+    return (
+        wh.read(table, final=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_compact_enables_dedup_free_final_fast_path(spark, wh):
+    """After compact(), read(final=True) must skip the row_number window
+    entirely (the table provably holds one live row per key) and any
+    subsequent write() must bring the window back — with value parity on
+    both sides of each transition. This is the ClickHouse economics:
+    FINAL over fully-merged ReplacingMergeTree parts is near-raw cost
+    (reference operations/indices.py:34)."""
+    wh.create("block")
+    for i in range(3):
+        wh.write("block", spark.createDataFrame([Row(id="1", number=i)]))
+        wh.write("block", spark.createDataFrame([Row(id="2", number=10 + i)]))
+    assert not wh.is_dedup_free("block")
+    assert "Window" in _final_plan(wh, "block")
+    before = sorted(
+        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+    )
+
+    wh.compact("block")
+    assert wh.is_dedup_free("block")
+    plan = _final_plan(wh, "block")
+    assert "Window" not in plan and "window" not in plan
+    after = sorted(
+        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+    )
+    assert after == before == [("1", 2), ("2", 12)]
+
+    # any write invalidates the fast path automatically via _SEQ
+    wh.write("block", spark.createDataFrame([Row(id="1", number=99)]))
+    assert not wh.is_dedup_free("block")
+    assert "Window" in _final_plan(wh, "block")
+    got = sorted(
+        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+    )
+    assert got == [("1", 99), ("2", 12)]
+
+    # re-compact re-arms the fast path and preserves the new winner
+    wh.compact("block")
+    assert wh.is_dedup_free("block")
+    assert sorted(
+        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+    ) == [("1", 99), ("2", 12)]
+
+
+def test_dedup_free_fast_path_tombstone_roundtrip(spark, wh):
+    """Tombstones interact safely with the fast path: compact()
+    materializes the FINAL view (tombstoned keys dropped), so the raw
+    fast-path scan agrees; a post-compact tombstone write re-enables
+    the window and deletes the key; the next compact bakes that in."""
+    from pyspark.sql import functions as F
+
+    wh.create("block")
+    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    wh.write("block", spark.createDataFrame([Row(id="2", number=2)]))
+    wh.compact("block")
+    assert wh.is_dedup_free("block")
+
+    tomb = spark.createDataFrame([Row(id="2", number=2)]).withColumn(
+        "_tombstone", F.lit(1).cast("byte")
+    )
+    wh.write("block", tomb)
+    assert not wh.is_dedup_free("block")
+    assert [r["id"] for r in wh.read("block", final=True).collect()] == ["1"]
+
+    wh.compact("block")
+    assert wh.is_dedup_free("block")
+    assert [r["id"] for r in wh.read("block", final=True).collect()] == ["1"]
+
+
+def test_dedup_free_fast_path_degrades_safe_on_missing_sidecar(spark, wh):
+    """A missing/corrupt sidecar must disable the fast path (window
+    runs on a dup-free table — the safe direction), never unlock it."""
+    import os
+
+    wh.create("block")
+    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    wh.compact("block")
+    p = wh._path("block")
+    assert wh.is_dedup_free("block")
+
+    os.remove(os.path.join(p, "_COMPACTED_AT"))
+    assert not wh.is_dedup_free("block")
+    assert "Window" in _final_plan(wh, "block")
+    assert wh.read("block", final=True).count() == 1
+
+    # corrupt _SEQ: fast path off, window still correct
+    wh.compact("block")
+    with open(os.path.join(p, "_SEQ"), "w") as f:
+        f.write("not-a-number")
+    assert not wh.is_dedup_free("block")
+    assert wh.read("block", final=True).count() == 1
+
+
 def test_compact_crash_between_renames_recovers(spark, tmp_path):
     """A crash in the instant between compact()'s two renames leaves the
     only full copy at '<table>.precompact'. Every entry point (exists,

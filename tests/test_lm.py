@@ -299,3 +299,19 @@ def test_detach_spills_wide_models_to_parquet_not_driver(spark):
     assert "FileScan parquet" in spilled.table._sc._jvm.PythonSQLUtils.explainString(
         spilled.table._jdf.queryExecution(), "simple"
     ) or "Scan parquet" in spilled.table._jdf.queryExecution().toString()
+
+
+def test_local_fs_path_rfc8089_forms():
+    """r10 ADVICE: file://localhost/tmp/wh must localize to /tmp/wh (not
+    /localhost/tmp/wh), empty-authority and bare forms must keep the
+    path, a remote authority must pass through untouched, and percent
+    escapes must decode."""
+    from ethereum_analytical_db_spark.operators.lm import _local_fs_path
+
+    assert _local_fs_path("file:///tmp/wh") == "/tmp/wh"
+    assert _local_fs_path("file://localhost/tmp/wh") == "/tmp/wh"
+    assert _local_fs_path("file:/tmp/wh") == "/tmp/wh"
+    assert _local_fs_path("file:///tmp/a%20b") == "/tmp/a b"
+    assert _local_fs_path("file://nas01/share/wh") == "file://nas01/share/wh"
+    assert _local_fs_path("hdfs://nn/warehouse") == "hdfs://nn/warehouse"
+    assert _local_fs_path("/plain/path") == "/plain/path"

@@ -210,3 +210,120 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == {"00:00:00": 2, "00:01:00": 2, "00:03:00": 1}
+
+
+def _data_files(root) -> int:
+    import os
+
+    n = 0
+    for _d, _s, files in os.walk(str(root)):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_ingest_compact_cadence_bounds_files_and_arms_fast_path(spark, tmp_path):
+    """r10 VERDICT task 6: continuous ingest with ``compact_every=N``
+    keeps the fact table's file count bounded (no growth with stream
+    age) and re-arms the dedup-free FINAL fast path each cycle, so
+    reads between a compaction and the next write skip the row_number
+    window. Streams 3N batches across two checkpointed passes (the
+    ``batch_id % N`` key makes the cadence restart-stable)."""
+    N = 2
+    src = tmp_path / "incoming"
+    src.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create("event")
+    wh_plain = Warehouse(spark, str(tmp_path / "wh_plain"))
+    wh_plain.create("event")
+
+    def _file(i: int):
+        # every batch re-writes the SAME two keys -> versions accumulate
+        spark.createDataFrame(
+            [_transfer(1, "0x01", 0xA, 0xB, i), _transfer(2, "0x01", 0xB, 0xA, i)],
+            EVENT_COLS,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    schema = spark.createDataFrame([], EVENT_COLS).schema
+
+    def _drain(warehouse, ckpt, compact_every):
+        q = st.ingest_to_warehouse(
+            st.stream_from_files(
+                spark, str(src), schema, max_files_per_trigger=1
+            ),
+            warehouse,
+            "event",
+            checkpoint_dir=str(tmp_path / ckpt),
+            compact_every=compact_every,
+        )
+        st.run_available_now(q)
+
+    for i in range(2 * N):  # batches 0..3; cadence fires at 1 and 3
+        _file(i)
+    _drain(wh, "ckpt", N)
+    _drain(wh_plain, "ckpt_plain", None)
+
+    # last batch id (2N-1) hit the cadence -> table fully compacted
+    assert wh.is_dedup_free("event")
+    plan = (
+        wh.read("event", final=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    compacted_files = _data_files(tmp_path / "wh" / "event")
+    assert compacted_files < _data_files(tmp_path / "wh_plain" / "event")
+
+    # second pass from the same checkpoint: batches 2N..3N-1 continue the
+    # batch_id numbering, so the cadence stays on its restart-stable key
+    for i in range(2 * N, 3 * N):
+        _file(i)
+    _drain(wh, "ckpt", N)
+    assert wh.is_dedup_free("event")
+    # bounded: stream aged 50% more, file count did not grow
+    assert _data_files(tmp_path / "wh" / "event") <= compacted_files
+
+    # value correctness across compactions: latest version wins
+    got = {r["id"]: r["data"] for r in wh.read("event", final=True).collect()}
+    assert got == {
+        "0x1.0": "0x" + _word(3 * N - 1),
+        "0x2.0": "0x" + _word(3 * N - 1),
+    }
+
+
+def test_sync_pipeline_compact_cadence(spark, tmp_path):
+    """SyncPipeline's pass-cadence twin: every N passes the named fact
+    tables are compacted, so FINAL readers between passes hit the
+    dedup-free fast path; the next pass's write invalidates it again."""
+    from ethereum_analytical_db_spark.streaming import incremental as inc
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create("block_flag")
+    n = [0]
+
+    def stage(w):
+        n[0] += 1
+        w.write(
+            "block_flag",
+            spark.createDataFrame(
+                [Row(id="1", name="traces_extracted", value=n[0])]
+            ),
+        )
+
+    pipe = inc.SyncPipeline(
+        wh, [("flags", stage)], compact_every=2, compact_tables=["block_flag"]
+    )
+    pipe.run_once()
+    assert not wh.is_dedup_free("block_flag")  # pass 1: no compaction yet
+    pipe.run_once()
+    assert wh.is_dedup_free("block_flag")  # pass 2: compacted
+    pipe.run_once()
+    assert not wh.is_dedup_free("block_flag")  # pass 3's write invalidates
+    pipe.run_once()
+    assert wh.is_dedup_free("block_flag")
+    assert wh.read("block_flag", final=True).first()["value"] == 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact_tables"):
+        inc.SyncPipeline(wh, [], compact_every=2)

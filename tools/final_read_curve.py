@@ -126,12 +126,32 @@ def run_scale(spark, sf_dir: str, label: str) -> dict:
         fin = _median(_timed, wh.read("event", final=True))
         out["post_compact"] = {
             "compact_sec": compact_sec,  # the cost the cadence amortizes
+            "dedup_free_fast_path": wh.is_dedup_free("event"),
             "raw_sec": raw,
             "final_sec": fin,
             "overhead_x": round(fin / raw, 2) if raw else None,
             "loadavg": round(os.getloadavg()[0], 2),
         }
         print(f"# {label} post-compact: raw {raw}s final {fin}s", file=sys.stderr)
+        # one more write invalidates the dedup-free fast path: FINAL
+        # must pay the window again (on n_base + 1k rows) — this leg
+        # pins that the fast path never outlives its proof
+        wh.write("event", base.limit(1000).withColumn(
+            "data", F.concat(F.col("data"), F.lit("+w"))
+        ))
+        raw = _median(_timed, wh.read("event", final=False))
+        fin = _median(_timed, wh.read("event", final=True))
+        out["post_compact_append"] = {
+            "dedup_free_fast_path": wh.is_dedup_free("event"),
+            "raw_sec": raw,
+            "final_sec": fin,
+            "overhead_x": round(fin / raw, 2) if raw else None,
+            "loadavg": round(os.getloadavg()[0], 2),
+        }
+        print(
+            f"# {label} post-compact+append: raw {raw}s final {fin}s",
+            file=sys.stderr,
+        )
     return out
 
 
