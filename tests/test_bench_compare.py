@@ -407,3 +407,68 @@ def test_support_margin_absorbs_observed_tail_excursions():
     bad = copy.deepcopy(current[0])
     bad["queries_normalized"]["sessionize_gap"] *= 1.3
     assert "sessionize_gap" in compare(bad, hist)["regressed"]
+
+
+def test_flagged_rows_do_not_enter_support_window(tmp_path):
+    """r10 ADVICE (medium): bench.py appends history unconditionally, so
+    a genuine regression's own row would otherwise raise the support max
+    and every later run of the unfixed code passes silently. A row whose
+    gate flagged q as REGRESSED must be excluded from q's support
+    window; an equally-slow follow-up run must STILL fail."""
+    from tools.bench_compare import compare
+
+    clean = [_rec(1.0, 1.0, {"q": 1.0}) for _ in range(3)]
+    # the regression run: 2.0 normalized, flagged by its own gate
+    bad = _rec(2.0, 1.0, {"q": 2.0})
+    bad["gate"] = {"status": "fail", "regressed": ["q"]}
+    history = clean + [bad]
+
+    follow_up = _rec(1.95, 1.0, {"q": 1.95})
+    result = compare(follow_up, history)
+    assert result["status"] == "fail" and result["regressed"] == ["q"]
+    # support came from the clean runs only (max 1.0 * 1.15)
+    assert result["per_query"]["q"]["support"] == 1.15
+
+    # control: with the flag stripped (the pre-fix behavior's input),
+    # the bad row's value would have supported the follow-up
+    bad_unflagged = _rec(2.0, 1.0, {"q": 2.0})
+    result2 = compare(follow_up, clean + [bad_unflagged])
+    assert result2["status"] == "pass"
+
+
+def test_all_flagged_history_keeps_failing(tmp_path):
+    """When EVERY recent row flagged q, there is no clean support at all
+    — the gate must keep failing rather than crash or pass vacuously."""
+    from tools.bench_compare import compare
+
+    base = [_rec(1.0, 1.0, {"q": 1.0})]
+    bads = []
+    for _ in range(3):
+        b = _rec(2.0, 1.0, {"q": 2.0})
+        b["gate"] = {"status": "fail", "regressed": ["q"]}
+        bads.append(b)
+    # current matches the flagged plateau; baseline median is 2.0 so the
+    # ratio is fine — but q has support ONLY from the clean 1.0 run
+    result = compare(_rec(1.9, 1.0, {"q": 1.9}), base + bads)
+    assert result["per_query"]["q"]["support"] == 1.15
+    assert result["status"] == "fail"
+
+
+def test_flagged_only_history_fails_until_fixed(tmp_path):
+    """A query whose ENTIRE history is flagged rows has no clean
+    baseline: it keeps failing at the flagged plateau — but a run
+    strictly faster than every flagged value is the fix and must pass,
+    or no clean row could ever re-seed the history (deadlock)."""
+    from tools.bench_compare import compare
+
+    bads = []
+    for v in (2.0, 2.1):
+        b = _rec(v, 1.0, {"q": v})
+        b["gate"] = {"status": "fail", "regressed": ["q"]}
+        bads.append(b)
+    still_slow = compare(_rec(2.05, 1.0, {"q": 2.05}), bads)
+    assert still_slow["status"] == "fail"
+    assert still_slow["per_query"]["q"]["verdict"] == "REGRESSED"
+    fixed = compare(_rec(1.0, 1.0, {"q": 1.0}), bads)
+    assert fixed["status"] == "pass"
+    assert fixed["per_query"]["q"]["verdict"] == "ok"

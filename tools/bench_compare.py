@@ -62,6 +62,16 @@ per-query spread p50 0.112 / p90 0.147 / p99 0.215):
   the support on any stable-history query. Stable queries have
   recent_max ≈ median, so their bands stay as tight as the spread
   formula allows.
+- (r11, closing the r10 advice) history rows whose own gate flagged a
+  query as REGRESSED never enter that query's null distribution —
+  neither the support window nor the median baseline. bench.py appends
+  history unconditionally, so without this a genuine regression trips
+  exactly once, then its own row raises the support max (and, run over
+  run, drifts the median toward the regressed plateau) and the gate
+  self-heals around the unfixed code. A query with ONLY flagged history
+  keeps failing at the plateau; a run strictly faster than every
+  flagged value passes as the fix (otherwise no clean row could ever
+  re-seed the history).
 
 Usage: python tools/bench_compare.py [--margin 0.10] [--sf 0.1]
 Exit 1 if any query regresses beyond the band; prints a table either
@@ -175,6 +185,7 @@ def compare(
 
     hist: dict[str, list[tuple[float, float, float]]] = {}  # q -> [(norm, spread, load)]
     recent: dict[str, list[float]] = {}  # q -> norms in append (time) order
+    flagged_only: dict[str, list[float]] = {}  # q -> norms from REGRESSED rows
     # the current run's own history row is identified by its append
     # timestamp (bench.py stamps `ts` into the detail before writing
     # either file), NOT by raw-total equality — a genuine historical run
@@ -191,13 +202,27 @@ def compare(
             continue  # pre-r8: not normalizable
         spreads = rec.get("spread") or {}
         loads = rec.get("loadavg_per_query") or {}
+        # a row whose own gate flagged q as REGRESSED must not enter q's
+        # null distribution AT ALL: bench.py appends history rows
+        # unconditionally, so a genuine regression would trip the gate
+        # exactly once, then its own slow row would raise the support
+        # max (and, run over run, drift the median baseline toward the
+        # regressed plateau) and every later run of the still-unfixed
+        # code would pass silently — the gate self-healing around the
+        # regression (r10 advice). Flagged rows are tracked separately
+        # so a query with ONLY flagged history keeps failing instead of
+        # reading as NEW.
+        flagged = set((rec.get("gate") or {}).get("regressed") or [])
         for q, v in norm.items():
+            if q in flagged:
+                flagged_only.setdefault(q, []).append(v)
+                continue
             hist.setdefault(q, []).append(
                 (v, float(spreads.get(q, 0.0)), float(loads.get(q, 0.0)))
             )
             recent.setdefault(q, []).append(v)  # file order = time order
 
-    if not hist:
+    if not hist and not flagged_only:
         return {
             "status": "no_history",
             "regressed": [],
@@ -234,13 +259,35 @@ def compare(
             regressed.append(q)
     for q in sorted(cur_norm):
         if q not in hist:
-            per_query[q] = {
-                "now": round(cur_norm[q], 4),
-                "hist": None,
-                "ratio": None,
-                "band": None,
-                "verdict": "NEW",
-            }
+            if q in flagged_only:
+                # every historical run of q was itself flagged: there is
+                # no clean baseline, only an unfixed regression. Keep
+                # failing while the current run sits at (or above) the
+                # flagged plateau — but a run strictly FASTER than every
+                # flagged value is the fix arriving, and must pass so its
+                # row can re-seed the clean history (otherwise the fix
+                # itself would be flagged and no clean row could ever
+                # form — a deadlock).
+                plateau = min(flagged_only[q])
+                fixed = cur_norm[q] < plateau
+                per_query[q] = {
+                    "now": round(cur_norm[q], 4),
+                    "hist": None,
+                    "ratio": None,
+                    "band": None,
+                    "flagged_plateau": round(plateau, 4),
+                    "verdict": "ok" if fixed else "REGRESSED",
+                }
+                if not fixed:
+                    regressed.append(q)
+            else:
+                per_query[q] = {
+                    "now": round(cur_norm[q], 4),
+                    "hist": None,
+                    "ratio": None,
+                    "band": None,
+                    "verdict": "NEW",
+                }
             continue
         runs = sorted(hist[q])
         b, b_spread, b_load = runs[len(runs) // 2]  # median by normalized time
@@ -257,8 +304,11 @@ def compare(
             band += load_coef * max(0.0, float(cur_load.get(q, 0.0)) - b_load)
         # empirical support: the query's recent same-code runs ARE its
         # null distribution — within-run spread understates across-run
-        # (plan/JIT) dispersion for bimodal queries (module docstring)
-        support = max(recent[q][-SUPPORT_WINDOW:]) * (1 + SUPPORT_MARGIN)
+        # (plan/JIT) dispersion for bimodal queries (module docstring).
+        # A query every recent row flagged has no clean support at all:
+        # support 0 keeps it failing until someone actually fixes it.
+        window = recent.get(q, [])[-SUPPORT_WINDOW:]
+        support = max(window) * (1 + SUPPORT_MARGIN) if window else 0.0
         over = (
             ratio > band
             and (cur_norm[q] - b) > abs_floor
@@ -301,6 +351,13 @@ def render(result: dict, out=sys.stdout) -> None:
             continue
         if row["verdict"] == "NEW":
             print(f"{q:34} {row['now']:7.3f} {'new':>7} {'':>6}  NEW", file=out)
+            continue
+        if row.get("hist") is None:  # flagged-only history (no clean row)
+            verdict = ("ok (fix candidate)" if row["verdict"] == "ok"
+                       else "REGRESSED (only flagged history, plateau "
+                            f"{row.get('flagged_plateau')})")
+            print(f"{q:34} {row['now']:7.3f} {'flag':>7} {'':>6}  {verdict}",
+                  file=out)
             continue
         verdict = ("ok" if row["verdict"] == "ok"
                    else f"REGRESSED (band {row['band']:.2f}x)")
