@@ -78,16 +78,41 @@ def _wait_for_quiet(cpus: int) -> dict:
 
 
 # Reference calibration constants: fully-JIT-warmed min-of-5 probe times
-# measured on this box while quiet (local[32], loadavg1 ≈ 1.2,
-# 2026-08-14, end-of-run probe of a full-suite session — see
-# BENCH_HISTORY.jsonl). A run's normalization factor is
+# on this box while idle. A run's normalization factor is
 # mean(min(start,end) / ref) over both probes; normalized_total_sec =
 # total / factor estimates what the suite would have clocked on the
 # reference-speed box, making cross-round totals comparable even when
 # box load differs. Factor ≈ 1.0 on a quiet run of this box; > 1.0
 # under external contention.
-CALIB_CPU_REF_SEC = 0.105
-CALIB_SHUFFLE_REF_SEC = 0.35
+#
+# RE-BASELINED r11 (2026-08-15): the original constants (0.105 / 0.35,
+# measured 2026-08-14 at ambient loadavg ≈ 1.2) assumed a slower box
+# than idle-window runs actually show — idle bench-context probes read
+# factors 0.82–1.00 under them, so normalization systematically
+# INFLATED clean runs by ~7% (r10 verdict, missing item 2). Both
+# constants are scaled by the single scalar s = 0.875, the median of
+# nine bench-context idle probe factors under the old constants:
+#   0.8212, 0.8385 (end probes of the idle 13:23 / 13:54 r10 runs,
+#   BENCH_HISTORY ts 1786800220 / 1786802044), 0.8720, 0.8725 (the
+#   35.87 s idle closing record's start/end pair, ts 1786803014),
+#   0.8736, 0.8956 (the r10 driver run's late probes after its
+#   starting load drained, BENCH_DETAIL ts 1786804983), and 0.8979,
+#   0.9021, 0.9633 (a fresh 10-probe idle session, 2026-08-15 15:43,
+#   loadavg 0.35, mid-depth-warm probes — the back-to-back tail of
+#   that session reaches 0.76–0.78, deeper JIT warmth than probes ever
+#   reach inside a real suite run, and is deliberately excluded).
+# ONE scalar for both components, not per-component medians: factor is
+# the mean of the two component ratios, so factor_new = factor_old / s
+# for EVERY probe regardless of its cpu/shuffle mix — which makes the
+# historical record exactly re-anchorable (tools/rebaseline_history.py
+# multiplied every BENCH_HISTORY/BENCH_DETAIL normalized value by s and
+# divided the stored factors by s; rows are stamped
+# "calib_era": "r11" — the pre-rescale files live in git history).
+# Cross-era semantics are unchanged: normalized seconds estimate the
+# idle-box-equivalent cost; the rescale removes the ~7% inflation bias
+# the old anchor carried.
+CALIB_CPU_REF_SEC = 0.105 * 0.875  # = 0.0919
+CALIB_SHUFFLE_REF_SEC = 0.35 * 0.875  # = 0.3063
 
 
 def _calibration_probe(spark) -> dict:
