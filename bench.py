@@ -262,14 +262,19 @@ def main() -> None:
     # worker daemon spin-up; don't charge it to whichever query runs first
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
 
-    # discard one full probe first: even with _calibration_probe's
+    # discard TWO full probes first: even with _calibration_probe's
     # internal warm call, the session's FIRST probe runs ~10-25% slow
     # from residual JIT/JVM warm-up (the same effect the suite factor's
     # min-of-pair was built around) — and the segment normalization
     # below uses each probe's raw factor, so a warm-up-inflated start
     # probe would systematically deflate the first segment's normalized
-    # times (review find). After the discard, calib_start measures
-    # conditions, not warm-up.
+    # times (review find). One discard proved insufficient against the
+    # re-baselined r11 constants: a dedicated 10-probe session shows the
+    # probe keeps speeding up through ~3 full iterations before
+    # plateauing (r11 measurement, see the constants' provenance note),
+    # and start probes were still reading 1.1-1.2x the mid-run plateau.
+    # After two discards, calib_start measures conditions, not warm-up.
+    _calibration_probe(spark)
     _calibration_probe(spark)
     calib_start = _calibration_probe(spark)
     # segment probes (late-r9): the start/end pair prices the suite as a

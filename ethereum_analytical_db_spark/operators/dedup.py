@@ -582,6 +582,143 @@ def compact_index(spark, path: str, partition_cols: list[str]) -> None:
     _rewrite_index(spark, path, partition_cols)
 
 
+def drop_stale_batch_dirs(spark, path: str, batch_id: int) -> list[int]:
+    """Delete ``batch=<id>`` directories with ``id >= batch_id`` from a
+    stream-owned layout. Normal serial streaming never has one (batches
+    commit monotonically, so batch b only ever sees dirs < b); they
+    exist only after (a) a mid-batch crash — the retry's own partial
+    ``batch=<b>`` write — or (b) a from-scratch replay over a surviving
+    index (checkpoint lost), where the previous life's dirs — including
+    :func:`fold_stream_index`'s relabeled union dir — would otherwise
+    duplicate the rows the replay re-writes. Dynamic partition
+    overwrite alone cannot clean (b): it replaces only the partition
+    values the replayed batch itself produces, so folded-union rows
+    under OTHER partition values (a sparse digest-prefix batch, a
+    coarser replay chunking) survived as permanent duplicate index rows
+    and duplicate emitted pairs (r10 advice). Returns the dropped ids
+    (driver-side directory listing; empty in steady state)."""
+    from .. import fsutil
+
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    dropped: list[int] = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid >= batch_id:
+            fs.delete(status.getPath(), True)
+            dropped.append(bid)
+    return sorted(dropped)
+
+
+def _recover_pair_dir_swaps(spark, path: str) -> None:
+    """Finish :func:`compact_pairs_dirs` swaps that crashed mid-rename:
+    a ``.precompact.batch=<k>`` backup without its canonical
+    ``batch=<k>`` dir IS that batch's pairs — rename it back; with the
+    canonical present it is provably stale — delete it. Leftover
+    ``.compact.batch=<k>`` tmp dirs are always incomplete writes and
+    are removed. Dot-prefixed names keep both invisible to Parquet
+    partition discovery throughout."""
+    from .. import fsutil
+
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith(".compact.batch="):
+            fs.delete(status.getPath(), True)
+        elif name.startswith(".precompact.batch="):
+            canon = f"{path}/{name[len('.precompact.'):]}"
+            if fsutil.exists(spark, canon):
+                fs.delete(status.getPath(), True)
+            elif not fsutil.rename(spark, f"{path}/{name}", canon):
+                raise IOError(
+                    f"pairs recovery rename {name} failed (Hadoop rename "
+                    "returned false); batch left at the backup path"
+                )
+
+
+def compact_pairs_dirs(spark, path: str) -> list[int]:
+    """Compact a pairs output (``batch=<id>`` dirs, never relabeled —
+    the batch column is user-facing provenance) INCREMENTALLY: rewrite
+    only batch dirs holding more than one data file, to exactly one
+    file each. The whole-path :func:`compact_index` re-read and
+    re-wrote the ENTIRE pairs history every cadence — linear cost per
+    fold, quadratic total work over the stream's life (r10 advice);
+    here an already-compacted dir (1 file) is skipped by inspection, so
+    each batch dir is rewritten at most once ever and the per-cadence
+    cost is O(new batches). No high-water-mark sidecar needed: the
+    1-file state is self-describing and survives replays that overwrite
+    a dir.
+
+    Residual small-files dimension, deliberately unbounded: the
+    DIRECTORY count still grows one per micro-batch forever, because
+    batch dirs must survive un-merged to keep their provenance. At a
+    batch per minute that is ~0.5 M directories/year — acceptable for a
+    pairs LOG on HDFS, but a deployment that reads the full history per
+    query should periodically export it to a date-partitioned table.
+
+    Per-dir crash-safe swap (tmp ``.compact.batch=<k>`` → backup
+    ``.precompact.batch=<k>``, both dot-prefixed so partition discovery
+    never sees them); :func:`_recover_pair_dir_swaps` finishes crashed
+    swaps and runs first here and at every stream batch start. Returns
+    the batch ids rewritten."""
+    from .. import fsutil
+
+    _recover_pair_dir_swaps(spark, path)
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    rewritten: list[int] = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        n_files = sum(
+            1
+            for s in fs.listStatus(status.getPath())
+            if s.getPath().getName().endswith(".parquet")
+        )
+        if n_files <= 1:
+            continue
+        dir_path = f"{path}/{name}"
+        tmp = f"{path}/.compact.batch={bid}"
+        backup = f"{path}/.precompact.batch={bid}"
+        fsutil.delete(spark, tmp)
+        # reading the bare partition dir yields exactly the file content
+        # (the batch column lives in the dir name, as in the original
+        # write); coalesce(1), not repartition: no shuffle, one file
+        spark.read.parquet(dir_path).coalesce(1).write.parquet(tmp)
+        if not fsutil.rename(spark, dir_path, backup):
+            raise IOError(
+                f"pairs compact: rename {dir_path} -> {backup} failed; "
+                "batch left untouched"
+            )
+        if not fsutil.rename(spark, tmp, dir_path):
+            if not fsutil.rename(spark, backup, dir_path):
+                raise IOError(
+                    f"pairs compact: swap AND rollback failed for "
+                    f"{dir_path}; data intact at {backup}"
+                )
+            raise IOError(
+                f"pairs compact: swap failed for {dir_path}; rolled back"
+            )
+        fsutil.delete(spark, backup)
+        rewritten.append(bid)
+    return sorted(rewritten)
+
+
 def fold_stream_index(
     spark, path: str, index_partition: str, current_batch: int
 ) -> None:
@@ -601,12 +738,18 @@ def fold_stream_index(
     matches the folded ``b-1`` directory (content unchanged — exactly
     the union of batches 0..b-1), and its dynamic overwrite touches
     only ``batch=b``, which the fold never rewrites. A from-scratch
-    replay over the surviving index behaves as before: replay batch k
-    probes ``batch < k``, sees only its own re-written 0..k-1 dirs
-    (the folded dir sorts at b-1 ≥ k and is invisible until the
-    replay's own batch b-1 overwrite replaces it). Crash-safety is the
-    same swap as :func:`compact_index` (``.precompact`` recovery wired
-    into every index entry point)."""
+    replay (checkpoint lost) over the surviving folded index is NOT
+    safe by overwrite alone — the replay's ``batch=b-1`` dynamic
+    overwrite replaces only the partition values its own data
+    produces, so folded-union rows under other values (a sparse
+    digest-prefix batch, a coarser replay chunking) would survive as
+    permanent duplicates (r10 advice). ``near_dedup_stream`` therefore
+    drops every ``batch >= id`` dir at each batch start
+    (:func:`drop_stale_batch_dirs`): replay batch 0 clears the
+    surviving dirs and the replay rebuilds the index from scratch,
+    deterministically. Crash-safety is the same swap as
+    :func:`compact_index` (``.precompact`` recovery wired into every
+    index entry point)."""
     fold_to = current_batch - 1
     _rewrite_index(
         spark,

@@ -26,6 +26,76 @@ from pyspark.sql import functions as F
 from .text import token_count
 
 
+def _sized_grouped(
+    docs: DataFrame, text_col: str, id_col: str, n_groups: int
+) -> DataFrame:
+    """(doc_id, n_tokens, grp): the deterministic md5 pack-group
+    assignment shared by :func:`pack_sequences` and
+    :func:`pack_group_stats` — one definition so the oracle-checked
+    budget query and the BFD packer can never drift apart. 15 hex chars
+    of the salted md5 (60 bits, positive in a long) mod ``n_groups``;
+    layout-independent, so re-running on a repartitioned corpus yields
+    identical groups."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        # null text -> 0 tokens: token_count(NULL) is NULL, which would
+        # reach the packer as NaN and abort the stage on int(NaN)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("int").alias("n_tokens"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long"),
+            F.lit(n_groups),
+        ).cast("int").alias("grp"),
+    )
+
+
+def pack_group_stats(
+    docs: DataFrame,
+    seq_len: int,
+    n_groups: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-pack-group sizes and token budgets — the SQL-expressible half
+    of sequence packing (r10 VERDICT task 7): exactly the groups
+    :func:`pack_sequences` packs (same ``_sized_grouped`` expression),
+    with per-group doc count, token total, oversize-doc count
+    (``n_tokens > seq_len`` — each is its own truncated sequence), and
+    the bin-packing LOWER BOUND on sequence count
+    (``oversize + ceil(fitting_tokens / seq_len)``). BFD's actual
+    sequence count per group is >= this bound (pinned in
+    test_packing.py); the bound itself is deterministic arithmetic, so
+    a DuckDB oracle hash-checks it — upgrading the packing surface from
+    rows-only to oracle-backed evidence. One uniform 60-bit-hash-keyed
+    shuffle, no skew at any scale."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if n_groups <= 0:
+        raise ValueError("n_groups must be positive")
+    sized = _sized_grouped(docs, text_col, id_col, n_groups)
+    oversize = (F.col("n_tokens") > seq_len).cast("long")
+    fitting = F.when(F.col("n_tokens") <= seq_len, F.col("n_tokens")).otherwise(
+        F.lit(0)
+    )
+    per_grp = sized.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(oversize).alias("oversize_docs"),
+        F.sum(fitting).cast("long").alias("_fit_tokens"),
+    )
+    # ceil via integer arithmetic ((x + L - 1) div L), never FP division:
+    # exact in both engines for any seq_len, no ULP-flip risk on the hash
+    return per_grp.select(
+        "grp",
+        "n_docs",
+        "total_tokens",
+        "oversize_docs",
+        (
+            F.col("oversize_docs")
+            + F.expr(f"(_fit_tokens + {seq_len - 1}) div {seq_len}")
+        ).cast("long").alias("lb_sequences"),
+    ).orderBy("grp")
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int,
@@ -54,16 +124,7 @@ def pack_sequences(
         n = docs.count()
         n_groups = max(1, (n + group_target_docs - 1) // group_target_docs)
 
-    sized = docs.select(
-        F.col(id_col).alias("doc_id"),
-        # null text -> 0 tokens: token_count(NULL) is NULL, which would
-        # reach the packer as NaN and abort the stage on int(NaN)
-        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("int").alias("n_tokens"),
-        F.pmod(
-            F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string"))), 1, 15), 16, 10).cast("long"),
-            F.lit(n_groups),
-        ).cast("int").alias("grp"),
-    )
+    sized = _sized_grouped(docs, text_col, id_col, n_groups)
 
     def pack_group(key, pdf):
         import bisect

@@ -125,9 +125,11 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_stats",
-    None,  # a packing layout has no SQL oracle; the single-group case is
-    # pinned exactly against an independent pure-Python best-fit model
-    # (test_packing.py::test_matches_python_bfd_single_group)
+    None,  # the BFD packing LAYOUT has no SQL oracle; the single-group
+    # case is pinned exactly against an independent pure-Python best-fit
+    # model (test_packing.py::test_matches_python_bfd_single_group), and
+    # the SQL-expressible half — group sizes and token budgets — is
+    # hash-checked by the packing_group_budget sibling below (r11)
     note="sample packing for LM training: deterministic hash groups + "
     "best-fit-decreasing per group inside one applyInPandas task each; "
     "summary = sequences, truncated count, fill ratio",
@@ -136,6 +138,46 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     assignments = packing.pack_sequences(docs, seq_len=512)
     return packing.packing_stats(assignments, 512)
+
+
+_PACK_SEQ_LEN, _PACK_GROUPS = 512, 16
+_PACK_GRP_SQL = (
+    "CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"AS BIGINT) % {_PACK_GROUPS} AS INT)"
+)
+
+
+@register(
+    "packing_group_budget",
+    f"""
+    WITH sized AS (
+      SELECT doc_id,
+             COALESCE(len(string_split(text, ' ')), 0) AS n_tokens,
+             {_PACK_GRP_SQL} AS grp
+      FROM documents
+    )
+    SELECT grp,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens > {_PACK_SEQ_LEN} THEN 1 ELSE 0 END) AS BIGINT) AS oversize_docs,
+           CAST(sum(CASE WHEN n_tokens > {_PACK_SEQ_LEN} THEN 1 ELSE 0 END)
+                + (sum(CASE WHEN n_tokens <= {_PACK_SEQ_LEN} THEN n_tokens ELSE 0 END)
+                   + {_PACK_SEQ_LEN - 1}) // {_PACK_SEQ_LEN} AS BIGINT) AS lb_sequences
+    FROM sized GROUP BY grp ORDER BY grp
+    """,
+    note="the SQL-expressible half of sequence packing, hash-checked "
+    "(r10 VERDICT task 7): per-pack-group doc counts, token budgets, "
+    "oversize docs, and the integer-arithmetic bin-packing lower bound "
+    "on sequence count — exactly the md5 groups pack_sequences packs "
+    "(shared _sized_grouped expression, 60-bit salted-md5 mod groups); "
+    "BFD's actual per-group sequence count >= lb_sequences is pinned "
+    "in test_packing.py. One uniform hash-keyed shuffle",
+)
+def packing_group_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    return packing.pack_group_stats(
+        docs, seq_len=_PACK_SEQ_LEN, n_groups=_PACK_GROUPS
+    )
 
 
 # stop-shingle cap for the flagship dedup queries: shingles appearing in
@@ -224,10 +266,35 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(docs, max_hamming=3, blocks=4)
 
 
+def _lang_score_sql(markers: list[str]) -> str:
+    ms = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({ms})))"
+
+
+# build the nested-CASE argmax mirroring operators.text.predicted_lang
+# (strictly-greater comparisons → earlier language wins ties)
+_scores = {lang: _lang_score_sql(ms) for lang, ms in text.LANG_MARKERS.items()}
+_langs = list(text.LANG_MARKERS.keys())
+_expr = f"'{_langs[0]}'"
+_best = _scores[_langs[0]]
+for _lang in _langs[1:]:
+    _expr = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN '{_lang}' ELSE ({_expr}) END"
+    _best = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN {_scores[_lang]} ELSE ({_best}) END"
+
+# former standalone lang_id_heuristic oracle; folded into text_quality
+# in r11 (COVERAGE.md growth-plan fold #1) — kept for the parity test
+LANG_ID_ORACLE = f"""
+    SELECT doc_id, lang, ({_expr}) AS predicted_lang
+    FROM documents
+"""
+
+
 @register(
     "text_quality",
     f"""
     SELECT doc_id,
+           lang,
+           ({_expr}) AS predicted_lang,
            len(string_split(text, ' ')) AS n_words,
            len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS n_stopwords,
            CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS DOUBLE)
@@ -245,17 +312,24 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="per-doc text profile: quality signals (token count, stopword "
     "ratio, mean word length, punctuation count, duplicated-word "
     "repetition ratio), the document fingerprints (exact-content md5 + "
-    "order-insensitive bag-of-words md5 — former doc_fingerprints slot) "
-    "and the BPE-ish lexer token count (former token_count_bpe slot; "
-    "its n_ws_tokens column was already this query's n_words). Both "
-    "folds are the same per-doc projection over documents — r9 "
-    "consolidation freeing oracle-window slots for mixture_resample "
-    "and chunk_documents — all JVM-side Column exprs",
+    "order-insensitive bag-of-words md5 — former doc_fingerprints slot), "
+    "the BPE-ish lexer token count (former token_count_bpe slot; "
+    "its n_ws_tokens column was already this query's n_words), and — "
+    "since r11 — the language-ID marker-word argmax with deterministic "
+    "tie-break as the `predicted_lang` column next to the labeled "
+    "`lang` (former lang_id_heuristic slot, COVERAGE.md fold #1: same "
+    "shuffle-free per-doc projection over documents, no operator loses "
+    "oracle coverage; the freed slot promotes packing_group_budget). "
+    "All folds JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     return docs.select(
         "doc_id",
+        "lang",
+        # regexp_count marker scoring on raw text: whole-stage codegen,
+        # vs the interpreted array-HOF form (F.filter lambdas) it replaced
+        text.predicted_lang_from_text(F.col("text")).alias("predicted_lang"),
         text.token_count("text").alias("n_words"),
         text.stopword_count("text", STOPWORDS).alias("n_stopwords"),
         text.stopword_ratio("text", STOPWORDS).alias("stopword_ratio"),
@@ -267,44 +341,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
-    )
-
-
-def _lang_score_sql(markers: list[str]) -> str:
-    ms = ", ".join(f"'{w}'" for w in markers)
-    return f"len(list_filter(string_split(text, ' '), w -> w IN ({ms})))"
-
-
-# build the nested-CASE argmax mirroring operators.text.predicted_lang
-# (strictly-greater comparisons → earlier language wins ties)
-_scores = {lang: _lang_score_sql(ms) for lang, ms in text.LANG_MARKERS.items()}
-_langs = list(text.LANG_MARKERS.keys())
-_expr = f"'{_langs[0]}'"
-_best = _scores[_langs[0]]
-for _lang in _langs[1:]:
-    _expr = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN '{_lang}' ELSE ({_expr}) END"
-    _best = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN {_scores[_lang]} ELSE ({_best}) END"
-
-LANG_ID_ORACLE = f"""
-    SELECT doc_id, lang, ({_expr}) AS predicted_lang
-    FROM documents
-"""
-
-
-@register(
-    "lang_id_heuristic",
-    LANG_ID_ORACLE,
-    note="language-ID marker-word heuristic (argmax with deterministic "
-    "tie-break), compared against the labeled lang column",
-)
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_table(spark, sf_dir)
-    # regexp_count marker scoring on raw text: whole-stage codegen,
-    # vs the interpreted array-HOF form (F.filter lambdas) it replaced
-    return docs.select(
-        "doc_id",
-        "lang",
-        text.predicted_lang_from_text(F.col("text")).alias("predicted_lang"),
     )
 
 

@@ -260,6 +260,17 @@ def near_dedup_stream(
             # the recovery lives here)
             d._recover_precompact(spark, pairs_path)
             d._recover_precompact(spark, index_path)
+            d._recover_pair_dir_swaps(spark, pairs_path)
+
+            # replay/retry hygiene: drop batch dirs at/after this batch's
+            # id. A from-scratch replay (checkpoint lost) over a surviving
+            # FOLDED index otherwise duplicates rows permanently — the
+            # replay's dynamic overwrite replaces only the partition
+            # values its own data produces, so folded-union rows under
+            # other values survive (r10 advice). Steady state lists the
+            # directory and deletes nothing.
+            d.drop_stale_batch_dirs(spark, index_path, batch_id)
+            d.drop_stale_batch_dirs(spark, pairs_path, batch_id)
 
             # probe iff the layout holds DATA partitions — the sidecar
             # alone (wiring creates it) isn't a readable parquet source,
@@ -289,10 +300,11 @@ def near_dedup_stream(
             )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 d.fold_stream_index(spark, index_path, index_partition, batch_id)
-                if fsutil.glob_exists(spark, f"{pairs_path}/batch=*"):
-                    # guard: all-batches-pair-free leaves a dir with no
-                    # data partitions, which a rewrite cannot even read
-                    d.compact_index(spark, pairs_path, ["batch"])
+                # pairs compact INCREMENTALLY (only dirs with >1 file;
+                # each dir rewritten at most once ever) — the whole-path
+                # rewrite re-read the entire pairs history every cadence,
+                # quadratic total work over the stream's life (r10 advice)
+                d.compact_pairs_dirs(spark, pairs_path)
         finally:
             batch_df.unpersist()
 

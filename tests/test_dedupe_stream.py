@@ -621,3 +621,140 @@ def test_near_dedup_stream_exact_family(spark, tmp_path):
     run("ckpt2")  # from-scratch replay over surviving folded index
     assert got() == want
     assert spark.read.parquet(pairs_path).count() == len(want)
+
+
+def test_replay_with_coarser_chunking_over_folded_index(spark, tmp_path):
+    """r10 ADVICE (A2): a from-scratch replay over a surviving FOLDED
+    index, with a DIFFERENT chunking (maxFilesPerTrigger=2 → half the
+    batches), previously left the folded-union dir's uncovered
+    partition values in place as permanent duplicate index rows (and
+    duplicate pairs on later probes). The stale-batch cleanup at each
+    batch start must clear them: after the replay, index content and
+    pairs equal a fresh single-pass run exactly (no duplicates)."""
+    import glob
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(40))) for i in range(24)]
+    for k in range(4):
+        words = rows[k][1].split()
+        words[5] = "edited"
+        rows.append((100 + k, " ".join(words)))
+    df_all = spark.createDataFrame(rows, "doc_id long, text string")
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for j in range(4):  # 4 files
+        df_all.filter(F.col("doc_id") % 4 == j).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    index_path = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+
+    def run(ckpt: str, per_trigger: int) -> None:
+        stream = st.stream_from_files(
+            spark, str(src), df_all.schema, max_files_per_trigger=per_trigger
+        )
+        q = (
+            ds.near_dedup_stream(
+                stream, index_path, pairs_path, compact_every=2
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+
+    run("ckpt1", 1)  # 4 batches; folds at batch 1 and 3 → folded batch=3
+    assert glob.glob(f"{index_path}/batch=3")  # the folded union dir
+
+    want_idx = sorted(
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    want_pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    )
+    n_idx, n_pairs = len(want_idx), len(want_pairs)
+    assert n_pairs  # planted near-dups guarantee candidates
+
+    # from-scratch replay, 2 files per trigger → replay batches 0..1
+    # never overwrite the surviving folded batch=3 dir by themselves
+    run("ckpt_replay", 2)
+    got_idx = sorted(
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    got_pairs = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_path).collect()
+    )
+    # identical CONTENT and identical COUNTS (duplicates would inflate
+    # the row count even where the distinct content matches)
+    assert got_idx == want_idx and len(got_idx) == n_idx
+    assert got_pairs == want_pairs and len(got_pairs) == n_pairs
+    # the pre-replay folded dir (batch=3) is gone: the replay's last
+    # batch id is 1, so only batch dirs < 2 may remain
+    stale = [d for d in glob.glob(f"{index_path}/batch=*")
+             if int(d.rsplit("=", 1)[1]) >= 2]
+    assert stale == [], stale
+
+
+def test_compact_pairs_dirs_incremental_and_crash_safe(spark, tmp_path):
+    """r10 ADVICE (A3): pairs compaction rewrites only batch dirs with
+    more than one data file — each dir at most once ever (the 1-file
+    state is self-describing), so per-cadence cost is O(new batches),
+    not O(stream age). Crash states (.precompact backup with/without
+    canonical, leftover .compact tmp) recover at every entry point."""
+    import glob
+    import os
+    import shutil
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    pairs = str(tmp_path / "pairs")
+    rows = spark.createDataFrame(
+        [(1, 2, "x"), (3, 4, "y")], "doc_a long, doc_b long, digest string"
+    )
+    # batch dirs 0..2, each written with 2 files (repartition(2))
+    for b in range(3):
+        rows.repartition(2).write.parquet(f"{pairs}/batch={b}")
+    before = {
+        b: len(glob.glob(f"{pairs}/batch={b}/*.parquet")) for b in range(3)
+    }
+    assert all(n > 1 for n in before.values())
+
+    assert dedup.compact_pairs_dirs(spark, pairs) == [0, 1, 2]
+    assert all(
+        len(glob.glob(f"{pairs}/batch={b}/*.parquet")) == 1 for b in range(3)
+    )
+    # second call: nothing left to do — incremental, not whole-history
+    assert dedup.compact_pairs_dirs(spark, pairs) == []
+
+    # a NEW multi-file dir arrives: only IT is rewritten
+    rows.repartition(2).write.parquet(f"{pairs}/batch=3")
+    assert dedup.compact_pairs_dirs(spark, pairs) == [3]
+
+    # content identical to 4x the base rows
+    got = spark.read.parquet(pairs).groupBy().count().first()[0]
+    assert got == rows.count() * 4
+
+    # crash recovery: backup without canonical → restored
+    os.rename(f"{pairs}/batch=2", f"{pairs}/.precompact.batch=2")
+    dedup._recover_pair_dir_swaps(spark, pairs)
+    assert os.path.isdir(f"{pairs}/batch=2")
+    assert not os.path.isdir(f"{pairs}/.precompact.batch=2")
+
+    # crash recovery: stale backup WITH canonical → deleted; tmp → deleted
+    shutil.copytree(f"{pairs}/batch=2", f"{pairs}/.precompact.batch=2")
+    shutil.copytree(f"{pairs}/batch=2", f"{pairs}/.compact.batch=9")
+    assert dedup.compact_pairs_dirs(spark, pairs) == []
+    assert not os.path.isdir(f"{pairs}/.precompact.batch=2")
+    assert not os.path.isdir(f"{pairs}/.compact.batch=9")
+    assert spark.read.parquet(pairs).count() == rows.count() * 4

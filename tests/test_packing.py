@@ -150,3 +150,60 @@ def test_chunk_documents_semantics(spark):
         chunk_documents(df, max_tokens=4, overlap=4)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=-1)
+
+
+def test_pack_group_stats_bounds_bfd_and_shares_groups(spark):
+    """r10 VERDICT task 7: the hash-checked group-budget query describes
+    EXACTLY the groups pack_sequences packs (shared _sized_grouped
+    expression), and its integer bin-packing lower bound never exceeds
+    BFD's actual per-group sequence count."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators.packing import (
+        pack_group_stats,
+        pack_sequences,
+    )
+
+    rnd = random.Random(3)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rnd.randint(1, 40))))
+        for i in range(300)
+    ]
+    rows.append((900, " ".join(f"w{j}" for j in range(25))))  # oversize
+    rows.append((901, None))  # null text -> 0 tokens, still grouped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_len, n_groups = 16, 4
+
+    budget = {
+        r["grp"]: r
+        for r in pack_group_stats(docs, seq_len, n_groups).collect()
+    }
+    assigned = pack_sequences(docs, seq_len, n_groups=n_groups)
+    # group of a doc = prefix of its seq_id ("<grp>:<bin>")
+    per_grp = (
+        assigned.withColumn(
+            "grp", F.split(F.col("seq_id"), ":")[0].cast("int")
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("seq_id").alias("sequences"),
+            F.sum(F.col("truncated").cast("long")).alias("oversize"),
+        )
+        .collect()
+    )
+    assert {r["grp"] for r in per_grp} == set(budget)
+    assert sum(r["n_docs"] for r in per_grp) == len(rows)
+    for r in per_grp:
+        b = budget[r["grp"]]
+        # identical group membership (counts + token mass)
+        assert b["n_docs"] == r["n_docs"]
+        assert b["total_tokens"] == r["total_tokens"]
+        assert b["oversize_docs"] == r["oversize"]
+        # the bound: BFD can never beat ceil(fitting/seq_len) + oversize
+        assert r["sequences"] >= b["lb_sequences"], (r, dict(b.asDict()))
+        # and BFD is near-optimal on small groups: within 2x of the bound
+        assert r["sequences"] <= 2 * b["lb_sequences"]
