@@ -27,8 +27,12 @@ Design goals (so sf0.1→sfK ratios measure the ENGINE, not an artifact):
   degrades to a full decode. Sorted-by-key is the realistic layout (the
   engine's own writes partition by block range for the same reason).
 
-Usage: python tools/make_scaled_sf.py [out_dir] [K] [src_dir]
-Defaults: /tmp/sf1 10 /root/testdata/sf0.1
+Usage: python tools/make_scaled_sf.py [out_dir] [K] [src_dir] [--tables a,b]
+Defaults: /tmp/sf1 10 /root/testdata/sf0.1, all tables.
+``--tables documents`` emits only the named tables — the sf100 probe
+corpus (r10 VERDICT task 4) needs 1000 replicas of `documents` alone,
+and 1000x the full TPC-H fact set would be tens of GB of unused data.
+K must key off sf0.1 (the offset strides assume its key ranges).
 """
 
 from __future__ import annotations
@@ -58,14 +62,23 @@ COPY_AS_IS = ["region", "nation"]
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    src = sys.argv[3] if len(sys.argv) > 3 else SRC_DEFAULT
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    for i, a in enumerate(argv):
+        if a == "--tables":
+            only = {t.strip() for t in argv[i + 1].split(",") if t.strip()}
+            argv = argv[:i] + argv[i + 2:]
+            break
+    out = argv[0] if len(argv) > 0 else "/tmp/sf1"
+    k = int(argv[1]) if len(argv) > 1 else 10
+    src = argv[2] if len(argv) > 2 else SRC_DEFAULT
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE reps AS SELECT unnest(range({k})) AS r")
 
     def emit(table: str, select: str) -> None:
+        if only is not None and table not in only:
+            return
         path = f"{out}/{table}.parquet"
         con.execute(
             f"COPY ({select}) TO '{path}' (FORMAT PARQUET)"
