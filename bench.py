@@ -256,8 +256,19 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: {sorted(unknown)}")
         qs = {k: v for k, v in qs.items() if k in keep}
-    # JVM/codegen warm-up so the first measured query isn't charged for it
-    all_queries()["pricing_summary"].build(spark, sf_dir).collect()
+    # JVM/codegen warm-up so the first measured query isn't charged for
+    # it. Partial sf dirs are legal for SPARK_GRAFT_BENCH_ONLY subset
+    # runs (the documents-only sf100 probe corpus has no lineitem) — a
+    # missing warm-up table must not kill the run; the first measured
+    # query then absorbs a little warm-up, visible in its spread.
+    try:
+        all_queries()["pricing_summary"].build(spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(
+            f"# warm-up query skipped ({type(exc).__name__}: "
+            f"{exc})"[:200],
+            file=sys.stderr,
+        )
     # Python-worker/Arrow warm-up: the first mapInPandas in a session pays
     # worker daemon spin-up; don't charge it to whichever query runs first
     spark.range(32).mapInPandas(lambda it: it, schema="id long").collect()
