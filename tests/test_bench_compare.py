@@ -472,3 +472,18 @@ def test_flagged_only_history_fails_until_fixed(tmp_path):
     fixed = compare(_rec(1.0, 1.0, {"q": 1.0}), bads)
     assert fixed["status"] == "pass"
     assert fixed["per_query"]["q"]["verdict"] == "ok"
+
+
+def test_errored_query_with_flagged_only_history_still_fails(tmp_path):
+    """Self-review r11: a query whose entire history is flagged rows and
+    which ERRORS in the current run must fail the gate — 'regressed to a
+    crash' is the worst regression, with or without a clean baseline."""
+    from tools.bench_compare import compare
+
+    bad = _rec(2.0, 1.0, {"q": 2.0, "other": 1.0})
+    bad["gate"] = {"status": "fail", "regressed": ["q"]}
+    cur = _rec(1.0, 1.0, {"other": 1.0})
+    cur["errors"] = {"q": "RuntimeError: boom"}
+    result = compare(cur, [bad])
+    assert result["status"] == "fail"
+    assert result["per_query"]["q"]["verdict"] == "ERRORED"

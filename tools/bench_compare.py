@@ -251,9 +251,17 @@ def compare(
     # that history knows, fails the gate. Queries merely absent (a
     # SPARK_GRAFT_BENCH_ONLY subset run) are not errors and stay out.
     for q in sorted(current.get("errors") or {}):
-        if q in hist:
+        # flagged-only history still counts as "history knows q": a query
+        # that regressed in every recent run and now CRASHES must not
+        # slip through just because its clean baseline is empty
+        if q in hist or q in flagged_only:
+            b = (
+                round(sorted(hist[q])[len(hist[q]) // 2][0], 4)
+                if q in hist
+                else None
+            )
             per_query[q] = {
-                "now": None, "hist": round(sorted(hist[q])[len(hist[q]) // 2][0], 4),
+                "now": None, "hist": b,
                 "ratio": None, "band": None, "verdict": "ERRORED",
             }
             regressed.append(q)
