@@ -1005,14 +1005,24 @@ def test_exact_probe_matches_batch_recompute_filtered_to_shard(spark, tmp_path):
     assert got2 == {(21, 30)}
 
     # zero Exchange above the corpus-index scan (the 100 TB claim):
-    # the shard broadcasts, the index is the streamed side
-    plan = dedup.exact_probe_duplicates(
-        spark, idx, sdf
-    )._sc._jvm.PythonSQLUtils.explainString(
-        dedup.exact_probe_duplicates(spark, idx, sdf)._jdf.queryExecution(),
-        "formatted",
+    # the shard broadcasts, the index is the streamed side. Probe with a
+    # genuine undercut (id 2 < every indexed holder) so the undercut
+    # branch — the part of the plan that joins the index — is present
+    ucut = spark.createDataFrame([(2, "alpha beta")], "doc_id long, text string")
+    probed = dedup.exact_probe_duplicates(spark, idx, ucut)
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+    # ... and an UNDERCUT-FREE probe (the common in-order-ingest case)
+    # drops that branch entirely (r11): its returned plan reads only the
+    # materialized checkpoint — the index path appears zero times, so
+    # the index is scanned ONCE (inside the checkpoint build), not twice
+    later2 = dedup.exact_probe_duplicates(spark, idx, later)
+    plan2 = later2._sc._jvm.PythonSQLUtils.explainString(
+        later2._jdf.queryExecution(), "formatted"
+    )
+    assert "digest_index" not in plan2
     # within-batch + probe parity for the bootstrap branch
     got3 = {
         (r["doc_a"], r["doc_b"])
