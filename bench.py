@@ -90,8 +90,10 @@ def _wait_for_quiet(cpus: int) -> dict:
 # than idle-window runs actually show — idle bench-context probes read
 # factors 0.82–1.00 under them, so normalization systematically
 # INFLATED clean runs by ~7% (r10 verdict, missing item 2). Both
-# constants are scaled by the single scalar s = 0.875, the median of
-# nine bench-context idle probe factors under the old constants:
+# constants are scaled by the single scalar s = 0.875 — the median of
+# the nine bench-context idle probe factors below is 0.8736, rounded
+# to 0.875 for a clean scalar (the 0.16% difference is far inside
+# per-probe noise). The nine factors, under the old constants:
 #   0.8212, 0.8385 (end probes of the idle 13:23 / 13:54 r10 runs,
 #   BENCH_HISTORY ts 1786800220 / 1786802044), 0.8720, 0.8725 (the
 #   35.87 s idle closing record's start/end pair, ts 1786803014),

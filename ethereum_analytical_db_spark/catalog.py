@@ -57,13 +57,7 @@ class Warehouse:
         model; a multi-writer deployment would route this through a
         coordination service or per-writer disjoint ranges.
         """
-        seq_file = os.path.join(self._path(table), "_SEQ")
-        last = None
-        if os.path.isfile(seq_file):
-            try:
-                last = int(open(seq_file).read().strip())
-            except ValueError:
-                last = None
+        last = self._read_sidecar(table, "_SEQ")
         if last is None:
             if self.exists(table):
                 df = self.spark.read.parquet(self._path(table))

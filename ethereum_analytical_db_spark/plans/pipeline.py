@@ -281,14 +281,6 @@ for _lang in _langs[1:]:
     _expr = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN '{_lang}' ELSE ({_expr}) END"
     _best = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN {_scores[_lang]} ELSE ({_best}) END"
 
-# former standalone lang_id_heuristic oracle; folded into text_quality
-# in r11 (COVERAGE.md growth-plan fold #1) — kept for the parity test
-LANG_ID_ORACLE = f"""
-    SELECT doc_id, lang, ({_expr}) AS predicted_lang
-    FROM documents
-"""
-
-
 @register(
     "text_quality",
     f"""

@@ -469,6 +469,12 @@ def test_flagged_only_history_fails_until_fixed(tmp_path):
     still_slow = compare(_rec(2.05, 1.0, {"q": 2.05}), bads)
     assert still_slow["status"] == "fail"
     assert still_slow["per_query"]["q"]["verdict"] == "REGRESSED"
+    # a noise excursion just UNDER the plateau is not a fix: strict-min
+    # acceptance would let the unfixed code re-seed clean history at
+    # the regressed level within a few runs (review find) — the fix
+    # must clear the plateau by the 15% support margin
+    near_miss = compare(_rec(1.95, 1.0, {"q": 1.95}), bads)
+    assert near_miss["status"] == "fail"
     fixed = compare(_rec(1.0, 1.0, {"q": 1.0}), bads)
     assert fixed["status"] == "pass"
     assert fixed["per_query"]["q"]["verdict"] == "ok"

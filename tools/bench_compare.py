@@ -270,14 +270,18 @@ def compare(
             if q in flagged_only:
                 # every historical run of q was itself flagged: there is
                 # no clean baseline, only an unfixed regression. Keep
-                # failing while the current run sits at (or above) the
-                # flagged plateau — but a run strictly FASTER than every
-                # flagged value is the fix arriving, and must pass so its
-                # row can re-seed the clean history (otherwise the fix
+                # failing while the current run sits at the flagged
+                # plateau — but a run CLEARLY faster than every flagged
+                # value is the fix arriving, and must pass so its row
+                # can re-seed the clean history (otherwise the fix
                 # itself would be flagged and no clean row could ever
-                # form — a deadlock).
+                # form — a deadlock). "Clearly" = below the plateau by
+                # the same 15% the support check uses: a strict min let
+                # a single noise excursion (same unfixed code, ~1/(n+1)
+                # chance per run) slip under the plateau and re-seed the
+                # clean history at the regressed level (review find).
                 plateau = min(flagged_only[q])
-                fixed = cur_norm[q] < plateau
+                fixed = cur_norm[q] < plateau * (1 - SUPPORT_MARGIN)
                 per_query[q] = {
                     "now": round(cur_norm[q], 4),
                     "hist": None,
@@ -313,10 +317,10 @@ def compare(
         # empirical support: the query's recent same-code runs ARE its
         # null distribution — within-run spread understates across-run
         # (plan/JIT) dispersion for bimodal queries (module docstring).
-        # A query every recent row flagged has no clean support at all:
-        # support 0 keeps it failing until someone actually fixes it.
-        window = recent.get(q, [])[-SUPPORT_WINDOW:]
-        support = max(window) * (1 + SUPPORT_MARGIN) if window else 0.0
+        # recent[q] is non-empty whenever q is in hist (appended
+        # together); the all-rows-flagged case is handled by the
+        # flagged_only branch above.
+        support = max(recent[q][-SUPPORT_WINDOW:]) * (1 + SUPPORT_MARGIN)
         over = (
             ratio > band
             and (cur_norm[q] - b) > abs_floor
@@ -354,7 +358,12 @@ def render(result: dict, out=sys.stdout) -> None:
     print(f"{'query':34} {'now':>7} {'hist':>7} {'ratio':>6}  verdict", file=out)
     for q, row in result["per_query"].items():
         if row["verdict"] == "ERRORED":
-            print(f"{q:34} {'ERROR':>7} {row['hist']:7.3f} {'':>6}  "
+            # hist is None when the query's only history is flagged rows
+            # — formatting None crashed render(), and bench.py's
+            # catch-all then REPLACED the gate verdict with gate_error,
+            # losing the regressed list (review find)
+            hist_s = f"{row['hist']:7.3f}" if row["hist"] is not None else f"{'flag':>7}"
+            print(f"{q:34} {'ERROR':>7} {hist_s} {'':>6}  "
                   "ERRORED (ran in history, crashed now)", file=out)
             continue
         if row["verdict"] == "NEW":

@@ -74,13 +74,42 @@ def _du_bytes(path: str) -> int:
     return total
 
 
+def _assert_evictable(path: str) -> None:
+    """Refuse cold measurements on tmpfs/ramfs: drop_caches cannot evict
+    pages backing a RAM filesystem, so every 'cold' sample would be
+    silently warm and the recorded numbers a lie (review find)."""
+    best_fstype, best_len = None, -1
+    with open("/proc/mounts") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            mnt, fstype = parts[1], parts[2]
+            if path.startswith(mnt.rstrip("/") + "/") or path == mnt:
+                if len(mnt) > best_len:
+                    best_fstype, best_len = fstype, len(mnt)
+    if best_fstype in ("tmpfs", "ramfs"):
+        raise SystemExit(
+            f"--cold: {path} is on {best_fstype} — page-cache eviction "
+            "cannot make RAM-backed files cold; point the corpus (and "
+            "this tool's scratch space) at a disk-backed filesystem"
+        )
+
+
 def run_cold(spark, sf_dir: str, n: int) -> dict:
     """Measurement C: cold-cache probe vs recompute (module docstring)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
     out: dict = {"sf_dir": sf_dir, "n_samples": n, "mode": "cold"}
-    with tempfile.TemporaryDirectory(prefix="exact_ab_cold_") as tmp:
+    # scratch lives NEXT TO the corpus (same filesystem), and both must
+    # be evictable — a tmpfs default TMPDIR would make every sample warm
+    scratch_parent = os.path.dirname(os.path.abspath(sf_dir))
+    _assert_evictable(os.path.abspath(sf_dir))
+    _assert_evictable(scratch_parent)
+    with tempfile.TemporaryDirectory(
+        prefix="exact_ab_cold_", dir=scratch_parent
+    ) as tmp:
         corpus_path = os.path.join(tmp, "corpus")
         shard_path = os.path.join(tmp, "shard")
         docs.filter(F.col("doc_id") % 10 != 0).write.parquet(corpus_path)

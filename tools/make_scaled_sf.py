@@ -66,7 +66,16 @@ def main() -> None:
     argv = list(sys.argv[1:])
     for i, a in enumerate(argv):
         if a == "--tables":
+            if i + 1 >= len(argv) or not argv[i + 1].strip():
+                raise SystemExit("--tables needs a comma-separated list")
             only = {t.strip() for t in argv[i + 1].split(",") if t.strip()}
+            known = set(OFFSETS) | set(COPY_AS_IS) | {"documents", "embeddings"}
+            unknown = only - known
+            if unknown:
+                raise SystemExit(
+                    f"--tables names unknown tables: {sorted(unknown)} "
+                    f"(known: {sorted(known)})"
+                )
             argv = argv[:i] + argv[i + 2:]
             break
     out = argv[0] if len(argv) > 0 else "/tmp/sf1"
