@@ -24,22 +24,39 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from . import schemas
+from . import fsutil, schemas
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Two writers tried to claim the same ``_seq`` for one table.
+
+    Raised instead of silently interleaving sequence numbers (which
+    would break last-write-wins replay safety). The message names the
+    claim file; if no second writer is actually alive, the claim is a
+    crash leftover from the instant between claim-create and the
+    ``_SEQ`` sidecar update — delete the named file to recover."""
 
 
 class Warehouse:
-    """A directory of Parquet tables keyed by logical name."""
+    """A directory of Parquet tables keyed by logical name.
+
+    All driver-side filesystem metadata (sidecars, compaction swaps,
+    existence probes) goes through the Hadoop FileSystem API resolved
+    from the root itself (:mod:`fsutil`), so a ``file:``, ``hdfs:`` or
+    ``s3a:`` warehouse root behaves identically — the dedup-free FINAL
+    fast path and ``compact()`` work wherever the 100 TB fact tables
+    actually live, not only on driver-local disk. Each op is a handful
+    of py4j round-trips (~ms), driver-side only, never per-row."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        fsutil.mkdirs(spark, root)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -53,46 +70,89 @@ class Warehouse:
         (underscore-prefixed → invisible to the Parquet reader, like
         ``_SUCCESS``). If the sidecar is missing (fresh checkout,
         post-compact), it reseeds from ``max(_seq)`` in the table.
-        Single-writer per table, matching the reference's one-ETL-process
-        model; a multi-writer deployment would route this through a
-        coordination service or per-writer disjoint ranges.
-        """
-        last = self._read_sidecar(table, "_SEQ")
-        if last is None:
-            if self.exists(table):
-                df = self.spark.read.parquet(self._path(table))
-                last = (
-                    df.agg(F.max("_seq")).first()[0] if "_seq" in df.columns else 0
-                ) or 0
-            else:
-                last = 0
-        nxt = last + 1
-        self._write_seq_sidecar(table, nxt)
-        return nxt
+
+        Concurrent writers are DETECTED, not silently merged: each
+        allocation first create-exclusively claims ``_SEQ.claim.<n>``
+        (atomic on HDFS; see :func:`fsutil.create_exclusive` for the
+        local/S3A caveats). Losing the claim means another writer is
+        allocating the same seq right now → :class:`ConcurrentWriterError`
+        rather than two batches sharing a seq. A claim whose value the
+        ``_SEQ`` sidecar has already reached is provably finished (the
+        claim protects only the claim→sidecar-update window), so it is
+        swept and allocation retries with the next value — two live
+        writers therefore either get DISTINCT seqs or one gets a loud
+        error; a seq is never issued twice. ``compact()`` remains a
+        single-operator action (the claim protocol covers seq
+        allocation, not the table swap)."""
+        p = self._path(table)
+        fsutil.mkdirs(self.spark, p)
+        for _ in range(5):
+            last = self._read_sidecar(table, "_SEQ")
+            if last is None:
+                if self.exists(table):
+                    df = self.spark.read.parquet(p)
+                    last = (
+                        df.agg(F.max("_seq")).first()[0]
+                        if "_seq" in df.columns
+                        else 0
+                    ) or 0
+                else:
+                    last = 0
+            nxt = last + 1
+            claim = os.path.join(p, f"_SEQ.claim.{nxt}")
+            if fsutil.create_exclusive(self.spark, claim):
+                self._write_seq_sidecar(table, nxt)
+                fsutil.delete(self.spark, claim)
+                return nxt
+            cur = self._read_sidecar(table, "_SEQ")
+            if cur is not None and cur >= nxt:
+                # the claimant already advanced _SEQ durably but crashed
+                # (or hasn't yet gotten) to remove its claim — the claim
+                # no longer guards anything; sweep it and re-allocate
+                fsutil.delete(self.spark, claim)
+                continue
+            raise ConcurrentWriterError(
+                f"another writer holds {claim} while _SEQ is at {cur}: "
+                f"a concurrent write to table {table!r} is in flight "
+                "(tables are single-writer). If no other writer is "
+                "alive, this is a crash leftover from the instant "
+                "between claim and sidecar update — delete that file "
+                "to recover."
+            )
+        raise ConcurrentWriterError(
+            f"could not allocate a _seq for table {table!r} after 5 "
+            "attempts — persistent claim contention implies multiple "
+            "live writers."
+        )
 
     def _write_seq_sidecar(
         self, table: str, value: int, name: str = "_SEQ"
     ) -> None:
-        """Atomic sidecar update: write a temp file, then os.replace() —
-        a crash mid-write can never leave a truncated-but-parsable value
-        (e.g. '1' from '12') that would re-issue a used seq and break
-        last-write-wins replay safety."""
-        os.makedirs(self._path(table), exist_ok=True)
-        seq_file = os.path.join(self._path(table), name)
-        tmp = seq_file + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(value))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, seq_file)
+        """Atomic sidecar update (temp file + rename via the Hadoop FS
+        API) — a crash mid-write can never leave a truncated-but-parsable
+        value (e.g. '1' from '12') that would re-issue a used seq and
+        break last-write-wins replay safety. The rename's brief
+        delete-then-rename absence window degrades safe: a missing
+        ``_SEQ`` reseeds from max(_seq); a missing ``_COMPACTED_AT``
+        just runs the window."""
+        fsutil.mkdirs(self.spark, self._path(table))
+        fsutil.write_text_atomic(
+            self.spark, os.path.join(self._path(table), name), str(value)
+        )
 
     def _read_sidecar(self, table: str, name: str) -> int | None:
-        path = os.path.join(self._path(table), name)
-        if not os.path.isfile(path):
-            return None
+        """None when the sidecar is missing, unparsable, or unreadable
+        (e.g. a Hadoop ChecksumException from out-of-band tampering) —
+        every failure degrades in the safe direction: is_dedup_free
+        stays False (window runs) and _next_seq reseeds from max(_seq)."""
         try:
-            return int(open(path).read().strip())
-        except ValueError:
+            text = fsutil.read_text(
+                self.spark, os.path.join(self._path(table), name)
+            )
+            return int(text.strip())
+        except FileNotFoundError:
+            return None
+        except Exception:
             return None
 
     def is_dedup_free(self, table: str) -> bool:
@@ -121,18 +181,17 @@ class Warehouse:
         survivor, destroying the data permanently."""
         p = self._path(table)
         old = p + ".precompact"
-        if not os.path.isdir(p) and os.path.isdir(old):
-            os.rename(old, p)
+        if not fsutil.is_dir(self.spark, p) and fsutil.is_dir(self.spark, old):
+            if not fsutil.rename(self.spark, old, p):
+                raise IOError(
+                    f"precompact recovery rename {old} -> {p} failed"
+                )
 
     def exists(self, table: str) -> bool:
         self._recover_precompact(table)
-        p = self._path(table)
-        if not os.path.isdir(p):
-            return False
-        for _dir, _sub, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+        return fsutil.has_file_with_suffix(
+            self.spark, self._path(table), ".parquet"
+        )
 
     def drop(self, table: str) -> None:
         """Remove a table directory entirely (the reference's DROP TABLE,
@@ -143,9 +202,9 @@ class Warehouse:
         the '.precompact' rmtree, _recover_precompact would see
         (no canonical, .precompact alive) and revive the dropped table
         on the next exists()/read()."""
-        shutil.rmtree(self._path(table) + ".precompact", ignore_errors=True)
-        shutil.rmtree(self._path(table) + ".compact", ignore_errors=True)
-        shutil.rmtree(self._path(table), ignore_errors=True)
+        fsutil.delete(self.spark, self._path(table) + ".precompact")
+        fsutil.delete(self.spark, self._path(table) + ".compact")
+        fsutil.delete(self.spark, self._path(table))
 
     def create(self, table: str, schema: StructType | None = None) -> None:
         """Create an empty table (the reference's prepare_indices,
@@ -206,7 +265,7 @@ class Warehouse:
         try:
             return any(
                 e.startswith("_block_range=")
-                for e in os.listdir(self._path(table))
+                for e in fsutil.list_names(self.spark, self._path(table))
             )
         except FileNotFoundError:
             return False
@@ -248,7 +307,14 @@ class Warehouse:
         exactly this trade). compact() materializes read(final=True),
         which drops tombstone-winning keys, so the raw scan of a
         freshly compacted table IS the FINAL view — no residual filter
-        needed."""
+        needed.
+
+        STALENESS: a returned DataFrame (and any temp view built from
+        it) freezes BOTH the file listing and this fast-path decision at
+        build time. A handle created while the table was dedup-free
+        keeps raw-scan semantics across later writes — it would then
+        show duplicate rows, not just miss new ones. Re-create FINAL
+        handles after any write(), same as the file-listing caveat."""
         self._recover_precompact(table)
         reader = self.spark.read
         expected = self._read_schema(table)
@@ -365,12 +431,12 @@ class Warehouse:
         final_path = self._path(table)
         tmp = final_path + ".compact"
         old = final_path + ".precompact"
-        shutil.rmtree(tmp, ignore_errors=True)
-        if os.path.isdir(final_path):
+        fsutil.delete(self.spark, tmp)
+        if fsutil.is_dir(self.spark, final_path):
             # only now is a leftover .precompact provably stale (the
             # canonical copy exists); with the canonical path absent the
-            # rmtree would destroy the sole surviving copy of the data
-            shutil.rmtree(old, ignore_errors=True)
+            # delete would destroy the sole surviving copy of the data
+            fsutil.delete(self.spark, old)
         partition_by = ["_block_range"] if "_block_range" in deduped.columns else []
         w = deduped.write.mode("overwrite")
         if partition_by:
@@ -397,8 +463,10 @@ class Warehouse:
         # three paths. A crash before the sidecar write just makes the
         # next write() reseed _seq via the documented full-scan
         # fallback.
-        os.rename(final_path, old)
-        os.rename(tmp, final_path)
+        if not fsutil.rename(self.spark, final_path, old):
+            raise IOError(f"compact swap rename {final_path} -> {old} failed")
+        if not fsutil.rename(self.spark, tmp, final_path):
+            raise IOError(f"compact swap rename {tmp} -> {final_path} failed")
         self._write_seq_sidecar(table, int(max_seq))
         # _COMPACTED_AT last: the renames wiped the old sidecars with the
         # old directory, so a crash anywhere before this line leaves no
@@ -406,7 +474,7 @@ class Warehouse:
         # window — the safe direction. Only the complete pair
         # (_SEQ == _COMPACTED_AT) unlocks the dedup-free fast path.
         self._write_seq_sidecar(table, int(max_seq), name="_COMPACTED_AT")
-        shutil.rmtree(old, ignore_errors=True)
+        fsutil.delete(self.spark, old)
         if layout == "bucketed":
             # final=False: the rewrite above just materialized FINAL, so
             # the raw scan IS the deduped table — no second window pass
@@ -420,7 +488,10 @@ class Warehouse:
 
     def register_views(self, *tables: str, final: bool = True) -> None:
         """Expose tables as temp views for spark.sql() text queries —
-        the analytics read path (SURVEY §3.3)."""
+        the analytics read path (SURVEY §3.3). Views snapshot the file
+        listing AND the dedup-free fast-path decision at registration:
+        re-register after writes, or a view built on a then-compacted
+        table serves raw-scan (possibly duplicate) rows later."""
         for t in tables or schemas.TABLES.keys():
             if self.exists(t):
                 self.read(t, final=final).createOrReplaceTempView(t)

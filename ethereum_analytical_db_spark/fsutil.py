@@ -74,6 +74,66 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return fs.rename(jsrc, _fs_and_path(spark, dst)[1])
 
 
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    fs.mkdirs(jpath)
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry basenames of a directory; raises FileNotFoundError
+    when the directory doesn't exist (mirroring ``os.listdir``)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def has_file_with_suffix(spark: SparkSession, path: str, suffix: str) -> bool:
+    """True when the directory at ``path`` contains (recursively) at
+    least one file whose name ends with ``suffix`` — the "does this
+    table hold any data files" probe. Iterates lazily and stops at the
+    first hit, so the py4j cost is bounded by the position of the first
+    data file, not the directory size."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not (fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            return True
+    return False
+
+
+def create_exclusive(spark: SparkSession, path: str, text: str = "") -> bool:
+    """Create ``path`` only if it does not already exist (Hadoop
+    ``create(path, overwrite=false)``); returns False when something
+    already holds the name. This is the mutual-exclusion primitive
+    behind the Warehouse writer-claim protocol: on HDFS the
+    create-exclusive is atomic in the NameNode; on the local filesystem
+    Hadoop's exists-then-create leaves a hairline TOCTOU window (fine
+    for the single-box dev/test model); on S3A object stores lack
+    atomic create-exclusive entirely — a production multi-writer S3
+    deployment needs an external coordinator, which is exactly the
+    single-writer caveat ``Warehouse._next_seq`` documents."""
+    fs, jpath = _fs_and_path(spark, path)
+    try:
+        out = fs.create(jpath, False)
+    except Exception as exc:  # Py4JJavaError wrapping FileAlreadyExists
+        if "FileAlreadyExists" in str(exc) or "already exists" in str(exc):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete; False when the path didn't exist."""
     fs, jpath = _fs_and_path(spark, path)

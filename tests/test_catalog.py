@@ -15,6 +15,29 @@ def wh(spark, tmp_path):
     return Warehouse(spark, str(tmp_path / "warehouse"))
 
 
+@pytest.fixture(params=["plain", "file_uri"])
+def wh_any(request, spark, tmp_path):
+    """Warehouse over a plain local path AND a ``file:`` URI root. The
+    URI form forces every sidecar/compaction/existence op through the
+    Hadoop FileSystem code path — the same one an ``hdfs:``/``s3a:``
+    warehouse root takes — so the FINAL fast path and compact() are
+    proven scheme-portable, not local-disk-only (VERDICT r11 task 1)."""
+    root = str(tmp_path / "warehouse")
+    if request.param == "file_uri":
+        root = "file:" + root
+    w = Warehouse(spark, root)
+    # the local directory behind the root, for direct-FS assertions
+    w._local_root = str(tmp_path / "warehouse")
+    return w
+
+
+def _local(wh_obj, table):
+    """Driver-local path of a table under wh_any (strips file: scheme)."""
+    import os
+
+    return os.path.join(getattr(wh_obj, "_local_root", wh_obj.root), table)
+
+
 def test_final_dedup_last_write_wins(spark, wh):
     """Double insert returns one row under FINAL, two without —
     reference tests/clickhouse_tests.py:65-70."""
@@ -91,96 +114,96 @@ def _final_plan(wh, table):
     )
 
 
-def test_compact_enables_dedup_free_final_fast_path(spark, wh):
+def test_compact_enables_dedup_free_final_fast_path(spark, wh_any):
     """After compact(), read(final=True) must skip the row_number window
     entirely (the table provably holds one live row per key) and any
     subsequent write() must bring the window back — with value parity on
     both sides of each transition. This is the ClickHouse economics:
     FINAL over fully-merged ReplacingMergeTree parts is near-raw cost
     (reference operations/indices.py:34)."""
-    wh.create("block")
+    wh_any.create("block")
     for i in range(3):
-        wh.write("block", spark.createDataFrame([Row(id="1", number=i)]))
-        wh.write("block", spark.createDataFrame([Row(id="2", number=10 + i)]))
-    assert not wh.is_dedup_free("block")
-    assert "Window" in _final_plan(wh, "block")
+        wh_any.write("block", spark.createDataFrame([Row(id="1", number=i)]))
+        wh_any.write("block", spark.createDataFrame([Row(id="2", number=10 + i)]))
+    assert not wh_any.is_dedup_free("block")
+    assert "Window" in _final_plan(wh_any, "block")
     before = sorted(
-        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+        (r["id"], r["number"]) for r in wh_any.read("block", final=True).collect()
     )
 
-    wh.compact("block")
-    assert wh.is_dedup_free("block")
-    plan = _final_plan(wh, "block")
+    wh_any.compact("block")
+    assert wh_any.is_dedup_free("block")
+    plan = _final_plan(wh_any, "block")
     assert "Window" not in plan and "window" not in plan
     after = sorted(
-        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+        (r["id"], r["number"]) for r in wh_any.read("block", final=True).collect()
     )
     assert after == before == [("1", 2), ("2", 12)]
 
     # any write invalidates the fast path automatically via _SEQ
-    wh.write("block", spark.createDataFrame([Row(id="1", number=99)]))
-    assert not wh.is_dedup_free("block")
-    assert "Window" in _final_plan(wh, "block")
+    wh_any.write("block", spark.createDataFrame([Row(id="1", number=99)]))
+    assert not wh_any.is_dedup_free("block")
+    assert "Window" in _final_plan(wh_any, "block")
     got = sorted(
-        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+        (r["id"], r["number"]) for r in wh_any.read("block", final=True).collect()
     )
     assert got == [("1", 99), ("2", 12)]
 
     # re-compact re-arms the fast path and preserves the new winner
-    wh.compact("block")
-    assert wh.is_dedup_free("block")
+    wh_any.compact("block")
+    assert wh_any.is_dedup_free("block")
     assert sorted(
-        (r["id"], r["number"]) for r in wh.read("block", final=True).collect()
+        (r["id"], r["number"]) for r in wh_any.read("block", final=True).collect()
     ) == [("1", 99), ("2", 12)]
 
 
-def test_dedup_free_fast_path_tombstone_roundtrip(spark, wh):
+def test_dedup_free_fast_path_tombstone_roundtrip(spark, wh_any):
     """Tombstones interact safely with the fast path: compact()
     materializes the FINAL view (tombstoned keys dropped), so the raw
     fast-path scan agrees; a post-compact tombstone write re-enables
     the window and deletes the key; the next compact bakes that in."""
     from pyspark.sql import functions as F
 
-    wh.create("block")
-    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
-    wh.write("block", spark.createDataFrame([Row(id="2", number=2)]))
-    wh.compact("block")
-    assert wh.is_dedup_free("block")
+    wh_any.create("block")
+    wh_any.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    wh_any.write("block", spark.createDataFrame([Row(id="2", number=2)]))
+    wh_any.compact("block")
+    assert wh_any.is_dedup_free("block")
 
     tomb = spark.createDataFrame([Row(id="2", number=2)]).withColumn(
         "_tombstone", F.lit(1).cast("byte")
     )
-    wh.write("block", tomb)
-    assert not wh.is_dedup_free("block")
-    assert [r["id"] for r in wh.read("block", final=True).collect()] == ["1"]
+    wh_any.write("block", tomb)
+    assert not wh_any.is_dedup_free("block")
+    assert [r["id"] for r in wh_any.read("block", final=True).collect()] == ["1"]
 
-    wh.compact("block")
-    assert wh.is_dedup_free("block")
-    assert [r["id"] for r in wh.read("block", final=True).collect()] == ["1"]
+    wh_any.compact("block")
+    assert wh_any.is_dedup_free("block")
+    assert [r["id"] for r in wh_any.read("block", final=True).collect()] == ["1"]
 
 
-def test_dedup_free_fast_path_degrades_safe_on_missing_sidecar(spark, wh):
+def test_dedup_free_fast_path_degrades_safe_on_missing_sidecar(spark, wh_any):
     """A missing/corrupt sidecar must disable the fast path (window
     runs on a dup-free table — the safe direction), never unlock it."""
     import os
 
-    wh.create("block")
-    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
-    wh.compact("block")
-    p = wh._path("block")
-    assert wh.is_dedup_free("block")
+    wh_any.create("block")
+    wh_any.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    wh_any.compact("block")
+    p = _local(wh_any, "block")
+    assert wh_any.is_dedup_free("block")
 
     os.remove(os.path.join(p, "_COMPACTED_AT"))
-    assert not wh.is_dedup_free("block")
-    assert "Window" in _final_plan(wh, "block")
-    assert wh.read("block", final=True).count() == 1
+    assert not wh_any.is_dedup_free("block")
+    assert "Window" in _final_plan(wh_any, "block")
+    assert wh_any.read("block", final=True).count() == 1
 
     # corrupt _SEQ: fast path off, window still correct
-    wh.compact("block")
+    wh_any.compact("block")
     with open(os.path.join(p, "_SEQ"), "w") as f:
         f.write("not-a-number")
-    assert not wh.is_dedup_free("block")
-    assert wh.read("block", final=True).count() == 1
+    assert not wh_any.is_dedup_free("block")
+    assert wh_any.read("block", final=True).count() == 1
 
 
 def test_compact_crash_between_renames_recovers(spark, tmp_path):
@@ -194,7 +217,7 @@ def test_compact_crash_between_renames_recovers(spark, tmp_path):
 
     from ethereum_analytical_db_spark.catalog import Warehouse
 
-    wh = Warehouse(spark, str(tmp_path))
+    wh = Warehouse(spark, "file:" + str(tmp_path))  # FS-API code path
     wh.create("block")
     for i in range(2):
         wh.write("block", spark.createDataFrame([Row(id="1", number=i)]))
@@ -217,8 +240,8 @@ def test_compact_crash_between_renames_recovers(spark, tmp_path):
 
 
 def test_drop_removes_leftovers_before_canonical(spark, tmp_path, monkeypatch):
-    """drop() must rmtree '.precompact'/'.compact' BEFORE the canonical
-    path: a crash between the two rmtrees in the other order leaves
+    """drop() must delete '.precompact'/'.compact' BEFORE the canonical
+    path: a crash between the two deletes in the other order leaves
     (.precompact alive, canonical gone) — exactly the state
     _recover_precompact treats as a mid-compact crash, resurrecting the
     dropped table on the next exists()/read()."""
@@ -234,22 +257,106 @@ def test_drop_removes_leftovers_before_canonical(spark, tmp_path, monkeypatch):
     _shutil.copytree(p, p + ".precompact")
 
     order: list[str] = []
-    real_rmtree = _shutil.rmtree
+    real_delete = catalog_mod.fsutil.delete
 
-    def recording_rmtree(path, *a, **kw):
+    def recording_delete(sp, path, *a, **kw):
         order.append(str(path))
-        return real_rmtree(path, *a, **kw)
+        return real_delete(sp, path, *a, **kw)
 
-    monkeypatch.setattr(catalog_mod.shutil, "rmtree", recording_rmtree)
+    monkeypatch.setattr(catalog_mod.fsutil, "delete", recording_delete)
     wh.drop("block")
     assert order.index(p + ".precompact") < order.index(p)
     # and the crash-window state itself can no longer revive the table:
     # simulate 'leftovers removed, canonical removal never ran'
+    monkeypatch.setattr(catalog_mod.fsutil, "delete", real_delete)
     wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
     _shutil.copytree(p, p + ".precompact")
-    real_rmtree(p + ".precompact")  # step 1 of drop() completed
-    real_rmtree(p)  # step 3 (canonical) also completes here; either way
+    real_delete(spark, p + ".precompact")  # step 1 of drop() completed
+    real_delete(spark, p)  # step 3 (canonical) also completes; either way
     assert not wh.exists("block")  # no resurrection path remains
+
+
+def test_concurrent_writer_detected_not_silent(spark, tmp_path):
+    """Two Warehouse instances racing writes to one table: the writer
+    whose claim lands first proceeds; the other gets a loud
+    ConcurrentWriterError instead of silently reusing its _seq
+    (VERDICT r11 task 6). A claim file with `_SEQ` not yet advanced is
+    exactly the in-flight window of a concurrent writer."""
+    from ethereum_analytical_db_spark import catalog as catalog_mod
+    from ethereum_analytical_db_spark.catalog import (
+        ConcurrentWriterError,
+        Warehouse,
+    )
+
+    a = Warehouse(spark, str(tmp_path))
+    b = Warehouse(spark, str(tmp_path))  # second writer, same table dir
+    a.create("block")
+    a.write("block", spark.createDataFrame([Row(id="1", number=0)]))
+
+    # freeze writer A in the claim→sidecar-update window: its claim for
+    # seq 2 exists, _SEQ still reads 1 — then writer B races in
+    assert catalog_mod.fsutil.create_exclusive(
+        spark, str(tmp_path / "block" / "_SEQ.claim.2")
+    )
+    with pytest.raises(ConcurrentWriterError, match="_SEQ.claim.2"):
+        b.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    # exactly one proceeded: no new data row landed, no seq reuse
+    assert a.read("block", final=False).count() == 1
+
+    # A "completes" (sidecar advanced) but crashed before removing its
+    # claim: the claim is provably stale — B sweeps it and proceeds
+    # with a DISTINCT seq (no reuse)
+    a._write_seq_sidecar("block", 2)
+    b.write("block", spark.createDataFrame([Row(id="1", number=2)]))
+    rows = b.read("block", final=False).select("_seq").collect()
+    seqs = sorted(r["_seq"] for r in rows)
+    assert seqs == [1, 3]  # seq 2 was consumed by the claim, never reused
+    assert b.read("block", final=True).first()["number"] == 2
+
+
+def test_warehouse_uri_root_never_touches_python_fs(spark, tmp_path, monkeypatch):
+    """On a URI root, the full write/read/compact/drop cycle must run
+    entirely through the Hadoop FileSystem API — any driver-local
+    os/shutil mutation of warehouse paths would target the wrong
+    filesystem on hdfs:/s3a: (the non-local deployment this guards).
+    Python-side FS mutators are trapped for the warehouse subtree."""
+    import os as _os
+    import shutil as _shutil
+
+    from ethereum_analytical_db_spark.catalog import Warehouse
+
+    root_local = str(tmp_path / "uri_wh")
+    wh = Warehouse(spark, "file:" + root_local)
+
+    def trap(fn_name, real):
+        def guarded(*args, **kw):
+            for a in args[:2]:
+                if isinstance(a, (str, bytes)) and root_local in str(a):
+                    raise AssertionError(
+                        f"{fn_name} called on warehouse path {a!r} — "
+                        "must go through fsutil/Hadoop FS"
+                    )
+            return real(*args, **kw)
+
+        return guarded
+
+    for mod, name in [
+        (_os, "rename"),
+        (_os, "replace"),
+        (_os, "makedirs"),
+        (_os, "remove"),
+        (_shutil, "rmtree"),
+    ]:
+        monkeypatch.setattr(mod, name, trap(name, getattr(mod, name)))
+
+    wh.create("block")
+    wh.write("block", spark.createDataFrame([Row(id="1", number=1)]))
+    wh.write("block", spark.createDataFrame([Row(id="1", number=2)]))
+    wh.compact("block")
+    assert wh.is_dedup_free("block")
+    assert wh.read("block", final=True).first()["number"] == 2
+    wh.drop("block")
+    assert not wh.exists("block")
 
 
 def test_compact_preserves_block_range_partitioning(spark, tmp_path):
