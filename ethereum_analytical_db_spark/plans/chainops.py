@@ -206,3 +206,114 @@ def trace_parent_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr, tx_col="tx", trace_addr_col="traceAddress"
     )
     return out.select("event_id", "parent_error")
+
+
+# per-process reorg warehouse cache: (abs sf_dir) → warehouse root.
+# Built ONCE per process (frozen lifecycle: pid-suffixed dir, atexit
+# removal, dead-pid orphan sweep — plans/frozen.py), then every
+# invocation measures the serve side: a FINAL read resolving the upsert
+# stream + tombstones. The build is the reference-shaped ingest story:
+# v1 = every block's facts from the then-canonical chain, v2 = a fork
+# re-ingest of a subset, reconcile_chain tombstoning the orphans whose
+# block is covered by the canonical dim (operators/reorg.py).
+_REORG_FROZEN: dict[str, str] = {}
+
+
+def _reorg_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..catalog import Warehouse
+    from ..operators.reorg import reconcile_chain
+    from .frozen import acquire
+    from .registry import table as _table
+
+    key = os.path.abspath(sf_dir)
+    if key not in _REORG_FROZEN:
+        root = acquire(
+            os.path.join(tempfile.gettempdir(), "spark_graft_reorg_wh"), key
+        )
+        wh = Warehouse(spark, root)
+        ev = _table(spark, sf_dir, "events")
+        v1 = ev.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.col("user_id").cast("int").alias("blockNumber"),
+            F.md5(F.col("user_id").cast("string")).alias("blockHash"),
+            F.lit("v1").alias("data"),
+        )
+        wh.create("event")
+        wh.write("event", v1)
+        # fork re-ingest: a deterministic subset arrives again with a
+        # non-canonical blockHash — last-write-wins makes the fork
+        # version the live row until reconciliation
+        v2 = v1.filter(F.expr("CAST(id AS BIGINT) % 7 = 3")).select(
+            "id",
+            "blockNumber",
+            F.md5(F.concat(F.col("blockNumber").cast("string"), F.lit(":fork")))
+            .alias("blockHash"),
+            F.lit("v2").alias("data"),
+        )
+        wh.write("event", v2)
+        # canonical dim covers only the even blocks (reconcile what the
+        # node vouches for, touch nothing else — reorg.py contract)
+        canon = (
+            ev.select(F.col("user_id").alias("number"))
+            .filter(F.col("number") % 2 == 0)
+            .distinct()
+            .withColumn("hash", F.md5(F.col("number").cast("string")))
+        )
+        reconcile_chain(wh, canon, tables=("event",))
+        _REORG_FROZEN[key] = root
+    return _REORG_FROZEN[key]
+
+
+@register(
+    "reorg_canonical",
+    """
+    WITH v1 AS (
+      SELECT CAST(event_id AS VARCHAR) AS id, user_id AS bn,
+             md5(CAST(user_id AS VARCHAR)) AS bh, 'v1' AS version, 1 AS seq
+      FROM events
+    ), v2 AS (
+      SELECT CAST(event_id AS VARCHAR) AS id, user_id AS bn,
+             md5(CAST(user_id AS VARCHAR) || ':fork') AS bh, 'v2' AS version,
+             2 AS seq
+      FROM events WHERE event_id % 7 = 3
+    ), u AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ), live AS (
+      SELECT id, bn, bh, version,
+             row_number() OVER (PARTITION BY id ORDER BY seq DESC) AS rn
+      FROM u
+    )
+    SELECT CAST(id AS BIGINT) AS event_id,
+           CAST(bn AS BIGINT) AS block_number,
+           bh AS block_hash,
+           version
+    FROM live
+    WHERE rn = 1
+      AND NOT (bn % 2 = 0 AND bh <> md5(CAST(bn AS VARCHAR)))
+    """,
+    note="T7+/W2 canonical-chain reorg reconciliation end-to-end "
+    "(operators/reorg.py + catalog tombstones): v1 ingest of every "
+    "event-derived fact, fork re-ingest of ids %7==3 (last-write-wins "
+    "makes the fork row live), reconcile_chain tombstones the live "
+    "rows whose block is covered by the canonical dim (even blocks) "
+    "but carries the fork hash; the query is the SERVE side — a FINAL "
+    "read resolving upserts + tombstones (covered fork keys vanish, "
+    "uncovered fork keys stay as v2, untouched keys stay v1). Oracle "
+    "= the same upsert stream as a DuckDB window + the tombstone "
+    "predicate. Exceeds the reference, which stores blockHash but "
+    "never reconciles (schema/schema.py:7)",
+)
+def reorg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import Warehouse
+
+    root = _reorg_warehouse(spark, sf_dir)
+    wh = Warehouse(spark, root)
+    return wh.read("event", final=True).select(
+        F.col("id").cast("long").alias("event_id"),
+        F.col("blockNumber").cast("long").alias("block_number"),
+        F.col("blockHash").alias("block_hash"),
+        F.col("data").alias("version"),
+    )

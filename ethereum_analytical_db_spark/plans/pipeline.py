@@ -24,6 +24,18 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 # f-string below can embed it
 BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+# the PII patterns are RE2-compatible by design (no lookaround /
+# backreferences), so the DuckDB oracle runs the IDENTICAL pattern text —
+# any Java-vs-RE2 semantic drift in them fails the driver's hash check.
+# Defined up here: since the r12 fold the PII columns live inside
+# text_quality (same per-doc JVM-regexp projection, same scan).
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{text.PII_PATTERNS['email']}', '[EMAIL]', 'g'), "
+    f"'{text.PII_PATTERNS['ipv4']}', '[IPV4]', 'g'), "
+    f"'{text.PII_PATTERNS['phone']}', '[PHONE]', 'g')"
+)
+
 
 def _with_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Restore parallelism IF the scan lacks it: a single small parquet
@@ -298,7 +310,11 @@ for _lang in _langs[1:]:
              / len(string_split(text, ' ')) AS repetition_ratio,
            md5(lower(text)) AS content_fp,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
-           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(length({_PII_SCRUB_SQL}) AS BIGINT) AS scrubbed_len
     FROM documents
     """,
     note="per-doc text profile: quality signals (token count, stopword "
@@ -306,16 +322,20 @@ for _lang in _langs[1:]:
     "repetition ratio), the document fingerprints (exact-content md5 + "
     "order-insensitive bag-of-words md5 — former doc_fingerprints slot), "
     "the BPE-ish lexer token count (former token_count_bpe slot; "
-    "its n_ws_tokens column was already this query's n_words), and — "
-    "since r11 — the language-ID marker-word argmax with deterministic "
+    "its n_ws_tokens column was already this query's n_words), "
+    "since r11 the language-ID marker-word argmax with deterministic "
     "tie-break as the `predicted_lang` column next to the labeled "
-    "`lang` (former lang_id_heuristic slot, COVERAGE.md fold #1: same "
-    "shuffle-free per-doc projection over documents, no operator loses "
-    "oracle coverage; the freed slot promotes packing_group_budget). "
+    "`lang` (former lang_id_heuristic slot, COVERAGE.md fold #1), and "
+    "since r12 the PII scrubbing pass (per-class regexp counts "
+    "email/ipv4/phone + typed-placeholder redaction length — former "
+    "pii_scrub_stats slot, fold #2: same shuffle-free per-doc JVM-"
+    "regexp projection over the same scan, no operator loses oracle "
+    "coverage; the freed slot promotes reorg_canonical). "
     "All folds JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
+    _pii = text.pii_counts("text")
     return docs.select(
         "doc_id",
         "lang",
@@ -333,6 +353,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
         .cast("long")
         .alias("n_bpe_tokens"),
+        _pii["email"].cast("long").alias("n_email"),
+        _pii["ipv4"].cast("long").alias("n_ipv4"),
+        _pii["phone"].cast("long").alias("n_phone"),
+        F.length(text.pii_scrub("text")).cast("long").alias("scrubbed_len"),
     )
 
 
@@ -544,43 +568,6 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same integer-vs-integer form as the oracle (not frac <= 0.1):
         # identical IEEE ops on both engines, no division rounding in play
         (F.col("n_hit") <= F.lit(0.1) * F.col("n_shingles")).alias("kept"),
-    )
-
-
-# the PII patterns are RE2-compatible by design (no lookaround /
-# backreferences), so the DuckDB oracle runs the IDENTICAL pattern text —
-# any Java-vs-RE2 semantic drift in them fails the driver's hash check
-_PII_SCRUB_SQL = (
-    "regexp_replace(regexp_replace(regexp_replace(text, "
-    f"'{text.PII_PATTERNS['email']}', '[EMAIL]', 'g'), "
-    f"'{text.PII_PATTERNS['ipv4']}', '[IPV4]', 'g'), "
-    f"'{text.PII_PATTERNS['phone']}', '[PHONE]', 'g')"
-)
-
-
-@register(
-    "pii_scrub_stats",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
-           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
-           CAST(length({_PII_SCRUB_SQL}) AS BIGINT) AS scrubbed_len
-    FROM documents
-    """,
-    note="PII scrubbing pass: per-class regexp counts (email/ipv4/phone) "
-    "+ typed-placeholder redaction, all JVM regexp — no Python; oracle "
-    "replays the same RE2-safe patterns in DuckDB",
-)
-def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_table(spark, sf_dir)
-    counts = text.pii_counts("text")
-    return docs.select(
-        "doc_id",
-        counts["email"].cast("long").alias("n_email"),
-        counts["ipv4"].cast("long").alias("n_ipv4"),
-        counts["phone"].cast("long").alias("n_phone"),
-        F.length(text.pii_scrub("text")).cast("long").alias("scrubbed_len"),
     )
 
 

@@ -125,11 +125,16 @@ def near_dedup_stream(
     runs AFTER the batch's own index write and is crash-safe (the
     ``.precompact`` swap, with recovery wired into every index entry
     point), and probe results are byte-identical before and after
-    (pinned in tests). The pairs output is compacted on the same
-    cadence WITHOUT relabeling (one file per ``batch=`` dir): its batch
-    column is user-facing provenance — "which shard found this pair" —
-    so dirs must survive even though their file counts are bounded.
-    Default None never compacts (run ``compact_index`` out-of-band
+    (pinned in tests). The pairs output folds on the same cadence into
+    GENERATIONS (``operators/dedup.fold_pairs_gens``): pairs land under
+    engine-owned ``gen=b<id>`` partition dirs with ``batch`` preserved
+    as a DATA column (user-facing provenance — "which shard found this
+    pair" — never relabeled), and each fold merges the live gens into
+    one single-file ``gen=f<id-1>`` dir, so the pairs DIRECTORY count
+    is bounded by folds + cadence instead of growing one dir per
+    micro-batch forever (~0.5 M dirs/year at a batch a minute), while
+    each pairs row is rewritten at most once ever. Default None never
+    compacts (run ``compact_index``/``compact_pairs_dirs`` out-of-band
     instead).
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
@@ -138,11 +143,11 @@ def near_dedup_stream(
     executor state stores, survives query restarts for free, and is the
     same index the batch probe reads. foreachBatch gives at-least-once
     batch execution, so the whole loop is made replay-deterministic:
-    each batch writes its pairs and its index rows under a
-    ``batch=<id>`` partition with dynamic partition overwrite (a retry
-    REPLACES its own directories, never duplicates them), and the probe
-    reads only STRICTLY EARLIER batches (``batch < id``, a
-    directory-pruning partition predicate). Probing earlier-only is
+    each batch writes its index rows under a ``batch=<id>`` partition
+    and its pairs under a ``gen=b<id>`` partition with dynamic
+    partition overwrite (a retry REPLACES its own directories, never
+    duplicates them), and the probe reads only STRICTLY EARLIER batches
+    (``batch < id``, a directory-pruning partition predicate). Probing earlier-only is
     what makes every candidate pair land in exactly one batch partition
     — the batch containing its later doc — under retries AND under a
     full from-scratch replay over a surviving index (probing "all other
@@ -153,6 +158,17 @@ def near_dedup_stream(
     file(s) of the stream rather than pre-building with
     ``minhash_index_write``, whose un-partitioned layout cannot mix
     with the ``batch=`` directories.
+
+    CHECKPOINT LOSS IS DESTRUCTIVE over existing index/pairs paths:
+    starting with a fresh checkpoint restarts batch_id at 0, and the
+    batch-start hygiene (``drop_stale_batch_dirs`` /
+    ``drop_stale_pair_gens``) then deletes ALL prior batch dirs and
+    pair generations — correct when the full original source replays
+    (everything is rebuilt deterministically, pinned in tests), but a
+    new checkpoint over a DIFFERENT or PARTIAL source permanently
+    loses the prior index and pairs provenance. Both helpers log the
+    dropped ids (non-empty drops are always exceptional), so the wipe
+    is visible; point a genuinely new stream at fresh paths.
 
     Returns the ``DataStreamWriter`` — caller adds checkpoint/trigger
     and ``.start()``.
@@ -261,16 +277,17 @@ def near_dedup_stream(
             d._recover_precompact(spark, pairs_path)
             d._recover_precompact(spark, index_path)
             d._recover_pair_dir_swaps(spark, pairs_path)
+            d._recover_pair_fold(spark, pairs_path)
 
-            # replay/retry hygiene: drop batch dirs at/after this batch's
-            # id. A from-scratch replay (checkpoint lost) over a surviving
-            # FOLDED index otherwise duplicates rows permanently — the
-            # replay's dynamic overwrite replaces only the partition
-            # values its own data produces, so folded-union rows under
-            # other values survive (r10 advice). Steady state lists the
-            # directory and deletes nothing.
+            # replay/retry hygiene: drop batch dirs / pair generations
+            # at/after this batch's id. A from-scratch replay (checkpoint
+            # lost) over a surviving FOLDED index otherwise duplicates
+            # rows permanently — the replay's dynamic overwrite replaces
+            # only the partition values its own data produces, so
+            # folded-union rows under other values survive (r10 advice).
+            # Steady state lists the directory and deletes nothing.
             d.drop_stale_batch_dirs(spark, index_path, batch_id)
-            d.drop_stale_batch_dirs(spark, pairs_path, batch_id)
+            d.drop_stale_pair_gens(spark, pairs_path, batch_id)
 
             # probe iff the layout holds DATA partitions — the sidecar
             # alone (wiring creates it) isn't a readable parquet source,
@@ -284,10 +301,14 @@ def near_dedup_stream(
                 # (the probe's `within` branch, via the batch op)
                 pairs = bootstrap(batch_df)
             (
+                # batch = user-facing provenance, kept as a DATA column;
+                # gen = the engine-owned partition (live "b<id>" dirs,
+                # folded into "f<id>" generations on the cadence below)
                 pairs.withColumn("batch", F.lit(batch_id))
+                .withColumn("gen", F.lit(f"b{batch_id}"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch")
+                .partitionBy("gen")
                 .parquet(pairs_path)
             )
             (
@@ -300,11 +321,12 @@ def near_dedup_stream(
             )
             if compact_every and batch_id % compact_every == compact_every - 1:
                 d.fold_stream_index(spark, index_path, index_partition, batch_id)
-                # pairs compact INCREMENTALLY (only dirs with >1 file;
-                # each dir rewritten at most once ever) — the whole-path
-                # rewrite re-read the entire pairs history every cadence,
-                # quadratic total work over the stream's life (r10 advice)
-                d.compact_pairs_dirs(spark, pairs_path)
+                # pairs fold generationally: live gens < batch_id merge
+                # into one single-file gen=f<batch_id-1> dir; folded
+                # gens are terminal, so each row is rewritten at most
+                # once ever and the directory count stays bounded by
+                # folds + cadence (r11 VERDICT task 2)
+                d.fold_pairs_gens(spark, pairs_path, batch_id)
         finally:
             batch_df.unpersist()
 

@@ -209,6 +209,13 @@ class SyncPipeline:
                 "compact_every set but compact_tables is empty — name the "
                 "fact tables the cadence should compact"
             )
+        if self.compact_tables and not compact_every:
+            # the mirror misconfiguration: naming tables without a
+            # cadence silently disabled compaction (r11 advice)
+            raise ValueError(
+                "compact_tables given but compact_every is unset/0 — "
+                "set the pass cadence, or drop compact_tables"
+            )
 
     def run_once(self) -> None:
         for _name, stage in self.stages:

@@ -159,7 +159,7 @@ def main(argv: list[str] | None = None) -> int:
         # a pair-free corpus leaves pairs_path with no data partitions
         # (dynamic overwrite writes nothing for empty batches), which a
         # schemaless read cannot even open
-        if _glob.glob(os.path.join(pairs_path, "batch=*")):
+        if _glob.glob(os.path.join(pairs_path, "gen=*")):
             pairs = spark.read.parquet(pairs_path)
             for row in pairs.groupBy("batch").count().orderBy("batch").collect():
                 print(f"batch {row['batch']}: {row['count']} near-dup candidates")

@@ -485,17 +485,39 @@ def test_near_dedup_stream_compaction_cadence_bounds_files(spark, tmp_path):
     files = glob.glob(f"{comp_idx}/batch=*/band=*/*.parquet")
     assert len(files) == len(part_dirs), (len(files), len(part_dirs))
 
-    # pairs compacted too, but WITHOUT relabeling: batch provenance
-    # ("which shard found this pair") survives — per-batch counts match
-    # the uncompacted stream exactly, with one file per batch dir
+    # pairs folded generationally, WITHOUT relabeling the batch DATA
+    # column: provenance ("which shard found this pair") survives the
+    # fold — per-batch counts match the uncompacted stream exactly
     per_batch = lambda p: {  # noqa: E731
         r["batch"]: r["count"]
         for r in spark.read.parquet(p).groupBy("batch").count().collect()
     }
     assert per_batch(comp_pairs) == per_batch(plain_pairs)
-    pair_dirs = glob.glob(f"{comp_pairs}/batch=*")
-    pair_files = glob.glob(f"{comp_pairs}/batch=*/*.parquet")
-    assert len(pair_files) == len(pair_dirs), (len(pair_files), len(pair_dirs))
+    # three fold cadences ran (batches 1, 3, 5): the layout holds
+    # EXACTLY one folded gen per fold window that emitted pairs plus
+    # the last batch's live gen — directory count bounded by a constant
+    # × generation count, never one dir per batch; folded gens are a
+    # single file each
+    pair_gens = sorted(
+        g.rsplit("/", 1)[1] for g in glob.glob(f"{comp_pairs}/gen=*")
+    )
+    pb = per_batch(plain_pairs)
+    expected = set()
+    for fold_b, window in [(1, [0]), (3, [1, 2]), (5, [3, 4])]:
+        if any(b in pb for b in window):
+            expected.add(f"gen=f{fold_b - 1}")
+    if 5 in pb:
+        expected.add("gen=b5")
+    assert set(pair_gens) == expected, (pair_gens, expected)
+    assert len(pair_gens) <= 4, pair_gens
+    for g in pair_gens:
+        if g.startswith("gen=f"):
+            assert len(glob.glob(f"{comp_pairs}/{g}/*.parquet")) == 1
+    # the plain (never-folded) run grows one live gen dir per batch
+    assert all(
+        g.rsplit("/", 1)[1].startswith("gen=b")
+        for g in glob.glob(f"{plain_pairs}/gen=*")
+    )
 
     # post-compaction probes answer identically (sidecar survived swaps)
     probe_docs = spark.createDataFrame(
@@ -704,6 +726,83 @@ def test_replay_with_coarser_chunking_over_folded_index(spark, tmp_path):
     stale = [d for d in glob.glob(f"{index_path}/batch=*")
              if int(d.rsplit("=", 1)[1]) >= 2]
     assert stale == [], stale
+
+
+def test_fold_pairs_gens_bounds_dirs_and_recovers(spark, tmp_path):
+    """r11 VERDICT task 2: the generational pairs fold merges live
+    gens strictly earlier than the current batch into ONE single-file
+    folded generation, never re-reads folded generations (each row
+    rewritten at most once ever), preserves the batch DATA column
+    verbatim, and recovers every crash window (leftover tmp; completed
+    rename with surviving sources)."""
+    import glob
+    import os
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    pairs = str(tmp_path / "pairs")
+
+    def land(b):  # one live gen dir per batch, 2 files, batch as DATA col
+        spark.createDataFrame(
+            [(1, 100 + b, "x", b), (2, 200 + b, "y", b)],
+            "doc_a long, doc_b long, digest string, batch int",
+        ).repartition(2).write.parquet(f"{pairs}/gen=b{b}")
+
+    for b in range(3):
+        land(b)
+    assert dedup.fold_pairs_gens(spark, pairs, 3) == [0, 1, 2]
+    gens = sorted(os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*"))
+    assert gens == ["gen=f2"]
+    assert len(glob.glob(f"{pairs}/gen=f2/*.parquet")) == 1
+    # provenance intact: every batch id present with its own rows
+    got = spark.read.parquet(pairs)
+    assert sorted(
+        (r["batch"], r["doc_a"], r["doc_b"]) for r in got.collect()
+    ) == [(b, a, d) for b in range(3) for a, d in [(1, 100 + b), (2, 200 + b)]]
+
+    # second window: folded gens are terminal — only the new lives merge
+    land(3)
+    land(4)
+    f2_file = glob.glob(f"{pairs}/gen=f2/*.parquet")[0]
+    f2_mtime = os.path.getmtime(f2_file)
+    assert dedup.fold_pairs_gens(spark, pairs, 5) == [3, 4]
+    gens = sorted(os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*"))
+    assert gens == ["gen=f2", "gen=f4"]  # dirs ~ generation count, not batches
+    assert os.path.getmtime(f2_file) == f2_mtime  # f2 untouched by fold 2
+    assert spark.read.parquet(pairs).count() == 10
+
+    # retry after a completed fold: nothing live → no-op, layout stable
+    assert dedup.fold_pairs_gens(spark, pairs, 5) == []
+
+    # third fold cadence: dirs stay ~ generation count (3 folds → 3
+    # dirs), total rows keep accumulating — nothing re-read or lost
+    land(5)
+    land(6)
+    assert dedup.fold_pairs_gens(spark, pairs, 7) == [5, 6]
+    gens = sorted(os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*"))
+    assert gens == ["gen=f2", "gen=f4", "gen=f6"]
+    assert spark.read.parquet(pairs).count() == 14
+
+    # crash window A: tmp written, rename never ran → tmp swept
+    os.makedirs(f"{pairs}/.compact.gen=f9")
+    dedup._recover_pair_fold(spark, pairs)
+    assert not os.path.isdir(f"{pairs}/.compact.gen=f9")
+
+    # crash window B: rename done, a source delete crashed → the folded
+    # gen proves sources ≤ its id stale; the survivor is removed, rows
+    # are NOT duplicated
+    land(1)  # stale survivor: 1 <= max folded id 6
+    dedup._recover_pair_fold(spark, pairs)
+    assert not os.path.isdir(f"{pairs}/gen=b1")
+    assert spark.read.parquet(pairs).count() == 14
+
+    # replay hygiene: a from-scratch replay (batch 0) wipes every
+    # generation, live and folded
+    land(8)
+    assert dedup.drop_stale_pair_gens(spark, pairs, 0) == [
+        "gen=b8", "gen=f2", "gen=f4", "gen=f6",
+    ]
+    assert not glob.glob(f"{pairs}/gen=*")
 
 
 def test_compact_pairs_dirs_incremental_and_crash_safe(spark, tmp_path):

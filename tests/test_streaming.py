@@ -327,3 +327,7 @@ def test_sync_pipeline_compact_cadence(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="compact_tables"):
         inc.SyncPipeline(wh, [], compact_every=2)
+    # the mirror misconfiguration: tables without a cadence would
+    # silently never compact (r11 advice) — loud instead
+    with _pytest.raises(ValueError, match="compact_every"):
+        inc.SyncPipeline(wh, [], compact_tables=["block_flag"])
