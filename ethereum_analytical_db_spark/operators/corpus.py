@@ -16,6 +16,7 @@ surviving-row counts are returned so a pipeline run is auditable.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -47,6 +48,12 @@ class CleanCorpusReport:
     stages: list[tuple[str, int]]  # (stage name, rows surviving) in order
     cached_intermediates: list[DataFrame]
     models: list = field(default_factory=list)  # trained LMs (cached tables)
+    # stats mode only: wall seconds per stage, boundary-to-boundary —
+    # stage N spans from stage N-1's count returning to N's count
+    # returning, so eager work BETWEEN marks (the LM trainer's
+    # aggregations) is attributed to the stage that ran it. Empty in
+    # lazy mode (nothing is materialized per stage there).
+    stage_secs: list[tuple[str, float]] = field(default_factory=list)
 
     def release(self) -> None:
         """Unpersist everything this run cached (the result frame, any
@@ -112,10 +119,12 @@ def clean_corpus(
     unpersisted — its persistence level stays whatever the caller chose.
     """
     stages: list[tuple[str, int]] = []
+    stage_secs: list[tuple[str, float]] = []
     prev_cached: list[DataFrame] = []  # at most one entry: stage N-1
     lazy_cached: list[DataFrame] = []  # lazy-mode LM prefix, if any
     models: list = []  # LMs trained by the chain (hold cached tables)
     ok = False
+    last_t = [time.perf_counter()]  # previous stage boundary (stats mode)
 
     def mark(name: str, df: DataFrame, cache: bool = True) -> DataFrame:
         if collect_stats:
@@ -129,6 +138,9 @@ def clean_corpus(
                 df = df.cache()
                 prev_cached.append(df)
             stages.append((name, df.count()))
+            now = time.perf_counter()
+            stage_secs.append((name, round(now - last_t[0], 3)))
+            last_t[0] = now
             if len(prev_cached) > 1:
                 prev_cached.pop(0).unpersist()
         return df
@@ -237,6 +249,7 @@ def clean_corpus(
             stages=stages,
             cached_intermediates=list(lazy_cached),
             models=list(models),
+            stage_secs=stage_secs,
         )
     finally:
         # release whatever was resident when we left the chain mid-way;

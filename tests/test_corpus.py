@@ -34,6 +34,10 @@ def test_stage_chain_and_monotonicity(spark, docs):
     # every stage filters or transforms — surviving rows never grow
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] == docs.count()
+    # stats mode attributes wall time per stage, aligned with stages
+    # (the breakdown behind tools/corpus_stage_breakdown.py)
+    assert [n for n, _ in report.stage_secs] == names
+    assert all(s >= 0 for _, s in report.stage_secs)
     # the planted benchmark docs are gone
     bench_ids = {r["doc_id"] for r in docs.orderBy("doc_id").limit(2).collect()}
     out_ids = {r["doc_id"] for r in report.df.collect()}
