@@ -548,13 +548,14 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf_val,
-        "runs_per_query": runs,
-        "stat": "median_of_fastest",
+        # runs_per_query / stat moved OFF the stdout line in r12 (the
+        # 63-query registry left no room under the capture window) —
+        # both still ride in BENCH_DETAIL.json and every history row
         "calib_factor": calib_factor,
-        "normalized_total_sec": normalized_total,
-        # short key: the stdout line lives under a ~1900-char driver
-        # capture window (1897 measured with the long name — 3 to spare);
-        # BENCH_DETAIL carries the full normalized_total_segmented_sec
+        # short keys: the stdout line lives under a ~1900-char driver
+        # capture window; BENCH_DETAIL carries the full-name twins
+        # (normalized_total_sec / normalized_total_segmented_sec)
+        "norm_sec": normalized_total,
         "seg_norm_sec": normalized_total_segmented,
     }
     summary["gate"] = gate_result["status"]

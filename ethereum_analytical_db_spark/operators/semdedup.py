@@ -1,0 +1,164 @@
+"""Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+cluster the corpus embeddings, then prune near-duplicate neighborhoods
+WITHIN each cluster — the scale path for "these two documents say the
+same thing" dedup, where pairwise-over-everything (even LSH-bucketed)
+is too loose or too expensive at billions of vectors.
+
+Beyond the reference's scope (training-data pack, like
+``operators/dedup.py`` / ``operators/similarity.py``), and a different
+contract from both: ``embedding_near_dup_*`` REPORT pairs above a
+threshold; ``semantic_dedup`` makes the KEEP/DROP decision the paper
+specifies — within each cluster, order points by similarity to the
+centroid ascending (the paper's finding: keep the examples FAR from
+the centroid), and drop a point iff some earlier point in that order
+is closer than ``threshold`` cosine. Not a transitive closure: the
+drop test is against all predecessors, dropped or kept, exactly the
+paper's upper-triangular formulation — so the operator is a single
+deterministic pass, not an iterative clustering.
+
+Scale shape:
+- clustering reuses the deterministic distributed k-means from
+  ``operators/similarity.py`` (broadcast k×dim centroids, Arrow gemm
+  assignment, k·dim-sized update shuffles);
+- the within-cluster pairwise work is Σ nᵢ² — bounded by choosing
+  ``n_centroids ∝ N / target_cluster_size`` (the paper runs 50 k
+  clusters over 5 B embeddings for the same reason);
+- a runaway cluster (skewed corpora produce them) is split
+  deterministically by a VECTOR-hash salt before the pairwise pass —
+  identical vectors always share a salt, so exact duplicates can never
+  escape through the split; near-duplicates across salts are the
+  documented recall loss, same trade as the LSH hot-bucket cap;
+- inside each task the n×n similarity matrix is never materialized:
+  blocked GEMM rows (``_BLOCK`` × n float32) keep peak memory
+  O(block · cluster), not O(cluster²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _assign_clusters, ivf_train_centroids
+
+# rows per GEMM slab inside a cluster task: peak extra memory is
+# _BLOCK × cluster_rows float32 scores (2048 × 200k ≈ 1.6 GB worst case
+# at the default max_cluster_rows — sized to executor memory, not data)
+_BLOCK = 2048
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """Per-vector keep/drop verdict → (id, cluster, centroid_sim,
+    kept). ``centroid_sim`` is cosine(vector, its cluster centroid);
+    ``kept=False`` iff an earlier point in the (centroid_sim ASC, id
+    ASC) order of the same cluster (and salt split) has cosine >=
+    ``threshold`` with it. Zero-norm vectors get centroid_sim 0.0 and
+    are always kept (cosine with anything is 0). Pass pre-trained
+    ``centroids`` to skip training (the production path — train once
+    per corpus snapshot, reuse across reruns)."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, iterations, id_col, vec_col
+        )
+    assigned = _assign_clusters(embeddings, centroids, id_col, vec_col)
+
+    # deterministic split of runaway clusters: salt by the VECTOR hash
+    # (not the id) so exact duplicates always share a subcluster; the
+    # size census is k rows — driver-sized by construction
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    splits = {
+        c: -(-n // max_cluster_rows) for c, n in sizes.items()
+    }  # ceil division
+    split_expr = F.lit(1)
+    for c, s in splits.items():
+        if s > 1:
+            split_expr = F.when(F.col("cluster") == c, F.lit(s)).otherwise(
+                split_expr
+            )
+    salted = assigned.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(F.col(vec_col)), split_expr).cast("int"),
+    )
+
+    sc = embeddings.sparkSession.sparkContext
+    cmat_bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def prune(key, pdf):
+        cluster = int(key[0])
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(v, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        unit = v / safe[:, None]
+        c = cmat_bc.value[cluster - 1]
+        cn = np.linalg.norm(c)
+        csim = (unit @ c) / cn if cn > 0 else np.zeros(len(pdf))
+        csim = np.where(norms == 0.0, 0.0, csim)
+
+        order = np.lexsort((pdf[id_col].to_numpy(), csim))  # csim ASC, id ASC
+        u = unit[order].astype(np.float32)
+        n = len(u)
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(0, n, _BLOCK):
+            hi = min(lo + _BLOCK, n)
+            if lo == 0 and hi == n:
+                s = u @ u.T
+            else:
+                s = u[lo:hi] @ u[:hi].T
+            # a row i (absolute index lo+r) drops iff any j < i scores
+            # above threshold — mask the diagonal and upper triangle
+            for r in range(hi - lo):
+                i = lo + r
+                if i == 0:
+                    continue
+                if (s[r, :i] >= threshold - 1e-6).any():
+                    dropped[i] = True
+        kept = np.ones(n, dtype=bool)
+        kept[order] = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": np.int32(cluster),
+                "centroid_sim": csim,
+                "kept": kept,
+            }
+        )
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    return salted.groupBy("cluster", "salt").applyInPandas(
+        prune,
+        schema=(
+            f"`{id_col}` {id_type}, cluster int, "
+            "centroid_sim double, kept boolean"
+        ),
+    )
+
+
+def semantic_dedup_filter(
+    docs: DataFrame,
+    verdict: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Keep-side application: rows of ``docs`` whose vector survived.
+    A semi-join on the id — the verdict side is corpus-sized, so this
+    is a plain shuffled semi-join, not a broadcast."""
+    keep = verdict.filter(F.col("kept")).select(
+        F.col(vec_id_col).alias(doc_id_col)
+    )
+    return docs.join(keep, doc_id_col, "left_semi")

@@ -9,65 +9,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import ethereum as eth
 from ..operators import traces
 from .registry import register, table
 
-TWO64 = 18446744073709551616.0  # 2**64 — exactly representable in a double
-
-
-@register(
-    "uint256_decode",
-    f"""
-    SELECT o_orderkey,
-           CAST(o_orderkey AS DOUBLE) * {TWO64!r} AS decoded_high,
-           CAST(o_orderkey AS DOUBLE) / POW(10, 18) AS decoded_scaled,
-           CAST(o_orderkey AS DOUBLE) / POW(10, 6) AS decoded_dec6,
-           LEAST(ROUND(CAST(o_totalprice * 1e15 AS DOUBLE) / POW(10, 2)),
-                 4611686018427387904.0) AS supply_dec2,
-           LEAST(ROUND(CAST(o_totalprice * 1e15 AS DOUBLE)),
-                 4611686018427387904.0) AS supply_dec0
-    FROM orders WHERE o_orderkey % 97 = 0
-    """,
-    note="F1 uint256-hex decode (reference utils.py:5-20): high-64-bit "
-    "half (value·2^64), decimals=18 scaling, decimals-from-column; oracle "
-    "checks pure arithmetic — multiplying by 2^64 and dividing by 1e18 are "
-    "exact IEEE ops on both engines. Also carries F10 total-supply "
-    "scale+round+clamp to 2^62 — preserving the reference's "
-    "`1 << 63 - 1` precedence quirk (operations/contract_methods.py:12,"
-    "93-114) — folded in from the former supply_clamp micro-query; at "
-    "two decimals scales the price fixture straddles the 2^62 threshold, "
-    "so both clamp branches are hash-checked across the row set",
-)
-def uint256_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
-    # word_high: key shifted into the high 64 bits of the 128-bit window
-    word_high = F.concat(
-        F.lit("0x"),
-        F.lpad(F.lower(F.hex(F.col("o_orderkey"))), 48, "0"),
-        F.lit("0" * 16),
-    )
-    # word_low: key in the low 64 bits
-    word_low = F.concat(
-        F.lit("0x"), F.lpad(F.lower(F.hex(F.col("o_orderkey"))), 64, "0")
-    )
-    supply = F.col("o_totalprice") * F.lit(1e15)
-    return orders.select(
-        "o_orderkey",
-        eth.hex_word_to_float(word_high, 0).alias("decoded_high"),
-        eth.hex_word_to_float(word_low, 18).alias("decoded_scaled"),
-        eth.hex_word_to_float(word_low, 6).alias("decoded_dec6"),
-        eth.supply_rounded(supply, F.lit(2)).alias("supply_dec2"),
-        eth.supply_rounded(supply, F.lit(0)).alias("supply_dec0"),
-    )
-
-
+# The standalone uint256_decode micro-query (F1 high-limb/decimals
+# decode + F10 supply clamp over orders) was RETIRED in r12 (COVERAGE.md
+# fold #3): its F1 evidence is carried by derived_token_transactions'
+# golden vectors (G1 has both 64-bit limbs nonzero, G3 is 2^124) and its
+# F10 clamp columns were rebuilt verbatim as that query's hash-checked
+# supply_dec2/supply_dec0; the freed oracle slot promoted
+# bpe_pairs (plans/pipeline.py). The decode/clamp Column functions
+# themselves live on in functions/ethereum.py with the hypothesis
+# property suite (tests/test_properties.py).
+#
 # F2 topic→address, F6 hex→ether, F10 supply clamp, and the P6 LIKE
 # AND-chain had standalone micro-queries through rounds 4-5; all are
 # exercised (and driver-hash-checked) elsewhere — F2 by
 # derived_token_transactions' from/to extraction (plans/derived.py:64-65),
 # F6 by trace_id_assignment's ether_value column below, F10 by
-# uint256_decode's supply columns above, P6 by derived_contracts' real
+# derived_token_transactions' supply columns (fold #3), P6 by derived_contracts' real
 # selector sets — so their slots in the driver's 50-entry oracle window go
 # to decontaminate_benchmark, pii_scrub_stats, lm_perplexity_quality and
 # stratified_sample_counts (plans/pipeline.py), per the round-4/5 reviews.

@@ -103,7 +103,22 @@ SELECT concat('0x', substring(f.w_from, 25, 40)) AS "from",
        f.id,
        f.token,
        f.transactionHash,
-       f.blockNumber
+       f.blockNumber,
+       -- fold #3 (r12): the F10 supply scale+round+clamp columns from the
+       -- retired uint256_decode micro-query, rebuilt on this query's rows.
+       -- The supply basis k*37+11 reconstructs the fixture's vint for the
+       -- 'ev<k>' rows (golden rows fall back to blockNumber); at 1e17/1e15
+       -- scale every ROUND input exceeds 2^53 (integer-valued doubles →
+       -- ROUND is exact identity on both engines) and the row set
+       -- straddles the 2^62 clamp in both columns
+       LEAST(ROUND((CAST((COALESCE(TRY_CAST(substring(f.id, 3) AS BIGINT),
+                                   f.blockNumber) * 37 + 11) AS DOUBLE)
+                    * 1e17) / POW(10, 2)),
+             4611686018427387904.0) AS supply_dec2,
+       LEAST(ROUND((CAST((COALESCE(TRY_CAST(substring(f.id, 3) AS BIGINT),
+                                   f.blockNumber) * 37 + 11) AS DOUBLE)
+                    * 1e15) / POW(10, 0)),
+             4611686018427387904.0) AS supply_dec0
 FROM fix f
 JOIN dim d ON f.token = d.address
 """
@@ -117,7 +132,13 @@ JOIN dim d ON f.token = d.address
     "realistic topics array, F1 uint256 data-word decode, F2 topic→"
     "address, ANY INNER JOIN to a decimals dim with dup rows + NULL "
     "decimals + absent tokens; includes the reference's golden decode "
-    "vectors (tests/token_holders_tests.py:34-58)",
+    "vectors (tests/token_holders_tests.py:34-58). Since r12 (fold #3) "
+    "also carries the F10 supply scale+round+clamp columns supply_dec2/"
+    "supply_dec0 (reference operations/contract_methods.py:12,93-114 "
+    "incl. the `1 << 63 - 1` precedence quirk) from the retired "
+    "uint256_decode micro-query — both clamp branches hash-checked "
+    "across the row set; F1's high-limb decode stays covered by the G1 "
+    "(both limbs nonzero) and G3 (2^124) golden vectors",
 )
 def derived_token_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").filter(
@@ -177,7 +198,17 @@ def derived_token_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate (identical) rows: the ANY-join must dedup them or the
     # row-count check fails with multiplied output
     dim = dim.unionByName(dim.limit(3))
-    return derived.token_transactions(fixture, dim)
+    out = derived.token_transactions(fixture, dim)
+    # fold #3 (r12): F10 supply clamp columns on the MV output — a pure
+    # per-row projection (no new shuffle, same grain), see the oracle's
+    # comment for the numeric-exactness argument
+    k = F.coalesce(
+        F.expr("try_cast(substring(id, 3) as long)"), F.col("blockNumber")
+    )
+    v = (k * 37 + 11).cast("double")
+    return out.withColumn(
+        "supply_dec2", eth.supply_rounded(v * F.lit(1e17), F.lit(2))
+    ).withColumn("supply_dec0", eth.supply_rounded(v * F.lit(1e15), F.lit(0)))
 
 
 # ----------------------------------------------------------- eth_contract

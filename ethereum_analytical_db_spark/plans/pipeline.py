@@ -1324,3 +1324,86 @@ def clean_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to Spark's LRU — bounded (one corpus-prefix frame + k*B model
     # rows), same policy as the lm_perplexity_quality query.
     return out
+
+
+# --------------------------------------------------------------- tokenizer
+
+# Validated against DuckDB's lateral-unnest semantics: string_split on the
+# corpus's single-space convention, per-word character pairs weighted by
+# word frequency, the trainer's deterministic (freq DESC, left, right)
+# order. Mirrors tokenizer.bpe_pair_counts exactly.
+BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+wf AS (
+  SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 1) AS left_sym,
+         substring(w, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+         freq
+  FROM wf, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+  WHERE length(w) >= 2
+)
+SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_freq
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_freq DESC, left_sym ASC, right_sym ASC LIMIT 100
+"""
+
+
+@register(
+    "bpe_pairs",
+    BPE_PAIRS_ORACLE,
+    note="distributed BPE tokenizer-trainer statistics (operators/"
+    "tokenizer.py): first-iteration character-pair frequencies over the "
+    "word-frequency reduction — the corpus is touched by exactly ONE "
+    "shuffle (explode+groupBy into the vocabulary table); every "
+    "training iteration after runs on that reduction. Promoted into "
+    "the hash window in r12 by fold #3 (uint256_decode -> "
+    "derived_token_transactions)",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenizer
+
+    return tokenizer.bpe_pair_counts(docs_table(spark, sf_dir), top_k=100)
+
+
+@register(
+    "bpe_train",
+    None,  # rows-only: the greedy argmax LOOP has no single-SQL oracle;
+    # exact pure-Python parity (same tie-break, same fold semantics) is
+    # pinned in tests/test_tokenizer.py
+    note="greedy BPE training end-to-end: 16 merge rounds of (vocab-"
+    "sized pair count -> one-row argmax -> JVM aggregate-fold rewrite), "
+    "returning the rank-ordered merge table the encode path replays",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenizer
+
+    merges = tokenizer.train_bpe(docs_table(spark, sf_dir), num_merges=16)
+    return tokenizer.merge_table(spark, merges)
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+@register(
+    "semdedup",
+    None,  # rows-only: k-means clustering has no SQL oracle; exact
+    # pure-numpy parity of the whole keep/drop pass (same centroids,
+    # same order, same threshold) is pinned in tests/test_semdedup.py
+    note="SemDeDup (Abbas et al. 2023) cluster-then-prune over the "
+    "embeddings table: deterministic distributed k-means (reused from "
+    "the IVF index), then a per-cluster blocked-GEMM upper-triangular "
+    "prune in (centroid_sim ASC, id ASC) order — the paper's "
+    "keep-far-from-centroid rule; runaway clusters split by a "
+    "vector-hash salt so exact duplicates can never escape the prune",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import semdedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semdedup.semantic_dedup(
+        emb, threshold=0.97, n_centroids=8, iterations=2
+    )

@@ -67,9 +67,15 @@ def test_bench_summary_line_fits_driver_tail_capture():
     """The driver keeps only the final ~2000 chars of bench.py stdout
     (round 3's full line was head-truncated into unparseability). The
     compact summary for the CURRENT registry must fit with margin;
-    bench.py degrades to summary-only past 1900, but tripping that
-    fallback silently drops per-query timings from the driver record —
-    fail here first so the registry growth is a conscious choice."""
+    bench.py degrades first to 2-decimal timings and then to
+    summary-only past 1900, but tripping the final fallback silently
+    drops per-query timings from the driver record — fail here first so
+    registry growth is a conscious choice. The replica mirrors the FULL
+    r12 summary shape (calib/normalized/seg/gate fields included; the
+    r12 slimming moved runs_per_query/stat to BENCH_DETAIL only) at a
+    realistic worst case — every query at 9.999 s is already a 10×-slow
+    suite; a >100 s/query catastrophe may land on the 2-decimal rung,
+    which still parses."""
     import json
 
     names = sorted(entry_mod.queries())
@@ -78,11 +84,32 @@ def test_bench_summary_line_fits_driver_tail_capture():
             "metric": "registry_suite_total_sec",
             "value": 9999.9999,
             "unit": "sec",
-            "queries": {n: 99.999 for n in names},
+            "queries": {n: 9.999 for n in names},
             "sf": 0.1,
-            "runs_per_query": 5,
-            "stat": "median",
+            "calib_factor": 1.2345,
+            "norm_sec": 9999.9999,
+            "seg_norm_sec": 9999.9999,
+            "gate": "pass",
         },
         separators=(",", ":"),
     )
     assert len(line) < 1900, f"{len(line)} chars for {len(names)} queries"
+    # the gate-FAIL shape (regressed list already degraded to its
+    # count+leader form) lands on bench.py's 2-decimal rung — queries
+    # must still ride the line there, never fall to summary-only
+    line2 = json.dumps(
+        {
+            "metric": "registry_suite_total_sec",
+            "value": 9999.9999,
+            "unit": "sec",
+            "queries": {n: 9.99 for n in names},
+            "sf": 0.1,
+            "calib_factor": 1.2345,
+            "norm_sec": 9999.9999,
+            "seg_norm_sec": 9999.9999,
+            "gate": "fail",
+            "gate_regressed": "12: simhash_near_duplicates…",
+        },
+        separators=(",", ":"),
+    )
+    assert len(line2) < 1900, f"gate-fail 2-decimal rung: {len(line2)} chars"

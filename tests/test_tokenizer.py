@@ -1,0 +1,198 @@
+"""Distributed BPE trainer/encoder (operators/tokenizer.py) against a
+pure-Python reference implementation: the Spark trainer must reproduce
+the classic sequential algorithm EXACTLY — same word-frequency
+reduction, same (freq DESC, left ASC, right ASC) tie-break, same
+left-to-right non-overlapping merge pass — or a learned tokenizer
+trained distributed would silently diverge from one trained
+single-process on the same corpus."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ethereum_analytical_db_spark.operators import tokenizer
+
+
+# ------------------------------------------------------ python reference
+
+
+def py_word_freq(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                c[w] += 1
+    return c
+
+
+def py_pair_counts(sym_freq: dict[tuple[str, ...], int]) -> Counter:
+    pc: Counter = Counter()
+    for syms, f in sym_freq.items():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += f
+    return pc
+
+
+def py_apply_merge(syms: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def py_train_bpe(texts: list[str], num_merges: int, min_freq: int = 2):
+    wf = py_word_freq(texts)
+    sym_freq = {tuple(w): f for w, f in wf.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc = py_pair_counts(sym_freq)
+        if not pc:
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merges.append((left, right, freq))
+        sym_freq = {
+            py_apply_merge(s, left, right): f for s, f in sym_freq.items()
+        }
+    return merges
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox",
+    "lower lowest low slower slowest slow",
+    "new newer newest news knew",
+    "the the the a a banana bandana",
+    "aaa aaaa aaaaa",  # overlapping-pair stress: (a,a) merges
+    "",  # empty doc
+    "  doubled  spaces  ",  # empty tokens from split
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    ).repartition(3)
+
+
+def test_word_frequencies_match(spark, docs):
+    got = {
+        r["word"]: r["freq"]
+        for r in tokenizer.word_frequencies(docs).collect()
+    }
+    assert got == dict(py_word_freq(CORPUS))
+
+
+def test_pair_counts_match(spark, docs):
+    wf = tokenizer.word_frequencies(docs).withColumn(
+        "symbols", tokenizer.char_symbols("word")
+    )
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_freq"]
+        for r in tokenizer.symbol_pair_counts(wf).collect()
+    }
+    ref = py_pair_counts(
+        {tuple(w): f for w, f in py_word_freq(CORPUS).items()}
+    )
+    assert got == dict(ref)
+
+
+def test_apply_merge_fold_semantics(spark):
+    """The JVM aggregate fold is left-to-right non-overlapping —
+    including the (a, a) self-merge case where a naive regex would
+    over- or under-merge."""
+    rows = [
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "b", "a", "b"], "a", "b", ["ab", "ab"]),
+        (["x"], "a", "b", ["x"]),
+        ([], "a", "b", []),
+        (["a", "b", "b"], "a", "b", ["ab", "b"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, *_ ) in enumerate(rows)],
+        "i int, symbols array<string>",
+    )
+    for i, (syms, left, right, want) in enumerate(rows):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(tokenizer.apply_merge("symbols", left, right).alias("m"))
+            .first()["m"]
+        )
+        assert got == want, (syms, left, right, got, want)
+        assert py_apply_merge(tuple(syms), left, right) == tuple(want)
+
+
+def test_train_bpe_exact_python_parity(spark, docs):
+    """Merge table identical, rank for rank, to the sequential
+    reference — frequencies included."""
+    got = tokenizer.train_bpe(docs, num_merges=20)
+    ref = py_train_bpe(CORPUS, num_merges=20)
+    assert got == ref
+    assert len(got) >= 5  # the corpus supports a real merge sequence
+
+
+def test_train_bpe_min_freq_stops(spark, docs):
+    merges = tokenizer.train_bpe(docs, num_merges=1000, min_freq=2)
+    assert all(f >= 2 for _, _, f in merges)
+    # hapax-only pairs are never merged, so training terminated early
+    assert len(merges) < 1000
+
+
+def test_encode_roundtrip_and_training_replay(spark, docs):
+    """Encoding with the learned table (a) reassembles every word
+    byte-for-byte and (b) reproduces the trainer's own final
+    segmentation for every corpus word — the lowest-rank-first encode
+    loop is equivalent to replaying merges in rank order."""
+    merges = tokenizer.train_bpe(docs, num_merges=20)
+    enc = tokenizer.encode_bpe(docs, merges).collect()
+    by_id = {r["doc_id"]: r for r in enc}
+
+    # python-side replay: apply merges in rank order per word
+    def replay(word: str) -> list[str]:
+        syms = tuple(word)
+        for left, right, _ in merges:
+            syms = py_apply_merge(syms, left, right)
+        return list(syms)
+
+    for i, text in enumerate(CORPUS):
+        toks = by_id[i]["bpe_tokens"]
+        want = [t for w in text.split(" ") if w for t in replay(w)]
+        assert toks == want, (text, toks, want)
+        assert "".join(toks) == text.replace(" ", "")
+        assert by_id[i]["n_tokens"] == len(toks)
+
+
+def test_merge_table_dataframe(spark, docs):
+    merges = tokenizer.train_bpe(docs, num_merges=5)
+    mt = tokenizer.merge_table(spark, merges).collect()
+    assert [(r["rank"], r["left_sym"], r["right_sym"], r["pair_freq"]) for r in mt] == [
+        (i, l, r_, f) for i, (l, r_, f) in enumerate(merges)
+    ]
+
+
+def test_bpe_pair_counts_partitioning_invariant(spark, docs):
+    """Same counts regardless of input partitioning (the aggregation is
+    the determinism boundary)."""
+    a = sorted(
+        map(tuple, tokenizer.bpe_pair_counts(docs, top_k=None).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            tokenizer.bpe_pair_counts(docs.repartition(7), top_k=None).collect(),
+        )
+    )
+    assert a == b
