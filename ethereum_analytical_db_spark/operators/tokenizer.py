@@ -148,15 +148,34 @@ def train_bpe(
     construction. Stops early when the best remaining pair's frequency
     drops below ``min_freq`` (merging hapax pairs memorizes the corpus).
 
-    Each round: one aggregation over the vocabulary-sized symbol table
-    + a LIMIT 1 collect (one row) + a lineage cut. The corpus itself is
-    touched exactly once, in ``word_frequencies``."""
+    Each round is ONE Spark job: the lineage cut is lazy
+    (``eager=False``), so the round's argmax action realizes the
+    previous round's checkpoint and computes the pair-count top-1 in a
+    single pass over the vocabulary-sized symbol table. The corpus
+    itself is touched exactly once, in ``word_frequencies``."""
     wf = _materialize(
         word_frequencies(docs, text_col).withColumn(
             "symbols", char_symbols("word")
         ),
         materialize,
+        eager=False,
     )
+    # right-size the loop's parallelism to the VOCABULARY (the corpus
+    # shuffle above inherited spark.sql.shuffle.partitions — 31 distinct
+    # words across 32 tasks would pay 16 rounds of empty-task scheduling;
+    # a billion-word corpus with a 10M-word vocabulary gets ~150). The
+    # count also realizes the lazy checkpoint, so the coalesce below is
+    # a narrow op over pinned blocks.
+    n_vocab = wf.count()
+    parts = max(
+        1,
+        min(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            -(-n_vocab // 65536),
+        ),
+    )
+    if wf.rdd.getNumPartitions() > parts:
+        wf = wf.coalesce(parts)
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         top = (
@@ -180,6 +199,7 @@ def train_bpe(
         wf = _materialize(
             wf.withColumn("symbols", apply_merge("symbols", left, right)),
             materialize,
+            eager=False,
         )
     return merges
 

@@ -1374,14 +1374,18 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # rows-only: the greedy argmax LOOP has no single-SQL oracle;
     # exact pure-Python parity (same tie-break, same fold semantics) is
     # pinned in tests/test_tokenizer.py
-    note="greedy BPE training end-to-end: 16 merge rounds of (vocab-"
+    note="greedy BPE training end-to-end: 10 merge rounds of (vocab-"
     "sized pair count -> one-row argmax -> JVM aggregate-fold rewrite), "
-    "returning the rank-ordered merge table the encode path replays",
+    "returning the rank-ordered merge table the encode path replays; "
+    "each round costs ~0.27 s of Catalyst analysis + two tiny jobs "
+    "regardless of data size (the corpus is reduced to the vocabulary "
+    "before the loop), so the bench entry demonstrates the loop at 10 "
+    "rounds and the 20-round parity run lives in tests",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import tokenizer
 
-    merges = tokenizer.train_bpe(docs_table(spark, sf_dir), num_merges=16)
+    merges = tokenizer.train_bpe(docs_table(spark, sf_dir), num_merges=10)
     return tokenizer.merge_table(spark, merges)
 
 
