@@ -61,11 +61,17 @@ def word_frequencies(
 
 def char_symbols(word_col) -> F.Column:
     """Initial BPE state: the word as an array of single characters
-    (pure Column — transform over 1..length, JVM-side)."""
+    (pure Column — transform over 1..length, JVM-side). Empty strings
+    yield an empty array — guarded explicitly because Spark's
+    ``sequence(1, 0)`` counts DOWN to [1, 0] instead of being empty."""
     col = F.col(word_col) if isinstance(word_col, str) else word_col
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: col.substr(i, F.lit(1)),
+    return F.when(
+        F.length(col) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: col.substr(i, F.lit(1)),
+        )
     )
 
 
@@ -202,6 +208,28 @@ def train_bpe(
             eager=False,
         )
     return merges
+
+
+def bpe_vocabulary(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The token vocabulary the learned tokenizer can emit: the corpus's
+    distinct characters (every unmerged symbol is reachable) plus one
+    token per merge. One small distinct over the vocabulary-sized word
+    table; the merge side is driver-sized by construction."""
+    spark = docs.sparkSession
+    chars = (
+        word_frequencies(docs, text_col)
+        .select(F.explode(char_symbols("word")).alias("token"))
+        .distinct()
+        .withColumn("source", F.lit("char"))
+    )
+    merged = spark.createDataFrame(
+        [(l + r, "merge") for l, r, _ in merges], "token string, source string"
+    )
+    return chars.unionByName(merged)
 
 
 def merge_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:

@@ -196,3 +196,31 @@ def test_bpe_pair_counts_partitioning_invariant(spark, docs):
         )
     )
     assert a == b
+
+
+def test_char_symbols_empty_string_guard(spark):
+    """sequence(1, 0) counts DOWN in Spark — the empty-word guard must
+    yield an empty array, not ['', '']."""
+    df = spark.createDataFrame([("",), ("ab",)], "w string")
+    got = [
+        r["s"]
+        for r in df.select(tokenizer.char_symbols("w").alias("s"))
+        .orderBy(F.size("s"))
+        .collect()
+    ]
+    assert got == [[], ["a", "b"]]
+
+
+def test_bpe_vocabulary_covers_encoded_tokens(spark, docs):
+    """Every token the encoder can emit is in the vocabulary, and the
+    vocabulary is exactly chars + one token per merge."""
+    merges = tokenizer.train_bpe(docs, num_merges=12)
+    vocab = {r["token"] for r in tokenizer.bpe_vocabulary(docs, merges).collect()}
+    chars = {c for t in CORPUS for c in t.replace(" ", "")}
+    assert vocab == chars | {l + r for l, r, _ in merges}
+    emitted = {
+        t
+        for r in tokenizer.encode_bpe(docs, merges).collect()
+        for t in r["bpe_tokens"]
+    }
+    assert emitted <= vocab
