@@ -149,6 +149,230 @@ def semantic_dedup(
     )
 
 
+def semdedup_index_write(
+    embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    max_cluster_rows: int = 200_000,
+) -> list[list[float]]:
+    """Materialize the curated-corpus verdict index: every vector with
+    its cluster, centroid_sim, and one-shot ``semantic_dedup`` verdict,
+    written as Parquet PARTITIONED BY cluster (the IVF layout — a probe
+    is a partition-pruned scan). The meta sidecar pins the centroid
+    digest and the THRESHOLD: verdicts are only meaningful at the
+    threshold they were made at, so probes refuse a different one.
+    Returns the (possibly trained) centroids — persist them next to the
+    index; probes need them to assign new batches."""
+    from .similarity import _centroid_digest, _write_index_meta
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, iterations, id_col, vec_col
+        )
+    verdict = semantic_dedup(
+        embeddings,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        max_cluster_rows=max_cluster_rows,
+    )
+    rows = verdict.join(
+        embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(id_col, vec_col, "cluster", "centroid_sim", "kept")
+    rows.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    _write_index_meta(
+        embeddings.sparkSession,
+        path,
+        {
+            "kind": "semdedup",
+            "dim": len(centroids[0]),
+            "n_centroids": len(centroids),
+            "threshold": threshold,
+            "centroid_digest": _centroid_digest(centroids),
+        },
+    )
+    return centroids
+
+
+def _validate_semdedup_meta(spark, path: str, centroids, threshold):
+    from .similarity import _centroid_digest, _read_index_meta
+
+    meta = _read_index_meta(spark, path)
+    if meta.get("kind") != "semdedup":
+        raise ValueError(
+            f"index at {path} is {meta.get('kind')!r}, not semdedup"
+        )
+    if meta.get("centroid_digest") != _centroid_digest(centroids):
+        raise ValueError(
+            f"centroids do not match the ones the index at {path} was "
+            "built with — a probe would assign new vectors to the wrong "
+            "clusters"
+        )
+    if threshold is not None and float(threshold) != float(meta["threshold"]):
+        raise ValueError(
+            f"index at {path} holds verdicts at threshold "
+            f"{meta['threshold']}, refusing to probe at {threshold} — "
+            "resident verdicts are not comparable across thresholds"
+        )
+    return meta
+
+
+def semdedup_probe(
+    batch: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Online semantic dedup of a NEW batch against the curated corpus:
+    (id, cluster, centroid_sim, kept) for the batch only — resident
+    verdicts never change.
+
+    CONTRACT (deliberately different from one-shot ``semantic_dedup``,
+    whose suppressors include DROPPED predecessors per the paper's
+    upper-triangular formulation): a new point is dropped iff it is
+    within ``threshold`` cosine of a KEPT suppressor — a kept resident
+    of its cluster, or an earlier new point of this batch (ordered
+    (centroid_sim ASC, id ASC)) that itself survived. Verdicts are
+    APPEND-ONLY (a resident's verdict never changes) and exactly
+    reproducible: probe+append over any batch sequence equals the
+    sequential greedy pass in (batch, centroid_sim, id) order — pinned
+    by the sequential-replay parity test. Two caveats define the
+    contract's edges: (a) verdicts depend on ARRIVAL order — merging
+    two batches into one can differ from probing them sequentially,
+    because the merged pass interleaves their (centroid_sim, id) order;
+    (b) one-shot and online verdicts can differ on chains (a suppresses
+    b, c is near b but not a: one-shot drops c, online keeps it).
+
+    Scale shape: the batch assigns against broadcast centroids; the
+    index scan reads ONLY the kept members of the clusters the batch
+    touches (cluster partition pruning + a kept pushdown filter)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = batch.sparkSession
+    meta = _validate_semdedup_meta(spark, path, centroids, threshold)
+    thr = float(meta["threshold"])
+
+    assigned = _assign_clusters(batch, centroids, id_col, vec_col)
+    touched = sorted(
+        r["cluster"] for r in assigned.select("cluster").distinct().collect()
+    )
+    residents = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(touched) & F.col("kept"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("cluster"),
+            F.lit(True).alias("_resident"),
+        )
+    )
+    both = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster"),
+        F.lit(False).alias("_resident"),
+    ).unionByName(residents)
+
+    sc = spark.sparkContext
+    cmat_bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def prune(key, pdf):
+        cluster = int(key[0])
+        new = pdf[~pdf["_resident"]]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pdf[id_col][:0],
+                    "cluster": np.array([], dtype=np.int32),
+                    "centroid_sim": np.array([], dtype=np.float64),
+                    "kept": np.array([], dtype=bool),
+                }
+            )
+        res = pdf[pdf["_resident"]]
+
+        def unit_rows(frame):
+            v = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in frame[vec_col]]
+            )
+            norms = np.linalg.norm(v, axis=1)
+            return v / np.where(norms == 0.0, 1.0, norms)[:, None], norms
+
+        un, nn = unit_rows(new)
+        c = cmat_bc.value[cluster - 1]
+        cn = np.linalg.norm(c)
+        csim = (un @ c) / cn if cn > 0 else np.zeros(len(new))
+        csim = np.where(nn == 0.0, 0.0, csim)
+        order = np.lexsort((new[id_col].to_numpy(), csim))
+        u = un[order].astype(np.float32)
+
+        if len(res):
+            ur, _ = unit_rows(res)
+            s_res = u @ ur.astype(np.float32).T
+            hit_res = (s_res >= thr - 1e-6).any(axis=1)
+        else:
+            hit_res = np.zeros(len(new), dtype=bool)
+        t = u @ u.T
+        kept_idx: list[int] = []
+        dropped = np.zeros(len(new), dtype=bool)
+        for i in range(len(new)):
+            if hit_res[i] or (
+                kept_idx and (t[i, kept_idx] >= thr - 1e-6).any()
+            ):
+                dropped[i] = True
+            else:
+                kept_idx.append(i)
+        kept = np.ones(len(new), dtype=bool)
+        kept[order] = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: new[id_col],
+                "cluster": np.int32(cluster),
+                "centroid_sim": csim,
+                "kept": kept,
+            }
+        )
+
+    id_type = batch.schema[id_col].dataType.simpleString()
+    return both.groupBy("cluster").applyInPandas(
+        prune,
+        schema=(
+            f"`{id_col}` {id_type}, cluster int, "
+            "centroid_sim double, kept boolean"
+        ),
+    )
+
+
+def semdedup_index_append(
+    batch: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a new batch, then append it (verdicts AND vectors, kept or
+    not — dropped rows document provenance and keep the layout
+    re-buildable) to the cluster-partitioned index. Contract: batch ids
+    must be new to the index (append, not upsert — same rule as
+    ``ivf_index_append``). Returns the batch verdicts. The verdict is
+    materialized BEFORE the write so the returned frame cannot re-read
+    the index mid-append."""
+    verdict = semdedup_probe(batch, path, centroids, id_col, vec_col)
+    rows = (
+        verdict.join(batch.select(F.col(id_col), F.col(vec_col)), id_col)
+        .select(id_col, vec_col, "cluster", "centroid_sim", "kept")
+        .localCheckpoint(eager=True)
+    )
+    rows.write.mode("append").partitionBy("cluster").parquet(path)
+    return rows.select(id_col, "cluster", "centroid_sim", "kept")
+
+
 def semantic_dedup_filter(
     docs: DataFrame,
     verdict: DataFrame,

@@ -1,0 +1,105 @@
+"""Scaling probe for the r12 operators: distributed BPE training /
+encoding (operators/tokenizer.py) and SemDeDup semantic dedup
+(operators/semdedup.py).
+
+What the decades should show, by design:
+- ``train_bpe``: ONE corpus-sized shuffle (word_frequencies), then a
+  vocabulary-sized loop. The scaled corpora suffix every word per
+  replica, so the vocabulary ALSO grows ~linearly (31 -> 310 -> 3.1k ->
+  31k words) — the honest case, not a fixed-vocab freebie.
+- ``encode_bpe``: embarrassingly parallel Arrow batches with per-batch
+  word memoization — expect ~linear in corpus bytes.
+- ``semantic_dedup``: k-means assignment is linear; the prune is
+  Σ nᵢ² bounded by n_centroids ∝ N / target_cluster_size (the probe
+  sizes k that way, like the paper) — expect ~linear at fixed target
+  cluster size.
+
+Usage: python tools/newops_scale_probe.py SF_DIR [n_samples]
+Emits one JSON line per operator; median of n_samples after one
+untimed warm-up, loadavg bracketed per sample.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ethereum_analytical_db_spark.operators import semdedup, tokenizer
+from ethereum_analytical_db_spark.session import get_spark
+
+
+def timed(fn, n: int):
+    fn()  # warm-up, untimed
+    samples, loads = [], []
+    for _ in range(n):
+        l0 = os.getloadavg()[0]
+        t = time.time()
+        fn()
+        samples.append(time.time() - t)
+        loads.append((l0, os.getloadavg()[0]))
+    return samples, loads
+
+
+def emit(name: str, sf_dir: str, samples, loads, extra=None):
+    row = {
+        "op": name,
+        "sf_dir": sf_dir,
+        "median_sec": round(statistics.median(samples), 3),
+        "samples": [round(x, 3) for x in samples],
+        "loadavg_brackets": [[round(a, 2), round(b, 2)] for a, b in loads],
+    }
+    if extra:
+        row.update(extra)
+    print(json.dumps(row, separators=(",", ":")))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="newops_scale_probe", cpus=cpus)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # --- BPE train (10 merges, the registry shape)
+    samples, loads = timed(
+        lambda: tokenizer.train_bpe(docs, num_merges=10), n
+    )
+    vocab = tokenizer.word_frequencies(docs).count()
+    emit("bpe_train_10", sf_dir, samples, loads, {"n_docs": n_docs, "vocab": vocab})
+
+    # --- BPE encode with the learned table (count action: full decode,
+    # nothing collected)
+    merges = tokenizer.train_bpe(docs, num_merges=10)
+    samples, loads = timed(
+        lambda: tokenizer.encode_bpe(docs, merges).count(), n
+    )
+    emit("bpe_encode", sf_dir, samples, loads, {"n_docs": n_docs})
+
+    # --- SemDeDup, k sized to ~2000-vector clusters (paper discipline)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    k = max(8, n_vec // 2000)
+    samples, loads = timed(
+        lambda: semdedup.semantic_dedup(
+            emb, threshold=0.97, n_centroids=k, iterations=2
+        ).count(),
+        n,
+    )
+    emit(
+        "semantic_dedup",
+        sf_dir,
+        samples,
+        loads,
+        {"n_vectors": n_vec, "n_centroids": k},
+    )
+
+
+if __name__ == "__main__":
+    main()
