@@ -55,6 +55,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     max_cluster_rows: int = 200_000,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Per-vector keep/drop verdict → (id, cluster, centroid_sim,
     kept). ``centroid_sim`` is cosine(vector, its cluster centroid);
@@ -63,13 +64,32 @@ def semantic_dedup(
     ``threshold`` with it. Zero-norm vectors get centroid_sim 0.0 and
     are always kept (cosine with anything is 0). Pass pre-trained
     ``centroids`` to skip training (the production path — train once
-    per corpus snapshot, reuse across reruns)."""
+    per corpus snapshot, reuse across reruns).
+
+    ``train_fraction``: train the k-means quantizer on a deterministic
+    xxhash subsample (the SemDeDup paper trains its quantizer on a
+    subset too). Each Lloyd iteration costs a full n·k·d assignment
+    pass; with k ∝ N (the paper's cluster-size discipline) that term
+    dominates the decades, and sampling cuts every TRAINING pass to
+    n·s·k·d while the one final assignment stays exact. Different
+    samples give (slightly) different centroids — verdicts shift at
+    cluster boundaries, quality does not (k-means is fit on the same
+    distribution); determinism for a given fraction is preserved."""
     import numpy as np
     import pandas as pd
 
     if centroids is None:
+        train_src = embeddings
+        if train_fraction is not None and train_fraction < 1.0:
+            mod = max(2, int(round(1.0 / train_fraction)))
+            train_src = embeddings.filter(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)
+                )
+                == 0
+            )
         centroids = ivf_train_centroids(
-            embeddings, n_centroids, iterations, id_col, vec_col
+            train_src, n_centroids, iterations, id_col, vec_col
         )
     assigned = _assign_clusters(embeddings, centroids, id_col, vec_col)
 

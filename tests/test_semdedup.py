@@ -323,3 +323,51 @@ def test_planted_cross_batch_duplicates_dropped(spark, served):
             assert not out[dup_id]
             checked += 1
     assert checked >= 1  # the fixture really exercised the resident hit
+
+
+def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):
+    """Sampled-quantizer training: deterministic for a fixed fraction,
+    same output shape/coverage; with fraction=1.0 it is byte-identical
+    to the unsampled path."""
+    a = sorted(
+        map(
+            tuple,
+            semdedup.semantic_dedup(
+                emb, 0.9, n_centroids=5, iterations=2, train_fraction=0.5
+            )
+            .select("vec_id", "cluster", "kept")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            semdedup.semantic_dedup(
+                emb.repartition(9), 0.9, n_centroids=5, iterations=2,
+                train_fraction=0.5,
+            )
+            .select("vec_id", "cluster", "kept")
+            .collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == 126
+    full = sorted(
+        map(
+            tuple,
+            semdedup.semantic_dedup(
+                emb, 0.9, n_centroids=5, iterations=2, train_fraction=1.0
+            )
+            .select("vec_id", "cluster", "kept")
+            .collect(),
+        )
+    )
+    unsampled = sorted(
+        map(
+            tuple,
+            semdedup.semantic_dedup(emb, 0.9, n_centroids=5, iterations=2)
+            .select("vec_id", "cluster", "kept")
+            .collect(),
+        )
+    )
+    assert full == unsampled
