@@ -4,7 +4,8 @@ large-scale pipelines run them (dedup before expensive scoring; model-
 based filters after cheap heuristics; decontamination and PII last so
 they see only surviving text; balance/split at the very end).
 
-    exact dedup → [exact-substring span dedup] → within-doc line dedup →
+    exact dedup → [semantic (embedding) dedup] →
+    [exact-substring span dedup] → within-doc line dedup →
     heuristic quality filter → language filter → LM perplexity filter →
     benchmark decontamination → PII scrub → stratified balance →
     train/valid/test split
@@ -71,6 +72,11 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     substring_dedup_k: int | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    semantic_centroids: int = 16,
+    embedding_id_col: str = "vec_id",
+    embedding_vec_col: str = "embedding",
     min_tokens: int = 5,
     max_repetition: float = 0.6,
     langs: list[str] | None = None,
@@ -93,6 +99,14 @@ def clean_corpus(
       scoring so downstream stages never see the repeated spans
       (skipped when None). Spans removed, not docs: row count is
       unchanged, so the stage's audit line is informational.
+    - ``embeddings`` + ``semantic_threshold``: SemDeDup semantic dedup
+      (operators/semdedup.py) right after the exact dedup — drop docs
+      whose embedding is near-duplicate of a kept one, judged only over
+      the embeddings of SURVIVING docs (``embedding_id_col`` must carry
+      the same ids as ``id_col``). Docs without an embedding row pass
+      through unjudged (can't score what wasn't embedded — documented,
+      not silent: the stage's audit line shows what it saw). Skipped
+      unless BOTH are given.
     - ``benchmark``: eval-set rows with ``text_col`` → 8-gram
       decontamination (skipped when None).
     - ``langs``: whitelist for the heuristic language ID (skipped when
@@ -161,6 +175,29 @@ def clean_corpus(
             F.col("canonical_id").alias(id_col)
         )
         cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
+
+        if embeddings is not None and semantic_threshold is not None:
+            from .semdedup import semantic_dedup as _semantic_dedup
+
+            # judge only embeddings of docs that survived so far; the
+            # semi-join keys embeddings by the doc id they describe
+            emb_surv = embeddings.join(
+                cur.select(F.col(id_col).alias(embedding_id_col)),
+                embedding_id_col,
+                "left_semi",
+            )
+            dropped = (
+                _semantic_dedup(
+                    emb_surv,
+                    threshold=semantic_threshold,
+                    n_centroids=semantic_centroids,
+                    id_col=embedding_id_col,
+                    vec_col=embedding_vec_col,
+                )
+                .filter(~F.col("kept"))
+                .select(F.col(embedding_id_col).alias(id_col))
+            )
+            cur = mark("semantic_dedup", cur.join(dropped, id_col, "left_anti"))
 
         if substring_dedup_k is not None:
             deduped = exact_substring_dedup(

@@ -320,3 +320,46 @@ def test_clean_corpus_duckdb_full_chain_parity(spark):
     assert want_stages["decontaminate"] < want_stages["perplexity_filter"]
     assert want_stages["balance"] < want_stages["decontaminate"]
     assert want_stages["exact_dedup"] <= want_stages["input"]
+
+
+def test_semantic_dedup_stage(spark):
+    """Optional SemDeDup stage: docs whose embeddings are exact
+    duplicates reduce to one; docs WITHOUT an embedding row pass
+    through unjudged; the stage is absent when the knobs are not
+    given."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = {i: [float(x) for x in rng.randn(6)] for i in range(8)}
+    vecs[6] = vecs[0]  # doc 6 is a semantic clone of doc 0
+    vecs[7] = vecs[1]  # doc 7 of doc 1
+    docs = spark.createDataFrame(
+        [(i, f"unique text body number {i} with enough tokens here")
+         for i in range(10)],  # docs 8/9 have NO embedding
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    report = clean_corpus(
+        docs,
+        embeddings=emb,
+        semantic_threshold=0.999,
+        semantic_centroids=2,
+        min_tokens=1,
+    )
+    names = [n for n, _ in report.stages]
+    assert "semantic_dedup" in names
+    kept_ids = {r["doc_id"] for r in report.df.select("doc_id").collect()}
+    # exactly one of each clone pair survives
+    assert len({0, 6} & kept_ids) == 1
+    assert len({1, 7} & kept_ids) == 1
+    # unembedded docs pass through
+    assert {8, 9} <= kept_ids
+    report.release()
+
+    # knobs absent -> stage absent, nothing dropped semantically
+    report2 = clean_corpus(docs, min_tokens=1)
+    assert "semantic_dedup" not in [n for n, _ in report2.stages]
+    assert report2.df.count() == 10
+    report2.release()
