@@ -8,9 +8,13 @@ The LLM-data pack's full path as one runnable script over the synthetic
         --seq-len 1024 --shard-rows 5000 --substring-k 8 --gzip
 
 Stages (each an already-scale-audited operator — see SCALE.md):
-1. ``clean_corpus``: exact dedup → exact-substring span dedup →
-   line dedup → quality filter → language ID → PII scrub → split,
-   with per-stage survival counts printed as the audit trail.
+1. ``clean_corpus``: exact dedup → [SemDeDup semantic dedup over the
+   embeddings table, ``--semantic-threshold``] → exact-substring span
+   dedup → line dedup → quality filter → language ID → PII scrub →
+   split, with per-stage survival counts printed as the audit trail.
+   ``--bpe-merges N`` additionally trains a BPE tokenizer on the
+   cleaned corpus (operators/tokenizer.py) and ships the merge table
+   next to the shards.
 2. ``pack_sequences``: best-fit-decreasing sample packing to the token
    budget, per-split; fill-ratio summary printed. ``--chunk-overlap N``
    first splits over-window documents into overlapping chunks
@@ -49,6 +53,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--gzip", action="store_true")
     p.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=None,
+        help="SemDeDup semantic dedup over <sf_dir>/embeddings.parquet "
+        "(vec_id = doc_id): drop docs whose embedding near-duplicates a "
+        "kept one; docs without an embedding row pass through",
+    )
+    p.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="train a BPE tokenizer (this many merges) on the CLEANED "
+        "corpus, write the merge table to <out_dir>/bpe_merges.parquet, "
+        "and report the encoded token count",
+    )
+    p.add_argument(
         "--epoch-salt",
         default=None,
         help="ship a deterministic epoch shuffle (sequences in "
@@ -78,14 +98,43 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
+    clean_kw = {}
+    if args.semantic_threshold is not None:
+        clean_kw["embeddings"] = spark.read.parquet(
+            os.path.join(args.sf_dir, "embeddings.parquet")
+        )
+        clean_kw["semantic_threshold"] = args.semantic_threshold
     report = clean_corpus(
         docs,
         substring_dedup_k=args.substring_k,
         min_tokens=args.min_tokens,
+        **clean_kw,
     )
     print("cleaning audit trail:")
     for name, rows in report.stages:
         print(f"  {name:>18}: {rows} rows")
+
+    if args.bpe_merges is not None:
+        from ethereum_analytical_db_spark.operators.tokenizer import (
+            encode_bpe,
+            merge_table,
+            train_bpe,
+        )
+
+        merges = train_bpe(report.df, num_merges=args.bpe_merges)
+        merge_table(spark, merges).write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "bpe_merges.parquet")
+        )
+        n_tok = (
+            encode_bpe(report.df, merges)
+            .agg(F.sum("n_tokens").alias("t"))
+            .first()["t"]
+        )
+        head = ", ".join(f"{l}+{r}" for l, r, _ in merges[:5])
+        print(
+            f"bpe: {len(merges)} merges trained on the cleaned corpus "
+            f"(head: {head}); {n_tok} encoded tokens"
+        )
 
     try:
         total_shards = 0
