@@ -1,7 +1,10 @@
 """Chain-shaped scalar-function queries over the synthetic tables:
-hex words are synthesized from integer keys, decoded with the engine's
-F1/F2 expressions, and the oracle verifies against direct arithmetic —
-proving the decode itself, not just string plumbing.
+hex words / calldata / trace trees are synthesized from integer keys,
+decoded with the engine's expressions (F6 hex→ether, F9 ABI decode,
+X4/X5 trace ops, the W2/T7 reorg serve path), and each oracle verifies
+against direct arithmetic — proving the decode itself, not just string
+plumbing. The F1/F10 uint256+clamp decodes moved to
+derived_token_transactions in the r12 fold #3 (comment below).
 """
 
 from __future__ import annotations
