@@ -106,7 +106,8 @@ def clean_corpus(
       the same ids as ``id_col``). Docs without an embedding row pass
       through unjudged (can't score what wasn't embedded — documented,
       not silent: the stage's audit line shows what it saw). Skipped
-      unless BOTH are given.
+      when both are None; ONE without the other raises (a silent skip
+      would ship near-duplicates with no signal).
     - ``benchmark``: eval-set rows with ``text_col`` → 8-gram
       decontamination (skipped when None).
     - ``langs``: whitelist for the heuristic language ID (skipped when
@@ -176,6 +177,15 @@ def clean_corpus(
         )
         cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
 
+        if (embeddings is None) != (semantic_threshold is None):
+            # the mirror misconfiguration: one knob without the other
+            # would silently disable the stage (same bug class as
+            # SyncPipeline's compact_tables-without-compact_every)
+            raise ValueError(
+                "semantic dedup needs BOTH embeddings and "
+                "semantic_threshold — got only "
+                + ("embeddings" if embeddings is not None else "semantic_threshold")
+            )
         if embeddings is not None and semantic_threshold is not None:
             from .semdedup import semantic_dedup as _semantic_dedup
 

@@ -731,6 +731,68 @@ def fold_pairs_gens(spark, path: str, current_batch: int) -> list[int]:
     return sorted(live)
 
 
+def migrate_pairs_layout(spark, path: str) -> list[int]:
+    """One-time upgrade of a pre-r12 pairs log (``batch=<k>`` partition
+    dirs, batch encoded ONLY in the dir name) to the generational
+    layout (``gen=b<k>`` dirs with ``batch`` as a data column). Without
+    this, a mixed root fails Spark partition discovery outright
+    ('Conflicting partition column names': batch vs gen) and the
+    replay-hygiene sweep (:func:`drop_stale_pair_gens`) would never
+    match the old names.
+
+    Called from the stream's per-batch preamble (a no-op listing in
+    steady state). Each legacy dir is rewritten with its ``batch``
+    value materialized as a column into a dot-prefixed tmp (invisible
+    to discovery), renamed to ``gen=b<k>``, then the legacy dir is
+    deleted — the same crash protocol as :func:`fold_pairs_gens`. A
+    crash between rename and source-delete leaves both dirs; this runs
+    BEFORE any new-era write, so a coexisting ``gen=b<k>`` proves the
+    migration of ``batch=<k>`` already completed and the legacy dir is
+    simply deleted on resume. Returns the migrated batch ids."""
+    from .. import fsutil
+
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    legacy: list[int] = []
+    names = {st.getPath().getName() for st in fs.listStatus(jpath)}
+    for name in names:
+        if name.startswith("batch="):
+            try:
+                legacy.append(int(name[len("batch="):]))
+            except ValueError:
+                continue
+    if not legacy:
+        return []
+    _LOG.warning(
+        "migrate_pairs_layout(%s): upgrading legacy batch= dirs %s to "
+        "the generational gen=b<k> layout",
+        path, sorted(legacy),
+    )
+    for k in sorted(legacy):
+        src = f"{path}/batch={k}"
+        dst = f"{path}/gen=b{k}"
+        if f"gen=b{k}" in names:
+            # rename completed in a previous (crashed) migration; only
+            # the source-delete is outstanding
+            fsutil.delete(spark, src)
+            continue
+        tmp = f"{path}/.compact.gen=b{k}"
+        fsutil.delete(spark, tmp)
+        from pyspark.sql import functions as F  # local: keep module top light
+
+        spark.read.parquet(src).withColumn(
+            "batch", F.lit(k).cast("long")
+        ).coalesce(1).write.parquet(tmp)
+        if not fsutil.rename(spark, tmp, dst):
+            raise IOError(
+                f"pairs migration: rename {tmp} -> {dst} failed; legacy "
+                "dir left untouched"
+            )
+        fsutil.delete(spark, src)
+    return sorted(legacy)
+
+
 def drop_stale_batch_dirs(spark, path: str, batch_id: int) -> list[int]:
     """Delete ``batch=<id>`` directories with ``id >= batch_id`` from a
     stream-owned layout. Normal serial streaming never has one (batches

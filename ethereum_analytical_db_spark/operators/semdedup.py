@@ -91,7 +91,21 @@ def semantic_dedup(
         centroids = ivf_train_centroids(
             train_src, n_centroids, iterations, id_col, vec_col
         )
-    assigned = _assign_clusters(embeddings, centroids, id_col, vec_col)
+    if not centroids:
+        # empty corpus (or empty training sample): no clusters exist —
+        # return an empty verdict with the contract schema instead of
+        # letting numpy raise an opaque AxisError on a 0×0 matrix
+        id_type = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            f"`{id_col}` {id_type}, cluster int, "
+            "centroid_sim double, kept boolean",
+        )
+    # persist: the size census below and the prune pass both need the
+    # full n·k·d assignment — uncached, the most expensive scan of the
+    # operator would run twice. Handed back to Spark's LRU (same policy
+    # as the lm_perplexity model tables).
+    assigned = _assign_clusters(embeddings, centroids, id_col, vec_col).persist()
 
     # deterministic split of runaway clusters: salt by the VECTOR hash
     # (not the id) so exact duplicates always share a subcluster; the
@@ -281,7 +295,9 @@ def semdedup_probe(
     meta = _validate_semdedup_meta(spark, path, centroids, threshold)
     thr = float(meta["threshold"])
 
-    assigned = _assign_clusters(batch, centroids, id_col, vec_col)
+    # persist: the touched-cluster census and the union below both need
+    # the batch assignment — uncached, the gemm would run twice
+    assigned = _assign_clusters(batch, centroids, id_col, vec_col).persist()
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
@@ -331,24 +347,38 @@ def semdedup_probe(
         csim = np.where(nn == 0.0, 0.0, csim)
         order = np.lexsort((new[id_col].to_numpy(), csim))
         u = un[order].astype(np.float32)
+        n_new = len(new)
 
+        # resident hits, slabbed BOTH ways: kept residents per cluster
+        # are unbounded (salt subclusters of the one-shot write share
+        # one cluster partition), so a single n_new × n_res matrix
+        # could be tens of GB on exactly the skewed corpora the salt
+        # guard exists for — peak here is _BLOCK × _BLOCK float32
+        hit_res = np.zeros(n_new, dtype=bool)
         if len(res):
             ur, _ = unit_rows(res)
-            s_res = u @ ur.astype(np.float32).T
-            hit_res = (s_res >= thr - 1e-6).any(axis=1)
-        else:
-            hit_res = np.zeros(len(new), dtype=bool)
-        t = u @ u.T
-        kept_idx: list[int] = []
-        dropped = np.zeros(len(new), dtype=bool)
-        for i in range(len(new)):
+            ur32 = ur.astype(np.float32)
+            for lo in range(0, n_new, _BLOCK):
+                hi = min(lo + _BLOCK, n_new)
+                for rlo in range(0, len(ur32), _BLOCK):
+                    rhi = min(rlo + _BLOCK, len(ur32))
+                    s = u[lo:hi] @ ur32[rlo:rhi].T
+                    hit_res[lo:hi] |= (s >= thr - 1e-6).any(axis=1)
+        # greedy among the new points: sims only against the KEPT
+        # prefix, accumulated into a preallocated matrix — no n_new²
+        # similarity matrix is ever materialized
+        kept_mat = np.empty((n_new, u.shape[1]), dtype=np.float32)
+        n_kept = 0
+        dropped = np.zeros(n_new, dtype=bool)
+        for i in range(n_new):
             if hit_res[i] or (
-                kept_idx and (t[i, kept_idx] >= thr - 1e-6).any()
+                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - 1e-6).any()
             ):
                 dropped[i] = True
             else:
-                kept_idx.append(i)
-        kept = np.ones(len(new), dtype=bool)
+                kept_mat[n_kept] = u[i]
+                n_kept += 1
+        kept = np.ones(n_new, dtype=bool)
         kept[order] = ~dropped
         return pd.DataFrame(
             {

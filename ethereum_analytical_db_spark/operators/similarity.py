@@ -638,6 +638,12 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if not centroids:
+        # empty input: no Lloyd iteration is definable — return the
+        # empty centroid set (callers decide whether that is an error;
+        # semantic_dedup returns an empty verdict for it) instead of
+        # letting numpy raise an opaque AxisError on a 0-d matrix
+        return centroids
     for _ in range(iterations):
         assigned = _assign_clusters(embeddings, centroids, id_col, vec_col).select(
             F.col("cluster").alias("__cluster"),

@@ -296,7 +296,11 @@ def encode_bpe(
                 continue
             memo: dict[str, list[str]] = {}
 
-            def enc_text(text: str) -> list[str]:
+            def enc_text(text) -> list[str]:
+                # NULL text tolerated as empty, matching the training
+                # side (word_frequencies drops it via split(NULL)→NULL)
+                if not isinstance(text, str):
+                    return []
                 toks: list[str] = []
                 for w in text.split(" "):
                     if not w:

@@ -134,8 +134,12 @@ def near_dedup_stream(
     is bounded by folds + cadence instead of growing one dir per
     micro-batch forever (~0.5 M dirs/year at a batch a minute), while
     each pairs row is rewritten at most once ever. Default None never
-    compacts (run ``compact_index``/``compact_pairs_dirs`` out-of-band
-    instead).
+    compacts (run ``compact_index``/``fold_pairs_gens`` out-of-band
+    instead — NOT the warehouse-era ``compact_pairs_dirs``, which scans
+    ``batch=`` dirs and is a silent no-op on the generational layout).
+    A pre-r12 pairs log (``batch=<k>`` partition dirs) is upgraded in
+    place by ``migrate_pairs_layout``, called from the per-batch
+    preamble — without it a mixed root fails Spark partition discovery.
 
     State design: unlike ``dedup_exact_stream``, the dedup state lives
     in the INDEX (Parquet on the warehouse filesystem), not in Spark
@@ -278,6 +282,10 @@ def near_dedup_stream(
             d._recover_precompact(spark, index_path)
             d._recover_pair_dir_swaps(spark, pairs_path)
             d._recover_pair_fold(spark, pairs_path)
+            # pre-r12 pairs logs (batch=<k> partition dirs) upgrade in
+            # place to the generational layout — a mixed root would
+            # fail partition discovery and evade the stale-gen sweep
+            d.migrate_pairs_layout(spark, pairs_path)
 
             # replay/retry hygiene: drop batch dirs / pair generations
             # at/after this batch's id. A from-scratch replay (checkpoint

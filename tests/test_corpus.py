@@ -363,3 +363,35 @@ def test_semantic_dedup_stage(spark):
     assert "semantic_dedup" not in [n for n, _ in report2.stages]
     assert report2.df.count() == 10
     report2.release()
+
+
+def test_semantic_knob_mirror_misconfiguration_raises(spark):
+    docs = spark.createDataFrame(
+        [(0, "some text with tokens")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="BOTH embeddings and"):
+        clean_corpus(docs, embeddings=emb, min_tokens=1)
+    with pytest.raises(ValueError, match="BOTH embeddings and"):
+        clean_corpus(docs, semantic_threshold=0.9, min_tokens=1)
+
+
+def test_semantic_stage_with_disjoint_embeddings_passes_all(spark):
+    """Embeddings whose ids don't overlap the docs: the semi-join is
+    empty, the verdict is empty, every doc passes — a clear no-op, not
+    a numpy crash."""
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} ok") for i in range(4)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    report = clean_corpus(
+        docs, embeddings=emb, semantic_threshold=0.9, min_tokens=1
+    )
+    assert dict(report.stages)["semantic_dedup"] == 4
+    report.release()

@@ -857,3 +857,52 @@ def test_compact_pairs_dirs_incremental_and_crash_safe(spark, tmp_path):
     assert not os.path.isdir(f"{pairs}/.precompact.batch=2")
     assert not os.path.isdir(f"{pairs}/.compact.batch=9")
     assert spark.read.parquet(pairs).count() == rows.count() * 4
+
+
+def test_migrate_pairs_layout_upgrades_legacy_batch_dirs(spark, tmp_path):
+    """A pre-r12 pairs log (batch=<k> PARTITION dirs — batch encoded
+    only in the dir name, absent from the files) upgrades in place to
+    the generational layout: batch materialized as a data column,
+    gen=b<k> dirs, legacy dirs gone, the mixed-root partition-discovery
+    failure impossible. The crash window (rename done, source delete
+    pending) resolves by deleting the legacy dir without a rewrite."""
+    import glob
+    import os
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    pairs = str(tmp_path / "pairs")
+    for b in range(2):
+        # legacy layout: files DO NOT carry the batch column
+        spark.createDataFrame(
+            [(1, 100 + b, "x"), (2, 200 + b, "y")],
+            "doc_a long, doc_b long, digest string",
+        ).write.parquet(f"{pairs}/batch={b}")
+
+    assert dedup.migrate_pairs_layout(spark, pairs) == [0, 1]
+    assert not glob.glob(f"{pairs}/batch=*")
+    gens = sorted(os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*"))
+    assert gens == ["gen=b0", "gen=b1"]
+    got = spark.read.parquet(pairs)
+    assert sorted((r["batch"], r["doc_b"]) for r in got.collect()) == [
+        (0, 100), (0, 200), (1, 101), (1, 201),
+    ]
+
+    # steady state: nothing legacy → no-op listing
+    assert dedup.migrate_pairs_layout(spark, pairs) == []
+
+    # crash window: rename completed, source delete crashed — both
+    # dirs coexist; resume deletes the legacy dir, no duplicate rows
+    spark.createDataFrame(
+        [(9, 9, "z")], "doc_a long, doc_b long, digest string"
+    ).write.parquet(f"{pairs}/batch=1")
+    assert dedup.migrate_pairs_layout(spark, pairs) == [1]
+    assert not glob.glob(f"{pairs}/batch=*")
+    assert spark.read.parquet(pairs).count() == 4
+
+    # the migrated layout folds and sweeps like a native one
+    assert dedup.fold_pairs_gens(spark, pairs, 2) == [0, 1]
+    assert sorted(
+        os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*")
+    ) == ["gen=f1"]
+    assert spark.read.parquet(pairs).count() == 4

@@ -371,3 +371,28 @@ def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):
         )
     )
     assert full == unsampled
+
+
+def test_empty_embeddings_returns_empty_verdict(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semdedup.semantic_dedup(df, threshold=0.9, n_centroids=4, iterations=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "cluster", "centroid_sim", "kept"}
+
+
+def test_probe_blocked_gemm_matches_unblocked(spark, served, monkeypatch):
+    """Forcing the probe's slab size to 3 must not change a single
+    verdict — the blocked resident/greedy path is pure evaluation
+    order."""
+    path, centroids, batches = served
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    base = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup.semdedup_probe(df, path, centroids).collect()
+    }
+    monkeypatch.setattr(semdedup, "_BLOCK", 3)
+    small = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup.semdedup_probe(df, path, centroids).collect()
+    }
+    assert base == small

@@ -224,3 +224,15 @@ def test_bpe_vocabulary_covers_encoded_tokens(spark, docs):
         for t in r["bpe_tokens"]
     }
     assert emitted <= vocab
+
+
+def test_encode_tolerates_null_text(spark):
+    """NULL text encodes as an empty token list — consistent with the
+    training side, which silently drops it (split(NULL) -> NULL)."""
+    df = spark.createDataFrame(
+        [(0, "ab ab"), (1, None)], "doc_id long, text string"
+    )
+    merges = tokenizer.train_bpe(df, num_merges=2, min_freq=1)
+    out = {r["doc_id"]: r for r in tokenizer.encode_bpe(df, merges).collect()}
+    assert out[1]["bpe_tokens"] == [] and out[1]["n_tokens"] == 0
+    assert out[0]["n_tokens"] >= 1
