@@ -141,6 +141,19 @@ def clean_corpus(
     ok = False
     last_t = [time.perf_counter()]  # previous stage boundary (stats mode)
 
+    if (embeddings is None) != (semantic_threshold is None):
+        # the mirror misconfiguration: one knob without the other would
+        # silently disable the stage (same bug class as SyncPipeline's
+        # compact_tables-without-compact_every). Checked BEFORE any
+        # stage executes — r12 advisor find: raising after the input
+        # and exact-dedup counts had already run charged two
+        # corpus-sized Spark actions for a config error.
+        raise ValueError(
+            "semantic dedup needs BOTH embeddings and "
+            "semantic_threshold — got only "
+            + ("embeddings" if embeddings is not None else "semantic_threshold")
+        )
+
     def mark(name: str, df: DataFrame, cache: bool = True) -> DataFrame:
         if collect_stats:
             # cache stage N, count it (materializing from N-1's cache),
@@ -177,15 +190,6 @@ def clean_corpus(
         )
         cur = mark("exact_dedup", cur.join(canon, id_col, "left_semi"))
 
-        if (embeddings is None) != (semantic_threshold is None):
-            # the mirror misconfiguration: one knob without the other
-            # would silently disable the stage (same bug class as
-            # SyncPipeline's compact_tables-without-compact_every)
-            raise ValueError(
-                "semantic dedup needs BOTH embeddings and "
-                "semantic_threshold — got only "
-                + ("embeddings" if embeddings is not None else "semantic_threshold")
-            )
         if embeddings is not None and semantic_threshold is not None:
             from .semdedup import semantic_dedup as _semantic_dedup
 

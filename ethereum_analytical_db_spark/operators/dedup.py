@@ -781,8 +781,15 @@ def migrate_pairs_layout(spark, path: str) -> list[int]:
         fsutil.delete(spark, tmp)
         from pyspark.sql import functions as F  # local: keep module top light
 
+        # batch must be written with the SAME physical type the stream's
+        # new-era gens use (F.lit(batch_id) -> INT32): a root mixing
+        # INT32 and INT64 footers for one column fails reads with
+        # PARQUET_COLUMN_DATA_TYPE_MISMATCH whenever the int-typed
+        # footer wins schema inference — recreating the mixed-root
+        # failure this migration exists to prevent (r12 advisor find,
+        # pinned by test_migrated_and_native_gens_fold_and_read).
         spark.read.parquet(src).withColumn(
-            "batch", F.lit(k).cast("long")
+            "batch", F.lit(k).cast("int")
         ).coalesce(1).write.parquet(tmp)
         if not fsutil.rename(spark, tmp, dst):
             raise IOError(

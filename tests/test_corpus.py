@@ -377,6 +377,17 @@ def test_semantic_knob_mirror_misconfiguration_raises(spark):
     with pytest.raises(ValueError, match="BOTH embeddings and"):
         clean_corpus(docs, semantic_threshold=0.9, min_tokens=1)
 
+    # the check fires BEFORE any stage executes (r12 advisor find: it
+    # used to run after two corpus-sized counts): a poison frame that
+    # raises on any action must still produce the config ValueError,
+    # not the runtime error
+    poison = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("raise_error('must not execute')").cast("string").alias("text"),
+    )
+    with pytest.raises(ValueError, match="BOTH embeddings and"):
+        clean_corpus(poison, semantic_threshold=0.9, min_tokens=1)
+
 
 def test_semantic_stage_with_disjoint_embeddings_passes_all(spark):
     """Embeddings whose ids don't overlap the docs: the semi-join is

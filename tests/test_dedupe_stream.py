@@ -906,3 +906,57 @@ def test_migrate_pairs_layout_upgrades_legacy_batch_dirs(spark, tmp_path):
         os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*")
     ) == ["gen=f1"]
     assert spark.read.parquet(pairs).count() == 4
+
+
+def test_migrated_and_native_gens_fold_and_read(spark, tmp_path):
+    """A root mixing MIGRATED gens (written by migrate_pairs_layout)
+    with NATIVE new-era gens (written by the stream, batch =
+    F.lit(batch_id) -> INT32) must read and fold cleanly. r12 advisor
+    find: the migration wrote batch as INT64 while the stream writes
+    INT32 — one column with two parquet physical types across footers
+    fails reads with PARQUET_COLUMN_DATA_TYPE_MISMATCH whenever an
+    int-typed footer wins schema inference. Pinned here by folding a
+    root holding one of each and reading it back both ways."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    pairs = str(tmp_path / "pairs")
+    # gen=b0 arrives via migration of a legacy batch=0 dir
+    spark.createDataFrame(
+        [(1, 100, "x")], "doc_a long, doc_b long, digest string"
+    ).write.parquet(f"{pairs}/batch=0")
+    assert dedup.migrate_pairs_layout(spark, pairs) == [0]
+    # gen=b1 arrives natively, the stream's exact write shape
+    (
+        spark.createDataFrame(
+            [(2, 200, "y")], "doc_a long, doc_b long, digest string"
+        )
+        .withColumn("batch", F.lit(1))
+        .withColumn("gen", F.lit("b1"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(pairs)
+    )
+
+    # mixed root reads whole (both footer orders are exercised by the
+    # fold below, which unions the raw partition dirs directly)
+    got = spark.read.parquet(pairs)
+    assert got.schema["batch"].dataType.simpleString() == "int"
+    assert got.count() == 2
+
+    # the fold reads BOTH gens' files in one plan — the exact spot the
+    # INT32/INT64 mix blew up — and the folded root reads back whole
+    assert dedup.fold_pairs_gens(spark, pairs, 2) == [0, 1]
+    assert sorted(
+        os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*")
+    ) == ["gen=f1"]
+    folded = spark.read.parquet(pairs)
+    assert folded.schema["batch"].dataType.simpleString() == "int"
+    assert sorted((r["batch"], r["doc_b"]) for r in folded.collect()) == [
+        (0, 100), (1, 200),
+    ]
