@@ -15,16 +15,27 @@ Scale design (the part that matters at 100 TB):
   billions). Everything after runs on that reduction; this is the same
   trick Sennrich's reference trainer uses in one process, expressed as
   one Spark aggregation.
-- each training iteration is a pair-count aggregation over the
+- the merge loop runs on the REDUCTION, and the reduction is
+  vocabulary-sized by construction — which is why every production BPE
+  trainer (Sennrich's reference, HF tokenizers, SentencePiece) runs it
+  in one process. ``train_bpe`` therefore collects the (word, freq)
+  table to the driver when it fits a cell budget (``mode="auto"``,
+  the default) and runs the EXACT greedy loop locally with incremental
+  pair-count maintenance — 32k+ merges cost seconds of driver CPU and
+  ZERO additional Spark rounds, instead of one scheduled job per merge
+  (~0.27 s/round of pure scheduling latency → hours at a production
+  vocabulary; the r12 scale hole, closed in r13).
+- when the vocabulary genuinely exceeds the driver budget
+  (``mode="auto"`` over the threshold, or ``mode="distributed"``),
+  each training iteration is a pair-count aggregation over the
   vocabulary table (k·|V| work, one |pairs|-sized shuffle) plus a
-  driver-side argmax of ONE row — the merge table itself is
-  driver-sized by construction (``num_merges`` rows), so collecting
-  the winning pair per round is not a driver-side loop over data.
-- the per-iteration symbol-array rewrite is a pure JVM ``aggregate``
-  fold (no Python in the loop); lineage is cut every iteration via
-  ``operators/materialize.py`` (``local`` for speed, ``reliable`` for
-  clusters where executor loss is routine — same knob as the
-  connected-components loop in dedup).
+  driver-side argmax of ONE row; the per-iteration symbol-array
+  rewrite is a pure JVM ``aggregate`` fold (no Python in the loop);
+  lineage is cut every iteration via ``operators/materialize.py``
+  (``local`` for speed, ``reliable`` for clusters where executor loss
+  is routine — same knob as the connected-components loop in dedup).
+  Both paths are rank-for-rank identical — pinned by the cross-path
+  and pure-Python parity tests in tests/test_tokenizer.py.
 - ``encode_bpe`` is embarrassingly parallel: Arrow-batched pandas with
   the rank table broadcast, memoized per distinct word within each
   batch (vocabulary ≪ corpus, so most words encode via a dict hit).
@@ -50,7 +61,16 @@ def word_frequencies(
 ) -> DataFrame:
     """(word, freq): the corpus → vocabulary reduction — the one
     corpus-sized shuffle of the whole trainer. Empty tokens (leading /
-    trailing / doubled separators) are dropped."""
+    trailing / doubled separators) are dropped.
+
+    ``split`` is a REGEX (it feeds ``F.split``); the same value must be
+    passed to :func:`encode_bpe`, which applies it via Python ``re`` —
+    identical for the plain separators this is meant for (the default
+    single space, ``\\s+``, ``\\n``), though exotic patterns should
+    stick to the Java/Python-common regex subset. Training with one
+    separator and encoding with another silently diverges — the r12
+    advisor find that motivated threading the knob through both sides.
+    """
     return (
         docs.select(F.explode(F.split(F.col(text_col), split)).alias("word"))
         .filter(F.col("word") != "")
@@ -141,12 +161,106 @@ def apply_merge(sym_col, left: str, right: str) -> F.Column:
     return F.aggregate(sym, F.array().cast("array<string>"), step)
 
 
+def train_bpe_local(
+    words: list[tuple[str, int]],
+    num_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Exact greedy BPE over an in-memory (word, freq) table — the
+    driver-local engine behind ``train_bpe(mode="driver")``.
+
+    Same semantics as the sequential reference, made viable at real
+    vocabulary sizes by INCREMENTAL pair-count maintenance (Sennrich's
+    own trick): a merge re-scans only the words that contain the merged
+    pair (an inverted pair → word-ids index), and the argmax is a
+    lazy-deletion heap keyed (-freq, left, right) — exactly the
+    (freq DESC, left ASC, right ASC) tie-break the distributed path and
+    the parity tests pin. Python string comparison is code-point order,
+    which equals Spark's UTF8-binary string order for valid UTF-8, so
+    the tie-break agrees across paths. Per merge the cost is
+    O(occurrences touched · word length), not O(|vocab|): 1k+ merges
+    run in well under a second on a test vocabulary and a 32k-merge
+    production build is driver-seconds, with ZERO Spark rounds."""
+    import heapq
+
+    syms: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in words:
+        if w:
+            syms.append(list(w))
+            freqs.append(int(f))
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx in range(len(syms)):
+        s, f = syms[idx], freqs[idx]
+        for a, b in zip(s, s[1:]):
+            p = (a, b)
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negc, left, right = heapq.heappop(heap)
+        cur = pair_counts.get((left, right), 0)
+        if cur != -negc or cur <= 0:
+            continue  # stale entry: count changed since it was pushed
+        if cur < min_freq:
+            break  # valid heap top IS the global argmax; all below ≤ it
+        merges.append((left, right, cur))
+        pair = (left, right)
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        # a left-to-right non-overlapping pass removes EVERY occurrence
+        # of the merged pair (overlaps collapse into the merged token),
+        # so its membership set is consumed whole
+        for idx in where.pop(pair, ()):
+            s, f = syms[idx], freqs[idx]
+            old_pairs = list(zip(s, s[1:]))
+            out: list[str] = []
+            i, n = 0, len(s)
+            while i < n:
+                if i < n - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[idx] = out
+            new_pairs = list(zip(out, out[1:]))
+            for p in old_pairs:
+                pair_counts[p] -= f
+            for p in new_pairs:
+                pair_counts[p] = pair_counts.get(p, 0) + f
+            old_set, new_set = set(old_pairs), set(new_pairs)
+            for p in old_set - new_set:
+                s_ids = where.get(p)
+                if s_ids is not None:
+                    s_ids.discard(idx)
+            for p in new_set:
+                where.setdefault(p, set()).add(idx)
+            touched |= old_set | new_set
+        touched.discard(pair)
+        pair_counts.pop(pair, None)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                where.pop(p, None)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 32,
     text_col: str = "text",
     min_freq: int = 2,
     materialize: str = "local",
+    mode: str = "auto",
+    driver_max_cells: int = 20_000_000,
+    split: str = " ",
 ) -> list[tuple[str, str, int]]:
     """Greedy BPE training: ``num_merges`` rounds of (count pairs →
     argmax → rewrite symbols). Returns the learned merge table as
@@ -154,25 +268,56 @@ def train_bpe(
     construction. Stops early when the best remaining pair's frequency
     drops below ``min_freq`` (merging hapax pairs memorizes the corpus).
 
-    Each round is ONE Spark job: the lineage cut is lazy
-    (``eager=False``), so the round's argmax action realizes the
-    previous round's checkpoint and computes the pair-count top-1 in a
-    single pass over the vocabulary-sized symbol table. The corpus
-    itself is touched exactly once, in ``word_frequencies``."""
+    The corpus is touched exactly once (``word_frequencies``); the
+    merge loop runs on the vocabulary-sized reduction. ``mode`` picks
+    where that loop runs:
+
+    - ``"driver"``: collect the (word, freq) table and run the exact
+      local loop (:func:`train_bpe_local`) — zero Spark rounds in the
+      loop, so a 32k-merge production vocabulary costs driver-seconds
+      instead of hours of per-round job scheduling. This is what every
+      single-process BPE trainer does; the reduction is the same one
+      they hold in memory.
+    - ``"distributed"``: one vocabulary-sized Spark job per merge
+      (pair-count top-1 + JVM ``aggregate``-fold rewrite, lazy lineage
+      cut via ``materialize``). The fallback for vocabularies too large
+      to collect — viable for modest ``num_merges``, with the
+      documented ~0.27 s/round scheduling floor.
+    - ``"auto"`` (default): driver iff the symbol table fits
+      ``driver_max_cells`` total characters (cells ≈ list slots; the
+      default 20M is a few hundred MB of driver heap — raise it on a
+      big driver before falling back to distributed rounds).
+
+    Both paths produce rank-for-rank identical merges (same tie-break,
+    same non-overlapping fold) — pinned by tests/test_tokenizer.py."""
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"mode {mode!r}: expected 'auto', 'driver' or 'distributed'"
+        )
     wf = _materialize(
-        word_frequencies(docs, text_col).withColumn(
-            "symbols", char_symbols("word")
-        ),
-        materialize,
-        eager=False,
+        word_frequencies(docs, text_col, split), materialize, eager=False
     )
+    # one vocabulary-sized aggregate: realizes the lazy checkpoint and
+    # yields both the row count (distributed loop's parallelism sizing)
+    # and the cell count (the driver-fit decision)
+    stats = wf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("cells"),
+    ).first()
+    n_vocab, cells = int(stats["n"]), int(stats["cells"])
+    if mode == "driver" or (mode == "auto" and cells <= driver_max_cells):
+        rows = wf.collect()  # vocabulary-sized by construction
+        return train_bpe_local(
+            [(r["word"], r["freq"]) for r in rows], num_merges, min_freq
+        )
+
+    wf = wf.withColumn("symbols", char_symbols("word"))
     # right-size the loop's parallelism to the VOCABULARY (the corpus
     # shuffle above inherited spark.sql.shuffle.partitions — 31 distinct
     # words across 32 tasks would pay 16 rounds of empty-task scheduling;
     # a billion-word corpus with a 10M-word vocabulary gets ~150). The
-    # count also realizes the lazy checkpoint, so the coalesce below is
-    # a narrow op over pinned blocks.
-    n_vocab = wf.count()
+    # aggregate above realized the lazy checkpoint, so the coalesce below
+    # is a narrow op over pinned blocks.
     parts = max(
         1,
         min(
@@ -214,6 +359,7 @@ def bpe_vocabulary(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
+    split: str = " ",
 ) -> DataFrame:
     """The token vocabulary the learned tokenizer can emit: the corpus's
     distinct characters (every unmerged symbol is reachable) plus one
@@ -221,7 +367,7 @@ def bpe_vocabulary(
     table; the merge side is driver-sized by construction."""
     spark = docs.sparkSession
     chars = (
-        word_frequencies(docs, text_col)
+        word_frequencies(docs, text_col, split)
         .select(F.explode(char_symbols("word")).alias("token"))
         .distinct()
         .withColumn("source", F.lit("char"))
@@ -247,6 +393,7 @@ def encode_bpe(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    split: str = " ",
 ) -> DataFrame:
     """Apply a learned merge table to a corpus → (id, tokens,
     n_tokens). Arrow-batched pandas with the rank dict broadcast;
@@ -254,11 +401,20 @@ def encode_bpe(
     vocabulary is far smaller than the corpus, so almost every word is
     a dict hit). The per-word greedy loop (always merge the
     lowest-rank adjacent pair first) matches training replay exactly —
-    pinned by the round-trip test."""
+    pinned by the round-trip test.
+
+    ``split`` must be the SAME regex training used (see
+    :func:`word_frequencies`) — applied here via Python ``re``, with
+    the plain single-space default taking a fast literal path. Training
+    with one separator and encoding with another silently diverges (r12
+    advisor find)."""
+    import re
+
     import pandas as pd
 
     sc = docs.sparkSession.sparkContext
     ranks_bc = sc.broadcast({(l, r): i for i, (l, r, _) in enumerate(merges)})
+    sep_re = None if split == " " else re.compile(split)
 
     src = docs.select(F.col(id_col), F.col(text_col))
     id_type = src.schema[id_col].dataType.simpleString()
@@ -302,7 +458,10 @@ def encode_bpe(
                 if not isinstance(text, str):
                     return []
                 toks: list[str] = []
-                for w in text.split(" "):
+                words = (
+                    text.split(" ") if sep_re is None else sep_re.split(text)
+                )
+                for w in words:
                     if not w:
                         continue
                     got = memo.get(w)

@@ -1374,13 +1374,14 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # rows-only: the greedy argmax LOOP has no single-SQL oracle;
     # exact pure-Python parity (same tie-break, same fold semantics) is
     # pinned in tests/test_tokenizer.py
-    note="greedy BPE training end-to-end: 10 merge rounds of (vocab-"
-    "sized pair count -> one-row argmax -> JVM aggregate-fold rewrite), "
-    "returning the rank-ordered merge table the encode path replays; "
-    "each round costs ~0.27 s of Catalyst analysis + two tiny jobs "
-    "regardless of data size (the corpus is reduced to the vocabulary "
-    "before the loop), so the bench entry demonstrates the loop at 10 "
-    "rounds and the 20-round parity run lives in tests",
+    note="greedy BPE training end-to-end: ONE corpus-sized shuffle "
+    "reduces to the (word, freq) vocabulary table, then mode='auto' "
+    "runs the exact merge loop driver-locally (incremental pair counts "
+    "+ lazy-deletion heap — zero Spark rounds in the loop, the r13 fix "
+    "for the ~0.27 s/merge scheduling floor that made 32k-merge "
+    "vocabularies hours of driver latency); the distributed per-round "
+    "loop remains the over-budget fallback, rank-for-rank identical "
+    "(1500-merge parity + cross-path tests in tests/test_tokenizer.py)",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import tokenizer

@@ -137,11 +137,119 @@ def test_apply_merge_fold_semantics(spark):
 
 def test_train_bpe_exact_python_parity(spark, docs):
     """Merge table identical, rank for rank, to the sequential
-    reference — frequencies included."""
-    got = tokenizer.train_bpe(docs, num_merges=20)
+    reference — frequencies included. Both execution paths: the
+    driver-local loop (auto picks it — the table fits) and the
+    distributed per-round loop must agree with the reference AND each
+    other."""
     ref = py_train_bpe(CORPUS, num_merges=20)
+    got_auto = tokenizer.train_bpe(docs, num_merges=20)
+    got_driver = tokenizer.train_bpe(docs, num_merges=20, mode="driver")
+    got_dist = tokenizer.train_bpe(docs, num_merges=20, mode="distributed")
+    assert got_auto == ref
+    assert got_driver == ref
+    assert got_dist == ref
+    assert len(ref) >= 5  # the corpus supports a real merge sequence
+
+
+def _merge_rich_corpus() -> list[str]:
+    """~500 distinct pseudo-random words over a 4-letter alphabet with
+    Zipf-ish repetition — deep shared substructure, so the greedy
+    trainer can run 1000+ merges before pairs dry up. Deterministic
+    (seeded) so the parity assertion is stable."""
+    import random
+
+    rng = random.Random(1337)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(8, 14)))
+        for _ in range(500)
+    ]
+    texts = []
+    for i, w in enumerate(words):
+        # Zipf-ish: early words repeat more
+        texts.extend([w] * (1 + 500 // (i + 1)))
+    rng.shuffle(texts)
+    # pack into documents of ~20 words
+    return [
+        " ".join(texts[i : i + 20]) for i in range(0, len(texts), 20)
+    ]
+
+
+def test_train_bpe_local_1k_merge_parity():
+    """The incremental-heap local trainer is rank-for-rank identical to
+    the naive full-rescan reference over 1000+ merges (min_freq=1 so
+    the sequence runs deep) — the r12 VERDICT's bar for closing the
+    trainer's round-count scale hole. Pure-Python on both sides: no
+    Spark in this test."""
+    texts = _merge_rich_corpus()
+    wf = list(py_word_freq(texts).items())
+    ref = py_train_bpe(texts, num_merges=1500, min_freq=1)
+    got = tokenizer.train_bpe_local(wf, num_merges=1500, min_freq=1)
+    assert len(ref) >= 1000, len(ref)
     assert got == ref
-    assert len(got) >= 5  # the corpus supports a real merge sequence
+
+
+def test_train_bpe_driver_mode_runs_zero_loop_jobs(spark):
+    """mode='driver' touches Spark exactly twice (the word-frequency
+    aggregate realizing the reduction + its collect) no matter how many
+    merges run — Spark-round count ≪ merge count, the scale fix for
+    production vocabularies. Counted via a job group."""
+    texts = _merge_rich_corpus()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-driver-train", "count Spark jobs in train_bpe")
+    try:
+        merges = tokenizer.train_bpe(
+            docs, num_merges=1200, min_freq=1, mode="driver"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe-driver-train")
+    assert len(merges) >= 1000
+    # stats aggregate + collect (± an adaptive-execution sub-job); the
+    # bound that matters is O(1), independent of merge count
+    assert len(jobs) <= 4, jobs
+    assert merges == py_train_bpe(texts, num_merges=1200, min_freq=1)
+
+
+def test_train_bpe_auto_falls_back_to_distributed(spark, docs):
+    """auto with a tiny driver_max_cells budget must take the
+    distributed path and still produce the exact reference table."""
+    got = tokenizer.train_bpe(docs, num_merges=8, driver_max_cells=1)
+    assert got == py_train_bpe(CORPUS, num_merges=8)
+
+
+def test_train_bpe_rejects_unknown_mode(spark, docs):
+    with pytest.raises(ValueError, match="mode"):
+        tokenizer.train_bpe(docs, num_merges=2, mode="cluster")
+
+
+def test_split_regex_threads_through_train_and_encode(spark):
+    """Training and encoding with the same non-default separator regex
+    agree (r12 advisor find: word_frequencies treated `split` as a
+    regex while encode_bpe hardcoded the literal space — any custom
+    separator silently diverged)."""
+    texts = ["ab,ab;ab ab", "ab,cd;ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sep = "[ ,;]"
+    merges = tokenizer.train_bpe(docs, num_merges=3, min_freq=1, split=sep)
+    # the reference on the pre-split word stream
+    import re
+
+    py_texts = [" ".join(w for w in re.split(sep, t) if w) for t in texts]
+    assert merges == py_train_bpe(py_texts, num_merges=3, min_freq=1)
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in tokenizer.encode_bpe(docs, merges, split=sep).collect()
+    }
+    # 'ab' merges to one token; every word reassembles byte-for-byte
+    assert enc[0] == ["ab", "ab", "ab", "ab"]
+    for i, t in enumerate(texts):
+        assert "".join(enc[i]) == "".join(re.split(sep, t))
 
 
 def test_train_bpe_min_freq_stops(spark, docs):

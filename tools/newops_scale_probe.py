@@ -7,6 +7,11 @@ What the decades should show, by design:
   vocabulary-sized loop. The scaled corpora suffix every word per
   replica, so the vocabulary ALSO grows ~linearly (31 -> 310 -> 3.1k ->
   31k words) — the honest case, not a fixed-vocab freebie.
+- ``bpe_train_1k`` (r13): 1,000 merges in mode='auto' (driver-local
+  loop), reporting the SPARK JOB COUNT alongside wall time — the round
+  -count axis the r12 VERDICT flagged: jobs must stay O(1) (the
+  reduction aggregate + collect) regardless of merge count, where the
+  old per-round loop would have scheduled ~2,000 jobs.
 - ``encode_bpe``: embarrassingly parallel Arrow batches with per-batch
   word memoization — expect ~linear in corpus bytes.
 - ``semantic_dedup``: k-means assignment is linear; the prune is
@@ -59,46 +64,90 @@ def emit(name: str, sf_dir: str, samples, loads, extra=None):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--ops")]
+    ops = None
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            ops = set(a[len("--ops="):].split(","))
+    sf_dir = args[0]
+    n = int(args[1]) if len(args) > 1 else 3
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="newops_scale_probe", cpus=cpus)
 
+    def want(op: str) -> bool:
+        return ops is None or op in ops
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
+    vocab = tokenizer.word_frequencies(docs).count()
 
     # --- BPE train (10 merges, the registry shape)
-    samples, loads = timed(
-        lambda: tokenizer.train_bpe(docs, num_merges=10), n
-    )
-    vocab = tokenizer.word_frequencies(docs).count()
-    emit("bpe_train_10", sf_dir, samples, loads, {"n_docs": n_docs, "vocab": vocab})
+    if want("bpe_train_10"):
+        samples, loads = timed(
+            lambda: tokenizer.train_bpe(docs, num_merges=10), n
+        )
+        emit(
+            "bpe_train_10", sf_dir, samples, loads,
+            {"n_docs": n_docs, "vocab": vocab},
+        )
+
+    # --- BPE train, 1,000 merges on the driver-local path (min_freq=1
+    # so the merge sequence runs deep on the small-SF vocabulary); the
+    # job-group count pins rounds << merges
+    if want("bpe_train_1k"):
+        def train_1k():
+            sc = spark.sparkContext
+            sc.setJobGroup("bpe1k", "bpe_train_1k probe")
+            try:
+                return tokenizer.train_bpe(docs, num_merges=1000, min_freq=1)
+            finally:
+                sc.setJobGroup(None, None)
+
+        samples, loads = timed(train_1k, n)
+        merges_1k = train_1k()
+        spark_jobs = len(
+            spark.sparkContext.statusTracker().getJobIdsForGroup("bpe1k")
+        )
+        emit(
+            "bpe_train_1k",
+            sf_dir,
+            samples,
+            loads,
+            {
+                "n_docs": n_docs,
+                "vocab": vocab,
+                "merges_learned": len(merges_1k),
+                "spark_jobs_all_samples": spark_jobs,
+            },
+        )
 
     # --- BPE encode with the learned table (count action: full decode,
     # nothing collected)
-    merges = tokenizer.train_bpe(docs, num_merges=10)
-    samples, loads = timed(
-        lambda: tokenizer.encode_bpe(docs, merges).count(), n
-    )
-    emit("bpe_encode", sf_dir, samples, loads, {"n_docs": n_docs})
+    if want("bpe_encode"):
+        merges = tokenizer.train_bpe(docs, num_merges=10)
+        samples, loads = timed(
+            lambda: tokenizer.encode_bpe(docs, merges).count(), n
+        )
+        emit("bpe_encode", sf_dir, samples, loads, {"n_docs": n_docs})
 
     # --- SemDeDup, k sized to ~2000-vector clusters (paper discipline)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_vec = emb.count()
-    k = max(8, n_vec // 2000)
-    samples, loads = timed(
-        lambda: semdedup.semantic_dedup(
-            emb, threshold=0.97, n_centroids=k, iterations=2
-        ).count(),
-        n,
-    )
-    emit(
-        "semantic_dedup",
-        sf_dir,
-        samples,
-        loads,
-        {"n_vectors": n_vec, "n_centroids": k},
-    )
+    if want("semantic_dedup"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vec = emb.count()
+        k = max(8, n_vec // 2000)
+        samples, loads = timed(
+            lambda: semdedup.semantic_dedup(
+                emb, threshold=0.97, n_centroids=k, iterations=2
+            ).count(),
+            n,
+        )
+        emit(
+            "semantic_dedup",
+            sf_dir,
+            samples,
+            loads,
+            {"n_vectors": n_vec, "n_centroids": k},
+        )
 
 
 if __name__ == "__main__":
