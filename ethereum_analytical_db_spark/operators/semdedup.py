@@ -257,6 +257,58 @@ def _validate_semdedup_meta(spark, path: str, centroids, threshold):
     return meta
 
 
+def ensure_semdedup_meta(
+    spark, path: str, centroids: list[list[float]], threshold: float
+) -> None:
+    """Write the index sidecar iff absent; otherwise VALIDATE against
+    it — the wiring-time protocol shared with the band/simhash/exact
+    stream indexes (``dedup._ensure_band_index_meta``): a stream
+    restarted with drifted centroids or threshold must raise, not stamp
+    the new parameters over the index it would corrupt."""
+    from .similarity import (
+        _INDEX_META,
+        _centroid_digest,
+        _write_index_meta,
+    )
+    from .. import fsutil
+
+    if fsutil.exists(spark, f"{path}/{_INDEX_META}"):
+        _validate_semdedup_meta(spark, path, centroids, threshold)
+    else:
+        _write_index_meta(
+            spark,
+            path,
+            {
+                "kind": "semdedup",
+                "dim": len(centroids[0]),
+                "n_centroids": len(centroids),
+                "threshold": float(threshold),
+                "centroid_digest": _centroid_digest(centroids),
+            },
+        )
+
+
+def semdedup_bootstrap_verdicts(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Online-contract verdicts for a batch with NO residents (a
+    stream's first micro-batch): the greedy (centroid_sim ASC, id ASC)
+    retained-set pass with an empty seed — exactly
+    :func:`semdedup_probe` against an empty index."""
+    assigned = _assign_clusters(batch, centroids, id_col, vec_col)
+    return _greedy_pass(
+        assigned.withColumn("_hit_res", F.lit(False)),
+        centroids,
+        float(threshold),
+        id_col,
+        vec_col,
+    )
+
+
 def semdedup_probe(
     batch: DataFrame,
     path: str,
@@ -264,6 +316,8 @@ def semdedup_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float | None = None,
+    max_cluster_rows: int = 200_000,
+    index_filter=None,
 ) -> DataFrame:
     """Online semantic dedup of a NEW batch against the curated corpus:
     (id, cluster, centroid_sim, kept) for the batch only — resident
@@ -287,7 +341,21 @@ def semdedup_probe(
 
     Scale shape: the batch assigns against broadcast centroids; the
     index scan reads ONLY the kept members of the clusters the batch
-    touches (cluster partition pruning + a kept pushdown filter)."""
+    touches (cluster partition pruning + a kept pushdown filter). The
+    per-task GROUP INPUT is bounded too (r12 advisor find — the GEMM
+    was slabbed but a runaway cluster's whole resident set still
+    materialized as one pandas frame): a kept-count census per touched
+    cluster (k rows) decides per probe; when every touched cluster fits
+    ``max_cluster_rows`` the single-pass path runs unchanged, otherwise
+    the probe arms a two-phase plan — phase 1 chunks residents by a
+    VECTOR-hash (exact duplicates share a chunk), replicates the new
+    points across their cluster's chunks, and computes the
+    resident-hit bit per (cluster, chunk) task whose input is ≤
+    ``max_cluster_rows`` residents + the batch's cluster slice; phase 2
+    runs the greedy new-vs-new pass per cluster over the BATCH rows
+    only (micro-batch-sized by contract). Verdicts are identical on
+    both paths — the hit bit is an OR over chunks — pinned by the
+    chunked-equals-single-pass parity test."""
     import numpy as np
     import pandas as pd
 
@@ -301,9 +369,13 @@ def semdedup_probe(
     touched = sorted(
         r["cluster"] for r in assigned.select("cluster").distinct().collect()
     )
+    src = spark.read.parquet(path)
+    if index_filter is not None:
+        # the streaming twin probes only STRICTLY EARLIER batches
+        # (a directory-pruning partition predicate on the batch column)
+        src = src.filter(index_filter)
     residents = (
-        spark.read.parquet(path)
-        .filter(F.col("cluster").isin(touched) & F.col("kept"))
+        src.filter(F.col("cluster").isin(touched) & F.col("kept"))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -311,6 +383,24 @@ def semdedup_probe(
             F.lit(True).alias("_resident"),
         )
     )
+    # kept-resident census per touched cluster: k driver-sized rows,
+    # read with the vector column pruned away
+    res_counts = {
+        r["cluster"]: r["n"]
+        for r in residents.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    chunks = {
+        c: max(1, -(-res_counts.get(c, 0) // max_cluster_rows))
+        for c in touched
+    }
+    if any(s > 1 for s in chunks.values()):
+        return _probe_chunked(
+            spark, assigned, residents, centroids, chunks, thr,
+            id_col, vec_col,
+        )
+
     both = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster"),
         F.lit(False).alias("_resident"),
@@ -399,12 +489,155 @@ def semdedup_probe(
     )
 
 
+def _probe_chunked(
+    spark, assigned, residents, centroids, chunks, thr, id_col, vec_col
+) -> DataFrame:
+    """The bounded two-phase probe plan for runaway clusters (see
+    :func:`semdedup_probe`). Same verdicts as the single-pass plan:
+    phase 1 computes the resident-hit bit with every task input capped,
+    phase 2 replays the greedy new-vs-new pass with that bit joined in.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # per-cluster chunk count as a column (when-chain over the touched
+    # census — k branches, driver-sized by construction)
+    n_chunks = F.lit(1)
+    for c, s in chunks.items():
+        if s > 1:
+            n_chunks = F.when(F.col("cluster") == c, F.lit(s)).otherwise(
+                n_chunks
+            )
+    # replicate each new point across its cluster's resident chunks;
+    # chunk residents by the VECTOR hash (exact duplicates co-chunk,
+    # matching the one-shot salt's guarantee)
+    new_rep = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster"),
+        F.lit(False).alias("_resident"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk"),
+    )
+    res_chunked = residents.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster"),
+        F.col("_resident"),
+        F.pmod(F.xxhash64(F.col(vec_col)), n_chunks).cast("int").alias(
+            "chunk"
+        ),
+    )
+    id_type = assigned.schema[id_col].dataType.simpleString()
+
+    def unit_rows(frame, col):
+        v = np.asarray([np.asarray(x, dtype=np.float64) for x in frame[col]])
+        norms = np.linalg.norm(v, axis=1)
+        return v / np.where(norms == 0.0, 1.0, norms)[:, None], norms
+
+    def hit_pass(key, pdf):
+        new = pdf[~pdf["_resident"]]
+        if len(new) == 0:
+            return pd.DataFrame(
+                {id_col: pdf[id_col][:0], "hit": np.array([], dtype=bool)}
+            )
+        res = pdf[pdf["_resident"]]
+        un, _ = unit_rows(new, vec_col)
+        u = un.astype(np.float32)
+        hit = np.zeros(len(new), dtype=bool)
+        if len(res):
+            ur, _ = unit_rows(res, vec_col)
+            ur32 = ur.astype(np.float32)
+            for lo in range(0, len(u), _BLOCK):
+                hi = min(lo + _BLOCK, len(u))
+                for rlo in range(0, len(ur32), _BLOCK):
+                    rhi = min(rlo + _BLOCK, len(ur32))
+                    s = u[lo:hi] @ ur32[rlo:rhi].T
+                    hit[lo:hi] |= (s >= thr - 1e-6).any(axis=1)
+        return pd.DataFrame({id_col: new[id_col], "hit": hit})
+
+    hit_agg = (
+        new_rep.unionByName(res_chunked)
+        .groupBy("cluster", "chunk")
+        .applyInPandas(hit_pass, schema=f"`{id_col}` {id_type}, hit boolean")
+        .groupBy(id_col)
+        .agg(F.max("hit").alias("_hit_res"))
+    )
+
+    return _greedy_pass(
+        assigned.join(hit_agg, id_col, "left").withColumn(
+            "_hit_res", F.coalesce(F.col("_hit_res"), F.lit(False))
+        ),
+        centroids,
+        thr,
+        id_col,
+        vec_col,
+    )
+
+
+def _greedy_pass(
+    with_hit: DataFrame, centroids, thr: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """The greedy new-vs-new retained-set pass per cluster, over a
+    frame carrying a precomputed ``_hit_res`` column (was this point
+    suppressed by a kept resident?). Group input is the batch's cluster
+    slice — micro-batch-sized by contract. Shared by the chunked probe
+    plan and the bootstrap (empty-index) path."""
+    import numpy as np
+    import pandas as pd
+
+    sc = with_hit.sparkSession.sparkContext
+    cmat_bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    id_type = with_hit.schema[id_col].dataType.simpleString()
+
+    def greedy(key, pdf):
+        cluster = int(key[0])
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+        )
+        nn = np.linalg.norm(v, axis=1)
+        un = v / np.where(nn == 0.0, 1.0, nn)[:, None]
+        c = cmat_bc.value[cluster - 1]
+        cn = np.linalg.norm(c)
+        csim = (un @ c) / cn if cn > 0 else np.zeros(len(pdf))
+        csim = np.where(nn == 0.0, 0.0, csim)
+        order = np.lexsort((pdf[id_col].to_numpy(), csim))
+        u = un[order].astype(np.float32)
+        hit_res = pdf["_hit_res"].to_numpy(dtype=bool)[order]
+        n_new = len(pdf)
+        kept_mat = np.empty((n_new, u.shape[1]), dtype=np.float32)
+        n_kept = 0
+        dropped = np.zeros(n_new, dtype=bool)
+        for i in range(n_new):
+            if hit_res[i] or (
+                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - 1e-6).any()
+            ):
+                dropped[i] = True
+            else:
+                kept_mat[n_kept] = u[i]
+                n_kept += 1
+        kept = np.ones(n_new, dtype=bool)
+        kept[order] = ~dropped
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": np.int32(cluster),
+                "centroid_sim": csim,
+                "kept": kept,
+            }
+        )
+
+    return with_hit.groupBy("cluster").applyInPandas(
+        greedy,
+        schema=(
+            f"`{id_col}` {id_type}, cluster int, "
+            "centroid_sim double, kept boolean"
+        ),
+    )
+
+
 def semdedup_index_append(
     batch: DataFrame,
     path: str,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
 ) -> DataFrame:
     """Probe a new batch, then append it (verdicts AND vectors, kept or
     not — dropped rows document provenance and keep the layout
@@ -413,7 +646,10 @@ def semdedup_index_append(
     ``ivf_index_append``). Returns the batch verdicts. The verdict is
     materialized BEFORE the write so the returned frame cannot re-read
     the index mid-append."""
-    verdict = semdedup_probe(batch, path, centroids, id_col, vec_col)
+    verdict = semdedup_probe(
+        batch, path, centroids, id_col, vec_col,
+        max_cluster_rows=max_cluster_rows,
+    )
     rows = (
         verdict.join(batch.select(F.col(id_col), F.col(vec_col)), id_col)
         .select(id_col, vec_col, "cluster", "centroid_sim", "kept")

@@ -84,6 +84,10 @@ def near_dedup_stream(
     max_bucket_df: int | None = None,
     max_chunk_df: int | None = None,
     compact_every: int | None = None,
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    semantic_threshold: float = 0.95,
+    max_cluster_rows: int = 200_000,
 ):
     """Streaming NEAR-dup detection — the streaming twin of the
     incremental-ingest loop (``operators/dedup.minhash_probe_candidates``
@@ -95,14 +99,34 @@ def near_dedup_stream(
     ``family`` selects the signature scheme: ``"minhash"`` (Jaccard-ish
     candidates via LSH bands; ``n``/``num_hashes``/``bands``),
     ``"simhash"`` (Hamming near-dups via block-permutation chunks;
-    ``max_hamming``/``blocks``/``partial_recall``), or ``"exact"``
+    ``max_hamming``/``blocks``/``partial_recall``), ``"exact"``
     (identical content by md5 digest — the index-backed alternative to
     ``dedup_exact_stream``, whose dropDuplicates state grows one digest
     per distinct doc in EXECUTOR state stores forever; here the state is
     the on-disk index like the near-dup families, and pairs carry
-    (canonical-so-far, duplicate, digest)). All three run the identical
+    (canonical-so-far, duplicate, digest)), or ``"semantic"`` (SemDeDup
+    embedding near-duplicates — see below). All four run the identical
     loop below — only the per-doc row computation and the probe
     operator differ.
+
+    ``family="semantic"`` streams the SemDeDup online contract
+    (``operators/semdedup.semdedup_probe``): rows carry an embedding in
+    ``vec_col`` keyed by ``id_col`` (``text_col`` is unused), and
+    REQUIRE pre-trained ``centroids`` (training inside a micro-batch
+    would make verdicts depend on batch boundaries; train once per
+    corpus snapshot with ``ivf_train_centroids``). The per-batch output
+    landed under ``pairs_path`` is the VERDICT log (id, cluster,
+    centroid_sim, kept) rather than candidate pairs — semantic dedup
+    makes keep/drop decisions, not pair reports — and the index rows
+    are the verdicts with their vectors, partitioned (batch, cluster),
+    so each batch probes only the kept residents of earlier batches
+    with cluster+batch partition pruning. ``semantic_threshold`` is
+    pinned in the index sidecar at wiring time (drift raises);
+    ``max_cluster_rows`` bounds the probe's per-task input on runaway
+    clusters. Verdicts across any batch sequence equal the sequential
+    greedy replay in (batch, centroid_sim, id) order — same contract,
+    same caveats (arrival order matters; online vs one-shot chains
+    differ) as the batch probe, pinned by the replay-parity tests.
 
     ``max_bucket_df`` (minhash) / ``max_chunk_df`` (simhash): the
     hot-bucket caps, forwarded to the probe and bootstrap operators. In
@@ -179,6 +203,12 @@ def near_dedup_stream(
     """
     from ..operators import dedup as d
 
+    # family-specific hook: build this batch's index rows FROM the
+    # already-computed probe output (families whose index rows depend on
+    # the verdicts, not just the input rows). None = stateless
+    # index_rows(batch_df) as before.
+    index_rows_from_pairs = None
+
     if family == "minhash":
         def probe(spark, batch_df, flt):
             return d.minhash_probe_candidates(
@@ -249,9 +279,47 @@ def near_dedup_stream(
             d._ensure_exact_index_meta(spark, index_path)
 
         index_partition = "pfx"
+    elif family == "semantic":
+        from ..operators import semdedup as sd
+
+        if not centroids:
+            raise ValueError(
+                "family='semantic' needs pre-trained centroids — training "
+                "inside a micro-batch would make verdicts depend on batch "
+                "boundaries (train once with ivf_train_centroids and pass "
+                "the result)"
+            )
+
+        def probe(spark, batch_df, flt):
+            return sd.semdedup_probe(
+                batch_df, index_path, centroids, id_col, vec_col,
+                index_filter=flt, max_cluster_rows=max_cluster_rows,
+            )
+
+        def bootstrap(batch_df):
+            return sd.semdedup_bootstrap_verdicts(
+                batch_df, centroids, semantic_threshold, id_col, vec_col
+            )
+
+        index_rows = None  # derived from the probe output instead
+
+        def _semantic_index_rows(batch_df, verdict):
+            return verdict.join(
+                batch_df.select(F.col(id_col), F.col(vec_col)), id_col
+            ).select(id_col, vec_col, "cluster", "centroid_sim", "kept")
+
+        index_rows_from_pairs = _semantic_index_rows
+
+        def write_meta(spark):
+            sd.ensure_semdedup_meta(
+                spark, index_path, centroids, semantic_threshold
+            )
+
+        index_partition = "cluster"
     else:
         raise ValueError(
-            f"family {family!r}: expected 'minhash', 'simhash' or 'exact'"
+            f"family {family!r}: expected 'minhash', 'simhash', 'exact' "
+            "or 'semantic'"
         )
 
     # parameter sidecar written at WIRING time, before any batch runs:
@@ -308,6 +376,14 @@ def near_dedup_stream(
                 # bootstrap: no corpus yet — within-batch pairs only
                 # (the probe's `within` branch, via the batch op)
                 pairs = bootstrap(batch_df)
+            if index_rows_from_pairs is not None:
+                # verdict-derived index rows: materialize the probe
+                # output ONCE so the verdicts are computed a single time
+                # and the index-row plan cannot re-read the index after
+                # this batch's own write (the probe's batch<id filter
+                # already excludes it, but a checkpoint also halves the
+                # probe compute)
+                pairs = pairs.localCheckpoint(eager=True)
             (
                 # batch = user-facing provenance, kept as a DATA column;
                 # gen = the engine-owned partition (live "b<id>" dirs,
@@ -319,9 +395,13 @@ def near_dedup_stream(
                 .partitionBy("gen")
                 .parquet(pairs_path)
             )
-            (
+            idx = (
                 index_rows(batch_df)
-                .withColumn("batch", F.lit(batch_id))
+                if index_rows_from_pairs is None
+                else index_rows_from_pairs(batch_df, pairs)
+            )
+            (
+                idx.withColumn("batch", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch", index_partition)

@@ -645,6 +645,145 @@ def test_near_dedup_stream_exact_family(spark, tmp_path):
     assert spark.read.parquet(pairs_path).count() == len(want)
 
 
+def test_near_dedup_stream_semantic_family(spark, tmp_path):
+    """family='semantic' (r12 VERDICT task 3): the SemDeDup online
+    contract as the fourth member of the stream loop. The verdict log
+    across micro-batches must equal the pure-Python sequential greedy
+    replay in (batch, centroid_sim, id) order with an empty seed, the
+    index rows must mirror the verdicts with their vectors, planted
+    cross-batch duplicates of kept residents must drop, and a
+    from-scratch replay (fresh checkpoint, surviving index + pairs —
+    the at-least-once worst case) must leave both outputs unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators.similarity import (
+        ivf_train_centroids,
+    )
+    from test_semdedup import py_online_semdedup
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(60)]
+    # cross-batch duplicates: ids 40 (batch 1) and 41 (batch 2) copy
+    # vectors from batch-0 rows 0 and 3
+    rows[40] = (40, rows[0][1])
+    rows[41] = (41, rows[3][1])
+    df_all = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    centroids = ivf_train_centroids(df_all, 3, 2, "doc_id", "embedding")
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    batches = []
+    for j in range(3):
+        part = [r for r in rows if r[0] % 3 == j]
+        batches.append(part)
+        spark.createDataFrame(
+            part, "doc_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    index_path = str(tmp_path / "sem_index")
+    pairs_path = str(tmp_path / "verdicts")
+    schema = df_all.schema
+
+    def run(checkpoint: str) -> None:
+        stream = st.stream_from_files(
+            spark, str(src), schema, max_files_per_trigger=1
+        )
+        q = (
+            ds.near_dedup_stream(
+                stream, index_path, pairs_path, family="semantic",
+                id_col="doc_id", centroids=centroids,
+                semantic_threshold=0.9, compact_every=2,
+            )
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        st.run_available_now(q)
+
+    def got_verdicts() -> dict:
+        return {
+            r["doc_id"]: r["kept"]
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+
+    run("ckpt1")
+    got = got_verdicts()
+    ref = py_online_semdedup(
+        [[(i, v) for i, v in part] for part in batches], centroids, 0.9
+    )
+    assert got == ref
+    assert len(got) == 60
+    # planted duplicates of KEPT residents drop
+    checked = 0
+    for dup, srcid in ((40, 0), (41, 3)):
+        if ref[srcid]:
+            assert not got[dup]
+            checked += 1
+    assert checked >= 1
+    # index mirrors the verdict log, vectors intact
+    idx = spark.read.parquet(index_path)
+    assert {
+        r["doc_id"]: r["kept"] for r in idx.collect()
+    } == got
+    vecs = dict(rows)
+    for r in idx.collect():
+        # array<float> storage is float32: compare at that precision
+        assert [float(x) for x in r["embedding"]] == [
+            float(np.float32(x)) for x in vecs[r["doc_id"]]
+        ]
+    # each verdict lands in exactly one batch partition
+    assert spark.read.parquet(pairs_path).count() == 60
+
+    # from-scratch replay over the surviving (folded) index + verdicts
+    run("ckpt2")
+    assert got_verdicts() == got
+    assert spark.read.parquet(pairs_path).count() == 60
+    assert {r["doc_id"]: r["kept"] for r in spark.read.parquet(index_path).collect()} == got
+
+
+def test_near_dedup_stream_semantic_rejects_drift_and_missing_centroids(
+    spark, tmp_path
+):
+    """Wiring guards for the semantic family: no centroids raises; a
+    restart with a different threshold or different centroids over the
+    same index raises at wiring time (sidecar validation), matching the
+    other families' drift protocol."""
+    import numpy as np
+    import pytest
+
+    schema = spark.createDataFrame(
+        [], "doc_id long, embedding array<float>"
+    ).schema
+    src = tmp_path / "vecs"
+    src.mkdir()
+    stream = st.stream_from_files(spark, str(src), schema)
+    index_path = str(tmp_path / "sem_idx")
+    pairs_path = str(tmp_path / "sem_pairs")
+
+    with pytest.raises(ValueError, match="centroids"):
+        ds.near_dedup_stream(
+            stream, index_path, pairs_path, family="semantic",
+            id_col="doc_id",
+        )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    ds.near_dedup_stream(
+        stream, index_path, pairs_path, family="semantic", id_col="doc_id",
+        centroids=cents, semantic_threshold=0.9,
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        ds.near_dedup_stream(
+            stream, index_path, pairs_path, family="semantic",
+            id_col="doc_id", centroids=cents, semantic_threshold=0.95,
+        )
+    with pytest.raises(ValueError, match="centroids do not match"):
+        ds.near_dedup_stream(
+            stream, index_path, pairs_path, family="semantic",
+            id_col="doc_id", centroids=[[0.5, 0.5], [0.0, 1.0]],
+            semantic_threshold=0.9,
+        )
+
+
 def test_replay_with_coarser_chunking_over_folded_index(spark, tmp_path):
     """r10 ADVICE (A2): a from-scratch replay over a surviving FOLDED
     index, with a DIFFERENT chunking (maxFilesPerTrigger=2 → half the

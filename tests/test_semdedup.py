@@ -325,6 +325,52 @@ def test_planted_cross_batch_duplicates_dropped(spark, served):
     assert checked >= 1  # the fixture really exercised the resident hit
 
 
+def test_probe_chunked_path_matches_single_pass(spark, served):
+    """A max_cluster_rows below the resident counts arms the two-phase
+    chunked plan (resident-hit per capped (cluster, chunk) task, then
+    the greedy pass per cluster); verdicts must be identical to the
+    single-pass plan — the r12 advisor find was that the single-pass
+    group input is unbounded on runaway clusters, and the fix may not
+    change semantics."""
+    path, centroids, batches = served
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    single = {
+        r["vec_id"]: (r["kept"], r["cluster"], round(r["centroid_sim"], 9))
+        for r in semdedup.semdedup_probe(df, path, centroids).collect()
+    }
+    chunked = {
+        r["vec_id"]: (r["kept"], r["cluster"], round(r["centroid_sim"], 9))
+        for r in semdedup.semdedup_probe(
+            df, path, centroids, max_cluster_rows=3
+        ).collect()
+    }
+    assert chunked == single
+    # the cap really armed the chunked plan: with 40 batch-0 rows over
+    # 3 clusters, at least one touched cluster holds > 3 kept residents
+    kept_per_cluster: dict[int, int] = {}
+    for r in spark.read.parquet(path).filter("kept").collect():
+        kept_per_cluster[r["cluster"]] = kept_per_cluster.get(r["cluster"], 0) + 1
+    assert max(kept_per_cluster.values()) > 3
+
+
+def test_probe_append_chunked_matches_sequential_model(spark, served):
+    """The full probe+append loop under a tiny max_cluster_rows (every
+    batch runs the chunked plan) still equals the pure-Python greedy
+    retained-set replay — the online contract is path-independent."""
+    path, centroids, batches = served
+    seed = _kept_units_from_index(spark, path, centroids)
+    got = {}
+    for rows in batches[1:]:
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semdedup.semdedup_index_append(
+            df, path, centroids, max_cluster_rows=2
+        )
+        for r in out.collect():
+            got[r["vec_id"]] = r["kept"]
+    ref = py_online_semdedup(batches[1:], centroids, 0.9, seed_kept=seed)
+    assert got == ref
+
+
 def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):
     """Sampled-quantizer training: deterministic for a fixed fraction,
     same output shape/coverage; with fraction=1.0 it is byte-identical
