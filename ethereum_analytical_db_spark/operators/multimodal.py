@@ -29,7 +29,11 @@ resolution, picture counts — which is what a multimodal pipeline
 actually filters on; the remaining declared seam is perceptual SAMPLE
 decode (PCM from mp3/AAC, pixels from H.264), which has no code path
 here: wire a library codec at the same single dispatch point and every
-downstream operator keeps working unchanged. A deterministic synthetic
+downstream operator keeps working unchanged. Where samples DO exist
+(PNG/BMP/netpbm/JPEG pixels, WAV/ADPCM/G.711 PCM),
+``decode_media(perceptual=True)`` emits sample-level curation signals
+— an 8×8 luma average hash and normalized audio RMS/peak — computed in
+the same Arrow batch as the decode (r13). A deterministic synthetic
 codec (``format='fake'``) parses this module's own header layout for
 tests that need arbitrary metadata without building real pixel data.
 
@@ -500,6 +504,7 @@ def _decode_wav(content: bytes) -> dict:
             "sample_rate": sample_rate,
             "n_frames": n_frames,
             "payload": pcm,
+            "sample_format": "i16",  # all three expand to 16-bit PCM
         }
     if audio_format == 0x55:  # MPEG Layer 3 in WAV: header metadata only
         return _parse_mp3(data)
@@ -514,12 +519,19 @@ def _decode_wav(content: bytes) -> dict:
         raise ValueError("WAV block_align inconsistent with channels*bits")
     if len(data) % block_align:
         raise ValueError("WAV data not a whole number of sample frames")
-    return {
+    sample_format = {
+        (1, 8): "u8", (1, 16): "i16", (1, 24): "i24", (1, 32): "i32",
+        (3, 32): "f32", (3, 64): "f64",
+    }.get((audio_format, bits))
+    out = {
         "channels": channels,
         "sample_rate": sample_rate,
         "n_frames": len(data) // block_align,
         "payload": data,
     }
+    if sample_format is not None:
+        out["sample_format"] = sample_format
+    return out
 
 
 def _mp4_boxes(buf: bytes, start: int, end: int):
@@ -954,7 +966,106 @@ _CODECS = {
 }
 
 
-def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fmt") -> DataFrame:
+# pixel codecs: payload is a raw sample plane. (strip orientation,
+# channel order) per format — BMP rows pad to 4 bytes, run bottom-up,
+# and interleave BGR(A); everything else is tight, top-down, RGB(A)
+_PIXEL_FMTS = {"ppm", "pgm", "bmp", "png", "jpeg", "jpg"}
+
+
+def _luma_plane(d: dict, fmt: str):
+    """Decoded payload → (height, width) uint8-ish luma array, format
+    orientation and channel order normalized (the same image encoded as
+    BMP and PNG must yield the same plane — pinned in tests)."""
+    import numpy as np
+
+    w, h, ch = d["width"], d["height"], d["channels"]
+    a = np.frombuffer(d["payload"], dtype=np.uint8)
+    if fmt == "bmp":
+        stride = (w * ch + 3) & ~3
+        a = a.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+        a = a[::-1]  # bottom-up → top-down
+        if ch >= 3:
+            a = a[:, :, [2, 1, 0]]  # BGR(A) → RGB; alpha unused below
+    else:
+        a = a.reshape(h, w, ch)
+    if ch >= 3:
+        r = a[:, :, 0].astype(np.int64)
+        g = a[:, :, 1].astype(np.int64)
+        b = a[:, :, 2].astype(np.int64)
+        return (299 * r + 587 * g + 114 * b) // 1000  # BT.601, integer
+    return a[:, :, 0].astype(np.int64)  # gray / gray+alpha: luma = gray
+
+
+def _ahash64(d: dict, fmt: str):
+    """8×8 average hash over the luma plane: block-average the image on
+    an 8×8 grid, set bit k (MSB-first, row-major) iff block k's mean is
+    >= the mean of the 64 block means. Deterministic integer/IEEE
+    arithmetic, returned as a SIGNED 64-bit value (Spark bigint).
+    Images smaller than 8×8 have empty grid cells — None."""
+    import numpy as np
+
+    w, h = d["width"], d["height"]
+    if w < 8 or h < 8:
+        return None
+    luma = _luma_plane(d, fmt)
+    rows = [(i * h) // 8 for i in range(9)]
+    cols = [(j * w) // 8 for j in range(9)]
+    means = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            blk = luma[rows[i] : rows[i + 1], cols[j] : cols[j + 1]]
+            means[i, j] = blk.mean()
+    thresh = means.mean()
+    bits = (means >= thresh).ravel()
+    v = 0
+    for k, b in enumerate(bits):
+        if b:
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_SAMPLE_DTYPES = {
+    "u8": ("uint8", 255.0, 128),
+    "i16": ("<i2", 32768.0, 0),
+    "i32": ("<i4", 2147483648.0, 0),
+    "f32": ("<f4", 1.0, 0),
+    "f64": ("<f8", 1.0, 0),
+}
+
+
+def _audio_stats(d: dict):
+    """(rms, peak) over the decoded PCM, normalized to [-1, 1] (u8 is
+    offset-binary: 128 = silence). None when the payload isn't raw PCM
+    (metadata-only walks like mp3/adts) or holds zero frames."""
+    import numpy as np
+
+    sf = d.get("sample_format")
+    if sf is None or d.get("n_frames", 0) == 0:
+        return None, None
+    if sf == "i24":
+        raw = np.frombuffer(d["payload"], dtype=np.uint8).reshape(-1, 3)
+        s = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        s = np.where(s >= 1 << 23, s - (1 << 24), s)
+        x = s.astype(np.float64) / float(1 << 23)
+    else:
+        dtype, scale, offset = _SAMPLE_DTYPES[sf]
+        s = np.frombuffer(d["payload"], dtype=np.dtype(dtype))
+        x = (s.astype(np.float64) - offset) / scale
+    if len(x) == 0:
+        return None, None
+    return float(np.sqrt(np.mean(x * x))), float(np.max(np.abs(x)))
+
+
+def decode_media(
+    df: DataFrame,
+    content_col: str = "content",
+    fmt_col: str = "fmt",
+    perceptual: bool = False,
+) -> DataFrame:
     """Decode media content → verified metadata + payload size.
 
     Dispatches on ``fmt``: ppm/pgm/bmp/png/jpeg decode real pixel data,
@@ -964,7 +1075,15 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
     compressed bitstreams raise NotImplementedError / ValueError into
     the row-level ``decode_error`` column — wire a library codec into
     ``_CODECS`` and every downstream operator keeps working unchanged.
-    """
+
+    ``perceptual=True`` additionally emits sample-level signals from
+    the decoded payloads (r12 VERDICT task 4 — the columns an LLM-data
+    curation pass actually filters on): ``ahash64`` (8×8 luma average
+    hash, orientation/channel-order normalized across pixel formats) on
+    image rows, ``audio_rms``/``audio_peak`` ([-1, 1]-normalized) on
+    PCM audio rows; NULL where the codec yields no raw samples. Cheap
+    projections over pixels/PCM the decode already produced — the same
+    Arrow batch, no extra pass over the binary column."""
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -973,12 +1092,15 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
         "dec_sample_rate int, dec_n_frames int, dec_duration_ms int, "
         "dec_bitrate_kbps int, payload_bytes long, decode_error string"
     )
+    if perceptual:
+        out_schema += ", ahash64 bigint, audio_rms double, audio_peak double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols: dict[str, list] = {
-                k: [] for k in ("w", "h", "ch", "sr", "nf", "dur", "br", "nb", "err")
-            }
+            keys = ["w", "h", "ch", "sr", "nf", "dur", "br", "nb", "err"]
+            if perceptual:
+                keys += ["ah", "rms", "peak"]
+            cols: dict[str, list] = {k: [] for k in keys}
             for fmt, content in zip(pdf[fmt_col], pdf[content_col]):
                 try:
                     codec = _CODECS.get(fmt)
@@ -996,9 +1118,17 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
                     cols["br"].append(d.get("bitrate_kbps"))
                     cols["nb"].append(len(d["payload"]))
                     cols["err"].append(None)
+                    if perceptual:
+                        cols["ah"].append(
+                            _ahash64(d, fmt) if fmt in _PIXEL_FMTS else None
+                        )
+                        rms, peak = _audio_stats(d)
+                        cols["rms"].append(rms)
+                        cols["peak"].append(peak)
                 except Exception as e:  # malformed/unsupported → row-level error
-                    for k in ("w", "h", "ch", "sr", "nf", "dur", "br", "nb"):
-                        cols[k].append(None)
+                    for k in keys:
+                        if k != "err":
+                            cols[k].append(None)
                     cols["err"].append(f"{type(e).__name__}: {e}")
             pdf = pdf.copy()
             pdf["dec_width"] = pd.array(cols["w"], dtype="Int32")
@@ -1010,6 +1140,10 @@ def decode_media(df: DataFrame, content_col: str = "content", fmt_col: str = "fm
             pdf["dec_bitrate_kbps"] = pd.array(cols["br"], dtype="Int32")
             pdf["payload_bytes"] = pd.array(cols["nb"], dtype="Int64")
             pdf["decode_error"] = cols["err"]
+            if perceptual:
+                pdf["ahash64"] = pd.array(cols["ah"], dtype="Int64")
+                pdf["audio_rms"] = pd.array(cols["rms"], dtype="Float64")
+                pdf["audio_peak"] = pd.array(cols["peak"], dtype="Float64")
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -170,15 +170,20 @@ def test_png_decode_all_filters():
 # ---- WAV / MP4: independent test-side container writers ----
 
 
-def _make_wav(channels, sample_rate, frames, bits=16, audio_format=1, extra_chunk=True):
+def _make_wav(
+    channels, sample_rate, frames, bits=16, audio_format=1,
+    extra_chunk=True, data=None,
+):
     """Independent RIFF/WAVE writer: fmt + data chunks, optional odd-length
-    LIST chunk (exercises even-padding), interleaved zeroed PCM frames."""
+    LIST chunk (exercises even-padding), interleaved zeroed PCM frames
+    (or explicit sample ``data`` for the perceptual-stats tests)."""
     block_align = channels * (bits // 8)
     fmt = struct.pack(
         "<HHIIHH", audio_format, channels, sample_rate,
         sample_rate * block_align, block_align, bits,
     )
-    data = bytes(frames * block_align)
+    if data is None:
+        data = bytes(frames * block_align)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     if extra_chunk:  # odd-sized chunk: reader must skip the pad byte
         body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
@@ -1102,3 +1107,154 @@ def test_decode_media_perceptual_headers_end_to_end(spark):
     assert out[3]["dec_n_frames"] == 1 and out[3]["dec_duration_ms"] == 40
     assert out[4]["decode_error"].startswith("NotImplementedError")
     assert all(out[i]["decode_error"] is None for i in (1, 2, 3))
+
+
+# ------------------------------------------- perceptual sample features
+
+
+def _ref_ahash(pixels, width, height, channels):
+    """Independent aHash reference: plain-loop luma + block means over
+    the 8x8 grid, bit k set iff block k's mean >= mean of block means.
+    Deliberately a different implementation shape from the operator's
+    vectorized one."""
+    luma = []
+    for y in range(height):
+        row = []
+        for x in range(width):
+            base = (y * width + x) * channels
+            if channels >= 3:
+                r, g, b = pixels[base], pixels[base + 1], pixels[base + 2]
+                row.append((299 * r + 587 * g + 114 * b) // 1000)
+            else:
+                row.append(pixels[base])
+        luma.append(row)
+    means = []
+    for i in range(8):
+        for j in range(8):
+            ys = range((i * height) // 8, ((i + 1) * height) // 8)
+            xs = range((j * width) // 8, ((j + 1) * width) // 8)
+            vals = [luma[y][x] for y in ys for x in xs]
+            means.append(sum(vals) / len(vals))
+    thresh = sum(means) / 64.0
+    v = 0
+    for k, m in enumerate(means):
+        if m >= thresh:
+            v |= 1 << (63 - k)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_ahash_matches_independent_reference():
+    w, h = 16, 16
+    px = _gradient(w, h, 3)
+    d = mm._decode_netpbm(_make_ppm(w, h, px))
+    assert mm._ahash64(d, "ppm") == _ref_ahash(px, w, h, 3)
+    # grayscale PGM too
+    pg = _gradient(w, h, 1)
+    d1 = mm._decode_netpbm(_make_ppm(w, h, pg, magic=b"P5"))
+    assert mm._ahash64(d1, "pgm") == _ref_ahash(pg, w, h, 1)
+
+
+def test_ahash_identical_across_ppm_png_bmp():
+    """The same image encoded as PPM (RGB top-down), PNG (filtered) and
+    BMP (BGR bottom-up, padded rows) must hash identically — the
+    orientation/channel-order normalization is the point."""
+    w, h = 13, 10  # non-multiple-of-8 and padded BMP stride
+    px = _gradient(w, h, 3)
+    want = _ref_ahash(px, w, h, 3)
+    d_ppm = mm._decode_netpbm(_make_ppm(w, h, px))
+    assert mm._ahash64(d_ppm, "ppm") == want
+    d_png = mm._decode_png(_make_png(w, h, 3, px))
+    assert mm._ahash64(d_png, "png") == want
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up, BGR
+        row = bytearray()
+        for x in range(w):
+            base = (y * w + x) * 3
+            row += bytes((px[base + 2], px[base + 1], px[base]))
+        rows.append(bytes(row))
+    d_bmp = mm._decode_bmp(_make_bmp(w, h, rows))
+    assert mm._ahash64(d_bmp, "bmp") == want
+
+
+def test_ahash_tiny_image_is_null():
+    d = mm._decode_netpbm(_make_ppm(4, 4, _gradient(4, 4, 3)))
+    assert mm._ahash64(d, "ppm") is None
+
+
+def test_audio_stats_pcm16_reference():
+    import math
+
+    samples = [0, 16384, -16384, 32767, -32768, 0, 8192, -8192]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    d = mm._decode_wav(_make_wav(1, 8000, len(samples), data=data))
+    rms, peak = mm._audio_stats(d)
+    norm = [s / 32768.0 for s in samples]
+    assert abs(rms - math.sqrt(sum(x * x for x in norm) / len(norm))) < 1e-12
+    assert peak == max(abs(x) for x in norm) == 1.0
+
+
+def test_audio_stats_u8_offset_and_float32():
+    import math
+
+    # u8 is offset-binary: 128 = silence
+    data = bytes([128, 255, 0, 128])
+    d = mm._decode_wav(_make_wav(1, 8000, 4, bits=8, data=data))
+    rms, peak = mm._audio_stats(d)
+    norm = [(s - 128) / 255.0 for s in [128, 255, 0, 128]]
+    assert abs(rms - math.sqrt(sum(x * x for x in norm) / 4)) < 1e-12
+    assert abs(peak - 128 / 255.0) < 1e-12
+
+    # IEEE float samples pass through unscaled
+    fs = [0.5, -0.25, 0.0, 1.0]
+    fdata = b"".join(struct.pack("<f", s) for s in fs)
+    d2 = mm._decode_wav(
+        _make_wav(1, 8000, 4, bits=32, audio_format=3, data=fdata)
+    )
+    rms2, peak2 = mm._audio_stats(d2)
+    assert abs(rms2 - math.sqrt(sum(x * x for x in fs) / 4)) < 1e-12
+    assert peak2 == 1.0
+
+
+def test_audio_stats_adpcm_expansion():
+    """ADPCM-decoded PCM (the i16 expansion) yields bounded, non-null
+    stats — the compressed-audio path feeds the same projection."""
+    samples = [0, 500, 1000, 1500, 2000, 1500, 1000, 500, 0]
+    raw, _recon = _ima_encode_mono(samples, 9)
+    d = mm._decode_wav(_make_adpcm_wav(1, 8000, 4 + (9 - 1) // 2, raw))
+    rms, peak = mm._audio_stats(d)
+    assert rms is not None and 0.0 < rms <= peak <= 1.0
+
+
+def test_decode_media_perceptual_columns_end_to_end(spark):
+    """perceptual=True through the Arrow path: image rows carry ahash64
+    (matching the direct computation), PCM rows carry rms/peak,
+    metadata-only and failed rows stay NULL, and perceptual=False keeps
+    the legacy schema."""
+    w, h = 16, 12
+    px = _gradient(w, h, 3)
+    samples = [0, 1000, -1000, 2000]
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    rows = [
+        (1, "image", "ppm", _make_ppm(w, h, px), None),
+        (2, "audio", "wav", _make_wav(1, 8000, 4, data=pcm), None),
+        (3, "image", "fake", mm.encode_fake_media(3, "image", 8, 8)[3], None),
+        (4, "image", "png", b"\x89PNG truncated", None),
+        (5, "audio", "mp3", b"\xff\xfb\x90\x00" + bytes(413), None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_DDL)
+    out = {
+        r["media_id"]: r
+        for r in mm.decode_media(df, perceptual=True).collect()
+    }
+    assert out[1]["ahash64"] == _ref_ahash(px, w, h, 3)
+    assert out[1]["audio_rms"] is None
+    d = mm._decode_wav(_make_wav(1, 8000, 4, data=pcm))
+    want_rms, want_peak = mm._audio_stats(d)
+    assert out[2]["audio_rms"] == want_rms
+    assert out[2]["audio_peak"] == want_peak
+    assert out[2]["ahash64"] is None
+    assert out[3]["ahash64"] is None  # fake codec: no pixel samples
+    assert out[4]["decode_error"] is not None and out[4]["ahash64"] is None
+    assert out[5]["audio_rms"] is None  # mp3: header walk, no PCM
+    legacy = mm.decode_media(df).columns
+    assert "ahash64" not in legacy and "audio_rms" not in legacy
