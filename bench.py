@@ -532,6 +532,11 @@ def main() -> None:
                 for k, v in detail.items()
                 if k not in ("cross_round", "calib_probes")
             },
+            # the short key round records quote (r12 VERDICT: the round
+            # record was only recoverable from SCALE.md prose) — same
+            # value as normalized_total_segmented_sec, mirrored under
+            # the stdout summary's name so history grep matches records
+            "seg_norm_sec": normalized_total_segmented,
             "gate": {k: v for k, v in gate_result.items() if k != "per_query"},
         }
         # hist_row already carries detail["ts"] — same stamp in both files

@@ -534,3 +534,21 @@ def test_r11_dedup_exact_excursion_is_the_calibrated_false_positive():
     res2 = compare(follow, rows)
     assert res2["per_query"]["dedup_exact"]["verdict"] == "ok"
     assert res2["per_query"]["dedup_exact"]["support"] < 0.503 * 1.15
+
+
+def test_history_segment_era_rows_carry_seg_norm_sec():
+    """r12 VERDICT task 5: the round record (segnorm) must be machine-
+    readable from BENCH_HISTORY.jsonl, not just SCALE.md prose. Every
+    segment-era row (one that carries queries_normalized) must carry a
+    non-null seg_norm_sec equal to its normalized_total_segmented_sec —
+    the short key round records and the stdout summary quote."""
+    from tools.bench_compare import load_history
+
+    rows = load_history()
+    era = [r for r in rows if r.get("queries_normalized")]
+    assert era, "no segment-era rows in history"
+    for r in era:
+        assert r.get("seg_norm_sec") is not None, r.get("ts")
+        assert r["seg_norm_sec"] == r.get("normalized_total_segmented_sec"), (
+            r.get("ts")
+        )
