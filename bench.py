@@ -348,6 +348,18 @@ def main() -> None:
         n = 0
         loads[name] = round(os.getloadavg()[0], 2)
         try:
+            if getattr(qdef, "prewarm", None) is not None:
+                # one-time frozen-fixture build (fork warehouse, serve
+                # indexes) OUT of the timed band: the first sample then
+                # measures the serve path like every later one, instead
+                # of widening the band with setup cost (r12 VERDICT
+                # task 2 — reorg_canonical's gate excursion)
+                t0 = time.perf_counter()
+                qdef.prewarm(spark, sf_dir)
+                print(
+                    f"# {name}: prewarm {time.perf_counter() - t0:.3f}s",
+                    file=sys.stderr,
+                )
             while True:
                 t0 = time.perf_counter()
                 df = qdef.build(spark, sf_dir)

@@ -268,6 +268,9 @@ def _reorg_warehouse(spark: SparkSession, sf_dir: str) -> str:
     "= the same upsert stream as a DuckDB window + the tombstone "
     "predicate. Exceeds the reference, which stores blockHash but "
     "never reconciles (schema/schema.py:7)",
+    prewarm=_reorg_warehouse,  # one-time fork-warehouse build out of
+    # the timed band (r12 VERDICT task 2: it widened the serve-side
+    # variance band enough to trip the gate on a loaded box)
 )
 def reorg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import Warehouse

@@ -26,6 +26,14 @@ class QueryDef:
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     note: str = ""      # SURVEY §2 operator ids exercised
+    # one-time per-process fixture build (frozen warehouse / serve
+    # index) the query's serve path reads. The bench harness calls it
+    # OUTSIDE the timed band so the first sample measures the serve
+    # side, not the setup (r12 VERDICT task 2: reorg_canonical's band
+    # was absorbing the fork-warehouse build). Queries without a frozen
+    # fixture leave it None; correctness harnesses may ignore it (the
+    # build is idempotent and lazily triggered by build() regardless).
+    prewarm: Callable[[SparkSession, str], object] | None = None
 
 
 TABLE_NAMES = [
@@ -61,9 +69,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, note: str = ""):
+def register(name: str, oracle: str | None, note: str = "", prewarm=None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QueryDef(name=name, build=fn, oracle=oracle, note=note)
+        _REGISTRY[name] = QueryDef(
+            name=name, build=fn, oracle=oracle, note=note, prewarm=prewarm
+        )
         return fn
 
     return deco
