@@ -423,6 +423,73 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    materialize: str = "local",
+) -> DataFrame:
+    """Portable-hash twin of :func:`minhash_lsh_candidates`: the SAME
+    shingle → K-min signature → band → bucket self-join pipeline, keyed
+    by md5 (a hash family every SQL engine ships) instead of xxhash64.
+    Lane k's minimum is ``min(md5('k:' || shingle))`` over the doc's
+    distinct shingles (hex strings compare bytewise identically across
+    engines), band b's bucket is ``md5(lane_{b·r} || '|' || …)``.
+
+    Exists so the LSH family has an exactly-replayable SQL oracle face
+    (r12 VERDICT task 7 — the first hash-checked evidence on the
+    approximate-dedup tier); PRODUCTION keeps the xxhash64 pipeline,
+    whose 64-bit integer lanes beat 32-char hex strings across the
+    shuffle. Same banded scale shape: no all-pairs, cost is
+    Σ bucket_df² over bucket groups, map-side-combined min lanes."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
+    r = num_hashes // bands
+    sh = _shingled(df, text_col, id_col, n).select(
+        "doc", F.explode("ngrams").alias("s")
+    )
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
+    )
+    band_rows = mins.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"m{k}") for k in range(b * r, (b + 1) * r)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    band_rows = _materialize(band_rows, materialize)
+    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.hint("merge")
+        .join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("bands_in_common"))
+    )
+
+
 _BAND_INDEX_META = "_band_index_meta.json"
 
 

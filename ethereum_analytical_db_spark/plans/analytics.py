@@ -295,21 +295,12 @@ def token_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 # correctness window)
 
 
-@register(
-    "daily_event_counts",
-    """
-    SELECT date_trunc('day', ts) AS t, count(*) AS cnt
-    FROM events GROUP BY date_trunc('day', ts) ORDER BY t
-    """,
-    note="A9 time-series bucket count (grafana $timeSeries idiom)",
-)
-def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("t"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("t")
-    )
+# (the former `daily_event_counts` query — A9 time-series bucket count,
+# grafana $timeSeries idiom — was folded into `wallet_to_wallet_daily`
+# in r13 (fold #4): same events scan, same daily grain, its count now
+# rides there as the `all_events` column. The freed hash-check slot went
+# to `minhash_lsh_candidates_md5`, the first hash-checked face of the
+# approximate-dedup tier.)
 
 
 @register(
@@ -406,17 +397,28 @@ def top10_with_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "wallet_to_wallet_daily",
     """
-    SELECT date_trunc('day', e.ts) AS day,
-           count(*) AS txs,
-           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS volume
-    FROM events e
-    WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-      AND e.user_id NOT IN (SELECT s_suppkey FROM supplier)
-      AND e.event_type = 'purchase'
-    GROUP BY 1 ORDER BY day
+    WITH filt AS (
+      SELECT date_trunc('day', e.ts) AS day,
+             count(*) AS txs,
+             CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+      FROM events e
+      WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        AND e.user_id NOT IN (SELECT s_suppkey FROM supplier)
+        AND e.event_type = 'purchase'
+      GROUP BY 1
+    ), alld AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS all_events
+      FROM events GROUP BY 1
+    )
+    SELECT a.day, a.all_events, f.txs, f.volume
+    FROM alld a LEFT JOIN filt f USING (day)
+    ORDER BY a.day
     """,
     note="J12 semi-join + J13 anti-join time filter (notebook cell 6: "
-    "to IN contracts / to NOT IN contracts)",
+    "to IN contracts / to NOT IN contracts) + A9 time-series bucket "
+    "count (grafana $timeSeries idiom; `all_events` — folded here from "
+    "the retired `daily_event_counts` in r13, same scan, same grain; "
+    "days with no qualifying purchases carry NULL txs/volume)",
 )
 def wallet_to_wallet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -431,12 +433,18 @@ def wallet_to_wallet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), "user_id", "left_semi")
         .join(F.broadcast(supp), "user_id", "left_anti")
     )
+    filtered_daily = filtered.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("txs"),
+        _dsum(F.col("value")).alias("volume"),
+    )
+    all_daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("all_events"))
     return (
-        filtered.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("txs"),
-            _dsum(F.col("value")).alias("volume"),
-        )
+        all_daily.join(filtered_daily, "day", "left")
+        .select("day", "all_events", "txs", "volume")
         .orderBy("day")
     )
 

@@ -258,12 +258,54 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidates",
-    None,  # xxhash64-based — no portable oracle; recall unit-tested vs exact Jaccard
+    None,  # xxhash64-based — no portable oracle; recall unit-tested vs exact
+    # Jaccard, and the md5-keyed twin below is the family's hash-checked face
     note="MinHash(32 hashes)+LSH(8 bands) candidate pairs; shuffle O(docs×bands)",
 )
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     return dedup.minhash_lsh_candidates(docs, n=3, num_hashes=32, bands=8)
+
+
+@register(
+    "minhash_lsh_candidates_md5",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(words) - 1, 1)),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             )) AS s
+      FROM words
+    ), mh AS (
+      SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || s)) AS mv
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+      GROUP BY doc_id, h
+    ), bands AS (
+      SELECT doc_id, CAST(h // 4 AS INT) AS band,
+             md5(string_agg(mv, '|' ORDER BY h)) AS bucket
+      FROM mh GROUP BY doc_id, h // 4
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS bands_in_common
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    note="the first hash-checked face of the approximate-dedup tier "
+    "(r12 VERDICT task 7, enabled by fold #4): the exact MinHash+LSH "
+    "band pipeline keyed by md5 — a hash family DuckDB ships — so the "
+    "oracle replays shingle -> 16 K-min lanes -> 4 band buckets -> "
+    "bucket self-join verbatim; production stays on the xxhash64 twin "
+    "(integer lanes beat hex strings across the shuffle), whose "
+    "candidate semantics this pins transitively (same pipeline, "
+    "different hash family)",
+)
+def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    return dedup.minhash_lsh_candidates_md5(
+        docs, n=3, num_hashes=16, bands=4
+    )
 
 
 @register(

@@ -69,6 +69,42 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.8
 
 
+def test_minhash_md5_twin_recall_and_exact_dup_guarantee(spark):
+    """The md5-keyed LSH twin (the oracle-portable face, r13 fold #4)
+    behaves like the xxhash64 pipeline: identical docs share ALL bands
+    (bands_in_common = bands — a probability-1 collision), planted
+    near-dups recall like the banding theory predicts, and short docs
+    (< n words) produce no rows."""
+    df, planted = _corpus(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates_md5(
+            df, n=3, num_hashes=16, bands=4
+        ).collect()
+    }
+    recall = len(exact & set(cand)) / len(exact)
+    assert recall >= 0.8
+
+    dup = spark.createDataFrame(
+        [(1, "w x y z q r"), (2, "w x y z q r"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["bands_in_common"]
+        for r in dedup.minhash_lsh_candidates_md5(dup, bands=4).collect()
+    }
+    assert out == {(1, 2): 4}  # all 4 bands; the 2-word doc emits nothing
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates_md5(dup, num_hashes=16, bands=5)
+
+
 def test_simhash_near_identical_docs_close(spark):
     df, planted = _corpus(spark)
     pairs = {
