@@ -220,8 +220,21 @@ def semdedup_index_write(
         embeddings.select(F.col(id_col), F.col(vec_col)), id_col
     ).select(id_col, vec_col, "cluster", "centroid_sim", "kept")
     rows.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    spark = embeddings.sparkSession
+    # kept-count census per cluster, cached in the sidecar: probes use
+    # it to size their runaway-cluster guard WITHOUT a per-probe scan
+    # of the kept column (r13 — the census cost showed up at sf100).
+    # One column-pruned scan here, at build time, k driver-sized rows.
+    kept_counts = {
+        str(r["cluster"]): r["n"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("kept"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     _write_index_meta(
-        embeddings.sparkSession,
+        spark,
         path,
         {
             "kind": "semdedup",
@@ -229,6 +242,7 @@ def semdedup_index_write(
             "n_centroids": len(centroids),
             "threshold": threshold,
             "centroid_digest": _centroid_digest(centroids),
+            "kept_per_cluster": kept_counts,
         },
     )
     return centroids
@@ -383,14 +397,28 @@ def semdedup_probe(
             F.lit(True).alias("_resident"),
         )
     )
-    # kept-resident census per touched cluster: k driver-sized rows,
-    # read with the vector column pruned away
-    res_counts = {
-        r["cluster"]: r["n"]
-        for r in residents.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # kept-resident counts per touched cluster: from the sidecar when
+    # the index maintains them (semdedup_index_write/append do — zero
+    # per-probe scan), else a census over the kept column (k driver-
+    # sized rows, vector column pruned away). The streaming twin's
+    # earlier-batches-only frame (index_filter) never matches the
+    # whole-index sidecar counts, so it always takes the census. The
+    # counts gate only WHICH plan runs — both plans produce identical
+    # verdicts — so a stale sidecar (out-of-band writes, which the
+    # append contract already forbids) degrades the guard, not the
+    # result.
+    meta_counts = meta.get("kept_per_cluster")
+    if index_filter is None and meta_counts is not None:
+        res_counts = {
+            int(k): v for k, v in meta_counts.items() if int(k) in set(touched)
+        }
+    else:
+        res_counts = {
+            r["cluster"]: r["n"]
+            for r in residents.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     chunks = {
         c: max(1, -(-res_counts.get(c, 0) // max_cluster_rows))
         for c in touched
@@ -656,6 +684,31 @@ def semdedup_index_append(
         .localCheckpoint(eager=True)
     )
     rows.write.mode("append").partitionBy("cluster").parquet(path)
+    # maintain the sidecar's kept-count census (a tiny aggregate over
+    # the checkpointed batch verdicts — no corpus scan) so future
+    # probes keep sizing their runaway-cluster guard without one.
+    # Read-modify-write of the sidecar: safe under the append contract
+    # (single writer, new ids only), same as the append itself.
+    from .similarity import _read_index_meta, _write_index_meta
+
+    spark = batch.sparkSession
+    meta = _read_index_meta(spark, path)
+    if meta.get("kept_per_cluster") is not None:
+        # pre-sidecar-census indexes (r12-era) keep the key absent —
+        # seeding it with only this batch's counts would undercount the
+        # existing residents and silently disarm the chunking guard;
+        # probes against such an index keep taking the census fallback
+        counts = dict(meta["kept_per_cluster"])
+        for r in (
+            rows.filter(F.col("kept"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            key = str(r["cluster"])
+            counts[key] = counts.get(key, 0) + r["n"]
+        meta["kept_per_cluster"] = counts
+        _write_index_meta(spark, path, meta)
     return rows.select(id_col, "cluster", "centroid_sim", "kept")
 
 

@@ -371,6 +371,54 @@ def test_probe_append_chunked_matches_sequential_model(spark, served):
     assert got == ref
 
 
+def test_sidecar_kept_counts_maintained_and_probe_equivalent(spark, served):
+    """r13: the index sidecar caches the per-cluster kept-count census
+    so probes size the runaway-cluster guard without a per-probe scan.
+    Write seeds it, append maintains it (write+append == fresh census),
+    a probe with the sidecar counts equals one forced onto the census
+    fallback, and a pre-census index (key absent) never gets a partial
+    seed from an append."""
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+
+    path, centroids, batches = served
+
+    def census():
+        out = {}
+        for r in spark.read.parquet(path).filter("kept").collect():
+            out[str(r["cluster"])] = out.get(str(r["cluster"]), 0) + 1
+        return out
+
+    meta = _read_index_meta(spark, path)
+    assert meta["kept_per_cluster"] == census()
+
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    semdedup.semdedup_index_append(df, path, centroids)
+    meta = _read_index_meta(spark, path)
+    assert meta["kept_per_cluster"] == census()
+
+    # probe parity: sidecar counts vs census fallback (key stripped)
+    df2 = spark.createDataFrame(batches[2], "vec_id long, embedding array<float>")
+    with_meta = {
+        r["vec_id"]: (r["kept"], r["cluster"])
+        for r in semdedup.semdedup_probe(df2, path, centroids).collect()
+    }
+    stripped = dict(meta)
+    stripped.pop("kept_per_cluster")
+    _write_index_meta(spark, path, stripped)
+    without_meta = {
+        r["vec_id"]: (r["kept"], r["cluster"])
+        for r in semdedup.semdedup_probe(df2, path, centroids).collect()
+    }
+    assert with_meta == without_meta
+
+    # pre-census index: append must NOT seed a partial count map
+    semdedup.semdedup_index_append(df2, path, centroids)
+    assert "kept_per_cluster" not in _read_index_meta(spark, path)
+
+
 def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):
     """Sampled-quantizer training: deterministic for a fixed fraction,
     same output shape/coverage; with fraction=1.0 it is byte-identical
