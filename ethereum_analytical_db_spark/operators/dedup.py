@@ -867,6 +867,91 @@ def migrate_pairs_layout(spark, path: str) -> list[int]:
     return sorted(legacy)
 
 
+def _recover_pair_repairs(spark, path: str) -> None:
+    """Finish :func:`repair_pairs_batch_types` swaps that crashed
+    mid-rename: a ``.prerepair.gen=<x>`` backup without its canonical
+    dir IS that generation — rename it back; with the canonical present
+    it is provably stale — delete it. Leftover ``.repair.gen=<x>`` tmp
+    dirs are always incomplete writes and are removed. Same protocol as
+    :func:`_recover_pair_dir_swaps`."""
+    from .. import fsutil
+
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith(".repair.gen="):
+            fs.delete(status.getPath(), True)
+        elif name.startswith(".prerepair.gen="):
+            canon = f"{path}/{name[len('.prerepair.'):]}"
+            if fsutil.exists(spark, canon):
+                fs.delete(status.getPath(), True)
+            elif not fsutil.rename(spark, f"{path}/{name}", canon):
+                raise IOError(
+                    f"pairs repair recovery rename {name} failed; "
+                    "generation left at the backup path"
+                )
+
+
+def repair_pairs_batch_types(spark, path: str) -> list[str]:
+    """One-time repair of generational pairs dirs whose FILES carry the
+    ``batch`` column as INT64 — the r12 migration wrote migrated gens
+    with ``.cast('long')`` while the stream's native gens write INT32,
+    so a root migrated by that code mixes parquet physical types for
+    one column and fails reads with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+    whenever an int footer wins schema inference (r13 review find: the
+    r13 int-cast fix only covered FUTURE migrations). Each long-typed
+    gen dir is rewritten with batch cast to int via a tmp + two-rename
+    swap (crash windows closed by :func:`_recover_pair_repairs`, wired
+    into the stream's per-batch preamble).
+
+    Cost: one footer-only schema read per gen dir — bounded by the fold
+    cadence — so it is called from ``near_dedup_stream``'s WIRING, once
+    per stream start, not per batch. Returns the repaired dir names."""
+    from pyspark.sql import functions as F  # local: keep module top light
+
+    from .. import fsutil
+
+    _recover_pair_repairs(spark, path)
+    fs, jpath = fsutil._fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    repaired: list[str] = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if _gen_dir_id(name) is None:
+            continue
+        sub = f"{path}/{name}"
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in spark.read.parquet(sub).schema.fields
+        }
+        if types.get("batch") != "bigint":
+            continue
+        tmp = f"{path}/.repair.{name}"
+        bak = f"{path}/.prerepair.{name}"
+        fsutil.delete(spark, tmp)
+        fsutil.delete(spark, bak)
+        spark.read.parquet(sub).withColumn(
+            "batch", F.col("batch").cast("int")
+        ).coalesce(1).write.parquet(tmp)
+        if not fsutil.rename(spark, sub, bak):
+            raise IOError(f"pairs repair: rename {sub} -> {bak} failed")
+        if not fsutil.rename(spark, tmp, sub):
+            raise IOError(
+                f"pairs repair: rename {tmp} -> {sub} failed; original "
+                f"parked at {bak} (recovered by _recover_pair_repairs)"
+            )
+        fsutil.delete(spark, bak)
+        _LOG.warning(
+            "repair_pairs_batch_types(%s): rewrote %s batch INT64 -> "
+            "INT32 (r12-migration artifact)", path, name,
+        )
+        repaired.append(name)
+    return repaired
+
+
 def drop_stale_batch_dirs(spark, path: str, batch_id: int) -> list[int]:
     """Delete ``batch=<id>`` directories with ``id >= batch_id`` from a
     stream-owned layout. Normal serial streaming never has one (batches

@@ -151,7 +151,16 @@ def _decode_bmp(content: bytes) -> dict:
     payload = content[data_offset : data_offset + stride * n_rows]
     if len(payload) != stride * n_rows:
         raise ValueError("truncated BMP pixel data")
-    return {"width": width, "height": n_rows, "channels": channels, "payload": payload}
+    return {
+        "width": width,
+        "height": n_rows,
+        "channels": channels,
+        "payload": payload,
+        # orientation must ride along: the perceptual pass flips
+        # bottom-up rows to normalize, and flipping a top-down BMP
+        # would mirror its aHash (r13 review find)
+        "bmp_topdown": height < 0,
+    }
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -983,7 +992,10 @@ def _luma_plane(d: dict, fmt: str):
     if fmt == "bmp":
         stride = (w * ch + 3) & ~3
         a = a.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
-        a = a[::-1]  # bottom-up → top-down
+        if not d.get("bmp_topdown"):
+            a = a[::-1]  # bottom-up → top-down (top-down BMPs — negative
+            # header height — are already in raster order; flipping them
+            # would mirror the hash, r13 review find)
         if ch >= 3:
             a = a[:, :, [2, 1, 0]]  # BGR(A) → RGB; alpha unused below
     else:
@@ -1025,7 +1037,11 @@ def _ahash64(d: dict, fmt: str):
 
 
 _SAMPLE_DTYPES = {
-    "u8": ("uint8", 255.0, 128),
+    # scale = the magnitude of the most-negative code, so every integer
+    # depth maps onto the same [-1, 1) grid: a full-scale 8-bit clip
+    # must report the same peak as its 16-bit encoding (r13 review
+    # find: /255 halved every u8 rms/peak vs other depths)
+    "u8": ("uint8", 128.0, 128),
     "i16": ("<i2", 32768.0, 0),
     "i32": ("<i4", 2147483648.0, 0),
     "f32": ("<f4", 1.0, 0),

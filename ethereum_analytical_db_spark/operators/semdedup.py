@@ -45,6 +45,24 @@ from .similarity import _assign_clusters, ivf_train_centroids
 # at the default max_cluster_rows — sized to executor memory, not data)
 _BLOCK = 2048
 
+# threshold slack for the float32 GEMM scores: ONE definition, shared
+# by every prune/probe variant — the chunked-equals-single-pass parity
+# depends on all of them comparing identically (r13 review find: four
+# hand-synchronized copies of the epsilon)
+_EPS = 1e-6
+
+
+def _unit_rows(values):
+    """Vectors → (float64 unit rows, norms); zero vectors pass through
+    with norm 0 (cosine with anything is 0 — the caller's contract).
+    Shared by every prune/probe variant so normalization can't drift
+    between the plans the parity tests compare."""
+    import numpy as np
+
+    v = np.asarray([np.asarray(x, dtype=np.float64) for x in values])
+    norms = np.linalg.norm(v, axis=1)
+    return v / np.where(norms == 0.0, 1.0, norms)[:, None], norms
+
 
 def semantic_dedup(
     embeddings: DataFrame,
@@ -133,12 +151,7 @@ def semantic_dedup(
 
     def prune(key, pdf):
         cluster = int(key[0])
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-        )
-        norms = np.linalg.norm(v, axis=1)
-        safe = np.where(norms == 0.0, 1.0, norms)
-        unit = v / safe[:, None]
+        unit, norms = _unit_rows(pdf[vec_col])
         c = cmat_bc.value[cluster - 1]
         cn = np.linalg.norm(c)
         csim = (unit @ c) / cn if cn > 0 else np.zeros(len(pdf))
@@ -160,7 +173,7 @@ def semantic_dedup(
                 i = lo + r
                 if i == 0:
                     continue
-                if (s[r, :i] >= threshold - 1e-6).any():
+                if (s[r, :i] >= threshold - _EPS).any():
                     dropped[i] = True
         kept = np.ones(n, dtype=bool)
         kept[order] = ~dropped
@@ -409,8 +422,9 @@ def semdedup_probe(
     # result.
     meta_counts = meta.get("kept_per_cluster")
     if index_filter is None and meta_counts is not None:
+        tset = set(touched)
         res_counts = {
-            int(k): v for k, v in meta_counts.items() if int(k) in set(touched)
+            int(k): v for k, v in meta_counts.items() if int(k) in tset
         }
     else:
         res_counts = {
@@ -451,14 +465,7 @@ def semdedup_probe(
             )
         res = pdf[pdf["_resident"]]
 
-        def unit_rows(frame):
-            v = np.asarray(
-                [np.asarray(x, dtype=np.float64) for x in frame[vec_col]]
-            )
-            norms = np.linalg.norm(v, axis=1)
-            return v / np.where(norms == 0.0, 1.0, norms)[:, None], norms
-
-        un, nn = unit_rows(new)
+        un, nn = _unit_rows(new[vec_col])
         c = cmat_bc.value[cluster - 1]
         cn = np.linalg.norm(c)
         csim = (un @ c) / cn if cn > 0 else np.zeros(len(new))
@@ -474,14 +481,14 @@ def semdedup_probe(
         # guard exists for — peak here is _BLOCK × _BLOCK float32
         hit_res = np.zeros(n_new, dtype=bool)
         if len(res):
-            ur, _ = unit_rows(res)
+            ur, _ = _unit_rows(res[vec_col])
             ur32 = ur.astype(np.float32)
             for lo in range(0, n_new, _BLOCK):
                 hi = min(lo + _BLOCK, n_new)
                 for rlo in range(0, len(ur32), _BLOCK):
                     rhi = min(rlo + _BLOCK, len(ur32))
                     s = u[lo:hi] @ ur32[rlo:rhi].T
-                    hit_res[lo:hi] |= (s >= thr - 1e-6).any(axis=1)
+                    hit_res[lo:hi] |= (s >= thr - _EPS).any(axis=1)
         # greedy among the new points: sims only against the KEPT
         # prefix, accumulated into a preallocated matrix — no n_new²
         # similarity matrix is ever materialized
@@ -490,7 +497,7 @@ def semdedup_probe(
         dropped = np.zeros(n_new, dtype=bool)
         for i in range(n_new):
             if hit_res[i] or (
-                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - 1e-6).any()
+                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - _EPS).any()
             ):
                 dropped[i] = True
             else:
@@ -553,11 +560,6 @@ def _probe_chunked(
     )
     id_type = assigned.schema[id_col].dataType.simpleString()
 
-    def unit_rows(frame, col):
-        v = np.asarray([np.asarray(x, dtype=np.float64) for x in frame[col]])
-        norms = np.linalg.norm(v, axis=1)
-        return v / np.where(norms == 0.0, 1.0, norms)[:, None], norms
-
     def hit_pass(key, pdf):
         new = pdf[~pdf["_resident"]]
         if len(new) == 0:
@@ -565,18 +567,18 @@ def _probe_chunked(
                 {id_col: pdf[id_col][:0], "hit": np.array([], dtype=bool)}
             )
         res = pdf[pdf["_resident"]]
-        un, _ = unit_rows(new, vec_col)
+        un, _ = _unit_rows(new[vec_col])
         u = un.astype(np.float32)
         hit = np.zeros(len(new), dtype=bool)
         if len(res):
-            ur, _ = unit_rows(res, vec_col)
+            ur, _ = _unit_rows(res[vec_col])
             ur32 = ur.astype(np.float32)
             for lo in range(0, len(u), _BLOCK):
                 hi = min(lo + _BLOCK, len(u))
                 for rlo in range(0, len(ur32), _BLOCK):
                     rhi = min(rlo + _BLOCK, len(ur32))
                     s = u[lo:hi] @ ur32[rlo:rhi].T
-                    hit[lo:hi] |= (s >= thr - 1e-6).any(axis=1)
+                    hit[lo:hi] |= (s >= thr - _EPS).any(axis=1)
         return pd.DataFrame({id_col: new[id_col], "hit": hit})
 
     hit_agg = (
@@ -615,11 +617,7 @@ def _greedy_pass(
 
     def greedy(key, pdf):
         cluster = int(key[0])
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-        )
-        nn = np.linalg.norm(v, axis=1)
-        un = v / np.where(nn == 0.0, 1.0, nn)[:, None]
+        un, nn = _unit_rows(pdf[vec_col])
         c = cmat_bc.value[cluster - 1]
         cn = np.linalg.norm(c)
         csim = (un @ c) / cn if cn > 0 else np.zeros(len(pdf))
@@ -633,7 +631,7 @@ def _greedy_pass(
         dropped = np.zeros(n_new, dtype=bool)
         for i in range(n_new):
             if hit_res[i] or (
-                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - 1e-6).any()
+                n_kept and (kept_mat[:n_kept] @ u[i] >= thr - _EPS).any()
             ):
                 dropped[i] = True
             else:

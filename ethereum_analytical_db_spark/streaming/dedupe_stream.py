@@ -322,6 +322,14 @@ def near_dedup_stream(
             "or 'semantic'"
         )
 
+    # one-time layout repair at WIRING time: gens migrated by the r12
+    # code carry batch as INT64 while native gens are INT32 — a mixed
+    # root fails reads once an int footer wins inference; the sweep
+    # costs one footer read per gen dir, so it runs per stream start,
+    # not per batch (crash windows closed by _recover_pair_repairs in
+    # the per-batch preamble)
+    d.repair_pairs_batch_types(stream_docs.sparkSession, pairs_path)
+
     # parameter sidecar written at WIRING time, before any batch runs:
     # writing it inside the batch (after the index parquet) left a crash
     # window — index present, sidecar absent — in which every future
@@ -350,6 +358,7 @@ def near_dedup_stream(
             d._recover_precompact(spark, index_path)
             d._recover_pair_dir_swaps(spark, pairs_path)
             d._recover_pair_fold(spark, pairs_path)
+            d._recover_pair_repairs(spark, pairs_path)
             # pre-r12 pairs logs (batch=<k> partition dirs) upgrade in
             # place to the generational layout — a mixed root would
             # fail partition discovery and evade the stale-gen sweep

@@ -1047,6 +1047,63 @@ def test_migrate_pairs_layout_upgrades_legacy_batch_dirs(spark, tmp_path):
     assert spark.read.parquet(pairs).count() == 4
 
 
+def test_repair_pairs_batch_types_heals_r12_migrated_roots(spark, tmp_path):
+    """r13 review find: the int-cast migration fix only covered FUTURE
+    migrations — a root migrated by the r12 code already holds a gen
+    with batch as INT64 next to the stream's native INT32 gens.
+    repair_pairs_batch_types must rewrite the long-typed gen in place
+    (crash windows recovered), after which the root reads whole and
+    folds cleanly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators import dedup
+
+    pairs = str(tmp_path / "pairs")
+    # gen=b0 as the r12 migration wrote it: batch cast to LONG
+    spark.createDataFrame(
+        [(1, 100, "x")], "doc_a long, doc_b long, digest string"
+    ).withColumn("batch", F.lit(0).cast("long")).coalesce(1).write.parquet(
+        f"{pairs}/gen=b0"
+    )
+    # gen=b1 native: INT32
+    spark.createDataFrame(
+        [(2, 200, "y")], "doc_a long, doc_b long, digest string"
+    ).withColumn("batch", F.lit(1)).coalesce(1).write.parquet(
+        f"{pairs}/gen=b1"
+    )
+
+    assert dedup.repair_pairs_batch_types(spark, pairs) == ["gen=b0"]
+    got = spark.read.parquet(pairs)
+    assert got.schema["batch"].dataType.simpleString() == "int"
+    assert sorted((r["batch"], r["doc_b"]) for r in got.collect()) == [
+        (0, 100), (1, 200),
+    ]
+    # idempotent: second sweep finds nothing long-typed
+    assert dedup.repair_pairs_batch_types(spark, pairs) == []
+    # and the healed root folds
+    assert dedup.fold_pairs_gens(spark, pairs, 2) == [0, 1]
+    assert spark.read.parquet(pairs).count() == 2
+
+    # crash windows: a stale tmp is deleted; a backup without its
+    # canonical dir is renamed back; a backup WITH it is stale
+    shutil.copytree(f"{pairs}/gen=f1", f"{pairs}/.repair.gen=f1")
+    shutil.copytree(f"{pairs}/gen=f1", f"{pairs}/.prerepair.gen=f1")
+    dedup._recover_pair_repairs(spark, pairs)
+    assert not os.path.isdir(f"{pairs}/.repair.gen=f1")
+    assert not os.path.isdir(f"{pairs}/.prerepair.gen=f1")
+    shutil.move(f"{pairs}/gen=f1", f"{pairs}/.prerepair.gen=f1")
+    dedup._recover_pair_repairs(spark, pairs)
+    assert os.path.isdir(f"{pairs}/gen=f1")
+    assert spark.read.parquet(pairs).count() == 2
+    assert sorted(
+        os.path.basename(g) for g in glob.glob(f"{pairs}/gen=*")
+    ) == ["gen=f1"]
+
+
 def test_migrated_and_native_gens_fold_and_read(spark, tmp_path):
     """A root mixing MIGRATED gens (written by migrate_pairs_layout)
     with NATIVE new-era gens (written by the stream, batch =

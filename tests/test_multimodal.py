@@ -1176,6 +1176,25 @@ def test_ahash_identical_across_ppm_png_bmp():
     assert mm._ahash64(d_bmp, "bmp") == want
 
 
+def test_ahash_topdown_bmp_not_mirrored():
+    """Negative-height BMPs store rows top-down (already raster order):
+    the perceptual pass must NOT flip them — r13 review find: the
+    unconditional flip mirrored their aHash vs the same image as PNG."""
+    w, h = 13, 10
+    px = _gradient(w, h, 3)
+    want = _ref_ahash(px, w, h, 3)
+    rows = []
+    for y in range(h):  # TOP-DOWN row order, BGR
+        row = bytearray()
+        for x in range(w):
+            base = (y * w + x) * 3
+            row += bytes((px[base + 2], px[base + 1], px[base]))
+        rows.append(bytes(row))
+    d = mm._decode_bmp(_make_bmp(w, -h, rows))
+    assert d["bmp_topdown"] and d["height"] == h
+    assert mm._ahash64(d, "bmp") == want
+
+
 def test_ahash_tiny_image_is_null():
     d = mm._decode_netpbm(_make_ppm(4, 4, _gradient(4, 4, 3)))
     assert mm._ahash64(d, "ppm") is None
@@ -1196,13 +1215,15 @@ def test_audio_stats_pcm16_reference():
 def test_audio_stats_u8_offset_and_float32():
     import math
 
-    # u8 is offset-binary: 128 = silence
+    # u8 is offset-binary (128 = silence) on the same [-1, 1) grid as
+    # every other depth: scale by 128, not 255 (r13 review find — a
+    # full-scale 8-bit clip must peak like its 16-bit encoding)
     data = bytes([128, 255, 0, 128])
     d = mm._decode_wav(_make_wav(1, 8000, 4, bits=8, data=data))
     rms, peak = mm._audio_stats(d)
-    norm = [(s - 128) / 255.0 for s in [128, 255, 0, 128]]
+    norm = [(s - 128) / 128.0 for s in [128, 255, 0, 128]]
     assert abs(rms - math.sqrt(sum(x * x for x in norm) / 4)) < 1e-12
-    assert abs(peak - 128 / 255.0) < 1e-12
+    assert peak == 1.0  # sample 0 is the most-negative code, |.|=1.0
 
     # IEEE float samples pass through unscaled
     fs = [0.5, -0.25, 0.0, 1.0]

@@ -79,7 +79,11 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    vocab = tokenizer.word_frequencies(docs).count()
+    vocab = None
+    if want("bpe_train_10") or want("bpe_train_1k"):
+        # only the bpe rows report it — a corpus-sized shuffle the
+        # semantic_dedup-only invocation must not pay (review find)
+        vocab = tokenizer.word_frequencies(docs).count()
 
     # --- BPE train (10 merges, the registry shape)
     if want("bpe_train_10"):
@@ -95,16 +99,20 @@ def main() -> None:
     # so the merge sequence runs deep on the small-SF vocabulary); the
     # job-group count pins rounds << merges
     if want("bpe_train_1k"):
+        last: dict = {}
+
         def train_1k():
             sc = spark.sparkContext
             sc.setJobGroup("bpe1k", "bpe_train_1k probe")
             try:
-                return tokenizer.train_bpe(docs, num_merges=1000, min_freq=1)
+                last["m"] = tokenizer.train_bpe(
+                    docs, num_merges=1000, min_freq=1
+                )
+                return last["m"]
             finally:
                 sc.setJobGroup(None, None)
 
-        samples, loads = timed(train_1k, n)
-        merges_1k = train_1k()
+        samples, loads = timed(train_1k, n)  # warm-up + n timed runs
         spark_jobs = len(
             spark.sparkContext.statusTracker().getJobIdsForGroup("bpe1k")
         )
@@ -116,8 +124,9 @@ def main() -> None:
             {
                 "n_docs": n_docs,
                 "vocab": vocab,
-                "merges_learned": len(merges_1k),
-                "spark_jobs_all_samples": spark_jobs,
+                "merges_learned": len(last["m"]),
+                "runs": n + 1,
+                "spark_jobs_all_runs": spark_jobs,
             },
         )
 
