@@ -113,3 +113,23 @@ def test_bench_summary_line_fits_driver_tail_capture():
         separators=(",", ":"),
     )
     assert len(line2) < 1900, f"gate-fail 2-decimal rung: {len(line2)} chars"
+
+
+def test_frozen_fixture_queries_register_prewarm():
+    """The five frozen-fixture queries must keep their prewarm hooks —
+    bench.py runs them outside the timed band (r12 VERDICT task 2:
+    reorg_canonical's band was absorbing its one-time warehouse build
+    and tripped the gate). Losing a hook silently re-widens the band."""
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "reorg_canonical",
+        "balances_pyramid_bucketed",
+        "ann_cosine_ivf_probe",
+        "minhash_dedup_probe",
+        "exact_dedup_probe",
+    ):
+        assert qs[name].prewarm is not None, name
+    # and non-fixture queries default to none (the hook is opt-in)
+    assert qs["scan_projection"].prewarm is None
