@@ -516,3 +516,74 @@ def test_h264_sps_property(pw, ph, crops, profile, timing, fps):
         assert d["duration_ms"] == round(1000 / fps)
     else:
         assert "duration_ms" not in d
+
+
+# ---- r13: driver-local BPE trainer vs the naive full-rescan model ----
+# pure-Python on both sides: run wide. The incremental-heap trainer
+# (operators/tokenizer.train_bpe_local) must be rank-for-rank identical
+# to the quadratic reference for ANY corpus, not just the fixed seeds —
+# the whole hybrid design rests on this equivalence.
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=1, max_value=3),
+)
+def test_train_bpe_local_matches_naive_model(words, num_merges, min_freq):
+    from collections import Counter
+
+    from ethereum_analytical_db_spark.operators.tokenizer import (
+        train_bpe_local,
+    )
+    from test_tokenizer import py_train_bpe
+
+    texts = [" ".join(words)]
+    wf = list(Counter(w for w in words).items())
+    got = train_bpe_local(wf, num_merges=num_merges, min_freq=min_freq)
+    want = py_train_bpe(texts, num_merges=num_merges, min_freq=min_freq)
+    assert got == want
+
+
+# ---- r13: aHash is invariant across pixel containers ----
+# the same random image encoded as PPM (RGB top-down), PNG (filtered),
+# bottom-up BMP and top-down BMP must produce one hash — the
+# orientation/channel-order normalization holds for arbitrary content,
+# not just the gradient fixture.
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    st.integers(min_value=8, max_value=20),
+    st.integers(min_value=8, max_value=16),
+    st.binary(min_size=0, max_size=0),  # placeholder to vary the seed
+    st.randoms(use_true_random=False),
+)
+def test_ahash_container_invariance(width, height, _seed, rnd):
+    from ethereum_analytical_db_spark.operators import multimodal as mm
+    from test_multimodal import _make_bmp, _make_ppm, _make_png
+
+    px = bytes(rnd.randrange(256) for _ in range(width * height * 3))
+    d_ppm = mm._decode_netpbm(_make_ppm(width, height, px))
+    want = mm._ahash64(d_ppm, "ppm")
+    assert want is not None
+    d_png = mm._decode_png(_make_png(width, height, 3, px))
+    assert mm._ahash64(d_png, "png") == want
+    rows_bu, rows_td = [], []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            base = (y * width + x) * 3
+            row += bytes((px[base + 2], px[base + 1], px[base]))
+        rows_td.append(bytes(row))
+    rows_bu = list(reversed(rows_td))
+    assert mm._ahash64(mm._decode_bmp(_make_bmp(width, height, rows_bu)), "bmp") == want
+    assert (
+        mm._ahash64(mm._decode_bmp(_make_bmp(width, -height, rows_td)), "bmp")
+        == want
+    )
