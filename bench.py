@@ -30,6 +30,64 @@ from ethereum_analytical_db_spark.plans.registry import all_queries
 from ethereum_analytical_db_spark.session import get_spark
 
 
+def _history_replay_check(here: str, hist_row: dict) -> dict:
+    """Run the pinned bench-compare replay tests against the WOULD-BE
+    history (the file on disk + ``hist_row``) before the append lands.
+
+    r13 lesson: bench-record commits were treated as "data files only"
+    and skipped verification, but BENCH_HISTORY.jsonl rows are INPUTS to
+    pinned replay tests — one r13 append silently broke
+    test_r11_dedup_exact_excursion and the suite stayed red for the rest
+    of the round. This check costs ~2 s (tests/test_bench_compare.py is
+    pure-Python over jsonl) and runs on every append; a failure is
+    recorded in the row as ``replay_check`` and printed loudly so the
+    recording commit can never honestly claim the data was inert.
+
+    Returns {"status": "pass"|"fail"|"skipped", "detail": str}.
+    """
+    import subprocess
+    import tempfile
+
+    test_file = os.path.join(here, "tests", "test_bench_compare.py")
+    if not os.path.exists(test_file):
+        return {"status": "skipped", "detail": "no replay tests present"}
+    hist_path = os.path.join(here, "BENCH_HISTORY.jsonl")
+    tmp = None
+    try:
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".jsonl", delete=False
+        ) as f:
+            tmp = f.name
+            if os.path.exists(hist_path):
+                with open(hist_path) as src:
+                    f.write(src.read())
+            f.write(json.dumps(hist_row, separators=(",", ":")) + "\n")
+        env = dict(os.environ, SPARK_GRAFT_BENCH_HISTORY=tmp)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", test_file, "-q", "--no-header"],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=here,
+            timeout=120,
+        )
+        if proc.returncode == 0:
+            return {"status": "pass", "detail": proc.stdout.strip()[-200:]}
+        return {
+            "status": "fail",
+            "detail": (proc.stdout + proc.stderr).strip()[-1000:],
+        }
+    except Exception as exc:  # noqa: BLE001 - the check must never cost
+        # the run its record (pytest missing, tempdir full, ...)
+        return {"status": "skipped", "detail": f"{type(exc).__name__}: {exc}"[:300]}
+    finally:
+        if tmp:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
 def _wait_for_quiet(cpus: int) -> dict:
     """Refuse to sample on a contaminated box (round-5 lesson).
 
@@ -551,6 +609,20 @@ def main() -> None:
             "seg_norm_sec": normalized_total_segmented,
             "gate": {k: v for k, v in gate_result.items() if k != "per_query"},
         }
+        # replay gate (r13 VERDICT task 2): the would-be row must not
+        # break the pinned bench-compare replays. A failure is flagged
+        # IN the row (the append still lands — losing a multi-minute
+        # run's record would be worse) and shouted to stderr so the
+        # recording commit runs the seconds-fast suite before landing.
+        replay = _history_replay_check(here, hist_row)
+        hist_row["replay_check"] = replay["status"]
+        if replay["status"] == "fail":
+            print(
+                "# WARNING: this history row BREAKS a pinned bench-compare "
+                "replay test — fix tests/test_bench_compare.py before "
+                "committing this record:\n" + replay["detail"],
+                file=sys.stderr,
+            )
         # hist_row already carries detail["ts"] — same stamp in both files
         f.write(json.dumps(hist_row, separators=(",", ":")) + "\n")
 

@@ -24,10 +24,16 @@ def _run(tmp_path, detail, history_rows, extra_args=()):
     )
     detail_path = tmp_path / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail))
+    # strip the replay-check override: when THIS file runs inside
+    # bench.py's _history_replay_check subprocess the env var points at
+    # the candidate history, and these staged-mini-repo tests must keep
+    # reading their own tmp file
+    env = {k: v for k, v in os.environ.items()
+           if k != "SPARK_GRAFT_BENCH_HISTORY"}
     proc = subprocess.run(
         [sys.executable, str(tools_dir / "bench_compare.py"),
          "--detail", str(detail_path), *extra_args],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=env,
     )
     return proc.returncode, proc.stdout
 
@@ -526,14 +532,61 @@ def test_r11_dedup_exact_excursion_is_the_calibrated_false_positive():
     assert res["regressed"] == ["dedup_exact"]
     # the flagged row must not poison the future: a synthetic follow-up
     # at the day's normal level (its own prior median) passes, and its
-    # support max comes from the CLEAN runs, not the 0.503 excursion
+    # support max comes from the CLEAN runs, not the 0.503 excursion.
+    # The follow-up's history is bounded to the rows that existed AT the
+    # excursion (ts <= R11_EXCURSION_TS, excursion row included — it is
+    # flagged, so its exclusion from support is the property under
+    # test). Unbounded, the slice grew with every later bench run and a
+    # legitimately loaded-but-clean r13 run pushed dedup_exact's clean
+    # max past the 0.578 ceiling, failing this replay with zero code
+    # change on the gate or the operator (r13 VERDICT task 1).
     follow = copy.deepcopy(current[0])
     follow["ts"] = R11_EXCURSION_TS + 1
     med = res["per_query"]["dedup_exact"]["hist"]
     follow["queries_normalized"]["dedup_exact"] = med
-    res2 = compare(follow, rows)
+    r11_rows = [r for r in rows if (r.get("ts") or 0) <= R11_EXCURSION_TS]
+    res2 = compare(follow, r11_rows)
     assert res2["per_query"]["dedup_exact"]["verdict"] == "ok"
     assert res2["per_query"]["dedup_exact"]["support"] < 0.503 * 1.15
+
+
+def test_history_append_replay_gate_flags_breaking_row():
+    """r13 VERDICT task 2: a history append that breaks a pinned replay
+    test must be flagged at record time. bench.py's
+    _history_replay_check runs THIS file against existing-history+row;
+    a row that violates the seg_norm_sec invariant (the cheapest pinned
+    property a record can break) must come back 'fail', and a clean
+    mirror of the newest real row must come back 'pass'."""
+    import os as _os
+
+    import pytest
+
+    if _os.environ.get("SPARK_GRAFT_BENCH_HISTORY"):
+        # we ARE the replay check's inner pytest — recursing would fork
+        # a subprocess per append forever; the gate only pins the
+        # history-coupled replays, which run above
+        pytest.skip("inside a replay-check subprocess")
+    sys.path.insert(0, REPO)
+    import bench
+
+    bad = _rec(1.0, 1.0, {"q": 1.0})
+    bad["ts"] = 9999999999.0
+    # segment-era row WITHOUT seg_norm_sec — violates the pinned
+    # invariant test_history_segment_era_rows_carry_seg_norm_sec
+    bad["queries_normalized"] = {"q": 1.0}
+    res = bench._history_replay_check(REPO, bad)
+    assert res["status"] == "fail", res
+
+    from tools.bench_compare import load_history
+
+    rows = load_history()
+    era = [r for r in rows if r.get("queries_normalized")]
+    if not era:
+        pytest.skip("no segment-era history to mirror")
+    good = dict(era[-1])
+    good["ts"] = 9999999999.0
+    res2 = bench._history_replay_check(REPO, good)
+    assert res2["status"] == "pass", res2
 
 
 def test_history_segment_era_rows_carry_seg_norm_sec():

@@ -126,8 +126,20 @@ def load_history(path: str | None = None) -> list[dict]:
     truncated tail (bench killed mid-append) or a non-object line must
     not discard the rest of the history — that would silently disable
     the gate forever ('no_history' passes vacuously) while a real
-    regression sails through (review find)."""
-    path = path or os.path.join(HERE, "BENCH_HISTORY.jsonl")
+    regression sails through (review find).
+
+    ``SPARK_GRAFT_BENCH_HISTORY`` overrides the default path — bench.py
+    uses it to run the pinned replay tests against the WOULD-BE history
+    file (existing rows + the row about to be appended) before the
+    append lands, so a record that breaks a pinned replay is flagged at
+    record time instead of discovered red in the next full pytest run
+    (the r13 incident: ten `No-Verification-Needed` bench-record
+    commits, one of which silently broke the r11 excursion replay)."""
+    path = (
+        path
+        or os.environ.get("SPARK_GRAFT_BENCH_HISTORY")
+        or os.path.join(HERE, "BENCH_HISTORY.jsonl")
+    )
     rows: list[dict] = []
     try:
         with open(path) as f:
