@@ -161,6 +161,178 @@ def apply_merge(sym_col, left: str, right: str) -> F.Column:
     return F.aggregate(sym, F.array().cast("array<string>"), step)
 
 
+def apply_merges(sym_col, picks: list[tuple[str, str]]) -> F.Column:
+    """One combined left-to-right merge pass applying a SET of
+    symbol-disjoint merge rules simultaneously — the distributed batch
+    path's rewrite. A single JVM ``aggregate`` fold whose step resolves
+    the merged token through a CASE chain over the batch (one array
+    pass per row regardless of batch size, vs one full
+    :func:`apply_merge` pass per rule).
+
+    Equivalence to applying each rule as its own full pass (what the
+    sequential greedy loop does) REQUIRES the safety conditions
+    :func:`select_merge_batch` enforces: the rules' symbol sets are
+    pairwise disjoint (their occurrences can never overlap, so the
+    rewrites commute) and no rule's merged token is an existing symbol
+    (so a rewrite can never create a new match for another rule in the
+    batch)."""
+    sym = F.col(sym_col) if isinstance(sym_col, str) else sym_col
+
+    def step(acc, s):
+        last = F.element_at(acc, -1)
+        merged = F.lit(None).cast("string")
+        for left, right in reversed(picks):
+            merged = F.when(
+                (last == F.lit(left)) & (s == F.lit(right)),
+                F.lit(left + right),
+            ).otherwise(merged)
+        hit = (F.size(acc) > 0) & merged.isNotNull()
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def select_merge_batch(
+    candidates: list[tuple[str, str, int]],
+    existing_symbols: set[str],
+    min_freq: int,
+    max_batch: int,
+    table_exhausted: bool = False,
+) -> list[tuple[str, str, int]]:
+    """Pick the longest PREFIX of the rank-ordered pair table that can
+    be merged in one distributed round while preserving the exact
+    sequential greedy order (r13 VERDICT task 3). Pure driver-side
+    function — the exactness argument, pinned by the batched-vs-local
+    property tests in tests/test_tokenizer.py:
+
+    - **prefix only**: a skipped candidate may still be the next true
+      argmax, so picking anything ranked below it would reorder the
+      merge list. The scan stops at the first unpickable candidate.
+    - **symbol-disjoint**: merging (a,b) can only change counts of
+      pairs that share a symbol with it, so a disjoint pair's count —
+      and therefore its turn as argmax, and its recorded frequency —
+      is untouched by the batch's earlier picks.
+    - **no collision with an existing symbol**: if merged token l+r is
+      already a symbol (string collision across merge history, e.g.
+      "ab"+"c" vs "a"+"bc"), merging (l,r) can INCREASE the count of
+      existing pairs containing "l+r" — the one way a non-picked
+      pair's count can rise above a pick's. ``existing_symbols`` is a
+      driver-kept SUPERSET (initial charset + every merged token), so
+      the check is conservative: a false hit only costs batch size.
+    - **frequency margin with exact tie analysis**: every NEW pair
+      created by a pick has count bounded by the count of some old
+      pair sharing a symbol with that pick, and (prefix rule) every
+      such old pair ranks after the last pick — so its frequency is at
+      most the stop candidate's (``bound``). A pick strictly above
+      ``bound`` can therefore never be beaten by a new pair. A pick AT
+      ``bound`` can only be beaten by a new pair that reaches exactly
+      ``bound`` and wins the (left, right) tie-break — and because a
+      tying new pair's source must itself have frequency == ``bound``,
+      every possible tying new pair's NAME is computable from the
+      fetched window: (x, mᵢ) from source (x, leftᵢ), (mᵢ, y) from
+      (rightᵢ, y), plus the (mᵢ, mⱼ) pick-pick combinations. The pick
+      survives iff every such name sorts after it. This needs the
+      window to provably contain ALL pairs at ``bound`` (its tail
+      frequency is below ``bound``, or ``table_exhausted``); otherwise
+      the tied pick is conservatively dropped back into the table.
+    - **fallback**: when the rules leave nothing, the plain top-1 merge
+      is emitted alone — the argmax is unconditionally exact.
+    """
+    picks: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    bound = 0
+    stop_at = len(candidates)
+    for idx, (left, right, freq) in enumerate(candidates):
+        if (
+            freq < min_freq
+            or len(picks) >= max_batch
+            or left in used
+            or right in used
+            or (left + right) in existing_symbols
+        ):
+            bound = int(freq)
+            stop_at = idx
+            break
+        picks.append((left, right, int(freq)))
+        used.update((left, right))
+    window_covers = table_exhausted or (
+        bool(candidates) and candidates[-1][2] < bound
+    )
+    ties = {(x, y) for (x, y, f) in candidates[stop_at:] if f == bound}
+    kept: list[tuple[str, str, int]] = []
+    prior: list[tuple[str, str, str]] = []  # (left, right, merged) of kept
+    for left, right, freq in picks:
+        if freq > bound:
+            safe = True
+        elif freq == bound and window_covers:
+            names: set[tuple[str, str]] = set()
+            for li, ri, mi in prior:
+                for x, y in ties:
+                    if y == li:
+                        names.add((x, mi))
+                    if x == ri:
+                        names.add((mi, y))
+                for l2, _r2, m2 in prior:
+                    # (mᵢ, mⱼ) needs an original (rightᵢ, leftⱼ)
+                    # adjacency at the bound frequency to reach a tie
+                    if (ri, l2) in ties:
+                        names.add((mi, m2))
+            safe = all(
+                not (nl < left or (nl == left and nr < right))
+                for nl, nr in names
+            )
+        else:
+            safe = False
+        if not safe:
+            break  # prefix rule applies to the kept set too
+        kept.append((left, right, freq))
+        prior.append((left, right, left + right))
+    picks = kept
+    if not picks and candidates and candidates[0][2] >= min_freq:
+        left, right, freq = candidates[0]
+        picks = [(left, right, int(freq))]
+    return picks
+
+
+def select_merge_batch_relaxed(
+    candidates: list[tuple[str, str, int]],
+    existing_symbols: set[str],
+    min_freq: int,
+    max_batch: int,
+) -> list[tuple[str, str, int]]:
+    """Skip-and-continue batch selection for ``exact_order=False``
+    training: take EVERY candidate in rank order whose symbols are
+    disjoint from all already-taken picks and whose merged token is not
+    an existing symbol, skipping (rather than stopping at) interfering
+    candidates.
+
+    Within one batch the picks are still mutually consistent (disjoint
+    symbols + no collision → the combined :func:`apply_merges` pass
+    equals applying them one by one), but the GLOBAL greedy order is
+    not preserved: a skipped candidate may have deserved its turn
+    before a later pick, so the learned table can differ from the
+    sequential reference in order and, through count evolution, in
+    membership. This is the standard trade every batched/parallel BPE
+    trainer makes; measured ~14-20 merges per round where the exact
+    selector gets 1.1-4 (SCALE.md)."""
+    picks: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for left, right, freq in candidates:
+        if freq < min_freq or len(picks) >= max_batch:
+            break
+        if left in used or right in used or (left + right) in existing_symbols:
+            continue
+        picks.append((left, right, int(freq)))
+        used.update((left, right))
+    if not picks and candidates and candidates[0][2] >= min_freq:
+        left, right, freq = candidates[0]
+        picks = [(left, right, int(freq))]
+    return picks
+
+
 def train_bpe_local(
     words: list[tuple[str, int]],
     num_merges: int,
@@ -261,6 +433,9 @@ def train_bpe(
     mode: str = "auto",
     driver_max_cells: int = 20_000_000,
     split: str = " ",
+    batch_merges: int = 64,
+    exact_order: bool = True,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Greedy BPE training: ``num_merges`` rounds of (count pairs →
     argmax → rewrite symbols). Returns the learned merge table as
@@ -278,11 +453,22 @@ def train_bpe(
       instead of hours of per-round job scheduling. This is what every
       single-process BPE trainer does; the reduction is the same one
       they hold in memory.
-    - ``"distributed"``: one vocabulary-sized Spark job per merge
-      (pair-count top-1 + JVM ``aggregate``-fold rewrite, lazy lineage
-      cut via ``materialize``). The fallback for vocabularies too large
-      to collect — viable for modest ``num_merges``, with the
-      documented ~0.27 s/round scheduling floor.
+    - ``"distributed"``: the fallback for vocabularies too large to
+      collect. Each round is one vocabulary-sized Spark job (pair
+      counts → top ``batch_merges``+1 collect) followed by ONE combined
+      rewrite applying every merge :func:`select_merge_batch` proves
+      safe to take simultaneously — non-interfering merges batch into
+      a single round, so the ~0.27 s/round scheduling floor is paid
+      per BATCH, not per merge (r13 VERDICT task 3; rank-for-rank
+      exactness argued in :func:`select_merge_batch` and pinned by the
+      batched-vs-local property tests). Exact batching is bounded by
+      symbol interference — merge chains and shared frequent symbols
+      are inherently serial, measured 1.1-4 merges/round by corpus
+      (SCALE.md); ``exact_order=False`` switches to skip-and-continue
+      selection (:func:`select_merge_batch_relaxed`), the standard
+      batched-trainer trade: ~14-20 merges/round, same-quality but not
+      rank-identical tables. ``stats`` (optional dict) gets
+      ``{"rounds": N, "path": ...}`` for observability.
     - ``"auto"`` (default): driver iff the symbol table fits
       ``driver_max_cells`` total characters (cells ≈ list slots; the
       default 20M is a few hundred MB of driver heap — raise it on a
@@ -300,18 +486,29 @@ def train_bpe(
     # one vocabulary-sized aggregate: realizes the lazy checkpoint and
     # yields both the row count (distributed loop's parallelism sizing)
     # and the cell count (the driver-fit decision)
-    stats = wf.agg(
+    vocab_stats = wf.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("cells"),
     ).first()
-    n_vocab, cells = int(stats["n"]), int(stats["cells"])
+    n_vocab, cells = int(vocab_stats["n"]), int(vocab_stats["cells"])
     if mode == "driver" or (mode == "auto" and cells <= driver_max_cells):
         rows = wf.collect()  # vocabulary-sized by construction
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["path"] = "driver"
         return train_bpe_local(
             [(r["word"], r["freq"]) for r in rows], num_merges, min_freq
         )
 
     wf = wf.withColumn("symbols", char_symbols("word"))
+    # driver-side SUPERSET of every symbol that has ever existed:
+    # initial charset (one tiny distinct over the vocabulary table) +
+    # every merged token as it is learned. select_merge_batch needs it
+    # for the no-collision rule; a superset only costs batch size.
+    symbol_superset: set[str] = {
+        r["c"]
+        for r in wf.select(F.explode("symbols").alias("c")).distinct().collect()
+    }
     # right-size the loop's parallelism to the VOCABULARY (the corpus
     # shuffle above inherited spark.sql.shuffle.partitions — 31 distinct
     # words across 32 tasks would pay 16 rounds of empty-task scheduling;
@@ -328,7 +525,16 @@ def train_bpe(
     if wf.rdd.getNumPartitions() > parts:
         wf = wf.coalesce(parts)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        fetch = min(batch_merges, num_merges - len(merges))
+        # extra window rows cost nothing beyond the collect (the pair
+        # aggregation runs regardless): 2×batch lets the exact tie
+        # analysis prove window coverage at plateau frequencies; the
+        # relaxed scan skips past interference, so a deeper window
+        # directly buys batch size (measured at sf10: 8× window fills
+        # 64-pick batches where 2× found ~5)
+        window = fetch * (2 if exact_order else 8) + 1
         top = (
             symbol_pair_counts(wf)
             .orderBy(
@@ -336,22 +542,41 @@ def train_bpe(
                 F.col("left_sym").asc(),
                 F.col("right_sym").asc(),
             )
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not top or top[0]["pair_freq"] < min_freq:
+        rounds += 1
+        candidates = [
+            (r["left_sym"], r["right_sym"], int(r["pair_freq"])) for r in top
+        ]
+        if not candidates or candidates[0][2] < min_freq:
             break
-        left, right, freq = (
-            top[0]["left_sym"],
-            top[0]["right_sym"],
-            int(top[0]["pair_freq"]),
-        )
-        merges.append((left, right, freq))
+        if exact_order:
+            picks = select_merge_batch(
+                candidates,
+                symbol_superset,
+                min_freq,
+                fetch,
+                table_exhausted=len(candidates) < window,
+            )
+        else:
+            picks = select_merge_batch_relaxed(
+                candidates, symbol_superset, min_freq, fetch
+            )
+        if not picks:  # every candidate < min_freq
+            break
+        merges.extend(picks)
+        symbol_superset.update(l + r for l, r, _ in picks)
         wf = _materialize(
-            wf.withColumn("symbols", apply_merge("symbols", left, right)),
+            wf.withColumn(
+                "symbols", apply_merges("symbols", [(l, r) for l, r, _ in picks])
+            ),
             materialize,
             eager=False,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["path"] = "distributed"
     return merges
 
 

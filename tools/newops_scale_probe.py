@@ -20,12 +20,14 @@ What the decades should show, by design:
   cluster size.
 
 Usage: python tools/newops_scale_probe.py SF_DIR [n_samples]
+       [--ops op1,op2]
 Emits one JSON line per operator; median of n_samples after one
 untimed warm-up, loadavg bracketed per sample.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import statistics
@@ -63,14 +65,41 @@ def emit(name: str, sf_dir: str, samples, loads, extra=None):
     print(json.dumps(row, separators=(",", ":")))
 
 
+KNOWN_OPS = {
+    "bpe_train_10",
+    "bpe_train_1k",
+    "bpe_train_distributed",
+    "bpe_train_distributed_relaxed",
+    "bpe_encode",
+    "semantic_dedup",
+}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--ops")]
+    # argparse, not hand-rolled prefix stripping: the old parser
+    # silently ran EVERYTHING on `--ops bpe_encode` (space form left
+    # ops=None and ate the op name as a positional) and silently ran
+    # NOTHING on `--ops=` (the empty set) — r13 advisor find
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir")
+    ap.add_argument("n", nargs="?", type=int, default=3)
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated subset of: " + ", ".join(sorted(KNOWN_OPS)),
+    )
+    parsed = ap.parse_args()
+    sf_dir, n = parsed.sf_dir, parsed.n
     ops = None
-    for a in sys.argv[1:]:
-        if a.startswith("--ops="):
-            ops = set(a[len("--ops="):].split(","))
-    sf_dir = args[0]
-    n = int(args[1]) if len(args) > 1 else 3
+    if parsed.ops is not None:
+        ops = {o for o in parsed.ops.split(",") if o}
+        if not ops:
+            ap.error("--ops given but names no operators")
+        unknown = ops - KNOWN_OPS
+        if unknown:
+            ap.error(
+                f"unknown op(s) {sorted(unknown)}; known: {sorted(KNOWN_OPS)}"
+            )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="newops_scale_probe", cpus=cpus)
 
@@ -127,6 +156,40 @@ def main() -> None:
                 "merges_learned": len(last["m"]),
                 "runs": n + 1,
                 "spark_jobs_all_runs": spark_jobs,
+            },
+        )
+
+    # --- BPE train on the DISTRIBUTED fallback path with merge
+    # batching (r13 VERDICT task 3): Spark rounds must come in well
+    # under the merge count — the honest bound is ~2-4x (exact greedy
+    # order makes merge chains serial; see SCALE.md), vs exactly
+    # num_merges rounds for the r12 per-merge loop
+    for op, exact in [
+        ("bpe_train_distributed", True),
+        ("bpe_train_distributed_relaxed", False),
+    ]:
+        if not want(op):
+            continue
+        last: dict = {}
+
+        def train_dist(exact=exact, last=last):
+            st: dict = {}
+            last["m"] = tokenizer.train_bpe(
+                docs, num_merges=1000, min_freq=1,
+                mode="distributed", exact_order=exact, stats=st,
+            )
+            last["stats"] = st
+
+        samples, loads = timed(train_dist, n)
+        emit(
+            op,
+            sf_dir,
+            samples,
+            loads,
+            {
+                "n_docs": n_docs,
+                "merges_learned": len(last["m"]),
+                "spark_rounds": last["stats"]["rounds"],
             },
         )
 
