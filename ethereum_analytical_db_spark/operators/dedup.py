@@ -1616,6 +1616,119 @@ def simhash_near_duplicates(
     )
 
 
+def simhash_near_duplicates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    partial_recall: bool = False,
+) -> DataFrame:
+    """Portable-hash twin of :func:`simhash_near_duplicates` — the
+    SimHash analogue of :func:`minhash_lsh_candidates_md5` (r13 VERDICT
+    task 4): the SAME tokenize → per-bit majority vote → block-
+    permutation candidate join → Hamming verify pipeline, with token
+    bits drawn from md5 (a hash family every SQL engine ships) instead
+    of xxhash64: ONE md5 per token, bit ``b`` = 1 iff hex char ``b+1``
+    of ``md5(token)`` is >= '8' (the top bit of each nibble — 32 fair,
+    independent coins from one hash; computing md5 once per token in a
+    projection instead of per (token, lane) was a measured 32x hash-
+    cost cut). Majority is the same strict ``2·n_set > n`` vote;
+    signatures are ``bits``-wide integers split into ``blocks`` chunks
+    for the pigeonhole join; pairs verify on full-signature Hamming
+    distance.
+
+    Exists so the SimHash family has an exactly-replayable SQL oracle
+    face; PRODUCTION keeps the xxhash64 pipeline
+    (:func:`simhash_near_duplicates` — one 64-bit hash per token beats
+    ``bits`` md5 calls per token, and 64-bit signatures discriminate
+    better). Same scale shape: one groupBy(doc) shuffle for the vote,
+    candidate cost Σ chunk_df² over chunk groups — which is why the
+    default is 32 bits / 8-bit chunks, NOT 16/4: 4-bit chunks have
+    only 16 distinct values per block, so every block's join collapses
+    into 16 O(n²/16) buckets (measured: 22.7k mostly-noise pairs at
+    sf0.01; random 16-bit signatures land within Hamming 3 of each
+    other ~1% of the time).
+
+    Output: (doc_a, doc_b, hamming), distinct."""
+    if bits % blocks:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    if max_hamming >= blocks and not partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= blocks={blocks} voids the "
+            "block-permutation recall guarantee; raise blocks or pass "
+            "partial_recall=True"
+        )
+    if bits > 32:
+        raise ValueError(
+            f"bits={bits} > 32: one md5 yields 32 hex chars, one "
+            "independent bit each — the portable face stops there "
+            "(production simhash_near_duplicates has the 64-bit lanes)"
+        )
+    chunk_bits = bits // blocks
+    mask = (1 << chunk_bits) - 1
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    bit_sums = tokens.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), b + 1, 1) >= "8", 1).otherwise(0)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ],
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = bit_sums.select("doc", sig.alias("simhash"))
+    chunked = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "simhash", "c.blk", "c.chunk")
+    a = chunked.select(
+        F.col("doc").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "blk",
+        "chunk",
+    )
+    b_side = chunked.select(
+        F.col("doc").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "blk",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.hint("merge")
+        .join(b_side, ["blk", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def connected_components_twophase(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -310,7 +310,8 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_duplicates",
-    None,  # xxhash64-based — no portable oracle
+    None,  # xxhash64-based — no portable oracle; the md5-keyed twin
+    # below is the family's hash-checked face (r13 VERDICT task 4)
     note="SimHash 64-bit signatures + block-permutation Hamming join; "
     "max_hamming=3 < blocks=4 so the pigeonhole recall guarantee holds "
     "(at distance d, at least one of blocks > d chunks is untouched)",
@@ -318,6 +319,53 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
     return dedup.simhash_near_duplicates(docs, max_hamming=3, blocks=4)
+
+
+@register(
+    "simhash_near_duplicates_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM documents
+    ), lanes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN substr(h, CAST(b + 1 AS INT), 1) >= '8'
+                      THEN 1 ELSE 0 END) AS n_set,
+             count(*) AS n
+      FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+      GROUP BY doc_id, b
+    ), sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * n_set > n THEN (CAST(1 AS BIGINT) << b)
+                      ELSE 0 END) AS simhash
+      FROM lanes GROUP BY doc_id
+    ), chunks AS (
+      SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS chunk
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bl
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    note="the SimHash family's hash-checked face (r13 VERDICT task 4, "
+    "fold #5 freed the slot): the exact tokenize -> per-bit majority "
+    "vote -> block-permutation join -> Hamming verify pipeline keyed "
+    "by md5 (token bit b = top bit of md5(w)'s hex char b+1 — one md5 "
+    "per token, 32 independent bits) so "
+    "the oracle replays it verbatim; production stays on the 64-bit "
+    "xxhash64 twin, whose candidate semantics this pins transitively "
+    "(same pipeline, different hash family). 32-bit signature / 8-bit "
+    "chunks: 4-bit chunks would give every block only 16 bucket "
+    "values, collapsing the candidate join into O(n^2/16) buckets at "
+    "scale",
+)
+def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = docs_table(spark, sf_dir)
+    return dedup.simhash_near_duplicates_md5(
+        docs, bits=32, max_hamming=3, blocks=4
+    )
 
 
 def _lang_score_sql(markers: list[str]) -> str:

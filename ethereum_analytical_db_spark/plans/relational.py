@@ -339,19 +339,12 @@ def union_all_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "block_bucketing",
-    """
-    SELECT DISTINCT CAST(FLOOR(event_id / 5) AS BIGINT) AS bucket
-    FROM events WHERE event_type = 'error'
-    """,
-    note="A10/T4 block-range micro-batch bucketing: "
-    "distinct(floor(number/range)) (reference operations/events.py:12-35)",
-)
-def block_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type") == "error")
-        .select(F.floor(F.col("event_id") / 5).cast("long").alias("bucket"))
-        .distinct()
-    )
+# fold #5 (r14): `block_bucketing` — A10/T4 distinct(floor(number/range))
+# micro-batch bucketing (reference operations/events.py:12-35) — is
+# retired from the registry. Its operator shape stays oracle-checked:
+# `compat_notebook_gas` carries the SAME integer-divide bucketing
+# (toInt64(blockNumber/1000)*1000 in the `g` CTE, hash-checked against
+# DuckDB every round), and the range micro-batch operator itself
+# (`streaming/incremental.py` block_ranges) keeps its dedicated pytest
+# coverage. The freed oracle slot promotes `simhash_near_duplicates_md5`
+# (plans/pipeline.py) — the SimHash family's first hash-checked face.

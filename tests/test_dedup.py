@@ -105,6 +105,59 @@ def test_minhash_md5_twin_recall_and_exact_dup_guarantee(spark):
         dedup.minhash_lsh_candidates_md5(dup, num_hashes=16, bands=5)
 
 
+def test_simhash_md5_twin_identical_docs_and_guards(spark):
+    """The md5-keyed SimHash twin (the family's oracle-portable face,
+    r14 fold #5) behaves like the xxhash64 pipeline: identical docs
+    land at Hamming 0, a completely different doc does not pair with
+    them at max_hamming=3, and the pigeonhole/divisibility guards
+    reject bad configs."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "w x y z q r s t u v"),
+            (2, "w x y z q r s t u v"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates_md5(df).collect()
+    }
+    assert out.get((1, 2)) == 0
+    assert (1, 3) not in out and (2, 3) not in out
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.simhash_near_duplicates_md5(df, bits=16, blocks=5)
+    with _pytest.raises(ValueError, match="pigeonhole|recall"):
+        dedup.simhash_near_duplicates_md5(df, max_hamming=4, blocks=4)
+
+
+def test_simhash_md5_twin_duckdb_parity(spark):
+    """Cross-engine check for the hash-checked registry entry: the
+    registry's own oracle SQL, run in DuckDB on the sf0.001 documents
+    table, returns the exact same (doc_a, doc_b, hamming) rows as the
+    Spark pipeline — the same comparison the driver's correctness
+    harness performs at sf0.01."""
+    import duckdb
+
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qdef = all_queries()["simhash_near_duplicates_md5"]
+    assert qdef.oracle is not None and "bit_count" in qdef.oracle
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in qdef.build(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(qdef.oracle).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_simhash_near_identical_docs_close(spark):
     df, planted = _corpus(spark)
     pairs = {
