@@ -151,7 +151,7 @@ def _decode_bmp(content: bytes) -> dict:
     payload = content[data_offset : data_offset + stride * n_rows]
     if len(payload) != stride * n_rows:
         raise ValueError("truncated BMP pixel data")
-    return {
+    out = {
         "width": width,
         "height": n_rows,
         "channels": channels,
@@ -161,6 +161,29 @@ def _decode_bmp(content: bytes) -> dict:
         # would mirror its aHash (r13 review find)
         "bmp_topdown": height < 0,
     }
+    if bits == 8:
+        # 8-bit BMP pixels are PALETTE INDICES — the color table (BGRX
+        # quads between the info header and the pixel data) must ride
+        # along, or the perceptual pass would hash indices as luma and
+        # any non-grayscale-identity palette would silently break the
+        # same-image-same-hash invariant (r13 advisor)
+        (n_colors,) = struct.unpack("<I", content[46:50])
+        n_colors = n_colors or 256
+        table = content[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+        if len(table) != 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        # validate only real index bytes — row PADDING may hold junk
+        if n_colors < 256 and any(
+            max(payload[r * stride : r * stride + width], default=0)
+            >= n_colors
+            for r in range(n_rows)
+        ):
+            raise ValueError(
+                f"BMP palette index out of range (palette has "
+                f"{n_colors} entries)"
+            )
+        out["palette"] = table
+    return out
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -996,6 +1019,17 @@ def _luma_plane(d: dict, fmt: str):
             a = a[::-1]  # bottom-up → top-down (top-down BMPs — negative
             # header height — are already in raster order; flipping them
             # would mirror the hash, r13 review find)
+        if ch == 1 and d.get("palette") is not None:
+            # 8-bit BMP: pixels are palette indices, not luma — resolve
+            # through the BGRX color table (r13 advisor: hashing raw
+            # indices broke format invariance for any palette that
+            # isn't the grayscale identity)
+            pal = np.frombuffer(d["palette"], dtype=np.uint8).reshape(-1, 4)
+            idx = a[:, :, 0]
+            b = pal[idx, 0].astype(np.int64)
+            g = pal[idx, 1].astype(np.int64)
+            r = pal[idx, 2].astype(np.int64)
+            return (299 * r + 587 * g + 114 * b) // 1000  # BT.601
         if ch >= 3:
             a = a[:, :, [2, 1, 0]]  # BGR(A) → RGB; alpha unused below
     else:

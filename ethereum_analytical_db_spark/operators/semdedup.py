@@ -345,6 +345,8 @@ def semdedup_probe(
     threshold: float | None = None,
     max_cluster_rows: int = 200_000,
     index_filter=None,
+    eager: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Online semantic dedup of a NEW batch against the curated corpus:
     (id, cluster, centroid_sim, kept) for the batch only — resident
@@ -426,6 +428,30 @@ def semdedup_probe(
         res_counts = {
             int(k): v for k, v in meta_counts.items() if int(k) in tset
         }
+        # belt for the sidecar's one honesty gap (r13 advisor): a crash
+        # between an append's parquet write and its sidecar write leaves
+        # the count UNDER truth, and a deep undercount could pick the
+        # single-pass plan on a runaway cluster — the exact OOM the
+        # counts exist to prevent. When any touched count is already in
+        # the limit's neighborhood (>= half), pay the cheap census and
+        # take max(sidecar, census): the census is partition-pruned to
+        # the touched clusters with the vector column pruned away, and
+        # the half band plus the self-healing append recount
+        # (semdedup_index_append rebuilds touched counts from the index
+        # after every successful append) make a silent under-chunk
+        # require a pile of crashed appends with no healthy append
+        # after them.
+        if any(v * 2 >= max_cluster_rows for v in res_counts.values()):
+            census = {
+                r["cluster"]: r["n"]
+                for r in residents.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            res_counts = {
+                c: max(res_counts.get(c, 0), census.get(c, 0))
+                for c in touched
+            }
     else:
         res_counts = {
             r["cluster"]: r["n"]
@@ -437,11 +463,17 @@ def semdedup_probe(
         c: max(1, -(-res_counts.get(c, 0) // max_cluster_rows))
         for c in touched
     }
+    if stats is not None:
+        stats["res_counts"] = dict(res_counts)
+        stats["plan"] = (
+            "chunked" if any(s > 1 for s in chunks.values()) else "single"
+        )
     if any(s > 1 for s in chunks.values()):
-        return _probe_chunked(
+        out = _probe_chunked(
             spark, assigned, residents, centroids, chunks, thr,
             id_col, vec_col,
         )
+        return _finish_probe(out, assigned, eager)
 
     both = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster"),
@@ -515,13 +547,32 @@ def semdedup_probe(
         )
 
     id_type = batch.schema[id_col].dataType.simpleString()
-    return both.groupBy("cluster").applyInPandas(
+    out = both.groupBy("cluster").applyInPandas(
         prune,
         schema=(
             f"`{id_col}` {id_type}, cluster int, "
             "centroid_sim double, kept boolean"
         ),
     )
+    return _finish_probe(out, assigned, eager)
+
+
+def _finish_probe(out: DataFrame, assigned: DataFrame, eager: bool) -> DataFrame:
+    """Probe exit: by default (``eager=True``) materialize the verdicts
+    — they are micro-batch-sized — via an eager localCheckpoint and
+    RELEASE the assignment cache, so a long-lived caller (the
+    ``family='semantic'`` stream probes once per micro-batch) does not
+    leak one plan-level cached DataFrame per call (r13 advisor; plan-
+    cache entries are never GC-cleaned, unlike the checkpoint's RDD
+    blocks, which the ContextCleaner reclaims once the returned frame
+    is dropped). ``eager=False`` keeps the verdict frame lazy — the
+    plan stays inspectable (the partition-pruning test reads it) — and
+    leaves the assignment cached; the caller owns its release."""
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 def _probe_chunked(
@@ -682,11 +733,20 @@ def semdedup_index_append(
         .localCheckpoint(eager=True)
     )
     rows.write.mode("append").partitionBy("cluster").parquet(path)
-    # maintain the sidecar's kept-count census (a tiny aggregate over
-    # the checkpointed batch verdicts — no corpus scan) so future
-    # probes keep sizing their runaway-cluster guard without one.
-    # Read-modify-write of the sidecar: safe under the append contract
-    # (single writer, new ids only), same as the append itself.
+    # maintain the sidecar's kept-count census so future probes keep
+    # sizing their runaway-cluster guard without a corpus scan. The
+    # TOUCHED clusters' counts are rebuilt FROM THE INDEX (partition-
+    # pruned to those clusters, vector column pruned away) rather than
+    # delta-added onto the stored base: the parquet append above and
+    # this sidecar write are not atomic, and under delta arithmetic one
+    # crash between them would leave that cluster permanently
+    # undercounted — every later delta lands on the stale base, which
+    # silently disarms the max_cluster_rows chunking guard (r13
+    # advisor). Recounting makes the sidecar self-healing: any drift on
+    # a cluster is erased by the next successful append that touches
+    # it, and the probe-side near-limit census (semdedup_probe) covers
+    # the window in between. Read-modify-write of the sidecar remains
+    # safe under the append contract (single writer, new ids only).
     from .similarity import _read_index_meta, _write_index_meta
 
     spark = batch.sparkSession
@@ -697,14 +757,19 @@ def semdedup_index_append(
         # existing residents and silently disarm the chunking guard;
         # probes against such an index keep taking the census fallback
         counts = dict(meta["kept_per_cluster"])
-        for r in (
-            rows.filter(F.col("kept"))
+        touched = [
+            r["cluster"] for r in rows.select("cluster").distinct().collect()
+        ]
+        recount = {
+            r["cluster"]: r["n"]
+            for r in spark.read.parquet(path)
+            .filter(F.col("cluster").isin(touched) & F.col("kept"))
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        ):
-            key = str(r["cluster"])
-            counts[key] = counts.get(key, 0) + r["n"]
+        }
+        for c in touched:
+            counts[str(c)] = int(recount.get(c, 0))
         meta["kept_per_cluster"] = counts
         _write_index_meta(spark, path, meta)
     return rows.select(id_col, "cluster", "centroid_sim", "kept")

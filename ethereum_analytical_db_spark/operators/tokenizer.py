@@ -55,6 +55,52 @@ from pyspark.sql import functions as F
 
 from .materialize import materialize as _materialize
 
+import re as _re
+
+# constructs whose semantics differ between Java regex (F.split on the
+# training side) and Python re (encode_bpe's splitter) — or exist in
+# only one engine: \p{...} property classes, \uXXXX escapes, \Q...\E
+# quoting, \R/\X/\G, named-backref \k / Python \g, \z vs \Z anchor
+# semantics, possessive quantifiers (X++), and the two engines'
+# incompatible named-group syntaxes
+_DIVERGENT_SPLIT = _re.compile(
+    r"\\[pPuQERXGkgzZ]"
+    r"|[+*?}]\+"
+    r"|\(\?P"
+    r"|\(\?<(?![=!])"
+)
+
+
+def _validate_split(split: str) -> None:
+    """Reject separator regexes outside the Java/Python-common subset.
+
+    Training applies ``split`` via Java regex (``F.split``) while
+    :func:`encode_bpe` applies it via Python ``re`` — a pattern the two
+    engines read differently makes train and encode tokenize
+    DIFFERENTLY with no error anywhere (r13 advisor: the old docstring
+    caveat was the only guard). Plain separators (the default space,
+    ``\\s+``, ``\\n``, ``[ ,;]``) pass; engine-divergent constructs
+    raise here, at call time, on BOTH sides."""
+    if split == " ":
+        return
+    m = _DIVERGENT_SPLIT.search(split)
+    if m:
+        raise ValueError(
+            f"split regex {split!r} uses {m.group(0)!r}, which Java regex "
+            "(training, F.split) and Python re (encode_bpe) do not read "
+            "the same way — train and encode would silently tokenize "
+            "differently. Stick to the common subset (literal "
+            "separators, \\s/\\t/\\n classes, bracket classes, +/*) or "
+            "pre-split the text into a words column"
+        )
+    try:
+        _re.compile(split)
+    except _re.error as e:
+        raise ValueError(
+            f"split regex {split!r} does not compile under Python re "
+            f"({e}) — encode_bpe could never apply it"
+        ) from None
+
 
 def word_frequencies(
     docs: DataFrame, text_col: str = "text", split: str = " "
@@ -69,8 +115,11 @@ def word_frequencies(
     single space, ``\\s+``, ``\\n``), though exotic patterns should
     stick to the Java/Python-common regex subset. Training with one
     separator and encoding with another silently diverges — the r12
-    advisor find that motivated threading the knob through both sides.
+    advisor find that motivated threading the knob through both sides;
+    engine-divergent patterns are rejected by :func:`_validate_split`
+    (r13 advisor).
     """
+    _validate_split(split)
     return (
         docs.select(F.explode(F.split(F.col(text_col), split)).alias("word"))
         .filter(F.col("word") != "")
@@ -637,6 +686,7 @@ def encode_bpe(
 
     import pandas as pd
 
+    _validate_split(split)
     sc = docs.sparkSession.sparkContext
     ranks_bc = sc.broadcast({(l, r): i for i, (l, r, _) in enumerate(merges)})
     sep_re = None if split == " " else re.compile(split)

@@ -1200,6 +1200,68 @@ def test_ahash_tiny_image_is_null():
     assert mm._ahash64(d, "ppm") is None
 
 
+def _make_bmp8(width, height, index_rows, palette, n_colors_field=None):
+    """8-bit palette BI_RGB, bottom-up; ``palette`` = [(r, g, b), ...];
+    ``n_colors_field`` overrides biClrUsed (0 means 'full 256')."""
+    stride = (width + 3) & ~3
+    data = b"".join(
+        bytes(row) + b"\x00" * (stride - width) for row in index_rows
+    )
+    table = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+    off = 54 + len(table)
+    used = len(palette) if n_colors_field is None else n_colors_field
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data),
+        2835, 2835, used, 0,
+    )
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + info + table + data
+    )
+
+
+def test_ahash_8bit_palette_bmp_resolves_color_table():
+    """r13 advisor: 8-bit BMP pixels are palette INDICES — hashing them
+    as luma breaks format invariance for any non-grayscale-identity
+    palette. The decoder now carries the color table and the luma pass
+    resolves through it: the same image as a palette BMP and as a
+    24-bit PPM must hash identically, with a palette deliberately
+    ordered so index order anti-correlates with luminance."""
+    w, h = 13, 10
+    # 16 colors whose luma DESCENDS as the index ascends — raw indices
+    # as luma would invert the image
+    palette = [(255 - 16 * i, 240 - 15 * i, 200 - 12 * i) for i in range(16)]
+    idx = [[(x + y) % 16 for x in range(w)] for y in range(h)]
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes(palette[idx[y][x]])
+    want = _ref_ahash(bytes(px), w, h, 3)
+    d8 = mm._decode_bmp(
+        _make_bmp8(w, h, [idx[y] for y in range(h - 1, -1, -1)], palette)
+    )
+    assert d8["palette"] is not None
+    assert mm._ahash64(d8, "bmp") == want
+    # ...and the old behavior (indices as luma) would NOT match
+    d_raw = dict(d8)
+    d_raw.pop("palette")
+    assert mm._ahash64(d_raw, "bmp") != want
+
+
+def test_bmp8_palette_index_out_of_range_rejected():
+    w, h = 9, 9
+    rows = [[7] * w for _ in range(h)]  # index 7 with only 4 colors
+    blob = _make_bmp8(w, h, rows, [(0, 0, 0)] * 4)
+    with pytest.raises(ValueError, match="palette index"):
+        mm._decode_bmp(blob)
+    # biClrUsed == 0 means a full 256-entry table
+    blob256 = _make_bmp8(
+        w, h, rows, [(i, i, i) for i in range(256)], n_colors_field=0
+    )
+    d = mm._decode_bmp(blob256)
+    assert len(d["palette"]) == 1024
+
+
 def test_audio_stats_pcm16_reference():
     import math
 

@@ -282,12 +282,13 @@ def test_probe_prunes_partitions_and_validates(spark, served):
     df = spark.createDataFrame(
         batches[1][:5], "vec_id long, embedding array<float>"
     )
-    plan = (
-        semdedup.semdedup_probe(df, path, centroids)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # eager=False keeps the verdict frame lazy so its executed plan —
+    # the pruning evidence — stays inspectable; the default eager exit
+    # checkpoints it into a Scan ExistingRDD. Release the assignment
+    # cache ourselves afterwards (the eager=False contract).
+    lazy = semdedup.semdedup_probe(df, path, centroids, eager=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "cluster" in pf[1][:200]
 
@@ -417,6 +418,109 @@ def test_sidecar_kept_counts_maintained_and_probe_equivalent(spark, served):
     # pre-census index: append must NOT seed a partial count map
     semdedup.semdedup_index_append(df2, path, centroids)
     assert "kept_per_cluster" not in _read_index_meta(spark, path)
+
+
+def test_sidecar_self_heals_after_simulated_crash_drift(spark, served):
+    """r13 advisor: the parquet append and the sidecar update are not
+    atomic — a crash between them leaves the cluster undercounted, and
+    delta arithmetic would carry that drift forever. The append now
+    REBUILDS the touched clusters' counts from the index, so a
+    deliberately-corrupted (undercounted) sidecar heals on the next
+    append that touches the cluster."""
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+
+    path, centroids, batches = served
+    meta = _read_index_meta(spark, path)
+    corrupted = {k: 1 for k in meta["kept_per_cluster"]}  # deep undercount
+    meta["kept_per_cluster"] = corrupted
+    _write_index_meta(spark, path, meta)
+
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    touched = {
+        str(r["cluster"])
+        for r in semdedup.semdedup_index_append(df, path, centroids)
+        .select("cluster")
+        .distinct()
+        .collect()
+    }
+    census = {}
+    for r in spark.read.parquet(path).filter("kept").collect():
+        census[str(r["cluster"])] = census.get(str(r["cluster"]), 0) + 1
+    healed = _read_index_meta(spark, path)["kept_per_cluster"]
+    for c in touched:
+        assert healed[c] == census.get(c, 0), (c, healed, census)
+    for c in set(corrupted) - touched:  # untouched clusters stay stale
+        assert healed[c] == 1
+
+
+def test_probe_near_limit_census_belt(spark, served):
+    """r13 advisor, probe side: an undercounted sidecar near the
+    chunking limit must not silently disarm the runaway-cluster guard.
+    When any touched count reaches half of max_cluster_rows the probe
+    pays the census and takes max(sidecar, census) — so a sidecar
+    reporting just-under-limit on a genuinely over-limit cluster still
+    arms the chunked plan. (A DEEP undercount below the half band keeps
+    the single-pass plan by design — bounded-cost trade covered by the
+    self-healing append recount.)"""
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+        _write_index_meta,
+    )
+
+    path, centroids, batches = served
+    census = {}
+    for r in spark.read.parquet(path).filter("kept").collect():
+        census[str(r["cluster"])] = census.get(str(r["cluster"]), 0) + 1
+    big = max(census, key=census.get)
+    limit = census[big] - 1  # the big cluster is genuinely over-limit
+    assert limit >= 2
+
+    meta = _read_index_meta(spark, path)
+    near = dict(meta["kept_per_cluster"])
+    near[big] = (limit + 1) // 2  # near-limit undercount: belt triggers
+    meta["kept_per_cluster"] = near
+    _write_index_meta(spark, path, meta)
+
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    stats: dict = {}
+    out = semdedup.semdedup_probe(
+        df, path, centroids, max_cluster_rows=limit, stats=stats
+    )
+    assert stats["plan"] == "chunked", stats
+    assert stats["res_counts"][int(big)] == census[big]
+    # and the verdicts equal a fresh-census probe (counts pick the plan,
+    # never the answer)
+    ref = semdedup.semdedup_probe(df, path, centroids, max_cluster_rows=limit)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_probe_releases_assignment_cache(spark, served):
+    """r13 advisor: semdedup_probe persisted the batch assignment and
+    never unpersisted it — one leaked cached DataFrame per micro-batch
+    for the life of a semantic stream. The verdict frame is now
+    materialized eagerly (it is micro-batch-sized) and the cache
+    released before returning. Pinned via the CacheManager (plan-level
+    caches are never GC-reclaimed — the leak class) rather than
+    getPersistentRDDs (which also lists the checkpoint's RDD blocks,
+    legitimately alive while the returned frame is referenced and
+    ContextCleaner-reclaimed once it is dropped)."""
+    path, centroids, batches = served
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    out = semdedup.semdedup_probe(df, path, centroids)
+    assert out.count() == len(batches[1])
+    assert cm.isEmpty()  # no plan-level cache left behind
+    # eager=False is the documented opt-out: the cache stays, owned by
+    # the caller
+    out2 = semdedup.semdedup_probe(df, path, centroids, eager=False)
+    assert out2.count() == len(batches[1])
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
 
 
 def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):

@@ -387,6 +387,20 @@ def test_train_bpe_rejects_unknown_mode(spark, docs):
         tokenizer.train_bpe(docs, num_merges=2, mode="cluster")
 
 
+def test_split_regex_engine_divergent_patterns_rejected(spark, docs):
+    """r13 advisor: training splits via Java regex, encoding via Python
+    re — patterns outside the common subset used to diverge silently
+    (only a docstring warned). Both sides now reject them at call time;
+    the documented plain-separator forms still pass."""
+    for bad in (r"\p{L}+", r"a++", r"\Qx\E", r"(?P<s> )", r"[unclosed"):
+        with pytest.raises(ValueError, match="split regex"):
+            tokenizer.train_bpe(docs, num_merges=2, split=bad)
+        with pytest.raises(ValueError, match="split regex"):
+            tokenizer.encode_bpe(docs, [("a", "b", 2)], split=bad)
+    for ok in (" ", r"\s+", r"\n", "[ ,;]", "[ \\t]+", ","):
+        tokenizer._validate_split(ok)  # must not raise
+
+
 def test_split_regex_threads_through_train_and_encode(spark):
     """Training and encoding with the same non-default separator regex
     agree (r12 advisor find: word_frequencies treated `split` as a
