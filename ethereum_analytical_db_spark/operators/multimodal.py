@@ -590,15 +590,47 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
+def _expand_sample_layout(
+    stsc: list[tuple[int, int]], stco: list[int], sizes: list[int]
+) -> list[tuple[int, int]]:
+    """Expand the ISO-BMFF sample tables into per-sample (file_offset,
+    size) ranges: chunk i (1-based) holds samples-per-chunk from the
+    last stsc entry whose first_chunk <= i, chunks start at the stco
+    offsets, samples pack back-to-back inside a chunk with stsz sizes.
+    """
+    out: list[tuple[int, int]] = []
+    si = 0
+    for ci in range(len(stco)):
+        spc = 0
+        for fc, s in stsc:
+            if fc <= ci + 1:
+                spc = s
+            else:
+                break
+        off = stco[ci]
+        for _ in range(spc):
+            if si >= len(sizes):
+                return out
+            out.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    return out
+
+
 def _decode_mp4(content: bytes) -> dict:
     """ISO-BMFF (MP4) container: full box walk — ftyp, moov/mvhd
     (timescale+duration), per-trak tkhd (16.16 fixed-point geometry),
-    hdlr (track kind), mdhd (audio timescale = sample rate), stsz
-    (sample count). Width/height/n_frames come from the first video
-    track, sample_rate from the first audio track; the payload is the
-    concatenated mdat bodies. The codec BITSTREAM inside mdat (H.264 /
-    AAC) is the remaining declared seam — container geometry, frame
-    counts, and byte accounting are fully real."""
+    hdlr (track kind), mdhd (audio timescale = sample rate), stsd
+    (sample-entry codec 4CC), stsz/stsc/stco (per-sample byte ranges).
+    Width/height/n_frames come from the first video track, sample_rate
+    from the first audio track; the payload is the concatenated mdat
+    bodies. The first video track also exposes ``video_codec`` (ascii
+    4CC) and ``video_samples`` (per-sample (file_offset, size) ranges)
+    so the perceptual pass can decode keyframes where a real decoder
+    exists — MJPEG ('jpeg'/'mjpa' sample entries) rides the baseline
+    JPEG decoder; the H.264/HEVC/AAC BITSTREAMS inside mdat remain the
+    declared codec seam — container geometry, frame counts, and byte
+    accounting are fully real."""
     boxes = list(_mp4_boxes(content, 0, len(content)))
     if not any(t == b"ftyp" for t, _, _ in boxes):
         raise ValueError("missing MP4 ftyp box")
@@ -628,9 +660,48 @@ def _decode_mp4(content: bytes) -> dict:
             (track["timescale"],) = struct.unpack(">I", content[ts_off : ts_off + 4])
         elif btype == b"hdlr":
             track["kind"] = content[lo + 8 : lo + 12]
+        elif btype == b"stsd":
+            # version/flags + entry_count, then the first sample entry:
+            # size(4) + format 4CC — the codec identity the keyframe
+            # pass dispatches on
+            if lo + 16 <= hi:
+                track["codec"] = content[lo + 12 : lo + 16]
         elif btype == b"stsz":
-            count_off = lo + 8  # version/flags + sample_size
-            (track["samples"],) = struct.unpack(">I", content[count_off : count_off + 4])
+            ver_off = lo + 4  # version/flags
+            (uniform,) = struct.unpack(">I", content[ver_off : ver_off + 4])
+            (count,) = struct.unpack(">I", content[ver_off + 4 : ver_off + 8])
+            track["samples"] = count
+            if uniform:
+                track["sizes"] = [uniform] * count
+            else:
+                end = ver_off + 8 + 4 * count
+                if end <= hi:
+                    track["sizes"] = list(
+                        struct.unpack(f">{count}I", content[ver_off + 8 : end])
+                    )
+                # else: count-only stsz (table absent/truncated) — keep
+                # the frame count (the pre-keyframe contract) and leave
+                # the sample layout unavailable instead of failing rows
+                # whose container metadata is otherwise sound
+        elif btype == b"stsc":
+            (n,) = struct.unpack(">I", content[lo + 4 : lo + 8])
+            ent = []
+            pos = lo + 8
+            for _ in range(n):
+                fc, spc, _desc = struct.unpack(">III", content[pos : pos + 12])
+                ent.append((fc, spc))
+                pos += 12
+            track["stsc"] = ent
+        elif btype in (b"stco", b"co64"):
+            (n,) = struct.unpack(">I", content[lo + 4 : lo + 8])
+            width = 8 if btype == b"co64" else 4
+            fmtc = "Q" if btype == b"co64" else "I"
+            end = lo + 8 + width * n
+            if end > hi:
+                raise ValueError("truncated chunk-offset table")
+            track["stco"] = list(
+                struct.unpack(f">{n}{fmtc}", content[lo + 8 : end])
+            )
 
     def _finish_track(track: dict) -> None:
         kind = track.get("kind")
@@ -638,6 +709,17 @@ def _decode_mp4(content: bytes) -> dict:
             info["width"] = track.get("width")
             info["height"] = track.get("height")
             info["n_frames"] = track.get("samples")
+            codec = track.get("codec")
+            if codec is not None:
+                info["video_codec"] = codec.decode("ascii", "replace").strip()
+            if (
+                track.get("sizes")
+                and track.get("stsc")
+                and track.get("stco")
+            ):
+                info["video_samples"] = _expand_sample_layout(
+                    track["stsc"], track["stco"], track["sizes"]
+                )
         elif kind == b"soun" and info["sample_rate"] is None:
             # for audio tracks the mdhd timescale IS the sample rate
             info["sample_rate"] = track.get("timescale")
@@ -1070,6 +1152,45 @@ def _ahash64(d: dict, fmt: str):
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+# mp4 video sample-entry 4CCs the keyframe pass can actually decode:
+# each sample is a complete baseline JPEG ('jpeg' = MJPEG in ISO-BMFF,
+# 'mjpa' = Motion-JPEG format A; both carry a full JFIF per frame)
+_MJPEG_CODECS = {"jpeg", "mjpa"}
+
+
+def _video_keyframe_hashes(d: dict, content: bytes, max_frames: int = 3):
+    """Sample-level perceptual signal for VIDEO (r13 VERDICT task 6):
+    aHash64 per sampled keyframe — first / middle / last sample —
+    where a real frame decoder exists. MJPEG tracks ('jpeg'/'mjpa'
+    sample entries) store one complete baseline JPEG per sample, so
+    each keyframe rides :mod:`operators.jpeg`'s decoder and the same
+    orientation-normalized :func:`_ahash64` the still-image path uses.
+    H.264/HEVC remain the documented codec seam — entropy-decoding an
+    IDR frame is a library codec's job, not a pure-Python baseline's —
+    so their rows return None here (and ``video_codec`` says why).
+    A keyframe that fails to decode is skipped (the per-frame error is
+    not row-fatal: the container metadata already validated)."""
+    codec = d.get("video_codec")
+    samples = d.get("video_samples")
+    if codec not in _MJPEG_CODECS or not samples:
+        return None
+    from . import jpeg as _jpeg
+
+    n = len(samples)
+    idxs = sorted({0, n // 2, n - 1})[:max_frames]
+    hashes = []
+    for i in idxs:
+        off, size = samples[i]
+        try:
+            frame = _jpeg.decode_jpeg(content[off : off + size])
+            h = _ahash64(frame, "jpeg")
+        except Exception:  # noqa: BLE001 - a corrupt frame skips, the
+            continue  # row keeps its other keyframes
+        if h is not None:
+            hashes.append(h)
+    return hashes or None
+
+
 _SAMPLE_DTYPES = {
     # scale = the magnitude of the most-negative code, so every integer
     # depth maps onto the same [-1, 1) grid: a full-scale 8-bit clip
@@ -1131,7 +1252,13 @@ def decode_media(
     curation pass actually filters on): ``ahash64`` (8×8 luma average
     hash, orientation/channel-order normalized across pixel formats) on
     image rows, ``audio_rms``/``audio_peak`` ([-1, 1]-normalized) on
-    PCM audio rows; NULL where the codec yields no raw samples. Cheap
+    PCM audio rows, and ``video_ahash64`` (per-keyframe aHash64 over
+    first/middle/last sample) on mp4 rows whose video track carries a
+    decodable codec — MJPEG ('jpeg'/'mjpa') via the baseline JPEG
+    decoder (r13 VERDICT task 6). H.264/HEVC video stays NULL there by
+    design: entropy-decoding an IDR frame is a library codec's job
+    (the ``_CODECS`` seam), and pretending otherwise would emit fake
+    signals. NULL wherever the codec yields no raw samples. Cheap
     projections over pixels/PCM the decode already produced — the same
     Arrow batch, no extra pass over the binary column."""
     fields = ", ".join(
@@ -1143,13 +1270,16 @@ def decode_media(
         "dec_bitrate_kbps int, payload_bytes long, decode_error string"
     )
     if perceptual:
-        out_schema += ", ahash64 bigint, audio_rms double, audio_peak double"
+        out_schema += (
+            ", ahash64 bigint, audio_rms double, audio_peak double"
+            ", video_ahash64 array<bigint>"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys = ["w", "h", "ch", "sr", "nf", "dur", "br", "nb", "err"]
             if perceptual:
-                keys += ["ah", "rms", "peak"]
+                keys += ["ah", "rms", "peak", "vah"]
             cols: dict[str, list] = {k: [] for k in keys}
             for fmt, content in zip(pdf[fmt_col], pdf[content_col]):
                 try:
@@ -1175,6 +1305,11 @@ def decode_media(
                         rms, peak = _audio_stats(d)
                         cols["rms"].append(rms)
                         cols["peak"].append(peak)
+                        cols["vah"].append(
+                            _video_keyframe_hashes(d, bytes(content))
+                            if fmt == "mp4"
+                            else None
+                        )
                 except Exception as e:  # malformed/unsupported → row-level error
                     for k in keys:
                         if k != "err":
@@ -1194,6 +1329,7 @@ def decode_media(
                 pdf["ahash64"] = pd.array(cols["ah"], dtype="Int64")
                 pdf["audio_rms"] = pd.array(cols["rms"], dtype="Float64")
                 pdf["audio_peak"] = pd.array(cols["peak"], dtype="Float64")
+                pdf["video_ahash64"] = cols["vah"]
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

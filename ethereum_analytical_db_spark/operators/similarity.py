@@ -815,6 +815,13 @@ def ivf_index_append(
     (append is not upsert; a duplicated id would surface twice in a
     probe's candidate set). Re-train + rewrite when drift makes the
     frozen centroids a poor quantizer (the standard IVF trade-off).
+
+    COMPACTION CADENCE: each append lands one small file per
+    batch×cluster; a long-running loop should run
+    ``dedup.compact_index(spark, path, ["cluster"])`` on a cadence
+    (crash-safe rewrite, sidecar survives; same for the LSH layout
+    with ``["bucket"]``) — pinned by
+    test_ivf_index_compact_bounds_files_and_keeps_results.
     """
     meta = _read_index_meta(embeddings.sparkSession, path)
     if meta.get("kind") != "ivf":

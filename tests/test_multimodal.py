@@ -226,6 +226,49 @@ def _make_mp4(width=0, height=0, n_frames=0, sample_rate=0, mdat=b""):
     return _box(b"ftyp", b"isom" + bytes(8)) + _box(b"moov", moov) + _box(b"mdat", mdat)
 
 
+def _make_mjpeg_mp4(frames, width, height, codec=b"jpeg"):
+    """ISO-BMFF with a real sample layout: stsd (codec 4CC), per-sample
+    stsz, single-chunk stsc, stco holding the true FILE offset of the
+    mdat body (built twice: placeholder offset → measure → rebuild)."""
+    sizes = [len(f) for f in frames]
+    mdat_body = b"".join(frames)
+
+    def build(chunk_off):
+        tkhd = (
+            bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(8)
+            + bytes(8) + bytes(8) + bytes(36)
+            + struct.pack(">II", width << 16, height << 16)
+        )
+        mdhd = bytes(4) + bytes(8) + struct.pack(">II", 30, 0) + bytes(4)
+        hdlr = bytes(8) + b"vide" + bytes(12) + b"h\x00"
+        stsd = (
+            bytes(4) + struct.pack(">I", 1)
+            + struct.pack(">I", 8) + codec  # minimal sample entry
+        )
+        stsz = (
+            bytes(4) + struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", s) for s in sizes)
+        )
+        stsc = bytes(4) + struct.pack(">I", 1) + struct.pack(
+            ">III", 1, len(sizes), 1
+        )
+        stco = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", chunk_off)
+        stbl = (
+            _box(b"stsd", stsd) + _box(b"stsz", stsz)
+            + _box(b"stsc", stsc) + _box(b"stco", stco)
+        )
+        minf = _box(b"stbl", stbl)
+        mdia = _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + _box(b"minf", minf)
+        trak = _box(b"trak", _box(b"tkhd", tkhd) + _box(b"mdia", mdia))
+        mvhd = bytes(4) + bytes(8) + struct.pack(">II", 1000, 60000) + bytes(80)
+        moov = _box(b"mvhd", mvhd) + trak
+        return _box(b"ftyp", b"isom" + bytes(8)) + _box(b"moov", moov)
+
+    head = build(0)
+    head = build(len(head) + 8)  # mdat body starts after its 8-byte header
+    return head + _box(b"mdat", mdat_body)
+
+
 def test_wav_decode():
     d = mm._decode_wav(_make_wav(2, 44100, 100))
     assert (d["channels"], d["sample_rate"], d["n_frames"]) == (2, 44100, 100)
@@ -1246,6 +1289,72 @@ def test_ahash_8bit_palette_bmp_resolves_color_table():
     d_raw = dict(d8)
     d_raw.pop("palette")
     assert mm._ahash64(d_raw, "bmp") != want
+
+
+def _mjpeg_fixture_frames(w=16, h=16):
+    """Three visually distinct baseline JPEGs of the same geometry."""
+    g = _gradient(w, h, 3)
+    inv = bytes(255 - b for b in g)
+    half = bytes(b // 2 for b in g)
+    return [_make_jpeg(w, h, px) for px in (g, inv, half)]
+
+
+def test_mp4_mjpeg_keyframe_hashes(spark):
+    """r13 VERDICT task 6: mp4 rows whose video track is MJPEG get a
+    sample-level perceptual signal — aHash64 per sampled keyframe
+    (first/middle/last), each equal to the hash the SAME frame gets as
+    a standalone JPEG row (the cross-modality invariant a curation
+    pass relies on). H.264 sample entries stay NULL by design."""
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    frames = _mjpeg_fixture_frames()
+    blob = _make_mjpeg_mp4(frames, 16, 16)
+    d = mm._decode_mp4(blob)
+    assert d["video_codec"] == "jpeg" and len(d["video_samples"]) == 3
+    # the sample ranges point at the REAL frame bytes in the file
+    for (off, size), f in zip(d["video_samples"], frames):
+        assert blob[off : off + size] == f
+    want = [mm._ahash64(J.decode_jpeg(f), "jpeg") for f in frames]
+    assert mm._video_keyframe_hashes(d, blob) == want
+
+    rows = [
+        (1, "mp4", bytearray(blob)),
+        (2, "jpeg", bytearray(frames[0])),
+        (3, "mp4", bytearray(_make_mjpeg_mp4(frames, 16, 16, codec=b"avc1"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, fmt string, content binary")
+    out = {
+        r["media_id"]: r
+        for r in mm.decode_media(df, perceptual=True).collect()
+    }
+    assert out[1]["decode_error"] is None
+    assert list(out[1]["video_ahash64"]) == want
+    assert out[1]["video_ahash64"][0] == out[2]["ahash64"]  # invariant
+    assert out[3]["video_ahash64"] is None  # H.264: the codec seam
+    assert out[3]["decode_error"] is None  # container metadata still real
+
+
+def test_mp4_mjpeg_corrupt_keyframe_skipped():
+    """A corrupt frame mid-track skips (the row keeps its other
+    keyframes) instead of failing the row — the container metadata
+    already validated."""
+    frames = _mjpeg_fixture_frames()
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    want = [mm._ahash64(J.decode_jpeg(f), "jpeg") for f in (frames[0], frames[2])]
+    broken = [frames[0], b"\xff\xd8garbage", frames[2]]
+    d = mm._decode_mp4(_make_mjpeg_mp4(broken, 16, 16))
+    assert mm._video_keyframe_hashes(d, _make_mjpeg_mp4(broken, 16, 16)) == want
+
+
+def test_expand_sample_layout_multichunk():
+    """stsc expansion: two chunks of 2 samples then one chunk of 1,
+    sizes consumed in order, offsets pack back-to-back within chunks."""
+    stsc = [(1, 2), (3, 1)]
+    stco = [100, 200, 300]
+    sizes = [10, 11, 12, 13, 14]
+    got = mm._expand_sample_layout(stsc, stco, sizes)
+    assert got == [(100, 10), (110, 11), (200, 12), (212, 13), (300, 14)]
 
 
 def test_bmp8_palette_index_out_of_range_rejected():

@@ -523,6 +523,62 @@ def test_probe_releases_assignment_cache(spark, served):
     spark.catalog.clearCache()
 
 
+def test_semdedup_index_compact_bounds_files_and_keeps_verdicts(spark, served):
+    """r13 VERDICT task 5: the batch incremental-ingest loop
+    (semdedup_index_append) lands one parquet file per batch×cluster
+    forever; compact_index over the semdedup root must (a) bound the
+    layout at one file per cluster directory, (b) carry the meta
+    sidecar — kept-count census included — verbatim, (c) leave the
+    index content and a post-compact probe's verdicts identical, and
+    (d) keep the append loop working afterwards."""
+    import glob
+
+    from ethereum_analytical_db_spark.operators import dedup
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+    )
+
+    path, centroids, batches = served
+    df1 = spark.createDataFrame(batches[1], "vec_id long, embedding array<float>")
+    semdedup.semdedup_index_append(df1, path, centroids)
+    df2 = spark.createDataFrame(batches[2], "vec_id long, embedding array<float>")
+    probe_before = sorted(
+        map(tuple, semdedup.semdedup_probe(df2, path, centroids).collect())
+    )
+    content_before = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in spark.read.parquet(path).collect()
+    )
+    meta_before = _read_index_meta(spark, path)
+    n_clusters = len({c for _, c, _ in content_before})
+    files_before = glob.glob(f"{path}/cluster=*/*.parquet")
+    assert len(files_before) > n_clusters  # appends did fragment it
+
+    dedup.compact_index(spark, path, ["cluster"])
+
+    files_after = glob.glob(f"{path}/cluster=*/*.parquet")
+    assert len(files_after) == n_clusters  # one file per cluster dir
+    assert _read_index_meta(spark, path) == meta_before  # census survives
+    content_after = sorted(
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert content_after == content_before
+    probe_after = sorted(
+        map(tuple, semdedup.semdedup_probe(df2, path, centroids).collect())
+    )
+    assert probe_after == probe_before
+    # the loop keeps going: append after compact, sidecar stays truthful
+    out = semdedup.semdedup_index_append(df2, path, centroids)
+    assert out.count() == len(batches[2])
+    census = {}
+    for r in spark.read.parquet(path).filter("kept").collect():
+        census[str(r["cluster"])] = census.get(str(r["cluster"]), 0) + 1
+    healed = _read_index_meta(spark, path)["kept_per_cluster"]
+    for c, n in census.items():
+        assert healed.get(c) == n
+
+
 def test_train_fraction_deterministic_and_equivalent_shape(spark, emb):
     """Sampled-quantizer training: deterministic for a fixed fraction,
     same output shape/coverage; with fraction=1.0 it is byte-identical

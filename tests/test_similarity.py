@@ -381,6 +381,61 @@ def test_ivf_index_append_incremental(spark, tmp_path):
         similarity.ivf_index_append(df_extra, inc_path, other)
 
 
+def test_ivf_index_compact_bounds_files_and_keeps_results(spark, tmp_path):
+    """r13 VERDICT task 5: the batch ivf_index_append loop lands one
+    small file per batch×cluster; dedup.compact_index over the IVF root
+    must bound the layout at one file per cluster directory, carry the
+    centroid sidecar verbatim, answer probes identically, and keep the
+    append loop working afterwards."""
+    import glob
+
+    from ethereum_analytical_db_spark.operators import dedup
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+    )
+
+    rows, _ = _mk_vectors()
+    df_base = spark.createDataFrame(rows[:10], "vec_id long, embedding array<float>")
+    cents = similarity.ivf_train_centroids(df_base, n_centroids=4, iterations=2)
+    path = str(tmp_path / "ivf_compact")
+    similarity.ivf_index_write(df_base, path, cents)
+    for lo, hi in ((10, 15), (15, 20), (20, 25)):
+        batch = spark.createDataFrame(
+            rows[lo:hi], "vec_id long, embedding array<float>"
+        )
+        similarity.ivf_index_append(batch, path, cents)
+
+    q = rows[0][1]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.cosine_topk_ivf_index(
+            spark, path, q, cents, k=5, nprobe=4
+        ).collect()
+    ]
+    meta_before = _read_index_meta(spark, path)
+    n_clusters = len(glob.glob(f"{path}/cluster=*"))
+    assert len(glob.glob(f"{path}/cluster=*/*.parquet")) > n_clusters
+
+    dedup.compact_index(spark, path, ["cluster"])
+
+    assert len(glob.glob(f"{path}/cluster=*/*.parquet")) == n_clusters
+    assert _read_index_meta(spark, path) == meta_before
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.cosine_topk_ivf_index(
+            spark, path, q, cents, k=5, nprobe=4
+        ).collect()
+    ]
+    assert got == want
+    # the loop keeps going post-compact (fresh ids per the contract)
+    more = spark.createDataFrame(
+        [(1000 + i, v) for i, v in [(j, rows[j][1]) for j in range(5)]],
+        "vec_id long, embedding array<float>",
+    )
+    similarity.ivf_index_append(more, path, cents)
+    assert spark.read.parquet(path).count() == len(rows) + 5
+
+
 def test_lsh_index_append_incremental(spark, tmp_path):
     """Same maintenance contract for the LSH layout: the appended batch
     is bucketed with the sidecar's plane parameters, so an incremental
