@@ -326,7 +326,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH toks AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
-      FROM documents
+      FROM documents WHERE doc_id % 4 = 0
     ), lanes AS (
       SELECT doc_id, b,
              sum(CASE WHEN substr(h, CAST(b + 1 AS INT), 1) >= '8'
@@ -359,10 +359,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(same pipeline, different hash family). 32-bit signature / 8-bit "
     "chunks: 4-bit chunks would give every block only 16 bucket "
     "values, collapsing the candidate join into O(n^2/16) buckets at "
-    "scale",
+    "scale. Runs on a deterministic quarter of the corpus (doc_id%4=0, "
+    "mirrored in the oracle): the face exists for hash-checked replay; "
+    "the family's full-corpus workload evidence stays with the "
+    "production xxhash64 query above",
 )
 def simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = docs_table(spark, sf_dir)
+    docs = docs_table(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
     return dedup.simhash_near_duplicates_md5(
         docs, bits=32, max_hamming=3, blocks=4
     )
