@@ -310,12 +310,16 @@ def minhash_signatures(
     shuffle), instead of K interpreted array-transform lambdas per row."""
     shingled = _shingled(df, text_col, id_col, n)
     ex = shingled.select("doc", F.explode("ngrams").alias("s"))
+    # lanes as one-shot SQL strings — same plan, a fraction of the py4j
+    # build round trips (r14 driver-latency find)
     mins = ex.groupBy("doc").agg(
-        *[F.min(F.xxhash64("s", F.lit(k))).alias(f"m{k}") for k in range(num_hashes)]
+        *[
+            F.expr(f"min(xxhash64(s, {k}))").alias(f"m{k}")
+            for k in range(num_hashes)
+        ]
     )
-    return mins.select(
-        "doc", F.array(*[F.col(f"m{k}") for k in range(num_hashes)]).alias("signature")
-    )
+    lanes = ", ".join(f"m{k}" for k in range(num_hashes))
+    return mins.selectExpr("doc", f"array({lanes}) AS signature")
 
 
 def minhash_band_rows(
@@ -343,27 +347,14 @@ def minhash_band_rows(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    return sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    band_structs = ", ".join(
+        f"struct({b} AS band, xxhash64(array_join(transform("
+        f"slice(signature, {b * rows_per_band + 1}, {rows_per_band}), "
+        "x -> CAST(x AS STRING)), ',')) AS bucket)"
+        for b in range(bands)
+    )
+    return sigs.selectExpr(
+        "doc", f"explode(array({band_structs})) AS bb"
     ).select("doc", "bb.band", "bb.bucket")
 
 
@@ -455,28 +446,18 @@ def minhash_lsh_candidates_md5(
     )
     mins = sh.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"m{k}")
+            F.expr(f"min(md5('{k}:' || s))").alias(f"m{k}")
             for k in range(num_hashes)
         ]
     )
-    band_rows = mins.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"m{k}") for k in range(b * r, (b + 1) * r)],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {lanes})) AS bucket)".format(
+            b=b, lanes=", ".join(f"m{k}" for k in range(b * r, (b + 1) * r))
+        )
+        for b in range(bands)
+    )
+    band_rows = mins.selectExpr(
+        "doc", f"explode(array({band_structs})) AS bb"
     ).select("doc", "bb.band", "bb.bucket")
     band_rows = _materialize(band_rows, materialize)
     a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
@@ -1317,22 +1298,22 @@ def simhash_signatures(
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).withColumn("h", F.xxhash64("w"))
     # per-bit set count n_b = sum((h >> b) & 1) — branch-free lanes;
-    # majority vote is 2·n_b > n_tokens (≡ the classic ±1 sum > 0)
+    # majority vote is 2·n_b > n_tokens (≡ the classic ±1 sum > 0).
+    # Lanes and the signature reassembly are SQL strings parsed once
+    # JVM-side: the Column-API form was ~600 py4j round trips (~1 s of
+    # driver time) per build at 64 bits (r14, found on the md5 twin)
     bit_sums = tokens.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"b{b}")
             for b in range(bits)
         ],
     )
-    sig = None
-    for b in range(bits):
-        bit = F.when(F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return bit_sums.select("doc", sig.alias("simhash"))
+    sig_sql = " | ".join(
+        f"shiftleft(CASE WHEN 2 * b{b} > n THEN 1L ELSE 0L END, {b})"
+        for b in range(bits)
+    )
+    return bit_sums.selectExpr("doc", f"({sig_sql}) AS simhash")
 
 
 def _chunked_signatures(sigs: DataFrame, blocks: int) -> DataFrame:
@@ -1343,22 +1324,13 @@ def _chunked_signatures(sigs: DataFrame, blocks: int) -> DataFrame:
     (:func:`simhash_index_write`) exact w.r.t. a full recompute."""
     chunk_bits = 64 // blocks
     mask = (1 << chunk_bits) - 1
-    return sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("c"),
+    chunk_structs = ", ".join(
+        f"struct({i} AS blk, "
+        f"shiftright(simhash, {i * chunk_bits}) & {mask}L AS chunk)"
+        for i in range(blocks)
+    )
+    return sigs.selectExpr(
+        "doc", "simhash", f"explode(array({chunk_structs})) AS c"
     ).select("doc", "simhash", "c.blk", "c.chunk")
 
 
