@@ -436,6 +436,54 @@ def test_ivf_index_compact_bounds_files_and_keeps_results(spark, tmp_path):
     assert spark.read.parquet(path).count() == len(rows) + 5
 
 
+def test_lsh_index_compact_bounds_files_and_keeps_results(spark, tmp_path):
+    """The bucket-partitioned LSH layout gets the same compaction story
+    as the IVF root (its append docstring points at
+    compact_index(path, ["bucket"])): files bounded at one per bucket
+    dir, plane-parameter sidecar verbatim, probe identical."""
+    import glob
+
+    from ethereum_analytical_db_spark.operators import dedup
+    from ethereum_analytical_db_spark.operators.similarity import (
+        _read_index_meta,
+    )
+
+    rows, _ = _mk_vectors()
+    dim = len(rows[0][1])
+    path = str(tmp_path / "lsh_compact")
+    df_base = spark.createDataFrame(rows[:10], "vec_id long, embedding array<float>")
+    similarity.lsh_index_write(df_base, path, dim)  # default planes/seed
+    for lo in (10, 15, 20):
+        similarity.lsh_index_append(
+            spark.createDataFrame(
+                rows[lo : lo + 5], "vec_id long, embedding array<float>"
+            ),
+            path,
+        )
+    q = rows[0][1]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.cosine_topk_lsh_index(
+            spark, path, q, k=5, nprobe=4
+        ).collect()
+    ]
+    meta_before = _read_index_meta(spark, path)
+    n_buckets = len(glob.glob(f"{path}/bucket=*"))
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) > n_buckets
+
+    dedup.compact_index(spark, path, ["bucket"])
+
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) == n_buckets
+    assert _read_index_meta(spark, path) == meta_before
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.cosine_topk_lsh_index(
+            spark, path, q, k=5, nprobe=4
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_lsh_index_append_incremental(spark, tmp_path):
     """Same maintenance contract for the LSH layout: the appended batch
     is bucketed with the sidecar's plane parameters, so an incremental
