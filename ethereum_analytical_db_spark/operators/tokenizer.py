@@ -365,8 +365,11 @@ def select_merge_batch_relaxed(
     before a later pick, so the learned table can differ from the
     sequential reference in order and, through count evolution, in
     membership. This is the standard trade every batched/parallel BPE
-    trainer makes; measured ~14-20 merges per round where the exact
-    selector gets 1.1-4 (SCALE.md)."""
+    trainer makes — measured ~14-20 merges per round where the exact
+    selector gets 1.1-4, at ~12-13% more encoded tokens AT EQUAL MERGE
+    BUDGET (adversarial and natural corpora alike); at equal ROUND
+    budget relaxed wins decisively because it affords several times
+    the merges (numbers in SCALE.md)."""
     picks: list[tuple[str, str, int]] = []
     used: set[str] = set()
     for left, right, freq in candidates:

@@ -346,13 +346,13 @@ def test_train_bpe_relaxed_order_batches_aggressively(spark):
     token count over the training corpus) stays close to the
     sequential reference's — set overlap is the wrong metric (the
     greedy path diverges structurally on a 4-letter alphabet: measured
-    0.37 here); at a fixed merge budget the out-of-order picks buy
-    slightly less compression per merge (measured 10798 vs 9546 tokens
-    = +13% HERE, the adversarial worst case — a 4-letter alphabet
-    makes the skipped head chains carry most of the mass). Pinned at
-    +15% so a real quality regression (e.g. picks without live counts)
-    still trips. Deterministic corpus + deterministic selector →
-    stable assertion."""
+    0.37 here); at EQUAL MERGE BUDGET the out-of-order picks buy
+    ~12-13% less compression (10798 vs 9546 tokens = +13% here;
+    +11.9-12.7% on a natural Zipf corpus — SCALE.md), the price of
+    affording several times the merges per round. Pinned at +15% so a
+    real quality regression (e.g. picks without live counts) still
+    trips. Deterministic corpus + deterministic selector → stable
+    assertion."""
     texts = _merge_rich_corpus()
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
