@@ -568,7 +568,13 @@ def main() -> None:
         from tools.bench_compare import load_history as _gate_history
         from tools.bench_compare import render as _gate_render
 
-        gate_result = _gate_compare(detail, _gate_history())
+        # explicit path: load_history honors SPARK_GRAFT_BENCH_HISTORY
+        # for the replay-check subprocess, and a leftover export of it
+        # in the caller's shell must not make the gate read one file
+        # while the append below writes another (r14 review find)
+        gate_result = _gate_compare(
+            detail, _gate_history(os.path.join(here, "BENCH_HISTORY.jsonl"))
+        )
         print("# regression gate:", file=sys.stderr)
         _gate_render(gate_result, out=sys.stderr)
     except Exception as exc:  # noqa: BLE001 - the gate must never cost

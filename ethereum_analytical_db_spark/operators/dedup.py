@@ -1316,13 +1316,39 @@ def simhash_signatures(
     return bit_sums.selectExpr("doc", f"({sig_sql}) AS simhash")
 
 
-def _chunked_signatures(sigs: DataFrame, blocks: int) -> DataFrame:
-    """``(doc, simhash, blk, chunk)`` rows: the 64-bit signature split
-    into ``blocks`` bit chunks (the block-permutation candidate key).
-    Purely per-doc — a doc's rows are identical alone or with the whole
-    corpus, which is what makes the frozen SimHash index
+def _hamming_pairs(chunked: DataFrame, max_hamming: int) -> DataFrame:
+    """The block-permutation candidate join + full-signature Hamming
+    verify shared by the xxhash64 and md5 SimHash faces: self-join the
+    ``(doc, simhash, blk, chunk)`` rows per (blk, chunk), verify on
+    bit_count(xor), dedupe pairs that share several chunks."""
+    a = chunked.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "blk", "chunk",
+    )
+    b = chunked.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "blk", "chunk",
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # merge not shuffle-hash: spills under a hot chunk instead of
+    # OOMing the build-side hash map (sf10 lesson from the n-gram join)
+    return (
+        a.hint("merge")
+        .join(b, ["blk", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _chunked_signatures(sigs: DataFrame, blocks: int, bits: int = 64) -> DataFrame:
+    """``(doc, simhash, blk, chunk)`` rows: the ``bits``-wide signature
+    split into ``blocks`` bit chunks (the block-permutation candidate
+    key). Purely per-doc — a doc's rows are identical alone or with the
+    whole corpus, which is what makes the frozen SimHash index
     (:func:`simhash_index_write`) exact w.r.t. a full recompute."""
-    chunk_bits = 64 // blocks
+    chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
     chunk_structs = ", ".join(
         f"struct({i} AS blk, "
@@ -1569,23 +1595,7 @@ def simhash_near_duplicates(
             .drop("df")
         )
         chunked = chunked.join(hot, ["blk", "chunk"], "left_anti")
-    a = chunked.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "chunk"
-    )
-    b = chunked.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "chunk"
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    # merge not shuffle-hash: spills under a hot chunk instead of
-    # OOMing the build-side hash map (sf10 lesson from the n-gram join)
-    return (
-        a.hint("merge")
-        .join(b, ["blk", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return _hamming_pairs(chunked, max_hamming)
 
 
 def simhash_near_duplicates_md5(
@@ -1596,6 +1606,7 @@ def simhash_near_duplicates_md5(
     max_hamming: int = 3,
     blocks: int = 4,
     partial_recall: bool = False,
+    materialize: str = "local",
 ) -> DataFrame:
     """Portable-hash twin of :func:`simhash_near_duplicates` — the
     SimHash analogue of :func:`minhash_lsh_candidates_md5` (r13 VERDICT
@@ -1638,8 +1649,6 @@ def simhash_near_duplicates_md5(
             "independent bit each — the portable face stops there "
             "(production simhash_near_duplicates has the 64-bit lanes)"
         )
-    chunk_bits = bits // blocks
-    mask = (1 << chunk_bits) - 1
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
@@ -1663,34 +1672,12 @@ def simhash_near_duplicates_md5(
         for b in range(bits)
     )
     sigs = bit_sums.selectExpr("doc", f"({sig_sql}) AS simhash")
-    chunk_structs = ", ".join(
-        f"struct({i} AS blk, "
-        f"shiftright(simhash, {i * chunk_bits}) & {mask}L AS chunk)"
-        for i in range(blocks)
-    )
-    chunked = sigs.selectExpr(
-        "doc", "simhash", f"explode(array({chunk_structs})) AS c"
-    ).select("doc", "simhash", "c.blk", "c.chunk")
-    a = chunked.select(
-        F.col("doc").alias("doc_a"),
-        F.col("simhash").alias("sig_a"),
-        "blk",
-        "chunk",
-    )
-    b_side = chunked.select(
-        F.col("doc").alias("doc_b"),
-        F.col("simhash").alias("sig_b"),
-        "blk",
-        "chunk",
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        a.hint("merge")
-        .join(b_side, ["blk", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    # materialize before the self-join (same reason as the xxhash64
+    # twin): both join branches would otherwise re-run the tokenize +
+    # md5 + {bits}-lane vote pipeline (r14 review find)
+    sigs = _materialize(sigs, materialize)
+    return _hamming_pairs(
+        _chunked_signatures(sigs, blocks, bits), max_hamming
     )
 
 

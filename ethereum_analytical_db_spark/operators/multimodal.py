@@ -672,7 +672,12 @@ def _decode_mp4(content: bytes) -> dict:
             (count,) = struct.unpack(">I", content[ver_off + 4 : ver_off + 8])
             track["samples"] = count
             if uniform:
-                track["sizes"] = [uniform] * count
+                # feasibility cap (r14 review find): a corrupt header
+                # claiming 2^32 samples would otherwise allocate a
+                # multi-GB list before any data is touched; samples
+                # cannot out-size the file they live in
+                if uniform * count <= len(content):
+                    track["sizes"] = [uniform] * count
             else:
                 end = ver_off + 8 + 4 * count
                 if end <= hi:
@@ -1288,7 +1293,8 @@ def decode_media(
                         raise NotImplementedError(
                             f"no codec for format {fmt!r} in this environment"
                         )
-                    d = codec(bytes(content))
+                    raw = bytes(content)
+                    d = codec(raw)
                     cols["w"].append(d.get("width"))
                     cols["h"].append(d.get("height"))
                     cols["ch"].append(d.get("channels"))
@@ -1305,8 +1311,11 @@ def decode_media(
                         rms, peak = _audio_stats(d)
                         cols["rms"].append(rms)
                         cols["peak"].append(peak)
+                        # reuse `raw`: a second bytes(content) would
+                        # re-copy the largest blobs in the table once
+                        # more per row (r14 review find)
                         cols["vah"].append(
-                            _video_keyframe_hashes(d, bytes(content))
+                            _video_keyframe_hashes(d, raw)
                             if fmt == "mp4"
                             else None
                         )

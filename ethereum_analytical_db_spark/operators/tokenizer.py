@@ -68,6 +68,7 @@ _DIVERGENT_SPLIT = _re.compile(
     r"|[+*?}]\+"
     r"|\(\?P"
     r"|\(\?<(?![=!])"
+    r"|&&"  # Java-only character-class intersection [a&&[b]]
 )
 
 
@@ -80,7 +81,14 @@ def _validate_split(split: str) -> None:
     DIFFERENTLY with no error anywhere (r13 advisor: the old docstring
     caveat was the only guard). Plain separators (the default space,
     ``\\s+``, ``\\n``, ``[ ,;]``) pass; engine-divergent constructs
-    raise here, at call time, on BOTH sides."""
+    raise here, at call time, on BOTH sides.
+
+    The ``\\s``/``\\w``/``\\d``/``\\b`` classes are allowed because the
+    encode side compiles with ``re.ASCII`` (r14 review find): Java's
+    classes are ASCII-only by default while Python's match Unicode, so
+    an NBSP in scraped text would split under Python but not under
+    Java — ``re.ASCII`` pins both engines to the identical ASCII sets
+    ([ \\t\\n\\x0b\\f\\r], [a-zA-Z0-9_], [0-9])."""
     if split == " ":
         return
     m = _DIVERGENT_SPLIT.search(split)
@@ -94,7 +102,7 @@ def _validate_split(split: str) -> None:
             "pre-split the text into a words column"
         )
     try:
-        _re.compile(split)
+        _re.compile(split, _re.ASCII)
     except _re.error as e:
         raise ValueError(
             f"split regex {split!r} does not compile under Python re "
@@ -264,13 +272,20 @@ def select_merge_batch(
       pairs that share a symbol with it, so a disjoint pair's count —
       and therefore its turn as argmax, and its recorded frequency —
       is untouched by the batch's earlier picks.
-    - **no collision with an existing symbol**: if merged token l+r is
-      already a symbol (string collision across merge history, e.g.
-      "ab"+"c" vs "a"+"bc"), merging (l,r) can INCREASE the count of
-      existing pairs containing "l+r" — the one way a non-picked
-      pair's count can rise above a pick's. ``existing_symbols`` is a
-      driver-kept SUPERSET (initial charset + every merged token), so
-      the check is conservative: a false hit only costs batch size.
+    - **no collision with an existing symbol OR an earlier pick's
+      merged token**: if merged token l+r is already a symbol (string
+      collision across merge history, e.g. "ab"+"c" vs "a"+"bc"),
+      merging (l,r) can INCREASE the count of existing pairs
+      containing "l+r" — the one way a non-picked pair's count can
+      rise above a pick's. ``existing_symbols`` is a driver-kept
+      SUPERSET (initial charset + every merged token), so the check is
+      conservative: a false hit only costs batch size. The same-BATCH
+      variant is just as dangerous (r14 review find): two picks whose
+      merged tokens are the same string, e.g. (x,yz) and (xy,z) both
+      yielding "xyz", let one new pair ("xyz", q) accumulate counts
+      from BOTH picks' occurrences — up to 2×``bound``, past the
+      frequency-margin guarantee — so a candidate whose merged token
+      repeats an earlier pick's stops the scan.
     - **frequency margin with exact tie analysis**: every NEW pair
       created by a pick has count bounded by the count of some old
       pair sharing a symbol with that pick, and (prefix rule) every
@@ -292,21 +307,25 @@ def select_merge_batch(
     """
     picks: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    batch_merged: set[str] = set()
     bound = 0
     stop_at = len(candidates)
     for idx, (left, right, freq) in enumerate(candidates):
+        merged = left + right
         if (
             freq < min_freq
             or len(picks) >= max_batch
             or left in used
             or right in used
-            or (left + right) in existing_symbols
+            or merged in existing_symbols
+            or merged in batch_merged
         ):
             bound = int(freq)
             stop_at = idx
             break
         picks.append((left, right, int(freq)))
         used.update((left, right))
+        batch_merged.add(merged)
     window_covers = table_exhausted or (
         bool(candidates) and candidates[-1][2] < bound
     )
@@ -692,7 +711,9 @@ def encode_bpe(
     _validate_split(split)
     sc = docs.sparkSession.sparkContext
     ranks_bc = sc.broadcast({(l, r): i for i, (l, r, _) in enumerate(merges)})
-    sep_re = None if split == " " else re.compile(split)
+    # re.ASCII pins \s/\w/\d/\b to Java regex's ASCII semantics — the
+    # training side splits via F.split (see _validate_split)
+    sep_re = None if split == " " else re.compile(split, re.ASCII)
 
     src = docs.select(F.col(id_col), F.col(text_col))
     id_type = src.schema[id_col].dataType.simpleString()

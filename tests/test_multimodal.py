@@ -1347,6 +1347,25 @@ def test_mp4_mjpeg_corrupt_keyframe_skipped():
     assert mm._video_keyframe_hashes(d, _make_mjpeg_mp4(broken, 16, 16)) == want
 
 
+def test_mp4_uniform_stsz_bogus_count_does_not_allocate():
+    """r14 review find: a corrupt uniform-stsz header claiming 2^31
+    samples must not allocate a multi-GB size list — samples cannot
+    out-size the file. The count survives as metadata; the sample
+    layout is simply unavailable."""
+    frames = _mjpeg_fixture_frames()
+    blob = bytearray(_make_mjpeg_mp4(frames[:1], 16, 16))
+    # locate the stsz box and rewrite it as uniform size=1, count=2^31
+    i = blob.find(b"stsz")
+    assert i > 0
+    blob[i + 4 : i + 16] = (
+        bytes(4) + struct.pack(">II", 1, 0x7FFFFFFF)
+    )
+    d = mm._decode_mp4(bytes(blob))
+    assert d["n_frames"] == 0x7FFFFFFF  # metadata kept
+    assert "video_samples" not in d  # layout refused, no allocation
+    assert mm._video_keyframe_hashes(d, bytes(blob)) is None
+
+
 def test_expand_sample_layout_multichunk():
     """stsc expansion: two chunks of 2 samples then one chunk of 1,
     sizes consumed in order, offsets pack back-to-back within chunks."""

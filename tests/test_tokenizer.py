@@ -258,6 +258,12 @@ def test_select_merge_batch_rules():
     # needed — nothing below the last pick exists to create new pairs
     cands = [("a", "b", 3), ("c", "d", 3)]
     assert sel(cands, set(), 1, 8) == cands
+    # same-batch merged-token collision (r14 review find): (x,yz) and
+    # (xy,z) both yield "xyz", so one new pair ("xyz", q) could
+    # accumulate counts from BOTH picks — up to 2x the bound, past the
+    # frequency margin. The second pick must stop the scan.
+    cands = [("x", "yz", 100), ("xy", "z", 95), ("p", "q", 90)]
+    assert sel(cands, set(), 1, 8) == [("x", "yz", 100)]
     # tie analysis: a pick AT the bound survives when every possible
     # tying new-pair name sorts after it — ("z","a") can only spawn
     # ("z","ab"), which loses to ("c","d"), so both picks batch
@@ -392,13 +398,34 @@ def test_split_regex_engine_divergent_patterns_rejected(spark, docs):
     re — patterns outside the common subset used to diverge silently
     (only a docstring warned). Both sides now reject them at call time;
     the documented plain-separator forms still pass."""
-    for bad in (r"\p{L}+", r"a++", r"\Qx\E", r"(?P<s> )", r"[unclosed"):
+    for bad in (
+        r"\p{L}+", r"a++", r"\Qx\E", r"(?P<s> )", r"[unclosed",
+        r"[a&&[b]]",  # Java-only class intersection
+    ):
         with pytest.raises(ValueError, match="split regex"):
             tokenizer.train_bpe(docs, num_merges=2, split=bad)
         with pytest.raises(ValueError, match="split regex"):
             tokenizer.encode_bpe(docs, [("a", "b", 2)], split=bad)
     for ok in (" ", r"\s+", r"\n", "[ ,;]", "[ \\t]+", ","):
         tokenizer._validate_split(ok)  # must not raise
+
+
+def test_split_whitespace_class_ascii_agreement_on_nbsp(spark):
+    """r14 review find: Java \\s is ASCII-only while Python \\s matches
+    Unicode — an NBSP in scraped text would stay inside a token at
+    training time (F.split) but split it at encode time (re). The
+    encode side now compiles with re.ASCII; the NBSP-joined token must
+    survive BOTH sides whole."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc aa bb")], "doc_id long, text string"
+    )
+    words = {
+        r["word"] for r in tokenizer.word_frequencies(docs, split=r"\s+").collect()
+    }
+    assert "aa bb" in words  # Java side keeps NBSP inside the token
+    merges = tokenizer.train_bpe(docs, num_merges=3, min_freq=1, split=r"\s+")
+    enc = tokenizer.encode_bpe(docs, merges, split=r"\s+").first()
+    assert "".join(enc["bpe_tokens"]) == "aa bbccaa bb"
 
 
 def test_split_regex_threads_through_train_and_encode(spark):
