@@ -272,6 +272,11 @@ def select_merge_batch(
       pairs that share a symbol with it, so a disjoint pair's count —
       and therefore its turn as argmax, and its recorded frequency —
       is untouched by the batch's earlier picks.
+    - **self-pairs end the batch**: merging (a,a) over runs creates
+      (aa, a)/(aa, aa) pairs whose counts are bounded by the pick's
+      OWN frequency rather than the stop candidate's, so nothing
+      ranked below a self-pair is provably next — it becomes the
+      batch's last member (r14 hypothesis counterexample).
     - **no collision with an existing symbol OR an earlier pick's
       merged token**: if merged token l+r is already a symbol (string
       collision across merge history, e.g. "ab"+"c" vs "a"+"bc"),
@@ -326,6 +331,22 @@ def select_merge_batch(
         picks.append((left, right, int(freq)))
         used.update((left, right))
         batch_merged.add(merged)
+        if left == right:
+            # self-pair picks END the batch (r14 hypothesis
+            # counterexample): merging (a,a) over runs creates
+            # (aa, a) / (aa, aa) pairs whose counts are bounded by THIS
+            # pick's OWN frequency, not by the stop candidate's — e.g.
+            # batching [(ba,ba,4),(a,a,1)] skips the (baba,ba,2) merge
+            # sequential greedy takes between them. No later pick's
+            # rank is provable past a self-pair, so it is the batch's
+            # last member.
+            stop_at = idx + 1
+            bound = (
+                int(candidates[idx + 1][2])
+                if idx + 1 < len(candidates)
+                else 0
+            )
+            break
     window_covers = table_exhausted or (
         bool(candidates) and candidates[-1][2] < bound
     )

@@ -251,9 +251,14 @@ def test_select_merge_batch_rules():
     # max_batch bounds the prefix; the next candidate seeds the margin
     cands = [("a", "b", 10), ("c", "d", 9), ("e", "f", 8)]
     assert sel(cands, set(), 1, 2) == [("a", "b", 10), ("c", "d", 9)]
-    # self-pair (a, a) occupies its symbol once and batches with others
+    # a self-pair (a, a) ENDS the batch: its merge creates (aa, a) /
+    # (aa, aa) pairs bounded by its OWN count, so no later pick's rank
+    # is provable (r14 hypothesis counterexample)
     cands = [("a", "a", 10), ("c", "d", 8), ("x", "y", 6)]
-    assert sel(cands, set(), 1, 8) == cands
+    assert sel(cands, set(), 1, 8) == [("a", "a", 10)]
+    # ...but a self-pair can close a batch that started with others
+    cands = [("c", "d", 10), ("a", "a", 8), ("x", "y", 6)]
+    assert sel(cands, set(), 1, 8) == [("c", "d", 10), ("a", "a", 8)]
     # exhausted table (fewer candidates than the window): no margin
     # needed — nothing below the last pick exists to create new pairs
     cands = [("a", "b", 3), ("c", "d", 3)]
@@ -386,6 +391,93 @@ def test_train_bpe_relaxed_order_batches_aggressively(spark):
 
     t_relaxed, t_exact = total_tokens(got), total_tokens(ref)
     assert t_relaxed <= t_exact * 1.15, (t_relaxed, t_exact)
+
+
+def _py_batched_train(texts, num_merges, min_freq, batch, relaxed=False):
+    """Pure-Python replica of train_bpe's distributed batched loop —
+    same select_merge_batch / select_merge_batch_relaxed driver logic,
+    same combined-rewrite semantics (picks applied one by one equals
+    the apply_merges pass under the selector's rules). Exists so the
+    hypothesis property below can hammer the selector's exactness
+    rules across far more corpora than the fixed-seed Spark tests."""
+    from collections import Counter
+
+    wf = py_word_freq(texts)
+    sym_freq = {tuple(w): f for w, f in wf.items()}
+    superset = {c for w in wf for c in w}
+    merges = []
+    while len(merges) < num_merges:
+        fetch = min(batch, num_merges - len(merges))
+        window = fetch * (8 if relaxed else 2) + 1
+        pc = py_pair_counts(sym_freq)
+        allc = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        cands = [(l, r, f) for (l, r), f in allc[:window]]
+        if not cands or cands[0][2] < min_freq:
+            break
+        if relaxed:
+            picks = tokenizer.select_merge_batch_relaxed(
+                cands, superset, min_freq, fetch
+            )
+        else:
+            picks = tokenizer.select_merge_batch(
+                cands, superset, min_freq, fetch,
+                table_exhausted=len(allc) <= window,
+            )
+        if not picks:
+            break
+        merges.extend(picks)
+        superset.update(l + r for l, r, _ in picks)
+        new: Counter = Counter()
+        for syms, f in sym_freq.items():
+            for l, r, _ in picks:
+                syms = py_apply_merge(syms, l, r)
+            new[syms] += f
+        sym_freq = dict(new)
+    return merges
+
+
+def test_batched_selector_exactness_property():
+    """Hypothesis-grade sweep of select_merge_batch's exactness rules:
+    the batched loop must be rank-for-rank identical to sequential
+    greedy on ANY corpus — tiny alphabets maximize frequency ties,
+    symbol interference, and merged-token string collisions (the r14
+    review find: (x,yz)+(xy,z) both yielding 'xyz' could double-count
+    a new pair until the same-batch collision stop landed). Pure
+    Python, hundreds of corpora in seconds."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(
+        data=st.data(),
+        alpha=st.sampled_from(["ab", "abc", "abcd"]),
+        batch=st.sampled_from([4, 16, 64]),
+    )
+    def check(data, alpha, batch):
+        words = data.draw(
+            st.lists(
+                st.text(alphabet=alpha, min_size=1, max_size=7),
+                min_size=3,
+                max_size=25,
+            )
+        )
+        reps = data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=9),
+                min_size=len(words),
+                max_size=len(words),
+            )
+        )
+        texts = [" ".join([w] * n) for w, n in zip(words, reps)]
+        ref = py_train_bpe(texts, num_merges=30, min_freq=1)
+        got = _py_batched_train(texts, num_merges=30, min_freq=1, batch=batch)
+        assert got == ref[: len(got)] and len(got) == min(30, len(ref))
+
+    check()
 
 
 def test_train_bpe_rejects_unknown_mode(spark, docs):
