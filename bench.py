@@ -218,6 +218,75 @@ def _probe_factor(probe: dict) -> float:
     )
 
 
+def _time_query(
+    spark,
+    name: str,
+    qdef,
+    sf_dir: str,
+    runs: int,
+    spread_max: float,
+    max_samples: int,
+    *,
+    prewarm: bool = True,
+) -> dict:
+    """Sample one registry query under the fastest-``runs`` median
+    policy (see main's loop comment). Returns
+    ``{"med", "spread", "n_samples", "rows", "build_sec"}``; raises on
+    query failure (the caller decides whether that costs the record).
+
+    ``build_sec`` is the MIN over samples of the driver-side
+    plan-construction time (``qdef.build`` alone, before any action) —
+    the r14 py4j-chain find (wide Column chains costing ~1.3 s/build)
+    was caught by hand; recording it per run makes the next
+    construction-latency creep visible in history (r14 VERDICT task 7).
+    Min, not median: build time is pure driver CPU, so noise is
+    strictly additive.
+    """
+    if prewarm and getattr(qdef, "prewarm", None) is not None:
+        # one-time frozen-fixture build (fork warehouse, serve indexes)
+        # OUT of the timed band: the first sample then measures the
+        # serve path like every later one, instead of widening the band
+        # with setup cost (r12 VERDICT task 2)
+        t0 = time.perf_counter()
+        qdef.prewarm(spark, sf_dir)
+        print(
+            f"# {name}: prewarm {time.perf_counter() - t0:.3f}s",
+            file=sys.stderr,
+        )
+    samples: list[float] = []
+    builds: list[float] = []
+    n = 0
+    while True:
+        t0 = time.perf_counter()
+        df = qdef.build(spark, sf_dir)
+        builds.append(time.perf_counter() - t0)
+        n = len(df.toPandas())
+        samples.append(time.perf_counter() - t0)
+        # release localCheckpoint blocks: the py4j refs pin the
+        # checkpointed RDDs until Python GC runs, so a 5×55-query
+        # session otherwise accumulates hundreds of persisted blocks
+        # (measured: 5 → 23 persistentRDDs in 5 runs of one query)
+        del df
+        gc.collect()
+        if len(samples) < runs:
+            continue
+        best = sorted(samples)[:runs]
+        med = (
+            best[len(best) // 2]
+            if runs % 2
+            else (best[runs // 2 - 1] + best[runs // 2]) / 2
+        )
+        spread = (best[-1] - best[0]) / med if med else 0.0
+        if spread <= spread_max or len(samples) >= max_samples:
+            return {
+                "med": med,
+                "spread": spread,
+                "n_samples": len(samples),
+                "rows": n,
+                "build_sec": min(builds),
+            }
+
+
 def _per_query_factors(
     boundaries: list[tuple[int, float]], positions: dict[str, int]
 ) -> dict[str, float]:
@@ -378,6 +447,7 @@ def main() -> None:
     spreads: dict[str, float] = {}
     n_samples: dict[str, int] = {}
     loads: dict[str, float] = {}
+    builds: dict[str, float] = {}
     errors: dict[str, str] = {}
     positions: dict[str, int] = {}  # iteration index per timed query
     for idx, (name, qdef) in enumerate(sorted(qs.items())):
@@ -402,55 +472,26 @@ def main() -> None:
                     f"{calib_probes[-1]['factor']}",
                     file=sys.stderr,
                 )
-        samples: list[float] = []
-        n = 0
         loads[name] = round(os.getloadavg()[0], 2)
         try:
-            if getattr(qdef, "prewarm", None) is not None:
-                # one-time frozen-fixture build (fork warehouse, serve
-                # indexes) OUT of the timed band: the first sample then
-                # measures the serve path like every later one, instead
-                # of widening the band with setup cost (r12 VERDICT
-                # task 2 — reorg_canonical's gate excursion)
-                t0 = time.perf_counter()
-                qdef.prewarm(spark, sf_dir)
-                print(
-                    f"# {name}: prewarm {time.perf_counter() - t0:.3f}s",
-                    file=sys.stderr,
-                )
-            while True:
-                t0 = time.perf_counter()
-                df = qdef.build(spark, sf_dir)
-                n = len(df.toPandas())
-                samples.append(time.perf_counter() - t0)
-                # release localCheckpoint blocks: the py4j refs pin the
-                # checkpointed RDDs until Python GC runs, so a 5×55-query
-                # session otherwise accumulates hundreds of persisted blocks
-                # (measured: 5 → 23 persistentRDDs in 5 runs of one query)
-                del df
-                gc.collect()
-                if len(samples) < runs:
-                    continue
-                best = sorted(samples)[:runs]
-                med = best[len(best) // 2] if runs % 2 else (
-                    best[runs // 2 - 1] + best[runs // 2]
-                ) / 2
-                spread = (best[-1] - best[0]) / med if med else 0.0
-                if spread <= spread_max or len(samples) >= max_samples:
-                    break
+            res = _time_query(
+                spark, name, qdef, sf_dir, runs, spread_max, max_samples
+            )
         except Exception as exc:  # noqa: BLE001 - one broken query must
             # not cost the round its whole perf record: mark and move on
             # (the summary line still parses; the error names the query)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(med, 4)
-        spreads[name] = round(spread, 3)
-        n_samples[name] = len(samples)
+        timings[name] = round(res["med"], 4)
+        spreads[name] = round(res["spread"], 3)
+        n_samples[name] = res["n_samples"]
+        builds[name] = round(res["build_sec"], 4)
         positions[name] = idx
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows, median of fastest "
-            f"{runs}/{len(samples)}, spread {spreads[name]:.0%}, "
+            f"# {name}: {timings[name]:.3f}s ({res['rows']} rows, median of "
+            f"fastest {runs}/{res['n_samples']}, spread "
+            f"{spreads[name]:.0%}, build {builds[name]:.3f}s, "
             f"load {loads[name]})",
             file=sys.stderr,
         )
@@ -496,9 +537,135 @@ def main() -> None:
         / 2,
         4,
     )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    # Same-run single retry of gate-flagged queries (r14 VERDICT task 1).
+    # The r14 closing record was a gate FAIL on `pricing_summary` — an
+    # untouched TPC-H Q1 plan flagged under a documented mid-run tenant
+    # (loadavg 2.06→9.2) with no follow-up run to pin it, so the round
+    # closed on an unconfirmed fail. Every transient flag this harness
+    # has ever recorded was pinned by the NEXT sample of the same query;
+    # doing that one re-sample inside the same run makes closing-run
+    # load flags self-pinning. Honesty rules: (a) only queries the gate
+    # itself flagged are retried, exactly once; (b) both measurements
+    # are recorded verbatim in the `retries` block; (c) the retry is
+    # kept only when its own bracketing calibration probes price it
+    # FASTER than the first attempt (noise is strictly additive, so the
+    # faster normalized sample is the better estimate of true cost — a
+    # slower retry keeps the original); (d) a genuine regression is
+    # still flagged: its retry re-measures the same slow code and the
+    # final gate fails on whichever sample was faster.
+    retries: dict[str, dict] = {}
+    pre_gate: dict | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_RETRY", "1") != "0":
+        try:
+            from tools.bench_compare import compare as _pre_compare
+            from tools.bench_compare import load_history as _pre_history
+
+            pre_gate = _pre_compare(
+                {
+                    "sf": sf_val,
+                    "queries": timings,
+                    "spread": spreads,
+                    "loadavg_per_query": loads,
+                    "errors": errors,
+                    "queries_normalized": queries_normalized,
+                    "calib_factor": calib_factor,
+                },
+                _pre_history(os.path.join(here, "BENCH_HISTORY.jsonl")),
+            )
+        except Exception as exc:  # noqa: BLE001 - a broken pre-gate must
+            # not cost the run its record; the final gate still runs
+            print(
+                f"# retry pre-gate ERROR (no retries): "
+                f"{type(exc).__name__}: {exc}"[:200],
+                file=sys.stderr,
+            )
+        flagged = list((pre_gate or {}).get("regressed") or [])
+        # SPARK_GRAFT_BENCH_FORCE_RETRY=a,b: treat these as flagged even
+        # when the pre-gate passed — exercises the retry path end-to-end
+        # (validation + manual re-pin of a specific query)
+        force = os.environ.get("SPARK_GRAFT_BENCH_FORCE_RETRY", "")
+        flagged += [
+            q for q in (s.strip() for s in force.split(","))
+            if q and q in qs and q not in flagged
+        ]
+        if flagged:
+            print(
+                f"# retrying {len(flagged)} gate-flagged queries once: "
+                f"{', '.join(flagged)}",
+                file=sys.stderr,
+            )
+            try:
+                rp_before = _calibration_probe(spark)
+            except Exception:  # noqa: BLE001
+                rp_before = dict(calib_end)
+            for q in flagged:
+                if q not in qs:
+                    continue
+                rload = round(os.getloadavg()[0], 2)
+                try:
+                    res = _time_query(
+                        spark, q, qs[q], sf_dir, runs, spread_max,
+                        max_samples, prewarm=q in errors,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    retries[q] = {
+                        "kept": False,
+                        "error": f"{type(exc).__name__}: {exc}"[:200],
+                    }
+                    continue
+                retries[q] = {"retry_raw": round(res["med"], 4), "load": rload,
+                              "retry_res": res}
+            try:
+                rp_after = _calibration_probe(spark)
+            except Exception:  # noqa: BLE001
+                rp_after = dict(rp_before)
+            rf = round(
+                (_probe_factor(rp_before) + _probe_factor(rp_after)) / 2, 4
+            )
+            for q, r in retries.items():
+                res = r.pop("retry_res", None)
+                if res is None:
+                    continue
+                retry_norm = round(res["med"] / rf, 4) if rf else None
+                first_norm = queries_normalized.get(q)
+                r.update(
+                    first_raw=timings.get(q),
+                    first_norm=first_norm,
+                    retry_norm=retry_norm,
+                    factor=rf,
+                )
+                kept = q in errors or first_norm is None or (
+                    retry_norm is not None and retry_norm < first_norm
+                )
+                r["kept"] = kept
+                if not kept:
+                    continue
+                timings[q] = round(res["med"], 4)
+                spreads[q] = round(res["spread"], 3)
+                n_samples[q] = res["n_samples"]
+                builds[q] = round(
+                    min(builds.get(q, res["build_sec"]), res["build_sec"]), 4
+                )
+                loads[q] = r["load"]
+                if retry_norm is not None:
+                    queries_normalized[q] = retry_norm
+                errors.pop(q, None)
+                print(
+                    f"# retry {q}: {timings[q]:.3f}s raw / {retry_norm} norm "
+                    f"(first {r['first_raw']} raw / {first_norm} norm) — kept",
+                    file=sys.stderr,
+                )
+            normalized_total_segmented = (
+                round(sum(queries_normalized.values()), 4)
+                if queries_normalized
+                else None
+            )
+
     total = round(sum(timings.values()), 4)
     normalized_total = round(total / calib_factor, 4) if calib_factor else None
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         # stamped HERE (not at history-append) so BENCH_DETAIL.json and
         # the run's history row share one timestamp — the regression
@@ -515,6 +682,18 @@ def main() -> None:
         "spread_max": spread_max,
         "n_samples": n_samples,
         "loadavg_per_query": loads,
+        # driver-side plan-construction time per query (min over samples)
+        # — the r14 py4j-chain find, now a tracked metric (task 7)
+        "build_sec": builds,
+        # same-run retry record for gate-flagged queries (r14 task 1):
+        # both measurements verbatim; `kept` says which one the maps above
+        # carry. gate_first is the pre-retry verdict.
+        "retries": retries,
+        "gate_first": (
+            {k: pre_gate[k] for k in ("status", "regressed")}
+            if pre_gate is not None
+            else None
+        ),
         "calib_start": calib_start,
         "calib_end": calib_end,
         "calib_factor": calib_factor,
@@ -536,7 +715,6 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         **gate,
     }
-    here = os.path.dirname(os.path.abspath(__file__))
     # SPARK_GRAFT_BENCH_DETAIL: alternate detail path for off-default
     # scale runs (e.g. the sf1 scaling measurement → SCALE_SF1_DETAIL.json)
     # so they never clobber the driver-read sf0.1 BENCH_DETAIL.json
@@ -620,6 +798,10 @@ def main() -> None:
         # IN the row (the append still lands — losing a multi-minute
         # run's record would be worse) and shouted to stderr so the
         # recording commit runs the seconds-fast suite before landing.
+        # The placeholder makes the TESTED row share the APPENDED row's
+        # key set (r14 advice): a pinned replay asserting on row shape
+        # must see the same keys the real file will carry.
+        hist_row["replay_check"] = "pass"
         replay = _history_replay_check(here, hist_row)
         hist_row["replay_check"] = replay["status"]
         if replay["status"] == "fail":

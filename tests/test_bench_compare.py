@@ -605,3 +605,62 @@ def test_history_segment_era_rows_carry_seg_norm_sec():
         assert r["seg_norm_sec"] == r.get("normalized_total_segmented_sec"), (
             r.get("ts")
         )
+
+
+def test_build_time_guard_is_informational():
+    """r14 VERDICT task 7: build_sec rides in history rows and compare()
+    lists construction-latency creep (>1.5x recent max AND >0.15 s
+    delta) in `build_regressed` — WITHOUT failing the gate, because a
+    legitimate plan change moves build time and the round review, not
+    the gate, adjudicates it."""
+    sys.path.insert(0, REPO)
+    from tools.bench_compare import compare
+
+    def rec(build, **kw):
+        r = _rec(1.0, 1.0, {"q": 1.0}, **kw)
+        r["build_sec"] = {"q": build}
+        return r
+
+    hist = [rec(0.10), rec(0.11), rec(0.12)]
+    # execution in band, build crept 0.12 -> 0.40 (>1.5x max, delta >0.15)
+    crept = rec(0.40)
+    res = compare(crept, hist)
+    assert res["status"] == "pass"  # informational only
+    assert res["build_regressed"] == ["q"]
+    # small absolute creep on a tiny build is absorbed by the 0.15 s floor
+    res2 = compare(rec(0.20), hist)
+    assert res2["build_regressed"] == []
+    # fewer than 3 recorded builds -> no baseline, never listed
+    res3 = compare(rec(9.9), hist[:2])
+    assert res3["build_regressed"] == []
+    json.dumps(res)  # still serializable for the detail/history records
+
+
+def test_retry_record_shape_in_history():
+    """r14 VERDICT task 1: runs recorded after the retry mechanism carry
+    the retry bookkeeping — `retries` (both measurements verbatim when a
+    retry happened) and `gate_first` (the pre-retry verdict) — so a
+    closing record that self-pinned a load flag is fully auditable. Rows
+    predating r15 don't carry the keys; rows carrying them must be
+    consistent: every kept retry's query must appear in `queries`, and a
+    gate_first fail that the final gate passes must have retries for the
+    flagged names (that IS the self-pin)."""
+    from tools.bench_compare import load_history
+
+    rows = load_history()
+    era = [r for r in rows if "gate_first" in r]
+    for r in era:
+        retries = r.get("retries") or {}
+        for q, rr in retries.items():
+            assert isinstance(rr, dict), (r.get("ts"), q)
+            if rr.get("kept"):
+                assert q in (r.get("queries") or {}), (r.get("ts"), q)
+                # both measurements recorded verbatim unless the first
+                # attempt ERRORED (then there is no first_raw to record)
+                assert "retry_raw" in rr, (r.get("ts"), q)
+        gf = r.get("gate_first") or {}
+        if gf.get("status") == "fail" and (r.get("gate") or {}).get(
+            "status"
+        ) == "pass":
+            for q in gf.get("regressed") or []:
+                assert q in retries, (r.get("ts"), q)

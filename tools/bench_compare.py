@@ -348,9 +348,35 @@ def compare(
             "support": round(support, 4),
             "verdict": "REGRESSED" if over else "ok",
         }
+    # build-time guard (r14 VERDICT task 7, INFORMATIONAL — never fails
+    # the gate): driver-side plan-construction creep (the r14 find: wide
+    # py4j Column chains costing ~1.3 s/build on the LSH family) is a
+    # different failure mode from execution regressions — pure driver
+    # CPU, invisible to the calibration probes, and legitimately moved
+    # by any plan-shape change. A query is listed when its current
+    # build_sec exceeds 1.5× the max of its recent recorded builds AND
+    # the delta is > 0.15 s (construction times are 10–100 ms typical,
+    # so the floor alone absorbs jitter). Informational because a
+    # legitimate plan change moves it — the round review adjudicates.
+    build_regressed: list[str] = []
+    cur_build = current.get("build_sec") or {}
+    if cur_build:
+        hist_build: dict[str, list[float]] = {}
+        for rec in history_rows:
+            if rec.get("sf") != sf:
+                continue
+            if cur_ts is not None and rec.get("ts") == cur_ts:
+                continue
+            for q, v in (rec.get("build_sec") or {}).items():
+                hist_build.setdefault(q, []).append(float(v))
+        for q, v in sorted(cur_build.items()):
+            hb = hist_build.get(q, [])[-SUPPORT_WINDOW:]
+            if len(hb) >= 3 and v > max(hb) * 1.5 and v - max(hb) > 0.15:
+                build_regressed.append(q)
     return {
         "status": "fail" if regressed else "pass",
         "regressed": regressed,
+        "build_regressed": build_regressed,
         "params": params,
         "per_query": per_query,
     }
@@ -397,6 +423,9 @@ def render(result: dict, out=sys.stdout) -> None:
               f"band: {', '.join(result['regressed'])}", file=out)
     else:
         print("\nall queries within their normalized noise bands", file=out)
+    if result.get("build_regressed"):
+        print("build-time creep (informational, does not fail the gate): "
+              + ", ".join(result["build_regressed"]), file=out)
 
 
 def main() -> int:
