@@ -702,11 +702,15 @@ def _decode_mp4(content: bytes) -> dict:
             width = 8 if btype == b"co64" else 4
             fmtc = "Q" if btype == b"co64" else "I"
             end = lo + 8 + width * n
-            if end > hi:
-                raise ValueError("truncated chunk-offset table")
-            track["stco"] = list(
-                struct.unpack(f">{n}{fmtc}", content[lo + 8 : end])
-            )
+            # truncated chunk-offset table: degrade exactly like a
+            # truncated stsz (r14 advice) — leave the table unset so
+            # video_samples is simply unavailable, keeping the
+            # container-metadata contract for rows whose dimensions/
+            # frame count decoded fine
+            if end <= hi:
+                track["stco"] = list(
+                    struct.unpack(f">{n}{fmtc}", content[lo + 8 : end])
+                )
 
     def _finish_track(track: dict) -> None:
         kind = track.get("kind")
@@ -1129,18 +1133,23 @@ def _luma_plane(d: dict, fmt: str):
     return a[:, :, 0].astype(np.int64)  # gray / gray+alpha: luma = gray
 
 
-def _ahash64(d: dict, fmt: str):
-    """8×8 average hash over the luma plane: block-average the image on
-    an 8×8 grid, set bit k (MSB-first, row-major) iff block k's mean is
-    >= the mean of the 64 block means. Deterministic integer/IEEE
-    arithmetic, returned as a SIGNED 64-bit value (Spark bigint).
-    Images smaller than 8×8 have empty grid cells — None."""
+def _ahash64_luma(luma):
+    """8×8 average hash over a luma plane (2-D array, row-major):
+    block-average on an 8×8 grid, set bit k (MSB-first, row-major) iff
+    block k's mean is >= the mean of the 64 block means. Deterministic
+    integer/IEEE arithmetic, returned as a SIGNED 64-bit value (Spark
+    bigint). Planes smaller than 8×8 have empty grid cells — None.
+    Shared tail of every perceptual-hash path — still images, MJPEG
+    keyframes, and library-codec keyframes through the
+    ``keyframe_decoder`` seam — so their hashes are comparable."""
     import numpy as np
 
-    w, h = d["width"], d["height"]
+    luma = np.asarray(luma)
+    if luma.ndim != 2:
+        return None
+    h, w = luma.shape
     if w < 8 or h < 8:
         return None
-    luma = _luma_plane(d, fmt)
     rows = [(i * h) // 8 for i in range(9)]
     cols = [(j * w) // 8 for j in range(9)]
     means = np.empty((8, 8), dtype=np.float64)
@@ -1157,38 +1166,72 @@ def _ahash64(d: dict, fmt: str):
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _ahash64(d: dict, fmt: str):
+    """:func:`_ahash64_luma` over a decoded image dict's
+    orientation-normalized luma plane (see :func:`_luma_plane`)."""
+    if d["width"] < 8 or d["height"] < 8:
+        return None
+    return _ahash64_luma(_luma_plane(d, fmt))
+
+
 # mp4 video sample-entry 4CCs the keyframe pass can actually decode:
 # each sample is a complete baseline JPEG ('jpeg' = MJPEG in ISO-BMFF,
 # 'mjpa' = Motion-JPEG format A; both carry a full JFIF per frame)
 _MJPEG_CODECS = {"jpeg", "mjpa"}
 
 
-def _video_keyframe_hashes(d: dict, content: bytes, max_frames: int = 3):
+def _video_keyframe_hashes(
+    d: dict, content: bytes, max_frames: int = 3, decoder=None
+):
     """Sample-level perceptual signal for VIDEO (r13 VERDICT task 6):
     aHash64 per sampled keyframe — first / middle / last sample —
     where a real frame decoder exists. MJPEG tracks ('jpeg'/'mjpa'
     sample entries) store one complete baseline JPEG per sample, so
     each keyframe rides :mod:`operators.jpeg`'s decoder and the same
-    orientation-normalized :func:`_ahash64` the still-image path uses.
-    H.264/HEVC remain the documented codec seam — entropy-decoding an
-    IDR frame is a library codec's job, not a pure-Python baseline's —
-    so their rows return None here (and ``video_codec`` says why).
+    orientation-normalized hashing tail (:func:`_ahash64_luma`) the
+    still-image path uses.
+
+    ``decoder`` is the library-codec seam (r14 VERDICT task 4): a
+    callable ``(codec_4cc: str, sample_bytes: bytes) -> luma_plane |
+    None`` consulted for every non-MJPEG codec. A user with a real
+    codec library (PyAV, OpenCV, ...) plugs it in and gets
+    ``video_ahash64`` on H.264/HEVC tracks through the exact same
+    grid/threshold/bit-order path — hashes comparable with every other
+    modality's. The returned plane must be a 2-D row-major array
+    (anything ``np.asarray`` accepts); ``None`` skips the frame.
+    Without a decoder, non-MJPEG rows return None by design —
+    entropy-decoding an IDR frame is a library codec's job, not a
+    pure-Python baseline's (``video_codec`` says why).
     A keyframe that fails to decode is skipped (the per-frame error is
     not row-fatal: the container metadata already validated)."""
     codec = d.get("video_codec")
     samples = d.get("video_samples")
-    if codec not in _MJPEG_CODECS or not samples:
+    if not samples:
         return None
-    from . import jpeg as _jpeg
+    if codec in _MJPEG_CODECS:
+        from . import jpeg as _jpeg
 
+        def decode(raw: bytes):
+            frame = _jpeg.decode_jpeg(raw)
+            if frame["width"] < 8 or frame["height"] < 8:
+                return None
+            return _luma_plane(frame, "jpeg")
+
+    elif decoder is not None:
+
+        def decode(raw: bytes):
+            return decoder(codec, raw)
+
+    else:
+        return None
     n = len(samples)
     idxs = sorted({0, n // 2, n - 1})[:max_frames]
     hashes = []
     for i in idxs:
         off, size = samples[i]
         try:
-            frame = _jpeg.decode_jpeg(content[off : off + size])
-            h = _ahash64(frame, "jpeg")
+            luma = decode(content[off : off + size])
+            h = _ahash64_luma(luma) if luma is not None else None
         except Exception:  # noqa: BLE001 - a corrupt frame skips, the
             continue  # row keeps its other keyframes
         if h is not None:
@@ -1241,6 +1284,7 @@ def decode_media(
     content_col: str = "content",
     fmt_col: str = "fmt",
     perceptual: bool = False,
+    keyframe_decoder=None,
 ) -> DataFrame:
     """Decode media content → verified metadata + payload size.
 
@@ -1261,9 +1305,14 @@ def decode_media(
     first/middle/last sample) on mp4 rows whose video track carries a
     decodable codec — MJPEG ('jpeg'/'mjpa') via the baseline JPEG
     decoder (r13 VERDICT task 6). H.264/HEVC video stays NULL there by
-    design: entropy-decoding an IDR frame is a library codec's job
-    (the ``_CODECS`` seam), and pretending otherwise would emit fake
-    signals. NULL wherever the codec yields no raw samples. Cheap
+    default: entropy-decoding an IDR frame is a library codec's job,
+    and pretending otherwise would emit fake signals — pass
+    ``keyframe_decoder`` (``(codec_4cc, sample_bytes) -> luma_plane |
+    None``, serialized to executors with the UDF closure) to wire a
+    real codec library in and get ``video_ahash64`` on those tracks
+    through the same hashing path (r14 VERDICT task 4; see
+    :func:`_video_keyframe_hashes`). NULL wherever the codec yields no
+    raw samples. Cheap
     projections over pixels/PCM the decode already produced — the same
     Arrow batch, no extra pass over the binary column."""
     fields = ", ".join(
@@ -1315,7 +1364,9 @@ def decode_media(
                         # re-copy the largest blobs in the table once
                         # more per row (r14 review find)
                         cols["vah"].append(
-                            _video_keyframe_hashes(d, raw)
+                            _video_keyframe_hashes(
+                                d, raw, decoder=keyframe_decoder
+                            )
                             if fmt == "mp4"
                             else None
                         )

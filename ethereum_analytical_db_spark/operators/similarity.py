@@ -401,6 +401,99 @@ def lsh_params(
     return planes, min(max(tables, 1), max_tables)
 
 
+def md5_plane_ints(planes: int, dim: int, salt: str = "lshp") -> list[list[int]]:
+    """Deterministic integer hyperplanes: component [p][k] is the first
+    byte of md5(f"{salt}:{p}:{k}") minus 128 (symmetric around zero).
+    Engine-portable by construction — DuckDB's md5() is the same
+    algorithm, so an oracle regenerates the identical matrix in SQL
+    (strpos-on-hex-chars byte decode; see the registry oracle). Integer
+    components keep every plane dot product inside exact decimal
+    arithmetic: no float summation order to disagree on, so the SIGN —
+    the bucket bit — matches bit-for-bit across engines."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{salt}:{p}:{k}".encode()).hexdigest()[:2], 16)
+            - 128
+            for k in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def embedding_near_dup_lsh_md5(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.38,
+    planes: int = 8,
+    salt: str = "lshp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LSH family's hash-checked face (COVERAGE fold #6): the exact
+    hyperplane-bucket → within-bucket pair → exact-cosine pipeline of
+    :func:`embedding_near_dup_lsh`, keyed by :func:`md5_plane_ints`
+    planes and DECIMAL dot products so a DuckDB oracle replays it
+    verbatim — sign bits, bucket strings, candidate set and cosines all
+    bit-identical. Production stays on the numpy-gemm twin (random
+    Gaussian planes, applyInPandas BLAS scoring, multi-table recall
+    sizing); this face pins the family's CANDIDATE SEMANTICS — sign-bit
+    bucketing and within-bucket exact verify — the same way
+    ``simhash_near_duplicates_md5`` pins SimHash's.
+
+    Plan shape mirrors production where it matters at scale: one
+    projection computes the bucket (pure JVM expression — built as ONE
+    SQL string, not a 512-literal py4j Column chain, the r14
+    construction-latency lesson), one shuffle co-locates each bucket,
+    pairs are scored within buckets only. The pair scoring here is the
+    zip_with decimal fold (exactness is this face's point); the
+    throughput path is the twin's gemm."""
+    mat = md5_plane_ints(planes, dim, salt)
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
+    )
+
+    def dot_sql(row: list[int]) -> str:
+        arr = "array(" + ",".join(str(c) for c in row) + ")"
+        return (
+            f"aggregate(zip_with(dv, {arr}, (x, y) -> x * y), "
+            "cast(0 as decimal(30,12)), "
+            "(acc, v) -> cast(acc + v as decimal(30,12)))"
+        )
+
+    bucket_sql = "concat(" + ",".join(
+        f"case when {dot_sql(row)} >= 0 then '1' else '0' end" for row in mat
+    ) + ")"
+    base = src.select(
+        "vid",
+        "dv",
+        F.expr(bucket_sql).alias("bucket"),
+        _dec_dot(F.col("dv"), F.col("dv")).cast("double").alias("n2"),
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("dv").alias("dva"),
+        F.col("n2").alias("n2_a"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"),
+        F.col("dv").alias("dvb"),
+        F.col("n2").alias("n2_b"),
+        "bucket",
+    )
+    cos = _dec_dot(F.col("dva"), F.col("dvb")).cast("double") / F.sqrt(
+        F.col("n2_a") * F.col("n2_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     dim: int,

@@ -152,21 +152,30 @@ def char_symbols(word_col) -> F.Column:
     )
 
 
-def symbol_pair_counts(sym_wf: DataFrame, sym_col: str = "symbols") -> DataFrame:
-    """(left_sym, right_sym, pair_freq) over a (symbols, freq) table:
-    adjacent-pair extraction is a zip of the array against itself
-    shifted by one (two ``slice`` calls — no posexplode double-scan, and
-    safe on single-symbol words where ``slice`` with length 0 yields an
-    empty array, unlike ``sequence(1, 0)`` which would count DOWN)."""
-    sym = F.col(sym_col)
-    sz = F.size(sym)
-    pairs = F.zip_with(
-        F.slice(sym, F.lit(1), sz - 1),
-        F.slice(sym, F.lit(2), sz - 1),
+def adjacent_pairs(sym_col) -> F.Column:
+    """A word's adjacent symbol pairs as
+    ``array<struct<left_sym,right_sym>>``: a zip of the array against
+    itself shifted by one (two ``slice`` calls — no posexplode
+    double-scan, and safe on single-symbol words where ``slice`` with
+    length 0 yields an empty array, unlike ``sequence(1, 0)`` which
+    would count DOWN). ``greatest(sz-1, 0)``: train_bpe's tables never
+    hold empty arrays (words are non-empty and merges only shrink to
+    ≥1 symbol), but as a public helper a zero-size array must yield no
+    pairs, not a negative-length slice error."""
+    sym = F.col(sym_col) if isinstance(sym_col, str) else sym_col
+    ln = F.greatest(F.size(sym) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(sym, F.lit(1), ln),
+        F.slice(sym, F.lit(2), ln),
         lambda a, b: F.struct(a.alias("left_sym"), b.alias("right_sym")),
     )
+
+
+def symbol_pair_counts(sym_wf: DataFrame, sym_col: str = "symbols") -> DataFrame:
+    """(left_sym, right_sym, pair_freq) over a (symbols, freq) table —
+    explode :func:`adjacent_pairs` weighted by word frequency."""
     return (
-        sym_wf.select(F.col("freq"), F.explode(pairs).alias("p"))
+        sym_wf.select(F.col("freq"), F.explode(adjacent_pairs(sym_col)).alias("p"))
         .groupBy(
             F.col("p.left_sym").alias("left_sym"),
             F.col("p.right_sym").alias("right_sym"),
@@ -250,6 +259,29 @@ def apply_merges(sym_col, picks: list[tuple[str, str]]) -> F.Column:
         ).otherwise(F.concat(acc, F.array(s)))
 
     return F.aggregate(sym, F.array().cast("array<string>"), step)
+
+
+def touches_any_pick(sym_col, picks: list[tuple[str, str]]) -> F.Column:
+    """True iff the word's symbol array contains at least one adjacent
+    occurrence of a picked pair — i.e. this round's merges can change
+    the word at all. Struct-equality overlap between the word's
+    :func:`adjacent_pairs` and the batch as an array literal: exact (no
+    string-concatenation separator to collide with corpus text) and one
+    JVM expression regardless of batch size."""
+    lit_picks = F.array(
+        *[
+            F.struct(F.lit(l).alias("left_sym"), F.lit(r).alias("right_sym"))
+            for l, r in picks
+        ]
+    )
+    return F.arrays_overlap(adjacent_pairs(sym_col), lit_picks)
+
+
+# delta-mode lineage bound: wf's lazy checkpoint realizes (truncating
+# the RDD graph) only every this-many rounds — see the loop comment in
+# train_bpe. 16 bounds task-binary growth to ~160 KiB and graph depth
+# to ~160 stages, far from the ~1000-stage StackOverflow observed.
+_WF_TRUNCATE_EVERY = 16
 
 
 def select_merge_batch(
@@ -527,6 +559,7 @@ def train_bpe(
     split: str = " ",
     batch_merges: int = 64,
     exact_order: bool = True,
+    pair_maintenance: str = "delta",
     stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Greedy BPE training: ``num_merges`` rounds of (count pairs →
@@ -566,11 +599,22 @@ def train_bpe(
       default 20M is a few hundred MB of driver heap — raise it on a
       big driver before falling back to distributed rounds).
 
-    Both paths produce rank-for-rank identical merges (same tie-break,
-    same non-overlapping fold) — pinned by tests/test_tokenizer.py."""
+    ``pair_maintenance`` governs how the distributed loop keeps its
+    pair statistics: ``"delta"`` (default) maintains a persistent pair
+    table exactly, applying per-round deltas from the touched words
+    only — the distributed fastBPE structure (r14 VERDICT task 2);
+    ``"recount"`` re-aggregates the whole vocabulary every round (the
+    pre-r15 behavior, kept for A/B measurement). Both are exact; both
+    paths produce rank-for-rank identical merges (same tie-break, same
+    non-overlapping fold) — pinned by tests/test_tokenizer.py."""
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(
             f"mode {mode!r}: expected 'auto', 'driver' or 'distributed'"
+        )
+    if pair_maintenance not in ("delta", "recount"):
+        raise ValueError(
+            f"pair_maintenance {pair_maintenance!r}: expected 'delta' or "
+            "'recount'"
         )
     wf = _materialize(
         word_frequencies(docs, text_col, split), materialize, eager=False
@@ -618,6 +662,27 @@ def train_bpe(
         wf = wf.coalesce(parts)
     merges: list[tuple[str, str, int]] = []
     rounds = 0
+    # Incremental pair-count maintenance (r14 VERDICT task 2 — the
+    # distributed analogue of fastBPE's in-memory pair index): the pair
+    # table is EXACTLY maintainable under a batch of merges, because a
+    # merge only changes the pairs of words that contain a picked
+    # adjacency. Each round applies a delta — the touched words' old
+    # pairs negated plus their rewritten pairs — instead of
+    # re-exploding every symbol of every word (the old per-round
+    # corpus-vocabulary scan, tokenizer.py@r14:629-640). Per-round cost
+    # drops from O(total cells) explode+shuffle to a pair-table-sized
+    # groupBy plus two passes over the touched words only; integer
+    # sums make the maintained table bit-identical to a recount
+    # (pinned by test_tokenizer's delta-vs-recount parity test).
+    # ``pair_maintenance="recount"`` keeps the legacy recompute path
+    # for A/B measurement.
+    use_delta = pair_maintenance == "delta"
+    pc = (
+        _materialize(symbol_pair_counts(wf), materialize, eager=False)
+        if use_delta
+        else None
+    )
+    rounds_since_truncate = 0
     while len(merges) < num_merges:
         fetch = min(batch_merges, num_merges - len(merges))
         # extra window rows cost nothing beyond the collect (the pair
@@ -628,13 +693,18 @@ def train_bpe(
         # 64-pick batches where 2× found ~5)
         window = fetch * (2 if exact_order else 8) + 1
         top = (
-            symbol_pair_counts(wf)
+            (pc if use_delta else symbol_pair_counts(wf))
             .orderBy(
                 F.col("pair_freq").desc(),
                 F.col("left_sym").asc(),
                 F.col("right_sym").asc(),
             )
-            .limit(window)
+            # window+1 so "the table had exactly `window` rows" is
+            # distinguishable from "the window truncated it" — the
+            # len(candidates) < window form misclassified the former as
+            # non-exhausted, costing an extra round at plateau
+            # frequencies (r14 advice)
+            .limit(window + 1)
             .collect()
         )
         rounds += 1
@@ -649,7 +719,7 @@ def train_bpe(
                 symbol_superset,
                 min_freq,
                 fetch,
-                table_exhausted=len(candidates) < window,
+                table_exhausted=len(candidates) <= window,
             )
         else:
             picks = select_merge_batch_relaxed(
@@ -659,16 +729,70 @@ def train_bpe(
             break
         merges.extend(picks)
         symbol_superset.update(l + r for l, r, _ in picks)
-        wf = _materialize(
-            wf.withColumn(
-                "symbols", apply_merges("symbols", [(l, r) for l, r, _ in picks])
-            ),
-            materialize,
-            eager=False,
-        )
+        if len(merges) >= num_merges:
+            break  # no next round: building its state would be waste
+        pick_pairs = [(l, r) for l, r, _ in picks]
+        if use_delta:
+            touched = touches_any_pick("symbols", pick_pairs)
+            touched_wf = wf.filter(touched)
+            old_neg = symbol_pair_counts(
+                touched_wf.withColumn("freq", -F.col("freq"))
+            )
+            new_pos = symbol_pair_counts(
+                touched_wf.withColumn(
+                    "symbols", apply_merges("symbols", pick_pairs)
+                )
+            )
+            pc = _materialize(
+                pc.unionByName(old_neg)
+                .unionByName(new_pos)
+                .groupBy("left_sym", "right_sym")
+                .agg(F.sum("pair_freq").alias("pair_freq"))
+                .filter(F.col("pair_freq") > 0),
+                materialize,
+                eager=False,
+            )
+            # rewrite gated on `touched`: apply_merges is an identity on
+            # untouched words but still costs the full fold per row —
+            # the WHEN skips it for the (at scale, vast) untouched
+            # majority. The cut is LAZY like the rest of the loop (its
+            # blocks persist the moment next round's pc job computes
+            # them), with one wrinkle: the per-round action is
+            # pc.collect(), and Spark's doCheckpoint recursion stops at
+            # the FIRST marked RDD (pc) — wf's lazy cuts below it never
+            # REALIZE as truncations, so the RDD graph (and each task's
+            # serialized binary, ~10 KiB/round) deepens until
+            # StackOverflowError near round 100 (observed on the sf10
+            # probe). An eager realize every _WF_TRUNCATE_EVERY rounds
+            # bounds the depth; it reads only cached blocks, so it costs
+            # one narrow job per K rounds, not a recompute. Making EVERY
+            # round eager instead was measured 2.3× slower end-to-end at
+            # sf10 (423 s vs 180 s recount) — the per-round floor there
+            # is job scheduling, and a second job per round doubles it.
+            rounds_since_truncate += 1
+            eager_now = rounds_since_truncate >= _WF_TRUNCATE_EVERY
+            if eager_now:
+                rounds_since_truncate = 0
+            wf = _materialize(
+                wf.withColumn(
+                    "symbols",
+                    F.when(
+                        touched, apply_merges("symbols", pick_pairs)
+                    ).otherwise(F.col("symbols")),
+                ),
+                materialize,
+                eager=eager_now,
+            )
+        else:
+            wf = _materialize(
+                wf.withColumn("symbols", apply_merges("symbols", pick_pairs)),
+                materialize,
+                eager=False,
+            )
     if stats is not None:
         stats["rounds"] = rounds
         stats["path"] = "distributed"
+        stats["pair_maintenance"] = pair_maintenance if use_delta else "recount"
     return merges
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, packing, similarity, text
+from ..operators import dedup, packing, sampling, similarity, text
 from .registry import register, table
 
 STOPWORDS = ["the", "a", "value", "row", "data"]
@@ -386,11 +386,33 @@ for _lang in _langs[1:]:
     _expr = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN '{_lang}' ELSE ({_expr}) END"
     _best = f"CASE WHEN {_scores[_lang]} > ({_best}) THEN {_scores[_lang]} ELSE ({_best}) END"
 
+# fold #6 (r15): the former `dataset_split` slot — per-doc salted-md5
+# split assignment + stratified keep flag, both pure md5-prefix CASE
+# projections over the same documents scan text_quality already makes
+# (rule 1: same table, same per-row-projection shape, no shuffle
+# gained, same grain). The freed slot promotes
+# `embedding_near_dup_lsh_md5` below.
+_SPLIT_PREF = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4)"
+_KEEP_PREF = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
+_SPLIT_SQL = (
+    f"CASE WHEN {_SPLIT_PREF} < 'e666' THEN 'train' "
+    f"WHEN {_SPLIT_PREF} < 'f333' THEN 'valid' ELSE 'test' END"
+)
+_KEPT_SQL = (
+    "(doc_id IS NOT NULL AND CASE lang WHEN 'en' THEN TRUE "
+    f"WHEN 'de' THEN {_KEEP_PREF} < '{sampling._hex4(0.3)}' "
+    f"WHEN 'fr' THEN {_KEEP_PREF} < '{sampling._hex4(0.1)}' "
+    f"ELSE {_KEEP_PREF} < '{sampling._hex4(0.05)}' END)"
+)
+
+
 @register(
     "text_quality",
     f"""
     SELECT doc_id,
            lang,
+           {_SPLIT_SQL} AS split,
+           {_KEPT_SQL} AS kept,
            ({_expr}) AS predicted_lang,
            len(string_split(text, ' ')) AS n_words,
            len(list_filter(string_split(text, ' '), w -> w IN ({_SW}))) AS n_stopwords,
@@ -423,8 +445,15 @@ for _lang in _langs[1:]:
     "email/ipv4/phone + typed-placeholder redaction length — former "
     "pii_scrub_stats slot, fold #2: same shuffle-free per-doc JVM-"
     "regexp projection over the same scan, no operator loses oracle "
-    "coverage; the freed slot promotes reorg_canonical). "
-    "All folds JVM-side Column exprs",
+    "coverage; the freed slot promotes reorg_canonical), and since r15 "
+    "the deterministic train/valid/test split (90/5/5, salt 'split') "
+    "plus the stratified corpus-balancing keep flag (en 100% / de 30% "
+    "/ fr 10% / default 5%, salt 'sample') as the `split`/`kept` "
+    "columns — former dataset_split slot, fold #6: the same salted-"
+    "md5-prefix CASE projection over the same scan (dataset_split had "
+    "itself absorbed stratified_sample_counts in r9; both lineages "
+    "stay per-doc hash-checked here); the freed slot promotes "
+    "embedding_near_dup_lsh_md5. All folds JVM-side Column exprs",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs_table(spark, sf_dir)
@@ -432,6 +461,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
+        sampling.split_column(
+            "doc_id", {"train": 0.90, "valid": 0.05, "test": 0.05}
+        ),
+        sampling.keep_column(
+            "lang",
+            {"en": 1.0, "de": 0.3, "fr": 0.1},
+            "doc_id",
+            default_fraction=0.05,
+        ).alias("kept"),
         # regexp_count marker scoring on raw text: whole-stage codegen,
         # vs the interpreted array-HOF form (F.filter lambdas) it replaced
         text.predicted_lang_from_text(F.col("text")).alias("predicted_lang"),
@@ -1059,62 +1097,74 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-def _split_oracle() -> str:
-    """Per-doc split assignment + stratified keep flag, one slot.
+# (the former `dataset_split` query — the r9 host that had absorbed
+# `stratified_sample_counts` — was folded into `text_quality` in r15 as
+# the per-doc `split`/`kept` columns, COVERAGE fold #6; its operators
+# `hash_split`/`split_column`/`keep_column` keep their unit coverage in
+# tests/test_sampling.py, and the freed slot promotes the LSH family's
+# hash-checked face below)
 
-    r9 consolidation (same class as r8's range_predicate→scan_projection
-    fold, which freed the slot `substring_dedup_stats` was promoted
-    into): the former `stratified_sample_counts` oracle's per-stratum
-    md5-threshold keep logic is folded in as a per-doc BOOLEAN column,
-    which is STRICTLY STRONGER evidence than the old per-stratum counts
-    — the driver now hashes every doc's (split, kept) pair. The freed
-    slot promotes `clean_corpus_e2e` into the hash-checked window."""
-    from ..operators.sampling import _hex4
-
-    pref = "substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 4)"
-    return f"""
-    SELECT doc_id, lang,
-           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'e666' THEN 'train'
-                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 4) < 'f333' THEN 'valid'
-                ELSE 'test' END AS split,
-           (doc_id IS NOT NULL AND
-            CASE lang
-              WHEN 'en' THEN TRUE
-              WHEN 'de' THEN {pref} < '{_hex4(0.3)}'
-              WHEN 'fr' THEN {pref} < '{_hex4(0.1)}'
-              ELSE {pref} < '{_hex4(0.05)}'
-            END) AS kept
-    FROM documents
-    """
+_LSH_MD5_PLANES = 6
+_LSH_MD5_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(12,6)) AS v,
+         generate_subscripts(embedding, 1) - 1 AS k
+  FROM embeddings
+),
+pl AS (
+  SELECT p.p, k.k,
+         (strpos('0123456789abcdef', substr(md5('lshp:' || p.p || ':' || k.k), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5('lshp:' || p.p || ':' || k.k), 2, 1)) - 1)
+       - 128 AS c
+  FROM (SELECT unnest(range(0, {_LSH_MD5_PLANES})) AS p) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) k
+),
+dots AS (
+  SELECT e.vec_id, pl.p, SUM(e.v * pl.c) AS dot
+  FROM e JOIN pl USING (k) GROUP BY e.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots GROUP BY vec_id
+),
+n AS (SELECT vec_id, CAST(SUM(v * v) AS DOUBLE) AS n2 FROM e GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+d AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(ea.v * eb.v) AS DOUBLE) AS dot
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb
+    ON eb.vec_id = c.id_b AND eb.k = ea.k
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b, d.dot / sqrt(na.n2 * nb.n2) AS cosine
+FROM d JOIN n na ON d.id_a = na.vec_id JOIN n nb ON d.id_b = nb.vec_id
+WHERE d.dot / sqrt(na.n2 * nb.n2) >= 0.38
+"""
 
 
 @register(
-    "dataset_split",
-    _split_oracle(),
-    note="deterministic train/valid/test split (90/5/5) by salted-md5 "
-    "bucket — engine-portable (md5 prefix compare), shuffle-free, "
-    "re-salting gives an independent split — PLUS the per-doc stratified "
-    "corpus-balancing keep flag (en 100% / de 30% / fr 10% / default 5%, "
-    "salt 'sample'): the former stratified_sample_counts slot folded in "
-    "as strictly stronger per-doc evidence (r9 consolidation)",
+    "embedding_near_dup_lsh_md5",
+    _LSH_MD5_ORACLE,
+    note="the hyperplane-LSH family's hash-checked face (fold #6 freed "
+    "the slot): md5-derived INTEGER hyperplanes (byte of md5(salt:p:k) "
+    "- 128) dotted against DECIMAL(12,6) vectors make every sign bit — "
+    "and so every bucket string, candidate pair and exact cosine — "
+    "bit-identical across engines; same sign-bit-bucket -> within-"
+    "bucket exact-verify pipeline as the production numpy-gemm twin "
+    "(embedding_near_dup_lsh, which keeps the workload/recall "
+    "evidence: Gaussian planes, applyInPandas BLAS, multi-table "
+    "sizing). Bucket expression built as ONE SQL string, not a "
+    "512-literal py4j chain (r14 build-latency lesson)",
 )
-def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sampling import hash_split, keep_column
-
-    docs = table(spark, sf_dir, "documents")
-    # the keep flag is the stratified_sample predicate AS a column —
-    # filter-then-join-back would shuffle the full table twice for a
-    # per-row literal CASE (review find); this plan is one projection
-    return hash_split(docs, "doc_id").select(
-        "doc_id",
-        "lang",
-        "split",
-        keep_column(
-            "lang",
-            {"en": 1.0, "de": 0.3, "fr": 0.1},
-            "doc_id",
-            default_fraction=0.05,
-        ).alias("kept"),
+def embedding_near_dup_lsh_md5_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh_md5(
+        emb, dim=64, threshold=0.38, planes=_LSH_MD5_PLANES
     )
 
 
@@ -1273,9 +1323,10 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (the former `stratified_sample_counts` query was folded into
-# `dataset_split` above as a per-doc `kept` column — strictly stronger
-# than the per-stratum counts, and it frees the 50-slot-window seat the
-# promoted `clean_corpus_e2e` oracle below now occupies)
+# `dataset_split` in r9 as a per-doc `kept` column — strictly stronger
+# than the per-stratum counts, freeing the 50-slot-window seat the
+# promoted `clean_corpus_e2e` oracle below now occupies; `dataset_split`
+# itself folded into `text_quality` in r15, fold #6)
 
 
 def _clean_corpus_oracle() -> str:

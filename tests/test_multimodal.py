@@ -1469,3 +1469,85 @@ def test_decode_media_perceptual_columns_end_to_end(spark):
     assert out[5]["audio_rms"] is None  # mp3: header walk, no PCM
     legacy = mm.decode_media(df).columns
     assert "ahash64" not in legacy and "audio_rms" not in legacy
+
+
+def test_keyframe_decoder_seam_avc1(spark):
+    """r14 VERDICT task 4: `keyframe_decoder` plugs a library codec
+    into the perceptual pass. A fake decoder wired through an 'avc1'
+    track must produce video_ahash64 through the SAME
+    grid/threshold/bit-order path as every other modality (hash equals
+    _ahash64_luma of the plane the decoder returned); default behavior
+    (no decoder) stays NULL for avc1; a decoder returning None skips
+    the frame; a raising decoder skips the frame, not the row."""
+    import numpy as np
+
+    # three fake "H.264 samples": payload bytes seed a deterministic
+    # 16x16 luma plane the way a real decoder would produce pixels
+    samples = [b"IDR0" * 8, b"IDR1" * 8, b"IDR2" * 8]
+    blob = _make_mjpeg_mp4(samples, 16, 16, codec=b"avc1")
+
+    def fake_decoder(codec_4cc, sample_bytes):
+        assert codec_4cc == "avc1"
+        seed = sample_bytes[3]
+        return np.arange(256, dtype=np.int64).reshape(16, 16) * seed % 251
+
+    want = [
+        mm._ahash64_luma(fake_decoder("avc1", s)) for s in samples
+    ]
+    d = mm._decode_mp4(blob)
+    assert d["video_codec"] == "avc1"
+    assert mm._video_keyframe_hashes(d, blob, decoder=fake_decoder) == want
+    # default path unchanged: avc1 without a decoder stays None
+    assert mm._video_keyframe_hashes(d, blob) is None
+
+    df = spark.createDataFrame(
+        [(1, "mp4", bytearray(blob))], "media_id long, fmt string, content binary"
+    )
+    out = mm.decode_media(
+        df, perceptual=True, keyframe_decoder=fake_decoder
+    ).collect()[0]
+    assert out["decode_error"] is None
+    assert list(out["video_ahash64"]) == want
+    base = mm.decode_media(df, perceptual=True).collect()[0]
+    assert base["video_ahash64"] is None
+
+    # decoder returning None / raising: frame skipped, row intact
+    def flaky(codec_4cc, sample_bytes):
+        if sample_bytes == samples[0]:
+            return None
+        if sample_bytes == samples[1]:
+            raise RuntimeError("codec hiccup")
+        return fake_decoder(codec_4cc, sample_bytes)
+
+    assert mm._video_keyframe_hashes(d, blob, decoder=flaky) == [want[2]]
+    # MJPEG tracks never consult the hook (the built-in decoder wins)
+    jf = _mjpeg_fixture_frames()
+    mj = _make_mjpeg_mp4(jf, 16, 16)
+    dj = mm._decode_mp4(mj)
+
+    def must_not_be_called(codec_4cc, sample_bytes):
+        raise AssertionError("hook consulted for an MJPEG track")
+
+    from ethereum_analytical_db_spark.operators import jpeg as J
+
+    assert mm._video_keyframe_hashes(dj, mj, decoder=must_not_be_called) == [
+        mm._ahash64(J.decode_jpeg(f), "jpeg") for f in jf
+    ]
+
+
+def test_truncated_stco_degrades_like_truncated_stsz():
+    """r14 advice: a truncated chunk-offset table must degrade the same
+    way a truncated stsz does — video_samples unavailable, container
+    metadata (width/height/n_frames/codec) kept — instead of failing
+    the whole row."""
+    frames = _mjpeg_fixture_frames()
+    blob = bytearray(_make_mjpeg_mp4(frames, 16, 16))
+    # corrupt the stco entry count: claim 1000 entries where 1 exists
+    i = blob.find(b"stco")
+    assert i > 0
+    blob[i + 8 : i + 12] = struct.pack(">I", 1000)
+    d = mm._decode_mp4(bytes(blob))
+    assert d["width"] == 16 and d["height"] == 16
+    assert d["n_frames"] == 3 and d["video_codec"] == "jpeg"
+    assert d.get("video_samples") is None  # layout unavailable, row sound
+    assert mm._video_keyframe_hashes(d, bytes(blob)) is None

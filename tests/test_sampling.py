@@ -128,21 +128,28 @@ def test_stratified_sample_null_ids_always_dropped(spark):
 
 
 def test_dataset_split_kept_flag_is_shuffle_free_and_matches_filter_form(spark):
-    """The registered dataset_split derives `kept` from the
-    stratified_sample PREDICATE as a column (keep_column) — the
-    filter-then-join-back form shuffled the full table twice for a
+    """The split/kept columns (hosted by text_quality since fold #6,
+    r15; formerly the standalone dataset_split query) derive `kept`
+    from the stratified_sample PREDICATE as a column (keep_column) —
+    the filter-then-join-back form shuffled the full table twice for a
     per-row literal CASE (review find). Pin both halves: the physical
     plan holds no Exchange and no Join, and the flag agrees row-for-row
     with the filter form's membership."""
     import os
 
     from ethereum_analytical_db_spark.operators.sampling import stratified_sample
-    from ethereum_analytical_db_spark.plans.pipeline import dataset_split
+    from ethereum_analytical_db_spark.plans.pipeline import text_quality
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
-    out = dataset_split(spark, sf_dir)
+    out = text_quality(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Join" not in plan, plan
+    # the host's one Exchange is docs_table's deliberate round-robin
+    # scan-parallelism repartition (present before the fold); the pin is
+    # that the kept/split columns add no KEYED shuffle and no join
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan
+    assert "Join" not in plan, plan
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     kept_ids = {

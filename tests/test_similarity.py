@@ -646,3 +646,48 @@ def test_ivf_frozen_index_lifecycle(spark):
     pl._ivf_cleanup()
     assert not os.path.exists(path)
     assert pl._IVF_FROZEN == {}
+
+
+def test_embedding_near_dup_lsh_md5_face(spark):
+    """Fold #6 (r15): the LSH family's hash-checked face. Pins: (a)
+    md5_plane_ints is deterministic and engine-portable by construction
+    (hashlib vs the registry oracle's SQL byte decode — same md5); (b)
+    every emitted pair shares the full sign-bit bucket; (c) the face's
+    pairs are a SUBSET of the exact operator's at the same threshold,
+    with bit-identical cosines (both pipelines are exact decimal — LSH
+    only prunes candidates, never changes a surviving pair's score)."""
+    import hashlib
+
+    mat = similarity.md5_plane_ints(4, 8, salt="lshp")
+    assert mat == similarity.md5_plane_ints(4, 8, salt="lshp")
+    assert mat[2][5] == int(
+        hashlib.md5(b"lshp:2:5").hexdigest()[:2], 16
+    ) - 128
+    assert all(-128 <= c <= 127 for row in mat for c in row)
+
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # near-dup cluster around each base vector
+            rows.append((vid, [v + rng.uniform(-0.05, 0.05) for v in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_lsh_md5(
+            df, dim=8, threshold=0.8, planes=4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_exact(
+            df, threshold=0.8
+        ).collect()
+    }
+    assert got, "clustered fixture must produce same-bucket pairs"
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k], (k, v, exact[k])  # bit-identical cosines
