@@ -283,6 +283,16 @@ def touches_any_pick(sym_col, picks: list[tuple[str, str]]) -> F.Column:
 # to ~160 stages, far from the ~1000-stage StackOverflow observed.
 _WF_TRUNCATE_EVERY = 16
 
+# pair_maintenance="auto" crossover: below this vocabulary size (total
+# characters) the per-round recount is cheaper than delta's extra
+# stages (measured 2.1-2.5x at the 31k-word probe corpora); above it
+# the recount dominates the round and delta wins
+# (tools/bpe_pair_maintenance_ab.py, SCALE_NEWOPS_DETAIL). The
+# driver_max_cells default (20M) means production distributed runs sit
+# well above this line — auto exists so probe/test corpora forced onto
+# the distributed path don't pay delta's small-vocab overhead.
+_DELTA_MAINTENANCE_MIN_CELLS = 8_000_000
+
 
 def select_merge_batch(
     candidates: list[tuple[str, str, int]],
@@ -423,6 +433,7 @@ def select_merge_batch_relaxed(
     existing_symbols: set[str],
     min_freq: int,
     max_batch: int,
+    min_pick_ratio: float = 0.0,
 ) -> list[tuple[str, str, int]]:
     """Skip-and-continue batch selection for ``exact_order=False``
     training: take EVERY candidate in rank order whose symbols are
@@ -441,13 +452,29 @@ def select_merge_batch_relaxed(
     selector gets 1.1-4, at ~12-13% more encoded tokens AT EQUAL MERGE
     BUDGET (adversarial and natural corpora alike); at equal ROUND
     budget relaxed wins decisively because it affords several times
-    the merges (numbers in SCALE.md)."""
+    the merges (numbers in SCALE.md).
+
+    ``min_pick_ratio`` is the interference-aware quality knob (r14
+    VERDICT task 6): once a candidate has been SKIPPED for
+    interference, later picks must keep ``freq >= min_pick_ratio ×
+    (highest skipped frequency)`` or the batch ends. The skipped
+    candidate is usually the next link of a high-value merge CHAIN
+    (the mechanism behind the equal-merge-budget toll: breadth picks
+    spend table slots the chain deserved); the floor stops the batch
+    before it commits to picks far below that deferred value. 0.0
+    (default) is the pure skip-and-continue scan; 1.0 never picks past
+    the first interference (exact-prefix-like round counts). Measured
+    curve: tools/relaxed_quality_ab.py → SCALE.md."""
     picks: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    best_skipped = 0
     for left, right, freq in candidates:
         if freq < min_freq or len(picks) >= max_batch:
             break
+        if min_pick_ratio > 0.0 and freq < min_pick_ratio * best_skipped:
+            break
         if left in used or right in used or (left + right) in existing_symbols:
+            best_skipped = max(best_skipped, int(freq))
             continue
         picks.append((left, right, int(freq)))
         used.update((left, right))
@@ -559,7 +586,8 @@ def train_bpe(
     split: str = " ",
     batch_merges: int = 64,
     exact_order: bool = True,
-    pair_maintenance: str = "delta",
+    pair_maintenance: str = "auto",
+    relaxed_min_pick_ratio: float = 0.5,
     stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Greedy BPE training: ``num_merges`` rounds of (count pairs →
@@ -591,30 +619,46 @@ def train_bpe(
       are inherently serial, measured 1.1-4 merges/round by corpus
       (SCALE.md); ``exact_order=False`` switches to skip-and-continue
       selection (:func:`select_merge_batch_relaxed`), the standard
-      batched-trainer trade: ~14-20 merges/round, same-quality but not
-      rank-identical tables. ``stats`` (optional dict) gets
-      ``{"rounds": N, "path": ...}`` for observability.
+      batched-trainer trade: many merges/round, same-quality but not
+      rank-identical tables. ``relaxed_min_pick_ratio`` (default 0.5)
+      is its quality floor — picks must stay within that ratio of the
+      best interference-skipped candidate's frequency, ending the
+      batch early rather than spending table slots far below a
+      deferred merge chain. Measured (tools/relaxed_quality_ab.py,
+      natural Zipf + adversarial corpora): 0.5 cuts the
+      equal-merge-budget token toll from +7-13% to ~+1% for ~25-50%
+      more rounds; 0.0 restores the r14 pure scan. ``stats`` (optional
+      dict) gets ``{"rounds": N, "path": ...}`` for observability.
     - ``"auto"`` (default): driver iff the symbol table fits
       ``driver_max_cells`` total characters (cells ≈ list slots; the
       default 20M is a few hundred MB of driver heap — raise it on a
       big driver before falling back to distributed rounds).
 
     ``pair_maintenance`` governs how the distributed loop keeps its
-    pair statistics: ``"delta"`` (default) maintains a persistent pair
-    table exactly, applying per-round deltas from the touched words
-    only — the distributed fastBPE structure (r14 VERDICT task 2);
+    pair statistics: ``"delta"`` maintains a persistent pair table
+    exactly, applying per-round deltas from the touched words only —
+    the distributed fastBPE structure (r14 VERDICT task 2);
     ``"recount"`` re-aggregates the whole vocabulary every round (the
-    pre-r15 behavior, kept for A/B measurement). Both are exact; both
-    paths produce rank-for-rank identical merges (same tie-break, same
-    non-overlapping fold) — pinned by tests/test_tokenizer.py."""
+    pre-r15 loop). Both are exact and produce rank-for-rank identical
+    merges (pinned by tests/test_tokenizer.py); which is FASTER depends
+    on vocabulary size. Measured: at the sf10/sf100 probe corpora
+    (~31k-word vocabularies) every recount is sub-scheduling-floor and
+    delta's extra per-round stages make it 2.1-2.5x SLOWER (384 vs
+    180 s exact, 54 vs 22 s relaxed at sf10); on a
+    driver-exceeding vocabulary — the only regime where the
+    distributed loop runs in production — the recount IS the per-round
+    cost and delta wins (tools/bpe_pair_maintenance_ab.py,
+    SCALE_NEWOPS_DETAIL). ``"auto"`` (default) picks delta iff the
+    vocabulary exceeds ``_DELTA_MAINTENANCE_MIN_CELLS`` total
+    characters."""
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(
             f"mode {mode!r}: expected 'auto', 'driver' or 'distributed'"
         )
-    if pair_maintenance not in ("delta", "recount"):
+    if pair_maintenance not in ("auto", "delta", "recount"):
         raise ValueError(
-            f"pair_maintenance {pair_maintenance!r}: expected 'delta' or "
-            "'recount'"
+            f"pair_maintenance {pair_maintenance!r}: expected 'auto', "
+            "'delta' or 'recount'"
         )
     wf = _materialize(
         word_frequencies(docs, text_col, split), materialize, eager=False
@@ -676,7 +720,10 @@ def train_bpe(
     # (pinned by test_tokenizer's delta-vs-recount parity test).
     # ``pair_maintenance="recount"`` keeps the legacy recompute path
     # for A/B measurement.
-    use_delta = pair_maintenance == "delta"
+    if pair_maintenance == "auto":
+        use_delta = cells > _DELTA_MAINTENANCE_MIN_CELLS
+    else:
+        use_delta = pair_maintenance == "delta"
     pc = (
         _materialize(symbol_pair_counts(wf), materialize, eager=False)
         if use_delta
@@ -723,7 +770,11 @@ def train_bpe(
             )
         else:
             picks = select_merge_batch_relaxed(
-                candidates, symbol_superset, min_freq, fetch
+                candidates,
+                symbol_superset,
+                min_freq,
+                fetch,
+                min_pick_ratio=relaxed_min_pick_ratio,
             )
         if not picks:  # every candidate < min_freq
             break

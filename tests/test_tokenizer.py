@@ -357,13 +357,13 @@ def test_train_bpe_relaxed_order_batches_aggressively(spark):
     token count over the training corpus) stays close to the
     sequential reference's — set overlap is the wrong metric (the
     greedy path diverges structurally on a 4-letter alphabet: measured
-    0.37 here); at EQUAL MERGE BUDGET the out-of-order picks buy
-    ~12-13% less compression (10798 vs 9546 tokens = +13% here;
-    +11.9-12.7% on a natural Zipf corpus — SCALE.md), the price of
-    affording several times the merges per round. Pinned at +15% so a
-    real quality regression (e.g. picks without live counts) still
-    trips. Deterministic corpus + deterministic selector → stable
-    assertion."""
+    0.37 here). Since r15 the default relaxed_min_pick_ratio=0.5 floor
+    keeps batches from spending slots far below an interference-
+    skipped merge chain: the equal-merge-budget toll on this corpus
+    drops from +13% (r14 pure scan, 13 rounds) to ~+1% at ~20 rounds
+    (tools/relaxed_quality_ab.py). Pinned at +5% / 30 rounds so both a
+    quality regression and a round-count blowup trip; the 0.0 knob is
+    pinned separately to preserve the r14 behavior contract."""
     texts = _merge_rich_corpus()
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -379,7 +379,7 @@ def test_train_bpe_relaxed_order_batches_aggressively(spark):
         stats=stats,
     )
     assert len(got) == 150
-    assert stats["rounds"] <= 20, stats  # observed ~8; exact mode needs ~74
+    assert stats["rounds"] <= 30, stats  # observed ~20; exact needs ~74
     ref = py_train_bpe(texts, num_merges=150, min_freq=1)
 
     def total_tokens(merges):
@@ -390,7 +390,26 @@ def test_train_bpe_relaxed_order_batches_aggressively(spark):
         )
 
     t_relaxed, t_exact = total_tokens(got), total_tokens(ref)
-    assert t_relaxed <= t_exact * 1.15, (t_relaxed, t_exact)
+    assert t_relaxed <= t_exact * 1.05, (t_relaxed, t_exact)
+
+    # the r14 pure skip-and-continue scan stays available at ratio 0.0:
+    # fewer rounds, bounded (pinned +15%) quality cost
+    stats0: dict = {}
+    got0 = tokenizer.train_bpe(
+        docs,
+        num_merges=150,
+        min_freq=1,
+        mode="distributed",
+        batch_merges=64,
+        exact_order=False,
+        relaxed_min_pick_ratio=0.0,
+        stats=stats0,
+    )
+    assert len(got0) == 150
+    assert stats0["rounds"] <= 20, stats0  # observed ~13
+    assert stats0["rounds"] < stats["rounds"]
+    t0 = total_tokens(got0)
+    assert t0 <= t_exact * 1.15, (t0, t_exact)
 
 
 def _py_batched_train(texts, num_merges, min_freq, batch, relaxed=False):
