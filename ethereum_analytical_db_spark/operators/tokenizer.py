@@ -283,15 +283,20 @@ def touches_any_pick(sym_col, picks: list[tuple[str, str]]) -> F.Column:
 # to ~160 stages, far from the ~1000-stage StackOverflow observed.
 _WF_TRUNCATE_EVERY = 16
 
-# pair_maintenance="auto" crossover: below this vocabulary size (total
-# characters) the per-round recount is cheaper than delta's extra
-# stages (measured 2.1-2.5x at the 31k-word probe corpora); above it
-# the recount dominates the round and delta wins
-# (tools/bpe_pair_maintenance_ab.py, SCALE_NEWOPS_DETAIL). The
-# driver_max_cells default (20M) means production distributed runs sit
-# well above this line — auto exists so probe/test corpora forced onto
-# the distributed path don't pay delta's small-vocab overhead.
-_DELTA_MAINTENANCE_MIN_CELLS = 8_000_000
+# pair_maintenance="auto" resolution: None = recount in every regime.
+# The delta structure was implemented AND measured against recount at
+# both ends (tools/bpe_pair_maintenance_ab.py, SCALE_NEWOPS_DETAIL):
+# 31k-word probe vocabularies (recount is sub-scheduling-floor; delta
+# 2.1-2.5x slower) and a driver-exceeding 27M-cell corpus at 192 AND
+# 1024 merges (recount 482.9 s vs delta 721.7 s at 1024/82 rounds —
+# 1.5x slower: every high-frequency pick touches a large fraction of
+# the vocabulary, so the "touched-words-only" delta explodes MORE pair
+# rows than the recount, plus a pair-table shuffle). Deltas only
+# amortize when picks touch a SPARSE slice — a regime none of the
+# measured corpora reach within realistic merge budgets. Set a cell
+# count here to re-enable delta above it if a future corpus measures
+# otherwise.
+_DELTA_MAINTENANCE_MIN_CELLS: int | None = None
 
 
 def select_merge_batch(
@@ -640,17 +645,19 @@ def train_bpe(
     the distributed fastBPE structure (r14 VERDICT task 2);
     ``"recount"`` re-aggregates the whole vocabulary every round (the
     pre-r15 loop). Both are exact and produce rank-for-rank identical
-    merges (pinned by tests/test_tokenizer.py); which is FASTER depends
-    on vocabulary size. Measured: at the sf10/sf100 probe corpora
-    (~31k-word vocabularies) every recount is sub-scheduling-floor and
-    delta's extra per-round stages make it 2.1-2.5x SLOWER (384 vs
-    180 s exact, 54 vs 22 s relaxed at sf10); on a
-    driver-exceeding vocabulary — the only regime where the
-    distributed loop runs in production — the recount IS the per-round
-    cost and delta wins (tools/bpe_pair_maintenance_ab.py,
-    SCALE_NEWOPS_DETAIL). ``"auto"`` (default) picks delta iff the
-    vocabulary exceeds ``_DELTA_MAINTENANCE_MIN_CELLS`` total
-    characters."""
+    merges (pinned by tests/test_tokenizer.py). Measured
+    (tools/bpe_pair_maintenance_ab.py, SCALE_NEWOPS_DETAIL): recount
+    won EVERY regime — at the sf10/sf100 probe corpora (~31k-word
+    vocabularies) every recount is sub-scheduling-floor and delta's
+    extra per-round stages make it 2.1-2.5x slower (384 vs 180 s
+    exact, 54 vs 22 s relaxed at sf10); on a driver-exceeding 27M-cell
+    corpus delta is still 1.5x slower at a 1024-merge budget (721.7 vs
+    482.9 s, 82 rounds both), because high-frequency picks touch a
+    LARGE fraction of the vocabulary, so the "touched-only" delta
+    explodes more pair rows than the recount plus a pair-table
+    shuffle. ``"auto"`` (default) therefore resolves to recount (see
+    ``_DELTA_MAINTENANCE_MIN_CELLS``); delta remains callable for
+    corpora whose picks genuinely touch sparse slices."""
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(
             f"mode {mode!r}: expected 'auto', 'driver' or 'distributed'"
@@ -721,7 +728,10 @@ def train_bpe(
     # ``pair_maintenance="recount"`` keeps the legacy recompute path
     # for A/B measurement.
     if pair_maintenance == "auto":
-        use_delta = cells > _DELTA_MAINTENANCE_MIN_CELLS
+        use_delta = (
+            _DELTA_MAINTENANCE_MIN_CELLS is not None
+            and cells > _DELTA_MAINTENANCE_MIN_CELLS
+        )
     else:
         use_delta = pair_maintenance == "delta"
     pc = (
