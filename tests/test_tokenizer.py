@@ -730,3 +730,76 @@ def test_touches_any_pick_detects_adjacency_only(spark):
         ).collect()
     }
     assert got == {0: True, 1: False, 2: False, 3: True, 4: False, 5: False}
+
+
+def test_relaxed_selector_ratio_floor_properties():
+    """Hypothesis sweep of select_merge_batch_relaxed's invariants under
+    the r15 min_pick_ratio floor, on arbitrary candidate tables: picks
+    are rank-ordered candidates with unchanged frequencies; symbol sets
+    are pairwise disjoint and merged tokens collide with neither
+    existing symbols nor each other (the apply_merges safety
+    contract); no pick (after the first) falls below ratio x the best
+    candidate skipped for interference/collision before it; ratio=0
+    reproduces the r14 pure scan; and the top-1 fallback still fires
+    when the floor or interference empties the batch."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    sym = st.text(alphabet="abc", min_size=1, max_size=3)
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(
+        cands=st.lists(
+            st.tuples(sym, sym, st.integers(min_value=1, max_value=50)),
+            min_size=1,
+            max_size=40,
+        ),
+        ratio=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+        max_batch=st.sampled_from([1, 4, 16]),
+        min_freq=st.sampled_from([1, 3]),
+    )
+    def check(cands, ratio, max_batch, min_freq):
+        cands = sorted(
+            {(l, r): f for l, r, f in cands}.items(),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )
+        cands = [(l, r, f) for (l, r), f in cands]
+        existing = {c for l, r, _ in cands for c in (l, r)}
+        picks = tokenizer.select_merge_batch_relaxed(
+            cands, existing, min_freq, max_batch, min_pick_ratio=ratio
+        )
+        as_set = {(l, r, f) for l, r, f in cands}
+        assert all(p in as_set for p in picks)
+        assert len(picks) <= max(max_batch, 1)
+        if len(picks) > 1:  # fallback emits exactly one, possibly unsafe
+            used: set = set()
+            merged: set = set()
+            best_skipped = 0
+            it = iter(cands)
+            for p in picks:
+                for left, right, freq in it:
+                    if (left, right, freq) == p:
+                        assert left not in used and right not in used
+                        assert left + right not in existing
+                        assert left + right not in merged
+                        if ratio > 0:
+                            assert freq >= ratio * best_skipped
+                        used.update((left, right))
+                        merged.add(left + right)
+                        break
+                    best_skipped = max(best_skipped, freq)
+                else:  # pragma: no cover
+                    raise AssertionError("picks out of rank order")
+        if picks:
+            assert picks[0][2] >= min_freq
+        # ratio=0 is byte-identical to the r14 scan (no floor argument)
+        if ratio == 0.0:
+            assert picks == tokenizer.select_merge_batch_relaxed(
+                cands, existing, min_freq, max_batch
+            )
+
+    check()
