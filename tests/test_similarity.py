@@ -691,3 +691,29 @@ def test_embedding_near_dup_lsh_md5_face(spark):
     assert set(got) <= set(exact)
     for k, v in got.items():
         assert v == exact[k], (k, v, exact[k])  # bit-identical cosines
+
+
+def test_embedding_near_dup_lsh_md5_duckdb_parity(spark):
+    """Cross-engine check for the hash-checked registry entry (fold #6):
+    the registry's own oracle SQL, run in DuckDB on the sf0.001
+    embeddings table, returns the exact same (id_a, id_b, cosine) rows
+    as the Spark pipeline — bit-identical cosines included (both sides
+    are exact decimal) — the same comparison the driver's correctness
+    harness performs at sf0.01."""
+    import duckdb
+
+    from ethereum_analytical_db_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qdef = all_queries()["embedding_near_dup_lsh_md5"]
+    assert qdef.oracle is not None and "strpos" in qdef.oracle
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in qdef.build(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(qdef.oracle).fetchall())
+    assert got == want and len(got) > 0
