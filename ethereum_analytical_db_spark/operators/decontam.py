@@ -85,3 +85,118 @@ def decontaminate(
         F.col("doc").alias(id_col)
     )
     return docs.join(contaminated, id_col, "left_anti")
+
+
+# driver/executor safety bound for the broadcast benchmark matrix: eval
+# sets are thousands of vectors; 250k × 64 float64 ≈ 128 MB is already
+# far past any real benchmark and a clear sign the caller swapped the
+# sides. Raise, don't truncate — silent truncation would under-report
+# contamination.
+MAX_BENCHMARK_VECTORS = 250_000
+
+
+def benchmark_embedding_similarity(
+    docs_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    max_benchmark: int = MAX_BENCHMARK_VECTORS,
+) -> DataFrame:
+    """Semantic contamination measurement — the embedding-space
+    complement of :func:`benchmark_ngram_overlap` (an 8-gram filter
+    misses paraphrased or translated eval leakage; cosine against the
+    benchmark's embeddings catches it). Per training vector →
+    ``(id, max_benchmark_cosine, nearest_benchmark_id)``.
+
+    Scale shape mirrors the n-gram pass: the benchmark side is SMALL by
+    nature (eval sets are thousands of rows), so it is collected once
+    (bounded by ``max_benchmark`` — exceeding it raises rather than
+    truncating) and shipped to executors inside the Arrow UDF closure
+    as one L2-normalized numpy matrix; the training corpus then flows
+    through a single mapInPandas pass — one BLAS gemm per Arrow batch,
+    max+argmax per row, NO shuffle and no corpus-side collection. Rows
+    with NULL/empty embeddings get NULL scores (can't be scored, not
+    silently clean). Ties on max cosine resolve to the lowest
+    benchmark id (numpy argmax takes the first, rows are sorted by id
+    at collect time) — deterministic across partitionings.
+    """
+    import numpy as np
+
+    bid = bench_id_col or id_col
+    bvec = bench_vec_col or vec_col
+    rows = (
+        bench_emb.select(F.col(bid).alias("i"), F.col(bvec).alias("v"))
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+        .orderBy("i")
+        .limit(max_benchmark + 1)
+        .collect()
+    )
+    if len(rows) > max_benchmark:
+        raise ValueError(
+            f"benchmark side exceeds max_benchmark={max_benchmark} vectors "
+            "— eval sets are small by nature; did you swap docs/benchmark?"
+        )
+    if not rows:
+        raise ValueError("benchmark side has no scorable embeddings")
+    bench_ids = np.array([r["i"] for r in rows])
+    bm = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(bm, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vectors score 0 against everything
+    bm = (bm.T / norms).T  # L2-normalized, (B, dim)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col]
+            out_cos = np.full(len(pdf), np.nan)
+            out_near = np.full(len(pdf), -1, dtype=np.int64)
+            vecs = pdf[vec_col]
+            ok = vecs.map(lambda v: v is not None and len(v) > 0)
+            if ok.any():
+                m = np.array(list(vecs[ok]), dtype=np.float64)
+                mn = np.linalg.norm(m, axis=1)
+                mn[mn == 0.0] = 1.0
+                sims = (m / mn[:, None]) @ bm.T  # (rows, B) BLAS gemm
+                out_cos[ok.to_numpy()] = sims.max(axis=1)
+                out_near[ok.to_numpy()] = bench_ids[sims.argmax(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "max_benchmark_cosine": out_cos,
+                    "nearest_benchmark_id": pd.array(
+                        [None if n < 0 else int(n) for n in out_near],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return docs_emb.mapInPandas(
+        run,
+        schema="id long, max_benchmark_cosine double, "
+        "nearest_benchmark_id long",
+    )
+
+
+def decontaminate_semantic(
+    docs_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Keep-side filter over :func:`benchmark_embedding_similarity`:
+    training vectors whose max benchmark cosine reaches ``threshold``
+    are dropped; unscorable rows (NULL/empty embeddings) are KEPT —
+    embedding absence is a pipeline gap, not evidence of contamination
+    (the n-gram pass still covers such rows textually)."""
+    scores = benchmark_embedding_similarity(
+        docs_emb, bench_emb, id_col, vec_col, **kwargs
+    )
+    contaminated = scores.filter(
+        F.col("max_benchmark_cosine") >= threshold
+    ).select(F.col("id").alias(id_col))
+    return docs_emb.join(contaminated, id_col, "left_anti")

@@ -702,6 +702,37 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_semantic",
+    None,  # rows-only: exact numpy parity (cosine + argmax, row-for-row)
+    # is pinned in tests/test_decontam.py; the exact-cosine CORE is
+    # hash-checked twice already (embedding_near_dup + the md5 LSH face)
+    note="semantic decontamination (r15): per training vector, max "
+    "cosine against a held-out benchmark slice (vec_id % 7 == 0) + the "
+    "nearest benchmark id + the keep flag. The embedding-space "
+    "complement of the 8-gram pass (paraphrased eval leakage has no "
+    "shingle overlap). Scale shape: benchmark is SMALL by nature -> "
+    "collected once (bounded, raises past 250k vectors), L2-normalized "
+    "matrix shipped in the Arrow UDF closure, ONE mapInPandas BLAS "
+    "gemm over the corpus, no shuffle, no corpus-side collection",
+)
+def decontaminate_semantic_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators import decontam
+
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 7 == 0)
+    train = emb.filter(F.col("vec_id") % 7 != 0)
+    scores = decontam.benchmark_embedding_similarity(train, bench)
+    return scores.select(
+        F.col("id").alias("vec_id"),
+        "max_benchmark_cosine",
+        "nearest_benchmark_id",
+        (F.col("max_benchmark_cosine") < 0.95).alias("kept"),
+    )
+
+
 _CHUNK_MAX_TOKENS = 64
 _CHUNK_OVERLAP = 16
 

@@ -148,3 +148,93 @@ def test_pii_counts_and_scrub(spark):
             ).fetchall()
         )
         assert {k: v[kind] for k, v in out.items()} == want
+
+
+def _emb_tables(spark, n_docs=40, n_bench=6, dim=8, seed=3):
+    """Training vectors with a few planted near-copies of benchmark
+    vectors (slightly perturbed) plus noise vectors."""
+    rng = random.Random(seed)
+    bench = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n_bench)
+    ]
+    docs, planted = [], set()
+    for i in range(n_docs):
+        if i % 10 == 0:  # planted contamination: tiny perturbation
+            b = bench[(i // 10) % n_bench][1]
+            docs.append((i, [v + rng.uniform(-0.01, 0.01) for v in b]))
+            planted.add(i)
+        else:
+            docs.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    docs.append((n_docs, None))  # unscorable: NULL embedding
+    docs.append((n_docs + 1, []))  # unscorable: empty embedding
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(docs, schema).repartition(5),
+        spark.createDataFrame(bench, schema),
+        planted,
+    )
+
+
+def test_semantic_decontamination_numpy_parity_and_semantics(spark):
+    """benchmark_embedding_similarity matches an exact pure-numpy
+    reference row-for-row (max cosine AND argmax id); planted
+    near-copies score ~1 and are dropped by decontaminate_semantic;
+    unscorable rows get NULL scores and are KEPT; the scoring pass
+    plan holds no Exchange and no Join (broadcast-matrix + one
+    mapInPandas — the no-shuffle contract)."""
+    import numpy as np
+
+    docs, bench, planted = _emb_tables(spark)
+    scored = decontam.benchmark_embedding_similarity(docs, bench)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan  # repartition(5) in the fixture is the only exchange
+    assert "Join" not in plan, plan
+
+    rows = {r["id"]: r for r in scored.collect()}
+    bm = np.array([r["embedding"] for r in bench.orderBy("vec_id").collect()])
+    bm = (bm.T / np.linalg.norm(bm, axis=1)).T
+    for r in docs.collect():
+        got = rows[r["vec_id"]]
+        if not r["embedding"]:
+            assert got["max_benchmark_cosine"] is None
+            assert got["nearest_benchmark_id"] is None
+            continue
+        v = np.array(r["embedding"], dtype=np.float64)
+        sims = (v / np.linalg.norm(v)) @ bm.T
+        assert got["max_benchmark_cosine"] == pytest.approx(
+            float(sims.max()), abs=1e-12
+        )
+        assert got["nearest_benchmark_id"] == int(sims.argmax())
+
+    kept = decontam.decontaminate_semantic(docs, bench, threshold=0.98)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept_ids.isdisjoint(planted)  # planted near-copies dropped
+    assert {40, 41} <= kept_ids  # unscorable rows kept
+    # at threshold > 1 nothing can be contaminated
+    all_kept = decontam.decontaminate_semantic(docs, bench, threshold=1.01)
+    assert all_kept.count() == docs.count()
+
+
+def test_semantic_decontamination_guards(spark):
+    docs, bench, _ = _emb_tables(spark)
+    with pytest.raises(ValueError, match="max_benchmark"):
+        decontam.benchmark_embedding_similarity(docs, bench, max_benchmark=3)
+    empty = bench.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no scorable"):
+        decontam.benchmark_embedding_similarity(docs, empty)
+    # a zero vector in the benchmark scores 0 against everything
+    # instead of dividing by zero
+    import numpy as np  # noqa: F401
+
+    zb = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    out = decontam.benchmark_embedding_similarity(docs, zb).collect()
+    scores = [
+        r["max_benchmark_cosine"]
+        for r in out
+        if r["max_benchmark_cosine"] is not None
+    ]
+    assert scores and all(s == 0.0 for s in scores)
