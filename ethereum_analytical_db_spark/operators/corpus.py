@@ -75,6 +75,8 @@ def clean_corpus(
     embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None,
     semantic_centroids: int = 16,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontam_threshold: float | None = None,
     embedding_id_col: str = "vec_id",
     embedding_vec_col: str = "embedding",
     min_tokens: int = 5,
@@ -110,6 +112,15 @@ def clean_corpus(
       would ship near-duplicates with no signal).
     - ``benchmark``: eval-set rows with ``text_col`` → 8-gram
       decontamination (skipped when None).
+    - ``benchmark_embeddings`` + ``semantic_decontam_threshold`` (r15):
+      semantic decontamination right after the 8-gram pass — drop docs
+      whose embedding's max cosine against the benchmark embeddings
+      reaches the threshold (paraphrased eval leakage has no shingle
+      overlap; see operators/decontam.benchmark_embedding_similarity).
+      Scores only embeddings of SURVIVING docs; docs without an
+      embedding row pass unjudged (the textual pass above still covers
+      them). Requires ``embeddings``; one knob without the other
+      raises, as does ``embeddings`` with NEITHER semantic stage named.
     - ``langs``: whitelist for the heuristic language ID (skipped when
       None); the predicted language is kept as a ``lang`` column either
       way (it is also the stratification key).
@@ -141,17 +152,43 @@ def clean_corpus(
     ok = False
     last_t = [time.perf_counter()]  # previous stage boundary (stats mode)
 
-    if (embeddings is None) != (semantic_threshold is None):
-        # the mirror misconfiguration: one knob without the other would
-        # silently disable the stage (same bug class as SyncPipeline's
-        # compact_tables-without-compact_every). Checked BEFORE any
-        # stage executes — r12 advisor find: raising after the input
-        # and exact-dedup counts had already run charged two
-        # corpus-sized Spark actions for a config error.
+    # the mirror misconfigurations: one knob without its pair would
+    # silently disable a stage (same bug class as SyncPipeline's
+    # compact_tables-without-compact_every). Checked BEFORE any stage
+    # executes — r12 advisor find: raising after the input and
+    # exact-dedup counts had already run charged two corpus-sized Spark
+    # actions for a config error. `embeddings` now serves TWO stages
+    # (SemDeDup and semantic decontamination, r15): it is required by
+    # either threshold and must not be passed with neither.
+    if semantic_threshold is not None and embeddings is None:
         raise ValueError(
-            "semantic dedup needs BOTH embeddings and "
-            "semantic_threshold — got only "
-            + ("embeddings" if embeddings is not None else "semantic_threshold")
+            "semantic dedup needs BOTH embeddings and semantic_threshold "
+            "— got only semantic_threshold"
+        )
+    if (
+        embeddings is not None
+        and semantic_threshold is None
+        and semantic_decontam_threshold is None
+    ):
+        raise ValueError(
+            "embeddings were passed but neither semantic_threshold "
+            "(SemDeDup) nor semantic_decontam_threshold (benchmark "
+            "decontamination) names a stage to use them"
+        )
+    if (benchmark_embeddings is None) != (semantic_decontam_threshold is None):
+        raise ValueError(
+            "semantic decontamination needs BOTH benchmark_embeddings and "
+            "semantic_decontam_threshold — got only "
+            + (
+                "benchmark_embeddings"
+                if benchmark_embeddings is not None
+                else "semantic_decontam_threshold"
+            )
+        )
+    if benchmark_embeddings is not None and embeddings is None:
+        raise ValueError(
+            "semantic decontamination scores the corpus's OWN embeddings — "
+            "pass `embeddings` alongside benchmark_embeddings"
         )
 
     def mark(name: str, df: DataFrame, cache: bool = True) -> DataFrame:
@@ -271,6 +308,37 @@ def clean_corpus(
             cur = mark(
                 "decontaminate",
                 decontaminate(cur, benchmark, text_col=text_col, id_col=id_col),
+            )
+
+        if benchmark_embeddings is not None:
+            from .decontam import benchmark_embedding_similarity
+
+            # same survivors-only + unjudged-pass-through contract as
+            # semantic_dedup above: score only embeddings of docs still
+            # in the corpus; docs without an embedding row can't be
+            # judged here (the 8-gram stage above still covers them
+            # textually)
+            emb_surv = embeddings.join(
+                cur.select(F.col(id_col).alias(embedding_id_col)),
+                embedding_id_col,
+                "left_semi",
+            )
+            contaminated = (
+                benchmark_embedding_similarity(
+                    emb_surv,
+                    benchmark_embeddings,
+                    id_col=embedding_id_col,
+                    vec_col=embedding_vec_col,
+                )
+                .filter(
+                    F.col("max_benchmark_cosine")
+                    >= semantic_decontam_threshold
+                )
+                .select(F.col("id").alias(id_col))
+            )
+            cur = mark(
+                "decontaminate_semantic",
+                cur.join(contaminated, id_col, "left_anti"),
             )
 
         cur = mark(

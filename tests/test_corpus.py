@@ -372,10 +372,28 @@ def test_semantic_knob_mirror_misconfiguration_raises(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
     )
-    with pytest.raises(ValueError, match="BOTH embeddings and"):
+    # embeddings now serve two stages (r15): passing them with NEITHER
+    # threshold is the silent-no-op misconfiguration
+    with pytest.raises(ValueError, match="neither semantic_threshold"):
         clean_corpus(docs, embeddings=emb, min_tokens=1)
     with pytest.raises(ValueError, match="BOTH embeddings and"):
         clean_corpus(docs, semantic_threshold=0.9, min_tokens=1)
+    # the r15 semantic-decontamination pair has the same mirror checks
+    with pytest.raises(ValueError, match="BOTH benchmark_embeddings and"):
+        clean_corpus(
+            docs, embeddings=emb, semantic_threshold=0.9,
+            benchmark_embeddings=emb, min_tokens=1,
+        )
+    with pytest.raises(ValueError, match="BOTH benchmark_embeddings and"):
+        clean_corpus(
+            docs, embeddings=emb, semantic_threshold=0.9,
+            semantic_decontam_threshold=0.95, min_tokens=1,
+        )
+    with pytest.raises(ValueError, match="corpus's OWN embeddings"):
+        clean_corpus(
+            docs, benchmark_embeddings=emb,
+            semantic_decontam_threshold=0.95, min_tokens=1,
+        )
 
     # the check fires BEFORE any stage executes (r12 advisor find: it
     # used to run after two corpus-sized counts): a poison frame that
@@ -405,4 +423,42 @@ def test_semantic_stage_with_disjoint_embeddings_passes_all(spark):
         docs, embeddings=emb, semantic_threshold=0.9, min_tokens=1
     )
     assert dict(report.stages)["semantic_dedup"] == 4
+    report.release()
+
+
+def test_semantic_decontamination_stage_in_chain(spark):
+    """r15: the optional embedding-space decontamination stage drops a
+    doc planted near a benchmark embedding, keeps docs with distant or
+    ABSENT embeddings (unjudged pass-through — the textual pass covers
+    them), runs alongside SemDeDup off the same embeddings input, and
+    reports its own audit line."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with enough tokens") for i in range(5)],
+        "doc_id long, text string",
+    )
+    # doc 1 ~ benchmark vector; doc 4 has NO embedding row
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.01, 0.999, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [0.7, 0.0, -0.7]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, [0.0, 1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    report = clean_corpus(
+        docs,
+        embeddings=emb,
+        semantic_threshold=0.99999,  # SemDeDup effectively off
+        benchmark_embeddings=bench_emb,
+        semantic_decontam_threshold=0.95,
+        min_tokens=1,
+    )
+    stages = dict(report.stages)
+    assert stages["decontaminate_semantic"] == 4  # doc 1 dropped
+    kept = {r["doc_id"] for r in report.df.collect()}
+    assert kept == {0, 2, 3, 4}  # 4 unjudged (no embedding), kept
     report.release()
