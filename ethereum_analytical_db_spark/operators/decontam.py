@@ -146,6 +146,13 @@ def benchmark_embedding_similarity(
     norms[norms == 0.0] = 1.0  # zero vectors score 0 against everything
     bm = (bm.T / norms).T  # L2-normalized, (B, dim)
 
+    # bound the per-task gemm scratch: the (rows, B) similarity block is
+    # rows×B float64, and an Arrow batch of 10k rows against a 20k-vector
+    # benchmark would allocate 1.6 GB per concurrent task. Blocking the
+    # corpus rows keeps the scratch ≈ 32 MB regardless of benchmark size
+    # — same flops, bounded residency (the max/argmax reduce per block).
+    row_block = max(1, (1 << 22) // max(len(rows), 1))
+
     def run(batches):
         import pandas as pd
 
@@ -159,9 +166,16 @@ def benchmark_embedding_similarity(
                 m = np.array(list(vecs[ok]), dtype=np.float64)
                 mn = np.linalg.norm(m, axis=1)
                 mn[mn == 0.0] = 1.0
-                sims = (m / mn[:, None]) @ bm.T  # (rows, B) BLAS gemm
-                out_cos[ok.to_numpy()] = sims.max(axis=1)
-                out_near[ok.to_numpy()] = bench_ids[sims.argmax(axis=1)]
+                m = m / mn[:, None]
+                n_ok = len(m)
+                blk_cos = np.empty(n_ok)
+                blk_near = np.empty(n_ok, dtype=np.int64)
+                for s in range(0, n_ok, row_block):
+                    sims = m[s : s + row_block] @ bm.T  # BLAS gemm block
+                    blk_cos[s : s + row_block] = sims.max(axis=1)
+                    blk_near[s : s + row_block] = sims.argmax(axis=1)
+                out_cos[ok.to_numpy()] = blk_cos
+                out_near[ok.to_numpy()] = bench_ids[blk_near]
             yield pd.DataFrame(
                 {
                     "id": ids,

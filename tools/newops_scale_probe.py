@@ -72,6 +72,7 @@ KNOWN_OPS = {
     "bpe_train_distributed_relaxed",
     "bpe_encode",
     "semantic_dedup",
+    "semantic_decontam",
 }
 
 
@@ -219,6 +220,32 @@ def main() -> None:
             samples,
             loads,
             {"n_vectors": n_vec, "n_centroids": k},
+        )
+
+    # --- semantic decontamination (r15): broadcast-matrix BLAS gemm,
+    # one mapInPandas pass, no shuffle — expect linear in corpus size
+    # at a fixed benchmark (vec_id % 97 slice ≈ real eval-set scale)
+    if want("semantic_decontam"):
+        from pyspark.sql import functions as F
+
+        from ethereum_analytical_db_spark.operators import decontam
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bench = emb.filter(F.col("vec_id") % 97 == 0)
+        train = emb.filter(F.col("vec_id") % 97 != 0)
+        n_vec, n_bench = train.count(), bench.count()
+        samples, loads = timed(
+            lambda: decontam.benchmark_embedding_similarity(
+                train, bench
+            ).count(),
+            n,
+        )
+        emit(
+            "semantic_decontam",
+            sf_dir,
+            samples,
+            loads,
+            {"n_vectors": n_vec, "n_benchmark": n_bench},
         )
 
 
