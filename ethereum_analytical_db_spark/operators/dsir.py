@@ -1,0 +1,226 @@
+"""DSIR — Data Selection via Importance Resampling (training-data
+pipeline pack; method from Xie et al. 2023, arXiv:2302.03169).
+
+Given a large RAW corpus and a small TARGET corpus exemplifying the
+distribution you want more of (a domain sample, a quality slice), score
+every raw document by how much more likely its hashed-n-gram features
+are under the target distribution than under the raw distribution, then
+resample the raw corpus proportionally:
+
+    log w(doc) = Σ_b count_b(doc) · (log p_target[b] − log p_raw[b])
+
+with features = unigrams + word bigrams hashed into ``n_buckets``
+buckets (the paper's 10k default) and add-α smoothed bucket
+probabilities. Selection is deterministic Gumbel top-k over
+``log w + Gumbel(id)`` — exactly proportional-without-replacement
+sampling in expectation, reproducible run-to-run because the Gumbel
+noise derives from a salted md5 of the document id (the module-wide
+engine-parity convention in ``operators/sampling.py``), never from a
+partition-dependent RNG.
+
+Scale design — every step is the bounded-model broadcast shape this
+pack uses everywhere (``operators/lm.py``):
+
+- feature extraction is one explode over words + bigrams with a JVM
+  ``xxhash64 % n_buckets`` bucket key — narrow, no UDF;
+- each model is ONE groupBy(bucket) aggregation truncated at
+  ``n_buckets`` rows (10k) no matter the corpus size, then broadcast;
+- weighting is explode → broadcast join → per-doc sum: no shuffle of
+  the corpus beyond the doc-keyed aggregate;
+- top-k lands on ``TakeOrderedAndProject`` (no full sort at the
+  driver); k rows come back, the corpus never does.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+
+DEFAULT_BUCKETS = 10_000
+
+
+def hashed_ngram_buckets(
+    text: Column | str, n_buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Per-document feature multiset: unigram + word-bigram strings
+    hashed into ``n_buckets`` buckets (array<int>, one entry per n-gram
+    occurrence — counts are carried by repetition, exactly what the
+    importance sum needs). Empty tokens from doubled separators are
+    dropped; a doc with no tokens yields an empty array."""
+    ws = F.filter(words(text), lambda w: w != "")
+    bigrams = F.zip_with(
+        F.slice(ws, F.lit(1), F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, F.lit(2), F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(ws, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def fit_hashed_ngram_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Bag-of-hashed-ngrams distribution → ((bucket, logp) DataFrame,
+    empty-bucket logp) with add-α smoothing over all ``n_buckets``
+    buckets — ABSENT buckets are NOT rows in the frame; the returned
+    scalar is their smoothed ``log(α / (total + α·B))``. Output is
+    bounded at ``n_buckets`` rows regardless of corpus size. The
+    ``total`` aggregate is one driver scalar (S4 shape), eager by
+    necessity (the smoothing denominator parameterizes the plan)."""
+    counts = (
+        docs.select(
+            F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t")
+    ).first()["t"]
+    denom = float(total) + alpha * n_buckets
+    return counts.select(
+        "bucket",
+        (F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))).alias("logp"),
+    ), math.log(alpha / denom)
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per raw document → (id, n_features, log_weight): the DSIR
+    importance score under hashed-n-gram models fit on ``target_docs``
+    and ``raw_docs`` themselves. Docs with zero features get
+    log_weight 0 (no evidence either way — rank purely by noise in the
+    resample, neither privileged nor excluded)."""
+    target_model, target_empty = fit_hashed_ngram_model(
+        target_docs, text_col, n_buckets, alpha
+    )
+    raw_model, raw_empty = fit_hashed_ngram_model(
+        raw_docs, text_col, n_buckets, alpha
+    )
+    # one broadcast table of per-bucket log ratios; absent buckets fall
+    # back to the smoothed-empty log-ratio via coalesce after the join
+    ratios = (
+        target_model.withColumnRenamed("logp", "logp_t")
+        .join(raw_model.withColumnRenamed("logp", "logp_r"), "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("logp_t"), F.lit(target_empty))
+                - F.coalesce(F.col("logp_r"), F.lit(raw_empty))
+            ).alias("log_ratio"),
+        )
+    )
+    feats = raw_docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_ngram_buckets(F.col(text_col), n_buckets)
+        ).alias("bucket"),
+    )
+    empty_ratio = target_empty - raw_empty
+    # per-feature contribution: a NULL bucket row is explode_outer's
+    # empty-doc placeholder and contributes 0 (not the empty-bucket
+    # ratio); a real bucket always hits the ratios table (the raw model
+    # was fit on these very docs), the coalesce is belt-and-braces
+    contrib = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("log_ratio"), F.lit(empty_ratio))
+    )
+    return (
+        feats.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_features"),
+            F.coalesce(F.sum(contrib), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def _gumbel_noise(id_col: Column, salt: str) -> Column:
+    """Deterministic standard Gumbel draw per id: u from the first 13
+    hex digits of md5(id||salt) (52 bits — exact in a double, never 0
+    or 1 thanks to the +0.5 offset), g = -log(-log(u)). Same inputs →
+    same noise on any engine/partitioning — the module-wide md5
+    convention, applied to Gumbel top-k."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**13))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Gumbel top-k importance resampling: the k raw documents with the
+    highest ``log_weight + Gumbel(md5(id))`` — a without-replacement
+    sample proportional to the importance weights (the Gumbel-max
+    trick), deterministic in (corpus, target, k, salt). Returns
+    (id, n_features, log_weight, gumbel_key) for the selected docs;
+    join back on ``id_col`` for the text. Ties on the key (measure-zero
+    with real weights) break on id for full determinism."""
+    scored = dsir_log_weights(
+        raw_docs, target_docs, text_col, id_col, n_buckets, alpha
+    )
+    keyed = scored.withColumn(
+        "gumbel_key", F.col("log_weight") + _gumbel_noise(F.col(id_col), salt)
+    )
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def dsir_select_per_domain(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k_per_domain: int,
+    domain_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Stratified variant: top-k within each domain partition (window
+    rank over the same deterministic key) — the shape for balanced
+    per-source selection budgets. One shuffle on ``domain_col``."""
+    salt = kwargs.pop("salt", "dsir")
+    scored = dsir_log_weights(
+        raw_docs, target_docs, text_col, id_col, **kwargs
+    )
+    keyed = scored.join(
+        raw_docs.select(id_col, domain_col), id_col
+    ).withColumn(
+        "gumbel_key",
+        F.col("log_weight") + _gumbel_noise(F.col(id_col), salt),
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_per_domain)
+        .drop("rk")
+    )

@@ -703,6 +703,29 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_selection",
+    None,  # rows-only: the scoring math, the deterministic md5-Gumbel
+    # keys and both selection shapes have exact pure-Python parity in
+    # tests/test_dsir.py (xxhash64 feature hashing has no portable SQL
+    # oracle, same as the production LSH family)
+    note="DSIR importance resampling (r15; Xie et al. 2023): score raw "
+    "docs by hashed-ngram likelihood under a target-domain sample "
+    "(doc_id % 53 == 0) vs the raw corpus, then deterministic Gumbel "
+    "top-k — proportional without-replacement selection, reproducible "
+    "(noise = salted md5 of the id, never an RNG). Bounded 10k-bucket "
+    "models broadcast; explode + broadcast join + doc agg; "
+    "TakeOrderedAndProject top-k (no driver sort)",
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dsir
+
+    docs = docs_table(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 53 == 0)
+    raw = docs.filter(F.col("doc_id") % 53 != 0)
+    return dsir.dsir_select(raw, target, k=200)
+
+
+@register(
     "decontaminate_semantic",
     None,  # rows-only: exact numpy parity (cosine + argmax, row-for-row)
     # is pinned in tests/test_decontam.py; the exact-cosine CORE is
