@@ -33,7 +33,6 @@ pack uses everywhere (``operators/lm.py``):
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -64,20 +63,19 @@ def hashed_ngram_buckets(
     )
 
 
-def fit_hashed_ngram_model(
+def fit_hashed_ngram_counts(
     docs: DataFrame,
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
-    alpha: float = 1.0,
-) -> tuple[DataFrame, float]:
-    """Bag-of-hashed-ngrams distribution → ((bucket, logp) DataFrame,
-    empty-bucket logp) with add-α smoothing over all ``n_buckets``
-    buckets — ABSENT buckets are NOT rows in the frame; the returned
-    scalar is their smoothed ``log(α / (total + α·B))``. Output is
-    bounded at ``n_buckets`` rows regardless of corpus size. The
-    ``total`` aggregate is one driver scalar (S4 shape), eager by
-    necessity (the smoothing denominator parameterizes the plan)."""
-    counts = (
+) -> DataFrame:
+    """Bag-of-hashed-ngrams observation counts → (bucket, cnt), bounded
+    at ``n_buckets`` rows regardless of corpus size. Probabilities are
+    derived downstream IN-PLAN (add-α over the window-summed total —
+    the count table is bounded, so a whole-frame window is a bounded
+    single-partition pass, not a corpus shuffle); keeping the fit lazy
+    means model building adds no eager driver actions to the weighting
+    plan."""
+    return (
         docs.select(
             F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias(
                 "bucket"
@@ -86,14 +84,6 @@ def fit_hashed_ngram_model(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t")
-    ).first()["t"]
-    denom = float(total) + alpha * n_buckets
-    return counts.select(
-        "bucket",
-        (F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))).alias("logp"),
-    ), math.log(alpha / denom)
 
 
 def dsir_log_weights(
@@ -109,22 +99,30 @@ def dsir_log_weights(
     and ``raw_docs`` themselves. Docs with zero features get
     log_weight 0 (no evidence either way — rank purely by noise in the
     resample, neither privileged nor excluded)."""
-    target_model, target_empty = fit_hashed_ngram_model(
-        target_docs, text_col, n_buckets, alpha
-    )
-    raw_model, raw_empty = fit_hashed_ngram_model(
-        raw_docs, text_col, n_buckets, alpha
-    )
-    # one broadcast table of per-bucket log ratios; absent buckets fall
-    # back to the smoothed-empty log-ratio via coalesce after the join
+    tc = fit_hashed_ngram_counts(target_docs, text_col, n_buckets)
+    rc = fit_hashed_ngram_counts(raw_docs, text_col, n_buckets)
+    # one broadcast table of per-bucket log ratios, fully lazy: the
+    # smoothing denominators are whole-frame window sums over the
+    # BOUNDED (≤ n_buckets rows) joined count table — a one-partition
+    # pass over ≤10k rows, never a corpus shuffle and never an eager
+    # driver action. Buckets absent from one side smooth to α counts
+    # via the coalesce; every raw-doc bucket is present on the raw side
+    # by construction (the raw model is fit on these very docs), so the
+    # full join covers every bucket the weighting pass can meet.
+    whole = Window.partitionBy()
+    cnt_t = F.coalesce(F.col("cnt_t"), F.lit(0))
+    cnt_r = F.coalesce(F.col("cnt_r"), F.lit(0))
+    ab = F.lit(alpha * n_buckets)
     ratios = (
-        target_model.withColumnRenamed("logp", "logp_t")
-        .join(raw_model.withColumnRenamed("logp", "logp_r"), "bucket", "full")
+        tc.withColumnRenamed("cnt", "cnt_t")
+        .join(rc.withColumnRenamed("cnt", "cnt_r"), "bucket", "full")
         .select(
             "bucket",
             (
-                F.coalesce(F.col("logp_t"), F.lit(target_empty))
-                - F.coalesce(F.col("logp_r"), F.lit(raw_empty))
+                F.log((cnt_t + F.lit(alpha)) / (F.sum(cnt_t).over(whole) + ab))
+                - F.log(
+                    (cnt_r + F.lit(alpha)) / (F.sum(cnt_r).over(whole) + ab)
+                )
             ).alias("log_ratio"),
         )
     )
@@ -134,13 +132,11 @@ def dsir_log_weights(
             hashed_ngram_buckets(F.col(text_col), n_buckets)
         ).alias("bucket"),
     )
-    empty_ratio = target_empty - raw_empty
     # per-feature contribution: a NULL bucket row is explode_outer's
-    # empty-doc placeholder and contributes 0 (not the empty-bucket
-    # ratio); a real bucket always hits the ratios table (the raw model
-    # was fit on these very docs), the coalesce is belt-and-braces
+    # empty-doc placeholder and contributes 0; a real bucket always
+    # hits the ratios table (see above), the coalesce is belt-and-braces
     contrib = F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
-        F.coalesce(F.col("log_ratio"), F.lit(empty_ratio))
+        F.coalesce(F.col("log_ratio"), F.lit(0.0))
     )
     return (
         feats.join(F.broadcast(ratios), "bucket", "left")
