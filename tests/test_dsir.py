@@ -142,11 +142,20 @@ def test_dsir_select_gumbel_determinism_and_ranking(spark):
     # determinism + salt sensitivity
     again = {r["doc_id"] for r in dsir.dsir_select(raw, target, k=k, n_buckets=B).collect()}
     assert again == {r["doc_id"] for r in rows}
-    other = {
-        r["doc_id"]
-        for r in dsir.dsir_select(raw, target, k=k, n_buckets=B, salt="s2").collect()
+    # a new salt redraws every Gumbel key (the selected SET may
+    # coincide on a tiny corpus, the keys cannot — short of an md5
+    # collision)
+    other_keys = {
+        r["doc_id"]: r["gumbel_key"]
+        for r in dsir.dsir_select(
+            raw, target, k=k, n_buckets=B, salt="s2"
+        ).collect()
     }
-    assert other != again or True  # salt change may coincide; key check below
+    for did, key in other_keys.items():
+        assert key == pytest.approx(
+            weights[did] + gumbel(did, salt="s2"), rel=1e-12
+        )
+        assert key != pytest.approx(weights[did] + gumbel(did), rel=1e-12)
     # the planted legal docs carry the k highest weights by a wide
     # margin, so even with gumbel noise most of the selection is planted
     assert len({r["doc_id"] for r in rows} & planted) >= k - 2
