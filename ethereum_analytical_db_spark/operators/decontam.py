@@ -187,9 +187,21 @@ def benchmark_embedding_similarity(
                 }
             )
 
+    # the output id keeps the INPUT id column's type (ADVICE r15: a
+    # hard-coded `id long` made string-id callers fail with an opaque
+    # Arrow cast error deep in the UDF). Benchmark ids DO stay integral
+    # (they ride an int64 argmax scratch array) — validated up front
+    # with a clear error instead of a runtime numpy failure.
+    bench_kind = bench_emb.schema[bid].dataType.simpleString()
+    if bench_kind not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"benchmark id column {bid!r} must be integral (got "
+            f"{bench_kind}): nearest_benchmark_id is reported as long"
+        )
+    id_type = docs_emb.schema[id_col].dataType.simpleString()
     return docs_emb.mapInPandas(
         run,
-        schema="id long, max_benchmark_cosine double, "
+        schema=f"id {id_type}, max_benchmark_cosine double, "
         "nearest_benchmark_id long",
     )
 

@@ -235,25 +235,24 @@ def ngram_jaccard_pairs(
         F.xxhash64("ngram").alias("h1"),
         F.xxhash64(F.lit(1), F.col("ngram")).alias("h2"),
     )
-    # materialized once: the df aggregate and the self-join sides read
-    # the same computed index instead of re-shingling the corpus
-    # (materialize="reliable" survives executor loss — see operators/
-    # materialize.py for the 1000-executor rationale)
-    exploded = _materialize(exploded, materialize)
-    witness = (
-        exploded.groupBy("h1", "h2")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-    )
+    # witness + df-cap as ONE window over ONE (h1, h2) shuffle (r16):
+    # the former groupBy-aggregate + merge-join-back shape computed the
+    # witness table and its join ONCE PER SELF-JOIN BRANCH (the plan
+    # showed the exploded×witness SortMergeJoin twice — no exchange
+    # reuse across the renamed branches, guide §2.4/§7.2); the window
+    # form counts each shingle's postings in the same sort the join
+    # would have needed, and the filtered result is materialized so
+    # both self-join branches read it. Same kept set: count over the
+    # (h1, h2) frame == the old witness df, bounds unchanged.
+    # (the old standalone checkpoint of `exploded` is gone too: `kept`
+    # is now its only consumer, so the shingle pipeline still runs
+    # exactly once — inside kept's own materialization job — without a
+    # second checkpoint write of the pre-filter postings)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("h1", "h2"))
+    kept = exploded.withColumn("_df", df_w).filter(F.col("_df") >= 2)
     if max_shingle_df is not None:
-        witness = witness.filter(F.col("df") <= max_shingle_df)
-    # merge hint here too: the witness set is one row per REPEATED
-    # distinct shingle — small on the fixtures, but corpus-scaled in the
-    # worst case, and AQE's pre-execution estimate undersells it (at the
-    # sf10 probe AQE picked broadcast and the driver died building it).
-    # SMJ shuffles by the hash key — the exact partitioning the
-    # self-join below needs anyway.
-    kept = exploded.hint("merge").join(witness.select("h1", "h2"), ["h1", "h2"])
+        kept = kept.filter(F.col("_df") <= max_shingle_df)
+    kept = _materialize(kept.drop("_df"), materialize, eager=False)
     a = kept.select(
         F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "h1", "h2"
     )
@@ -1649,20 +1648,37 @@ def simhash_near_duplicates_md5(
             "independent bit each — the portable face stops there "
             "(production simhash_near_duplicates has the 64-bit lanes)"
         )
+    # the wide lane/signature expressions are built as SQL strings —
+    # one JVM parse per expression instead of hundreds of py4j Column
+    # round trips, which measured ~1.3 s of pure driver time per build
+    # at bits=32 (the disjoint power-of-two terms make + equal to OR).
+    # r16: the per-token bit test is integer arithmetic, not string
+    # comparison — hex char b+1 of md5(w) is ≥ '8' exactly when the top
+    # bit of its nibble is set, so each 8-hex-char block is parsed ONCE
+    # with conv() into a 32-bit integer and every lane reads its bit
+    # with shiftright/& (guide §1.2 per-task work: 32 interpreted
+    # substring+string-compare evaluations per token became
+    # ceil(bits/8) convs + 32 codegen'd shift-ands; identical bits by
+    # construction)
+    n_segs = (bits + 7) // 8
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).withColumn("h", F.md5("w"))
-    # the wide lane/signature expressions are built as SQL strings —
-    # one JVM parse per expression instead of hundreds of py4j Column
-    # round trips, which measured ~1.3 s of pure driver time per build
-    # at bits=32 (the disjoint power-of-two terms make + equal to OR)
+    tokens = tokens.select(
+        "doc",
+        *[
+            F.expr(
+                f"cast(conv(substring(h, {s * 8 + 1}, 8), 16, 10) as bigint)"
+            ).alias(f"m{s}")
+            for s in range(n_segs)
+        ],
+    )
     bit_sums = tokens.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.expr(
-                f"sum(CASE WHEN substring(h, {b + 1}, 1) >= '8' "
-                "THEN 1 ELSE 0 END)"
+                f"sum(shiftright(m{b // 8}, {31 - 4 * (b % 8)}) & 1)"
             ).alias(f"b{b}")
             for b in range(bits)
         ],
@@ -1811,6 +1827,10 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("doc")),
         materialize,
+        # lazy: the first round's join realizes it — one fewer eager
+        # job per build (r16); edges above stays eager because BOTH the
+        # label init and every round's join read it
+        eager=False,
     )
     for _ in range(max_iterations):
         neighbor_min = (

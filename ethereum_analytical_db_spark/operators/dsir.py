@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import materialize as _materialize
 from .text import words
 
 DEFAULT_BUCKETS = 10_000
@@ -100,7 +101,30 @@ def dsir_log_weights(
     log_weight 0 (no evidence either way — rank purely by noise in the
     resample, neither privileged nor excluded)."""
     tc = fit_hashed_ngram_counts(target_docs, text_col, n_buckets)
-    rc = fit_hashed_ngram_counts(raw_docs, text_col, n_buckets)
+    # r16: the raw corpus's features feed BOTH the raw model fit and the
+    # per-doc weighting below; materializing the exploded (id, bucket)
+    # stream once (narrow: a long + an int per n-gram occurrence) means
+    # the tokenize + bigram-assembly + xxhash pipeline — the expensive
+    # part — runs ONE pass over the raw corpus instead of two
+    # (guide §2.4 shared computation; exact same rows either way)
+    feats = _materialize(
+        raw_docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                hashed_ngram_buckets(F.col(text_col), n_buckets)
+            ).alias("bucket"),
+        ),
+        "local",
+        eager=False,
+    )
+    # identical to fit_hashed_ngram_counts(raw_docs): explode vs
+    # explode_outer differ only in the NULL placeholder rows for
+    # feature-less docs, which the isNotNull drops
+    rc = (
+        feats.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     # one broadcast table of per-bucket log ratios, fully lazy: the
     # smoothing denominators are whole-frame window sums over the
     # BOUNDED (≤ n_buckets rows) joined count table — a one-partition
@@ -125,12 +149,6 @@ def dsir_log_weights(
                 )
             ).alias("log_ratio"),
         )
-    )
-    feats = raw_docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            hashed_ngram_buckets(F.col(text_col), n_buckets)
-        ).alias("bucket"),
     )
     # per-feature contribution: a NULL bucket row is explode_outer's
     # empty-doc placeholder and contributes 0; a real bucket always

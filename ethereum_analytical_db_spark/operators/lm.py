@@ -165,11 +165,16 @@ def train_unigram_lm(
         .cache()
     )
     top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size)
-    v = top.count()
-    # total corpus tokens (incl. truncated tail — OOV mass must reflect it)
-    n_total = int(
-        counts.agg(F.sum("c").alias("n")).first()["n"] or 0
-    )
+    # ONE job for both scalars (r16: v was a separate top.count() —
+    # |top| == min(vocab_size, |counts|), and n_total is the corpus
+    # total incl. the truncated tail, so both come out of a single
+    # aggregate over the cached counts; one fewer eager driver action
+    # per training, guide §7.3)
+    stat = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    v = min(vocab_size, int(stat["vocab"] or 0))
+    n_total = int(stat["n"] or 0)
     denom = float(n_total + add_k * (v + 1))
     # cache the FINAL bounded table (not the intermediate top-V) so the
     # model holds exactly one cached artifact, released by .release();

@@ -348,12 +348,17 @@ def embedding_near_dup_exact(
         .unionAll(cands.select(F.col("id_b").alias("vid")))
         .distinct()
     )
-    base = (
+    # materialized once (lazily): the a/b join branches below would
+    # otherwise each re-run the scan + decimal cast + semi-join + n2
+    # fold (r16; same pattern as the signature materializations)
+    base = _materialize(
         embeddings.select(
             F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
         )
         .join(member_ids, "vid", "left_semi")
-        .withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double"))
+        .withColumn("n2", _dec_dot(F.col("dv"), F.col("dv")).cast("double")),
+        materialize,
+        eager=False,
     )
     a = base.select(F.col("vid").alias("id_a"), F.col("dv").alias("dva"), F.col("n2").alias("n2_a"))
     b = base.select(F.col("vid").alias("id_b"), F.col("dv").alias("dvb"), F.col("n2").alias("n2_b"))
@@ -430,6 +435,7 @@ def embedding_near_dup_lsh_md5(
     salt: str = "lshp",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: str = "local",
 ) -> DataFrame:
     """The LSH family's hash-checked face (COVERAGE fold #6): the exact
     hyperplane-bucket → within-bucket pair → exact-cosine pipeline of
@@ -446,49 +452,107 @@ def embedding_near_dup_lsh_md5(
     projection computes the bucket (pure JVM expression — built as ONE
     SQL string, not a 512-literal py4j Column chain, the r14
     construction-latency lesson), one shuffle co-locates each bucket,
-    pairs are scored within buckets only. The pair scoring here is the
-    zip_with decimal fold (exactness is this face's point); the
-    throughput path is the twin's gemm."""
+    pairs are scored within buckets only.
+
+    r16 optimization — same OUTPUT bits, far less interpreted decimal
+    arithmetic (guide §1.2 "per-task work" + the §8 verify-less rule):
+
+    - the sign bits are computed in exact LONG arithmetic: a
+      DECIMAL(12,6) component times 1e6 is an exact integer, so
+      sign(Σ c·v) over integer plane components equals the decimal
+      fold's sign bit-for-bit, with 64-bit multiplies instead of
+      interpreted BigDecimal ops (bounded: |c| ≤ 128, |v·1e6| < 1e12,
+      64 terms → |Σ| < 8.2e15 ≪ 2^63, no overflow);
+    - same-bucket pairs are PRE-FILTERED with a double-precision
+      cosine at ``threshold − 1e-6``: a 64-term double dot of
+      decimal(12,6)-quantized values carries ≤ ~1e-13 relative
+      round-off, so no pair whose exact decimal cosine reaches the
+      threshold can be dropped (the identical margin argument
+      ``embedding_near_dup_exact`` already relies on);
+    - the exact DECIMAL fold — the face's reason to exist — runs only
+      on the handful of surviving candidates (O(near-dups), not
+      O(Σ bucket²)), so the reported cosines stay bit-identical to the
+      all-decimal form and to the DuckDB oracle.
+
+    The signature/bucket projection is materialized once
+    (``materialize=``: local | reliable, operators/materialize.py) so
+    the self-join branches don't recompute the plane dots — the same
+    pattern the SimHash faces use."""
     mat = md5_plane_ints(planes, dim, salt)
     src = embeddings.select(
         F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
     )
 
+    # exact integer mirror of the decimal vector: scale-6 decimals × 1e6
+    # are exact integers, so every plane dot (and its sign — the bucket
+    # bit) is exact 64-bit arithmetic
+    iv_sql = "transform(dv, x -> cast(x * 1000000 as bigint))"
+
     def dot_sql(row: list[int]) -> str:
-        arr = "array(" + ",".join(str(c) for c in row) + ")"
+        arr = "array(" + ",".join(f"{c}L" for c in row) + ")"
         return (
-            f"aggregate(zip_with(dv, {arr}, (x, y) -> x * y), "
-            "cast(0 as decimal(30,12)), "
-            "(acc, v) -> cast(acc + v as decimal(30,12)))"
+            f"aggregate(zip_with(iv, {arr}, (x, y) -> x * y), "
+            "0L, (acc, v) -> acc + v)"
         )
 
     bucket_sql = "concat(" + ",".join(
         f"case when {dot_sql(row)} >= 0 then '1' else '0' end" for row in mat
     ) + ")"
-    base = src.select(
-        "vid",
-        "dv",
-        F.expr(bucket_sql).alias("bucket"),
-        _dec_dot(F.col("dv"), F.col("dv")).cast("double").alias("n2"),
+    base = _materialize(
+        src.withColumn("iv", F.expr(iv_sql))
+        .select(
+            "vid",
+            "dv",
+            F.expr(bucket_sql).alias("bucket"),
+            # double shadow vector + norm for the candidate pre-filter
+            F.expr("transform(dv, x -> cast(x as double))").alias("fv"),
+        )
+        .withColumn("fn2", _dot(F.col("fv"), F.col("fv"))),
+        materialize,
+        eager=False,
     )
     a = base.select(
         F.col("vid").alias("id_a"),
-        F.col("dv").alias("dva"),
-        F.col("n2").alias("n2_a"),
+        F.col("fv").alias("fva"),
+        F.col("fn2").alias("fn2_a"),
         "bucket",
     )
     b = base.select(
         F.col("vid").alias("id_b"),
-        F.col("dv").alias("dvb"),
-        F.col("n2").alias("n2_b"),
+        F.col("fv").alias("fvb"),
+        F.col("fn2").alias("fn2_b"),
         "bucket",
+    )
+    approx_cos = _dot(F.col("fva"), F.col("fvb")) / F.sqrt(
+        F.col("fn2_a") * F.col("fn2_b")
+    )
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(approx_cos >= F.lit(threshold - 1e-6))
+        .select("id_a", "id_b")
+    )
+    # exact DECIMAL verify on the survivors only — identical values to
+    # the previous all-decimal pipeline (the double pre-filter cannot
+    # drop a true pair, and extra borderline candidates are re-filtered
+    # by the exact cosine below)
+    dec = base.select(
+        "vid", "dv", _dec_dot(F.col("dv"), F.col("dv")).cast("double").alias("n2")
+    )
+    va = dec.select(
+        F.col("vid").alias("id_a"), F.col("dv").alias("dva"),
+        F.col("n2").alias("n2_a"),
+    )
+    vb = dec.select(
+        F.col("vid").alias("id_b"), F.col("dv").alias("dvb"),
+        F.col("n2").alias("n2_b"),
     )
     cos = _dec_dot(F.col("dva"), F.col("dvb")).cast("double") / F.sqrt(
         F.col("n2_a") * F.col("n2_b")
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

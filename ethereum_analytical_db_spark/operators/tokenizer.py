@@ -853,7 +853,9 @@ def train_bpe(
     if stats is not None:
         stats["rounds"] = rounds
         stats["path"] = "distributed"
-        stats["pair_maintenance"] = pair_maintenance if use_delta else "recount"
+        # record the RESOLVED path, never the raw knob: "auto" would
+        # misreport whichever branch it resolved to (ADVICE r15)
+        stats["pair_maintenance"] = "delta" if use_delta else "recount"
     return merges
 
 

@@ -68,12 +68,22 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, test = split_by_block(features, float(cut))
         model = train_gas_model(train, n_estimators=10, seed=7)
         score = lmfao(model, test)
+        # ONE job for all three row counts (r16: three sequential
+        # count() jobs over the same cached frame became one aggregate —
+        # n_train/n_test are the split predicate's true/false counts,
+        # identical values by definition; guide §7.3 driver-side work)
+        sizes = features.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("block") <= F.lit(float(cut))).cast("long")).alias(
+                "n_train"
+            ),
+        ).first()
         return spark.createDataFrame(
             [
                 (
-                    features.count(),
-                    train.count(),
-                    test.count(),
+                    sizes["n"],
+                    sizes["n_train"],
+                    sizes["n"] - sizes["n_train"],
                     10,
                     round(float(score), 6),
                 )

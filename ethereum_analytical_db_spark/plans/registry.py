@@ -42,7 +42,26 @@ TABLE_NAMES = [
 ]
 
 
+# (session app id, absolute parquet path) → constructed DataFrame.
+# ``spark.read.parquet`` lists the directory and reads parquet footers
+# on the DRIVER every call, and the registry builds each query fresh per
+# bench sample — ~40-120 ms of repeated driver work per table reference
+# (the r15 `build_regressed` creep was exactly this class of cost).
+# DataFrames are immutable plans, so handing the same object back is
+# side-effect-free; keying on the application id drops entries when a
+# test spins up a fresh session. The driver test data is read-only for
+# the life of a process — a caller that rewrites a parquet dir in place
+# mid-session should not route it through this registry helper.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(f"{sf_dir}/{name}.parquet"))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
         # map to its microsecond TimestampType; read nanos as long and
@@ -62,8 +81,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # wall-clock values are identical, so normalize to the
             # session-zoned TimestampType every consumer was written for
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 _REGISTRY: dict[str, QueryDef] = {}
