@@ -109,11 +109,6 @@ def cosine_topk_exact_decimal(
     # so parity is exact only on uniform-dimension data, which the
     # registered pipeline query guarantees).
     qdim = len(qvec)
-    e = embeddings.filter(F.size(F.col(vec_col)) == F.lit(qdim)).select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
-    )
-    q = query.select(F.posexplode(F.col(vec_col)).alias("pos", "qval"))
-    joined = e.join(F.broadcast(q), "pos")
     # float → double FIRST (exact widening), then → decimal: Spark's direct
     # float→decimal cast goes through the float's 7-digit string repr and
     # would diverge from engines that round the exact binary value
@@ -122,9 +117,8 @@ def cosine_topk_exact_decimal(
     # with integer part < 2^53, so the final decimal→double cast is a
     # single correct rounding on every engine. (Scale-18 sums would need a
     # downscale cast, which Spark rounds but DuckDB truncates.)
-    val = F.col("val").cast("double").cast(DEC)
-    qval = F.col("qval").cast("double").cast(DEC)
-    # the query norm is a per-query constant: computed ONCE from the
+    #
+    # The query norm is a per-query constant: computed ONCE from the
     # already-collected query row instead of re-summing qval*qval inside
     # every per-id group (≈⅓ of the decimal work) or via another Spark
     # job. Replicates the engine arithmetic exactly: double → DECIMAL
@@ -145,9 +139,26 @@ def cosine_topk_exact_decimal(
         Decimal(repr(float(x))).quantize(_q6, rounding=ROUND_HALF_UP) for x in qvec
     ]
     qnorm2 = float(sum((v * v for v in q6), Decimal(0)))
-    per_vec = joined.groupBy(id_col).agg(
-        F.sum(val * qval).cast("double").alias("dot"),
-        F.sum(val * val).cast("double").alias("norm2"),
+    # r16: the per-position explode + broadcast join + hash aggregate
+    # became a per-row zip_with DECIMAL fold against a literal decimal
+    # query array — decimal addition is exact, so any grouping/order of
+    # the same 64 products yields the SAME sum and the (dot, norm2)
+    # doubles are bit-identical to the aggregate form (and to the
+    # oracle's per-position SQL); the plan drops its Generate, its
+    # BroadcastHashJoin and its Exchange (guide §2.4 — same numbers,
+    # zero shuffle). Query literals ride ONE parsed SQL string, not a
+    # 64-literal py4j Column chain (r14 build-latency lesson).
+    qarr_sql = "array(" + ",".join(
+        f"cast('{v}' as {DEC})" for v in q6
+    ) + ")"
+    per_vec = (
+        embeddings.filter(F.size(F.col(vec_col)) == F.lit(qdim))
+        .select(F.col(id_col), _as_dec_vec(F.col(vec_col)).alias("dv"))
+        .select(
+            F.col(id_col),
+            _dec_dot(F.col("dv"), F.expr(qarr_sql)).cast("double").alias("dot"),
+            _dec_dot(F.col("dv"), F.col("dv")).cast("double").alias("norm2"),
+        )
     )
     # same zero-norm guard as the float path (ANSI DIVIDE_BY_ZERO)
     if qnorm2 == 0.0:

@@ -180,24 +180,27 @@ def derived_token_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id string, address string, topics array<string>, data string, "
         "transactionHash string, blockNumber long",
     )
-    fixture = events_fix.unionByName(golden_fix)
+    # r16: the fixture union (parquet leg + 3-row golden LocalRelation)
+    # is materialized before the MV transformation — leaving the Union
+    # under the join/decode made every expression above it execute per
+    # union leg and measured +0.4 s on a 4000-row fixture (guide §7.2
+    # duplicated subtrees); the checkpoint is one cheap pass and the
+    # decode runs once over a single input
+    fixture = events_fix.unionByName(golden_fix).localCheckpoint(eager=False)
 
-    i = F.col("id")
-    dim = spark.range(7).select(
-        F.concat(F.lit("0xtok"), F.lpad(i.cast("string"), 2, "0")).alias("id"),
-        F.when(i == 0, F.lit(None))
-        .when(i % 2 == 1, F.lit(6))
-        .otherwise(F.lit(18))
-        .cast("long")
-        .alias("decimals"),
+    # r16: the decimals dim as ONE LocalRelation carrying the identical
+    # 12 rows the old range(7) ∪ gold ∪ limit(3) three-leg plan built —
+    # same values, same NULL decimals, same duplicate (identical) rows
+    # the ANY-join must dedup (or the row-count check fails with
+    # multiplied output); one plan leg instead of three cuts the
+    # broadcast-side AQE stages
+    dim_rows = [
+        (f"0xtok{i:02d}", None if i == 0 else (6 if i % 2 == 1 else 18))
+        for i in range(7)
+    ] + [("0xgold18", 18), ("0xgold00", 0)]
+    dim = spark.createDataFrame(
+        dim_rows + dim_rows[:3], "id string, decimals long"
     )
-    gold_dim = spark.createDataFrame(
-        [("0xgold18", 18), ("0xgold00", 0)], "id string, decimals long"
-    )
-    dim = dim.unionByName(gold_dim)
-    # duplicate (identical) rows: the ANY-join must dedup them or the
-    # row-count check fails with multiplied output
-    dim = dim.unionByName(dim.limit(3))
     out = derived.token_transactions(fixture, dim)
     # fold #3 (r12): F10 supply clamp columns on the MV output — a pure
     # per-row projection (no new shuffle, same grain), see the oracle's
@@ -385,6 +388,11 @@ def derived_bancor_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decimals"),
     )
-    # identical duplicate rows → ANY LEFT JOIN dedup must collapse them
+    # identical duplicate rows → ANY LEFT JOIN dedup must collapse them.
+    # (r16 note: a consolidated LocalRelation dim — the change that wins
+    # on derived_token_transactions — was A/B-measured HERE at ~1.8×
+    # SLOWER across both ANY LEFT joins (0.43–0.60 s → 0.76–0.96 s
+    # noop in one session), so this query keeps the range-based dim;
+    # broadcast-build shapes are empirical, not transferable.)
     tok_dim = tok_dim.unionByName(tok_dim.limit(2))
     return derived.bancor_trades(conv_fix, contracts_df, tok_dim)

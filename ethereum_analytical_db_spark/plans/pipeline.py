@@ -642,7 +642,15 @@ LIMIT 10
     "double-precision zip_with path is benched separately",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # r16: the exact-decimal scorer is now a per-row fold (no shuffle),
+    # so the interpreted decimal work runs wherever the SCAN's
+    # partitioning puts it — on the single-file test corpus that is one
+    # partition, i.e. single-threaded. Restore core-count parallelism
+    # the same way the other per-row pipelines do (no-op when the scan
+    # already has enough splits).
+    emb = _with_scan_parallelism(
+        spark, table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    )
     query = emb.filter(F.col("vec_id") == 0)
     return similarity.cosine_topk_exact_decimal(emb, query, k=10)
 
@@ -1265,7 +1273,12 @@ WHERE d.dot / sqrt(na.n2 * nb.n2) >= 0.38
 def embedding_near_dup_lsh_md5_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    # r16: the plane-dot/bucket projection is per-row work computed
+    # BEFORE the bucket shuffle — restore core-count parallelism on the
+    # single-file test corpus (no-op when the scan has enough splits)
+    emb = _with_scan_parallelism(
+        spark, table(spark, sf_dir, "embeddings"), cache_key=f"{sf_dir}/embeddings"
+    )
     return similarity.embedding_near_dup_lsh_md5(
         emb, dim=64, threshold=0.38, planes=_LSH_MD5_PLANES
     )
