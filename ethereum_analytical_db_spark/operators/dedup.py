@@ -1792,12 +1792,58 @@ def connected_components_twophase(
     )
 
 
+def _components_driver_local(
+    edges_df: DataFrame, doc_type: str
+) -> DataFrame:
+    """Union-find over a COLLECTED edge list → (doc, component) with
+    component = MIN reachable id — exactly the fixpoint the distributed
+    min-label loop converges to, computed in one pass. Only called for
+    edge sets under ``driver_max_edges`` (the caller counts first), the
+    same small-side-collapses-to-one-node reasoning as a broadcast
+    join."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges_df.collect()
+    for r in rows:
+        u, v = r[0], r[1]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN root so every root IS its component's min id
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in parent]
+    out.sort()
+    return edges_df.sparkSession.createDataFrame(
+        out, f"doc {doc_type}, component {doc_type}"
+    )
+
+
+# Edge-count bound for the driver-local components fast path: 2M edges
+# ≈ 32 MB of ids on an 8 GB driver — comfortably collectable, far past
+# any candidate-pair graph the test corpora produce, far below what a
+# 100 TB near-dup graph can reach (which takes the distributed loop).
+COMPONENTS_DRIVER_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 20,
     materialize: str = "local",
+    driver_max_edges: int | None = COMPONENTS_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph → (doc,
     component), component = MIN doc id reachable. The step real dedup
@@ -1815,6 +1861,17 @@ def connected_components(
     per round.
 
     Deterministic: min() over ids, no ordering sensitivity.
+
+    ``driver_max_edges`` (r16): when the materialized symmetric edge set
+    is at or under this row count, the components are computed with one
+    driver-local union-find over the collected edges instead of the
+    iterative join loop — identical output (component = MIN reachable
+    id), one job instead of O(diameter) join+count rounds, each of which
+    is pure scheduling overhead on a small graph (measured: the
+    registry's 256-pair graph spent ~1.6 s in loop rounds). The count
+    that gates it reads the already-checkpointed edges (cheap); pass
+    ``None`` to force the distributed loop. The 100 TB graph exceeds any
+    sane bound and always takes the loop.
     """
     edges = _materialize(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
@@ -1822,6 +1879,13 @@ def connected_components(
         .distinct(),
         materialize,
     )
+    if driver_max_edges is not None:
+        # limit(n+1).count(): the decision needs "over the bound or
+        # not", never the exact count of a huge edge set
+        if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
+            return _components_driver_local(
+                edges, edges.schema["s"].dataType.simpleString()
+            )
     labels = _materialize(
         edges.select(F.col("s").alias("doc"))
         .distinct()

@@ -130,7 +130,9 @@ def main(tmp: str) -> int:
     t.start()
     sc.setJobGroup("cc_local", "cc local-mode under executor death")
     try:
-        connected_components(edges, materialize="local").count()
+        connected_components(
+            edges, materialize="local", driver_max_edges=None
+        ).count()
         print("CC_LOCAL_SURVIVED")  # wrapper fails on this marker
     except Exception as e:  # noqa: BLE001
         print(f"CC_LOCAL_FAILED {type(e).__name__}")
@@ -147,7 +149,9 @@ def main(tmp: str) -> int:
     )
     t.start()
     sc.setJobGroup("cc_reliable", "cc reliable-mode under executor death")
-    rows = connected_components(edges, materialize="reliable").collect()
+    rows = connected_components(
+        edges, materialize="reliable", driver_max_edges=None
+    ).collect()
     done_at = time.monotonic()
     sc.setJobGroup("", "")
     t.join(timeout=60)

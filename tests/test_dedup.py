@@ -317,6 +317,28 @@ def test_connected_components_random_graph_agreement(spark):
         assert got_star == want, f"two-phase differs (seed {seed})"
 
 
+def test_connected_components_driver_fast_path_matches_loop(spark):
+    """r16: small edge sets take a driver-local union-find instead of
+    the iterative join loop. Same (doc, component) rows, same schema —
+    pinned against the loop forced via driver_max_edges=None on a graph
+    with chains, a clique, an isolated pair and duplicate input pairs."""
+    raw = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22),
+           (2, 1), (50, 51)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    fast = dedup.connected_components(pairs)  # default: fast path
+    loop = dedup.connected_components(pairs, driver_max_edges=None)
+    assert fast.schema == loop.schema
+    assert {tuple(r) for r in fast.collect()} == {
+        tuple(r) for r in loop.collect()
+    }
+    # threshold boundary: a bound below the edge count takes the loop
+    # (no collect), still identical rows
+    loop2 = dedup.connected_components(pairs, driver_max_edges=1)
+    assert {tuple(r) for r in loop2.collect()} == {
+        tuple(r) for r in fast.collect()
+    }
+
+
 # ---- exact substring dedup (Lee et al. 2022 semantics) ----
 
 

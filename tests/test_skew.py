@@ -80,8 +80,16 @@ def test_giant_chain_min_label_raises_twophase_succeeds(spark):
     same graph in a handful of rounds."""
     chain = [(i, i + 1) for i in range(600)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    # driver_max_edges=None forces the distributed loop: the r16 driver
+    # fast path labels a small chain in one pass (no rounds to exhaust),
+    # and this test exists to pin the LOOP's refuse-to-split contract
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=8)
+        dedup.connected_components(
+            pairs, max_iterations=8, driver_max_edges=None
+        )
+    # the fast path itself labels the same chain correctly
+    fast = dedup.connected_components(pairs, max_iterations=8).collect()
+    assert len(fast) == 601 and all(r["component"] == 0 for r in fast)
     stats: dict = {}
     got = dedup.connected_components_twophase(
         pairs, max_iterations=50, stats=stats
