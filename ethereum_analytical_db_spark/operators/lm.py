@@ -205,27 +205,38 @@ def score_perplexity(
     The model table is broadcast (bounded by vocab_size); the only
     shuffle is the doc-keyed aggregate.
     """
+    # explode_outer with empty tokens nulled IN the array (r16): every
+    # doc keeps at least one row, so token-less docs fall out of the
+    # SAME aggregate with n_tokens=0 / NULL score — the old plan
+    # re-scanned the corpus for ids.distinct() and joined it back
+    # (guide §2.4: one less scan, one less shuffle/join; identical
+    # rows — NULL words join nothing, count() skips them, sum() skips
+    # their NULL logp)
     toks = df.select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
-    ).filter(F.col("word") != "")
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                words(F.col(text_col)), lambda w: F.when(w != "", w)
+            )
+        ).alias("word"),
+    )
     scored = toks.join(F.broadcast(lm.table), "word", "left").select(
         F.col(id_col),
-        F.coalesce(F.col("logp"), F.lit(lm.oov_logp)).alias("logp"),
+        F.col("word"),
+        F.when(
+            F.col("word").isNotNull(),
+            F.coalesce(F.col("logp"), F.lit(lm.oov_logp)),
+        ).alias("logp"),
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        (-F.avg("logp")).alias("avg_neg_logp"),
+        F.count(F.col("word")).alias("n_tokens"),
+        (-F.sum("logp") / F.count(F.col("word"))).alias("avg_neg_logp"),
     )
-    # left join back so token-less docs appear with NULL scores
-    ids = df.select(id_col).distinct()
-    return (
-        ids.join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            "avg_neg_logp",
-            F.exp("avg_neg_logp").alias("perplexity"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "avg_neg_logp",
+        F.exp("avg_neg_logp").alias("perplexity"),
     )
 
 
@@ -368,22 +379,24 @@ def score_perplexity_bigram(
     # array into every token row — O(words²) bytes per doc; the struct
     # array is O(words) (same shape the bigram trainer uses)
     ws = df.select(F.col(id_col), words(F.col(text_col)).alias("ws"))
-    toks = (
-        ws.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    "ws",
-                    lambda w, i: F.struct(
-                        w.alias("word"),
-                        F.when(i > 0, F.get("ws", i - 1)).alias("prev"),
-                    ),
-                )
-            ).alias("t"),
-        )
-        .select(id_col, F.col("t.word").alias("word"), F.col("t.prev").alias("prev"))
-        .filter(F.col("word") != "")
-    )
+    # explode_outer with empty words nulled in the struct (r16): every
+    # doc keeps >= 1 row, so the per-doc aggregate below covers
+    # token-less docs directly and the old ids.distinct() corpus re-scan
+    # + left join disappear (guide §2.4). A NULL word joins neither
+    # model table, counts for nothing, and contributes NULL logp (sum
+    # skips it) — identical scores.
+    toks = ws.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                "ws",
+                lambda w, i: F.struct(
+                    F.when(w != "", w).alias("word"),
+                    F.when(i > 0, F.get("ws", i - 1)).alias("prev"),
+                ),
+            )
+        ).alias("t"),
+    ).select(id_col, F.col("t.word").alias("word"), F.col("t.prev").alias("prev"))
     uni = lm.unigram
     j = (
         toks.join(
@@ -400,26 +413,32 @@ def score_perplexity_bigram(
         F.col("p_bi").isNotNull(),
         F.lit(lm.lam) * F.col("p_bi") + F.lit(1.0 - lm.lam) * p_uni,
     ).otherwise(p_uni)
-    scored = j.select(F.col(id_col), F.log(p).alias("logp"))
+    # NULL (formerly filtered-empty) words score NULL — sum/avg skip
+    # them, count("word") doesn't see them
+    scored = j.select(
+        F.col(id_col),
+        F.col("word"),
+        F.when(F.col("word").isNotNull(), F.log(p)).alias("logp"),
+    )
+    n_tok = F.count(F.col("word"))
     if exact_decimal_sum:
         per_doc = scored.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            n_tok.alias("n_tokens"),
             (
                 -(
                     F.sum(F.col("logp").cast("decimal(38,8)")).cast("double")
-                    / F.count(F.lit(1))
+                    / n_tok
                 )
             ).alias("avg_neg_logp"),
         )
     else:
         per_doc = scored.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            n_tok.alias("n_tokens"),
             (-F.avg("logp")).alias("avg_neg_logp"),
         )
-    ids = df.select(id_col).distinct()
-    return ids.join(per_doc, id_col, "left").select(
+    return per_doc.select(
         id_col,
-        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "n_tokens",
         "avg_neg_logp",
         F.exp("avg_neg_logp").alias("perplexity"),
     )
