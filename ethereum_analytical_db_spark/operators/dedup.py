@@ -1793,14 +1793,18 @@ def connected_components_twophase(
 
 
 def _components_driver_local(
-    edges_df: DataFrame, doc_type: str
+    rows, spark, doc_type: str
 ) -> DataFrame:
-    """Union-find over a COLLECTED edge list → (doc, component) with
+    """Union-find over a COLLECTED pair list → (doc, component) with
     component = MIN reachable id — exactly the fixpoint the distributed
-    min-label loop converges to, computed in one pass. Only called for
-    edge sets under ``driver_max_edges`` (the caller counts first), the
-    same small-side-collapses-to-one-node reasoning as a broadcast
-    join."""
+    min-label loop converges to, computed in one pass. Union is
+    symmetric and idempotent, so the raw pair rows work directly: no
+    symmetrization, dedup or distinct of the edge set is needed first
+    (r16: the fast path reads the materialized pair projection and
+    skips the symmetrize+distinct shuffle and the loop entirely). Only
+    called for pair sets under ``driver_max_edges`` (the caller bounds
+    the collect), the same small-side-collapses-to-one-node reasoning
+    as a broadcast join."""
     parent: dict = {}
 
     def find(x):
@@ -1811,7 +1815,6 @@ def _components_driver_local(
             parent[x], x = root, parent[x]
         return root
 
-    rows = edges_df.collect()
     for r in rows:
         u, v = r[0], r[1]
         for n in (u, v):
@@ -1825,7 +1828,7 @@ def _components_driver_local(
             parent[rv] = ru
     out = [(n, find(n)) for n in parent]
     out.sort()
-    return edges_df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out, f"doc {doc_type}, component {doc_type}"
     )
 
@@ -1862,30 +1865,44 @@ def connected_components(
 
     Deterministic: min() over ids, no ordering sensitivity.
 
-    ``driver_max_edges`` (r16): when the materialized symmetric edge set
-    is at or under this row count, the components are computed with one
-    driver-local union-find over the collected edges instead of the
-    iterative join loop — identical output (component = MIN reachable
-    id), one job instead of O(diameter) join+count rounds, each of which
-    is pure scheduling overhead on a small graph (measured: the
-    registry's 256-pair graph spent ~1.6 s in loop rounds). The count
-    that gates it reads the already-checkpointed edges (cheap); pass
-    ``None`` to force the distributed loop. The 100 TB graph exceeds any
-    sane bound and always takes the loop.
+    ``driver_max_edges`` (r16): when the pair set is at or under this
+    row count, the components are computed with one driver-local
+    union-find over the collected pairs instead of the iterative join
+    loop — identical output (component = MIN reachable id; union is
+    symmetric and idempotent, so the raw pairs need no symmetrization
+    or distinct first). The 2-column pair projection is materialized
+    ONCE and both regimes read it: the gate is a bounded
+    ``limit(n+1).collect()`` against the pinned blocks, the fast path
+    union-finds those collected rows, and the big-graph path derives
+    the symmetric edge set from the same checkpoint — so the upstream
+    pair pipeline is computed exactly once either way (never re-run
+    for the gate), while the small graph skips the symmetrize+distinct
+    shuffle, the gate count and the O(diameter) join+count rounds —
+    all pure scheduling overhead there (measured: the registry's
+    256-pair graph spent ~1.6 s in loop rounds and another ~0.4 s in
+    edge-set materialization + gate jobs). The cost above the bound is
+    the pair-projection checkpoint itself (~16 bytes/row before the
+    ~2x-larger symmetric edge set replaces it) plus one cheap bounded
+    read. Pass ``None`` to force the loop with no extra
+    materialization (the executor-loss harness does: its scenarios
+    test the loop's fault behavior).
     """
+    proj = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if driver_max_edges is not None:
+        proj = _materialize(proj, materialize)
+        rows = proj.limit(driver_max_edges + 1).collect()
+        if len(rows) <= driver_max_edges:
+            return _components_driver_local(
+                rows,
+                pairs.sparkSession,
+                pairs.schema[src_col].dataType.simpleString(),
+            )
     edges = _materialize(
-        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .unionAll(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .distinct(),
+        proj.unionAll(
+            proj.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct(),
         materialize,
     )
-    if driver_max_edges is not None:
-        # limit(n+1).count(): the decision needs "over the bound or
-        # not", never the exact count of a huge edge set
-        if edges.limit(driver_max_edges + 1).count() <= driver_max_edges:
-            return _components_driver_local(
-                edges, edges.schema["s"].dataType.simpleString()
-            )
     labels = _materialize(
         edges.select(F.col("s").alias("doc"))
         .distinct()
