@@ -56,7 +56,11 @@ def _detach_table(table: DataFrame, spill_rows: int) -> DataFrame:
     # once n+1 rows are seen — a wide model table no longer pays a full
     # aggregation job just to pick its detach path (r10 verdict note)
     if table.limit(spill_rows + 1).count() <= spill_rows:
-        return sp.createDataFrame(table.collect(), table.schema)
+        # 1 slice: ≤100k local rows in one task beats defaultParallelism
+        # near-empty Python task launches per consumer action
+        return sp.createDataFrame(
+            sp.sparkContext.parallelize(table.collect(), 1), table.schema
+        )
     from ..plans import frozen
 
     warehouse = sp.conf.get("spark.sql.warehouse.dir")

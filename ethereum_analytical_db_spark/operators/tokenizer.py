@@ -876,8 +876,13 @@ def bpe_vocabulary(
         .distinct()
         .withColumn("source", F.lit("char"))
     )
+    # 1 slice: the merge list is driver-sized; a plain list would be
+    # split into defaultParallelism near-empty task launches per action
     merged = spark.createDataFrame(
-        [(l + r, "merge") for l, r, _ in merges], "token string, source string"
+        spark.sparkContext.parallelize(
+            [(l + r, "merge") for l, r, _ in merges], 1
+        ),
+        "token string, source string",
     )
     return chars.unionByName(merged)
 
@@ -886,7 +891,10 @@ def merge_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     """The learned merges as a DataFrame (rank, left_sym, right_sym,
     pair_freq) — the artifact a pipeline persists next to its corpus."""
     return spark.createDataFrame(
-        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        # driver-sized table: 1 slice → 1 task, not defaultParallelism
+        spark.sparkContext.parallelize(
+            [(i, l, r, f) for i, (l, r, f) in enumerate(merges)], 1
+        ),
         "rank int, left_sym string, right_sym string, pair_freq bigint",
     )
 

@@ -199,8 +199,9 @@ def derived_token_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(7)
     ] + [("0xgold18", 18), ("0xgold00", 0)]
     dim = spark.createDataFrame(
-        dim_rows + dim_rows[:3], "id string, decimals long"
-    )
+        spark.sparkContext.parallelize(dim_rows + dim_rows[:3], 1),
+        "id string, decimals long",
+    )  # 12-row broadcast build side: 1 slice → 1 task
     out = derived.token_transactions(fixture, dim)
     # fold #3 (r12): F10 supply clamp columns on the MV output — a pure
     # per-row projection (no new shuffle, same grain), see the oracle's

@@ -60,8 +60,10 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("block"), F.lit(2 / 3)).alias("c")
         ).first()["c"]
         if cut is None:  # empty feature frame (tiny/filtered-out fixture)
+            # 1 slice: a 1-row local list otherwise becomes
+            # defaultParallelism single-row task launches per action
             return spark.createDataFrame(
-                [(0, 0, 0, 10, None)],
+                spark.sparkContext.parallelize([(0, 0, 0, 10, None)], 1),
                 "n_features BIGINT, n_train BIGINT, n_test BIGINT, "
                 "n_estimators INT, lmfao DOUBLE",
             )
@@ -79,15 +81,18 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).first()
         return spark.createDataFrame(
-            [
-                (
-                    sizes["n"],
-                    sizes["n_train"],
-                    sizes["n"] - sizes["n_train"],
-                    10,
-                    round(float(score), 6),
-                )
-            ],
+            spark.sparkContext.parallelize(
+                [
+                    (
+                        sizes["n"],
+                        sizes["n_train"],
+                        sizes["n"] - sizes["n_train"],
+                        10,
+                        round(float(score), 6),
+                    )
+                ],
+                1,  # 1-row result: 1 task, not defaultParallelism
+            ),
             "n_features BIGINT, n_train BIGINT, n_test BIGINT, "
             "n_estimators INT, lmfao DOUBLE",
         )
