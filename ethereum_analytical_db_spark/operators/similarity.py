@@ -797,39 +797,48 @@ def ivf_train_centroids(
       driver. Empty clusters keep their previous centroid.
 
     At 100 TB: centroids are a broadcast k·dim matrix; each iteration is
-    one scan + one k·dim-sized shuffle.
+    one scan + one k·dim-sized shuffle. The (id, vec) projection is
+    persisted (MEMORY_AND_DISK — the MLlib convention for iterative
+    fits) for the loop's lifetime and released before returning: init +
+    every iteration read the same rows, so without it Lloyd re-scans and
+    re-decodes the source ``iterations + 1`` times. Persisting changes
+    neither values nor partitioning, so the trained centroids are
+    bit-identical either way.
     """
-    init_rows = (
-        embeddings.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
-    if not centroids:
-        # empty input: no Lloyd iteration is definable — return the
-        # empty centroid set (callers decide whether that is an error;
-        # semantic_dedup returns an empty verdict for it) instead of
-        # letting numpy raise an opaque AxisError on a 0-d matrix
-        return centroids
-    for _ in range(iterations):
-        assigned = _assign_clusters(embeddings, centroids, id_col, vec_col).select(
-            F.col("cluster").alias("__cluster"),
-            F.posexplode(F.col(vec_col)).alias("pos", "v"),
-        )
-        means = (
-            assigned.groupBy("__cluster", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    src = embeddings.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        init_rows = (
+            src.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_centroids)
             .collect()
         )
-        new = {}
-        for r in means:
-            new.setdefault(r["__cluster"], {})[r["pos"]] = r["m"]
-        centroids = [
-            [new[i + 1][p] for p in sorted(new[i + 1])] if (i + 1) in new else c
-            for i, c in enumerate(centroids)
-        ]
-    return centroids
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+        if not centroids:
+            # empty input: no Lloyd iteration is definable — return the
+            # empty centroid set (callers decide whether that is an error;
+            # semantic_dedup returns an empty verdict for it) instead of
+            # letting numpy raise an opaque AxisError on a 0-d matrix
+            return centroids
+        for _ in range(iterations):
+            assigned = _assign_clusters(src, centroids, id_col, vec_col).select(
+                F.col("cluster").alias("__cluster"),
+                F.posexplode(F.col(vec_col)).alias("pos", "v"),
+            )
+            means = (
+                assigned.groupBy("__cluster", "pos")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect()
+            )
+            new = {}
+            for r in means:
+                new.setdefault(r["__cluster"], {})[r["pos"]] = r["m"]
+            centroids = [
+                [new[i + 1][p] for p in sorted(new[i + 1])] if (i + 1) in new else c
+                for i, c in enumerate(centroids)
+            ]
+        return centroids
+    finally:
+        src.unpersist()
 
 
 def ivf_assign(
