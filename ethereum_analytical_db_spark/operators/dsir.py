@@ -89,12 +89,13 @@ def fit_hashed_ngram_counts(
 
 def dsir_log_weights(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
     _carry_cols: tuple[str, ...] = (),
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per raw document → (id, n_features, log_weight): the DSIR
     importance score under hashed-n-gram models fit on ``target_docs``
@@ -107,18 +108,39 @@ def dsir_log_weights(
     final aggregate, so a caller needing them does not re-join (and so
     re-scan) the raw corpus. They ride the grouping key; since each is
     functionally dependent on ``id_col``, the groups — and therefore
-    every aggregate — are unchanged."""
-    tc = fit_hashed_ngram_counts(target_docs, text_col, n_buckets)
+    every aggregate — are unchanged.
+
+    ``target_pred``: when the target corpus is a SLICE of one source
+    frame (the common "hold out every Nth / this domain sample" setup),
+    pass the source as ``raw_docs``, ``None`` for ``target_docs`` and
+    the slice predicate here. Rows matching the predicate form the
+    target model; the rest are the raw corpus (model + scored docs) —
+    identical counts, weights and output rows to calling the two-frame
+    form with the two filtered slices, but BOTH models come from ONE
+    tokenize pass and ONE aggregation over a single materialized
+    feature stream instead of two scans + two shuffles (guide §2.4; at
+    100 TB this halves the corpus passes of the fit). Rows where the
+    predicate is NULL belong to neither side, exactly like rows absent
+    from both input frames."""
+    if (target_docs is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target_docs (two-frame form) or "
+            "target_pred (fused single-source form)"
+        )
     # r16: the raw corpus's features feed BOTH the raw model fit and the
     # per-doc weighting below; materializing the exploded (id, bucket)
     # stream once (narrow: a long + an int per n-gram occurrence) means
     # the tokenize + bigram-assembly + xxhash pipeline — the expensive
     # part — runs ONE pass over the raw corpus instead of two
-    # (guide §2.4 shared computation; exact same rows either way)
+    # (guide §2.4 shared computation; exact same rows either way).
+    # In the fused form the stream covers the whole source with a
+    # per-row target flag, so the target fit shares the same single pass.
+    flag = [] if target_pred is None else [target_pred.alias("__is_target")]
     feats = _materialize(
         raw_docs.select(
             F.col(id_col),
             *[F.col(c) for c in _carry_cols],
+            *flag,
             F.explode_outer(
                 hashed_ngram_buckets(F.col(text_col), n_buckets)
             ).alias("bucket"),
@@ -126,38 +148,60 @@ def dsir_log_weights(
         "local",
         eager=False,
     )
-    # identical to fit_hashed_ngram_counts(raw_docs): explode vs
-    # explode_outer differ only in the NULL placeholder rows for
-    # feature-less docs, which the isNotNull drops
-    rc = (
-        feats.filter(F.col("bucket").isNotNull())
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    # one broadcast table of per-bucket log ratios, fully lazy: the
-    # smoothing denominators are whole-frame window sums over the
-    # BOUNDED (≤ n_buckets rows) joined count table — a one-partition
-    # pass over ≤10k rows, never a corpus shuffle and never an eager
-    # driver action. Buckets absent from one side smooth to α counts
-    # via the coalesce; every raw-doc bucket is present on the raw side
-    # by construction (the raw model is fit on these very docs), so the
-    # full join covers every bucket the weighting pass can meet.
-    whole = Window.partitionBy()
     cnt_t = F.coalesce(F.col("cnt_t"), F.lit(0))
     cnt_r = F.coalesce(F.col("cnt_r"), F.lit(0))
-    ab = F.lit(alpha * n_buckets)
-    ratios = (
-        tc.withColumnRenamed("cnt", "cnt_t")
-        .join(rc.withColumnRenamed("cnt", "cnt_r"), "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.log((cnt_t + F.lit(alpha)) / (F.sum(cnt_t).over(whole) + ab))
-                - F.log(
-                    (cnt_r + F.lit(alpha)) / (F.sum(cnt_r).over(whole) + ab)
-                )
-            ).alias("log_ratio"),
+    if target_pred is None:
+        tc = fit_hashed_ngram_counts(target_docs, text_col, n_buckets)
+        # identical to fit_hashed_ngram_counts(raw_docs): explode vs
+        # explode_outer differ only in the NULL placeholder rows for
+        # feature-less docs, which the isNotNull drops
+        rc = (
+            feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # the joined per-bucket count table: buckets absent from one
+        # side smooth to α counts via the coalesce; every raw-doc
+        # bucket is present on the raw side by construction (the raw
+        # model is fit on these very docs), so the full join covers
+        # every bucket the weighting pass can meet.
+        counts = tc.withColumnRenamed("cnt", "cnt_t").join(
+            rc.withColumnRenamed("cnt", "cnt_r"), "bucket", "full"
+        )
+    else:
+        # fused: ONE aggregation over the shared feature stream yields
+        # both models' counts — a target-row occurrence counts toward
+        # cnt_t, a raw-row one toward cnt_r (a NULL flag toward
+        # neither), so each column equals the corresponding slice's
+        # fit_hashed_ngram_counts exactly, union of buckets included
+        counts = (
+            feats.filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.when(F.col("__is_target"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("cnt_t"),
+                F.sum(
+                    F.when(~F.col("__is_target"), F.lit(1)).otherwise(F.lit(0))
+                ).alias("cnt_r"),
+            )
+        )
+        feats = feats.filter(F.col("__is_target") == F.lit(False)).drop(
+            "__is_target"
+        )
+    # one broadcast table of per-bucket log ratios, fully lazy: the
+    # smoothing denominators are whole-frame window sums over the
+    # BOUNDED (≤ n_buckets rows) count table — a one-partition
+    # pass over ≤10k rows, never a corpus shuffle and never an eager
+    # driver action.
+    whole = Window.partitionBy()
+    ab = F.lit(alpha * n_buckets)
+    ratios = counts.select(
+        "bucket",
+        (
+            F.log((cnt_t + F.lit(alpha)) / (F.sum(cnt_t).over(whole) + ab))
+            - F.log((cnt_r + F.lit(alpha)) / (F.sum(cnt_r).over(whole) + ab))
+        ).alias("log_ratio"),
     )
     # per-feature contribution: a NULL bucket row is explode_outer's
     # empty-doc placeholder and contributes 0; a real bucket always
@@ -191,13 +235,14 @@ def _gumbel_noise(id_col: Column, salt: str) -> Column:
 
 def dsir_select(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: DataFrame | None,
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     alpha: float = 1.0,
     salt: str = "dsir",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling: the k raw documents with the
     highest ``log_weight + Gumbel(md5(id))`` — a without-replacement
@@ -205,9 +250,12 @@ def dsir_select(
     trick), deterministic in (corpus, target, k, salt). Returns
     (id, n_features, log_weight, gumbel_key) for the selected docs;
     join back on ``id_col`` for the text. Ties on the key (measure-zero
-    with real weights) break on id for full determinism."""
+    with real weights) break on id for full determinism.
+    ``target_pred``: the fused single-source form — see
+    :func:`dsir_log_weights`."""
     scored = dsir_log_weights(
-        raw_docs, target_docs, text_col, id_col, n_buckets, alpha
+        raw_docs, target_docs, text_col, id_col, n_buckets, alpha,
+        target_pred=target_pred,
     )
     keyed = scored.withColumn(
         "gumbel_key", F.col("log_weight") + _gumbel_noise(F.col(id_col), salt)
@@ -239,7 +287,7 @@ def dsir_select_per_domain(
     scored = dsir_log_weights(
         raw_docs, target_docs, text_col, id_col,
         _carry_cols=(domain_col,), **kwargs
-    )
+    )  # kwargs may carry target_pred for the fused single-source form
     keyed = scored.select(
         id_col, "n_features", "log_weight", domain_col
     ).withColumn(

@@ -777,9 +777,14 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dsir
 
     docs = docs_table(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % 53 == 0)
-    raw = docs.filter(F.col("doc_id") % 53 != 0)
-    return dsir.dsir_select(raw, target, k=200)
+    # fused single-source form (r16): the target slice is a predicate
+    # over the same corpus scan, so BOTH hashed-ngram models come from
+    # one tokenize pass + one aggregation — identical weights/rows to
+    # the two-frame dsir_select(docs%53!=0, docs%53==0) this query
+    # shipped with (pinned by tests/test_dsir.py parity of the forms)
+    return dsir.dsir_select(
+        docs, None, k=200, target_pred=F.col("doc_id") % 53 == 0
+    )
 
 
 @register(

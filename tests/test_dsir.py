@@ -164,6 +164,63 @@ def test_dsir_select_gumbel_determinism_and_ranking(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_dsir_fused_target_pred_matches_two_frame_form(spark):
+    """The fused single-source form (target_pred over one frame — the
+    r16 one-pass fit) returns EXACTLY the two-frame form's rows: same
+    weights bit-for-bit, same selection, same per-domain budgets; rows
+    where the predicate is NULL belong to neither side. Misuse (both or
+    neither target spec) raises."""
+    raw, target, _ = _corpus(spark)
+    # one source frame whose %5 slice plays the target; add a NULL-pred
+    # row that must land on neither side
+    combined = raw.unionByName(target).withColumn(
+        "is_t",
+        F.when(F.col("doc_id") == 97, F.lit(None).cast("boolean")).otherwise(
+            F.col("doc_id") >= 100
+        ),
+    )
+    two = {
+        r["doc_id"]: r
+        for r in dsir.dsir_log_weights(
+            raw.filter(F.col("doc_id") != 97), target, n_buckets=B
+        ).collect()
+    }
+    fused = {
+        r["doc_id"]: r
+        for r in dsir.dsir_log_weights(
+            combined, None, n_buckets=B, target_pred=F.col("is_t")
+        ).collect()
+    }
+    assert set(fused) == set(two)
+    for did, r in two.items():
+        assert fused[did]["n_features"] == r["n_features"]
+        assert fused[did]["log_weight"] == r["log_weight"], did  # exact
+    sel_two = dsir.dsir_select(
+        raw.filter(F.col("doc_id") != 97), target, k=6, n_buckets=B
+    ).collect()
+    sel_fused = dsir.dsir_select(
+        combined, None, k=6, n_buckets=B, target_pred=F.col("is_t")
+    ).collect()
+    key = lambda r: (r["doc_id"], r["n_features"], r["log_weight"], r["gumbel_key"])  # noqa: E731
+    assert sorted(map(key, sel_two)) == sorted(map(key, sel_fused))
+    dom = dsir.dsir_select_per_domain(
+        combined.withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+        ),
+        None,
+        k_per_domain=3,
+        domain_col="domain",
+        n_buckets=B,
+        target_pred=F.col("is_t"),
+    ).collect()
+    assert Counter(r["domain"] for r in dom) == {"even": 3, "odd": 3}
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.dsir_log_weights(raw, target, target_pred=F.lit(True))
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir.dsir_log_weights(raw, None)
+
+
 def test_dsir_select_per_domain_budgets(spark):
     raw, target, planted = _corpus(spark)
     domained = raw.withColumn(
