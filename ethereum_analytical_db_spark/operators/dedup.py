@@ -309,16 +309,13 @@ def minhash_signatures(
     shuffle), instead of K interpreted array-transform lambdas per row."""
     shingled = _shingled(df, text_col, id_col, n)
     ex = shingled.select("doc", F.explode("ngrams").alias("s"))
-    # lanes as one-shot SQL strings — same plan, a fraction of the py4j
-    # build round trips (r14 driver-latency find)
-    mins = ex.groupBy("doc").agg(
-        *[
-            F.expr(f"min(xxhash64(s, {k}))").alias(f"m{k}")
-            for k in range(num_hashes)
-        ]
-    )
-    lanes = ", ".join(f"m{k}" for k in range(num_hashes))
-    return mins.selectExpr("doc", f"array({lanes}) AS signature")
+    # ALL lanes in one SQL string parsed JVM-side in a single expr call:
+    # num_hashes separate F.expr(...).alias(...) pairs were still
+    # 2·num_hashes py4j round trips per build (r16 driver-gap find —
+    # one-shot construction halves warm build time on lane-heavy aggs);
+    # the aggregate functions and the array reassembly are unchanged
+    lanes = ", ".join(f"min(xxhash64(s, {k}))" for k in range(num_hashes))
+    return ex.groupBy("doc").agg(F.expr(f"array({lanes})").alias("signature"))
 
 
 def minhash_band_rows(
@@ -443,15 +440,16 @@ def minhash_lsh_candidates_md5(
     sh = _shingled(df, text_col, id_col, n).select(
         "doc", F.explode("ngrams").alias("s")
     )
-    mins = sh.groupBy("doc").agg(
-        *[
-            F.expr(f"min(md5('{k}:' || s))").alias(f"m{k}")
-            for k in range(num_hashes)
-        ]
+    # one-shot lane construction (same py4j-round-trip cut as
+    # minhash_signatures); sig[k] is the 0-based lane the m{k} columns
+    # used to carry — identical min-md5 values, identical buckets
+    lanes = ", ".join(
+        f"min(md5('{k}:' || s))" for k in range(num_hashes)
     )
+    mins = sh.groupBy("doc").agg(F.expr(f"array({lanes})").alias("sig"))
     band_structs = ", ".join(
         "struct({b} AS band, md5(concat_ws('|', {lanes})) AS bucket)".format(
-            b=b, lanes=", ".join(f"m{k}" for k in range(b * r, (b + 1) * r))
+            b=b, lanes=", ".join(f"sig[{k}]" for k in range(b * r, (b + 1) * r))
         )
         for b in range(bands)
     )
@@ -1298,21 +1296,19 @@ def simhash_signatures(
     ).withColumn("h", F.xxhash64("w"))
     # per-bit set count n_b = sum((h >> b) & 1) — branch-free lanes;
     # majority vote is 2·n_b > n_tokens (≡ the classic ±1 sum > 0).
-    # Lanes and the signature reassembly are SQL strings parsed once
-    # JVM-side: the Column-API form was ~600 py4j round trips (~1 s of
-    # driver time) per build at 64 bits (r14, found on the md5 twin)
-    bit_sums = tokens.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.expr(f"sum(shiftright(h, {b}) & 1)").alias(f"b{b}")
-            for b in range(bits)
-        ],
-    )
+    # The WHOLE signature — all `bits` sum-lanes and the reassembly —
+    # is ONE SQL string parsed JVM-side in a single expr call: the
+    # Column-API form was ~600 py4j round trips (~1 s of driver time)
+    # per build at 64 bits (r14), and even one-expr-per-lane still paid
+    # 2·bits round trips (r16 driver-gap find). Catalyst dedupes the
+    # repeated count(1) aggregate; the per-lane sums and the final
+    # integer arithmetic are unchanged, so signatures are identical.
     sig_sql = " | ".join(
-        f"shiftleft(CASE WHEN 2 * b{b} > n THEN 1L ELSE 0L END, {b})"
+        f"shiftleft(CASE WHEN 2 * sum(shiftright(h, {b}) & 1) > count(1) "
+        f"THEN 1L ELSE 0L END, {b})"
         for b in range(bits)
     )
-    return bit_sums.selectExpr("doc", f"({sig_sql}) AS simhash")
+    return tokens.groupBy("doc").agg(F.expr(sig_sql).alias("simhash"))
 
 
 def _hamming_pairs(chunked: DataFrame, max_hamming: int) -> DataFrame:
@@ -1665,29 +1661,23 @@ def simhash_near_duplicates_md5(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).withColumn("h", F.md5("w"))
-    tokens = tokens.select(
+    tokens = tokens.selectExpr(
         "doc",
         *[
-            F.expr(
-                f"cast(conv(substring(h, {s * 8 + 1}, 8), 16, 10) as bigint)"
-            ).alias(f"m{s}")
+            f"cast(conv(substring(h, {s * 8 + 1}, 8), 16, 10) as bigint)"
+            f" AS m{s}"
             for s in range(n_segs)
         ],
     )
-    bit_sums = tokens.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.expr(
-                f"sum(shiftright(m{b // 8}, {31 - 4 * (b % 8)}) & 1)"
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ],
-    )
+    # one expr call for all lanes + reassembly (same r16 py4j cut as
+    # simhash_signatures); count(1) dedupes in the aggregate, the lane
+    # sums and the disjoint power-of-two terms are unchanged
     sig_sql = " + ".join(
-        f"(CASE WHEN 2 * b{b} > n THEN {1 << b}L ELSE 0L END)"
+        f"(CASE WHEN 2 * sum(shiftright(m{b // 8}, {31 - 4 * (b % 8)}) & 1) "
+        f"> count(1) THEN {1 << b}L ELSE 0L END)"
         for b in range(bits)
     )
-    sigs = bit_sums.selectExpr("doc", f"({sig_sql}) AS simhash")
+    sigs = tokens.groupBy("doc").agg(F.expr(sig_sql).alias("simhash"))
     # materialize before the self-join (same reason as the xxhash64
     # twin): both join branches would otherwise re-run the tokenize +
     # md5 + {bits}-lane vote pipeline (r14 review find)
