@@ -253,15 +253,14 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         kept = kept.filter(F.col("_df") <= max_shingle_df)
     kept = _materialize(kept.drop("_df"), materialize, eager=False)
-    a = kept.select(
-        F.col("doc").alias("doc_a"), F.col("set_size").alias("size_a"), "h1", "h2"
-    )
-    b = kept.select(
-        F.col("doc").alias("doc_b"),
-        F.col("set_size").alias("size_b"),
-        F.col("h1").alias("g1"),
-        F.col("h2").alias("g2"),
-    )
+    # rename AFTER the join, not before (r16): identical un-renamed
+    # branches canonicalize equal, so AQE's stage cache executes ONE
+    # (h1, h2) shuffle and the second branch is a ReusedExchange —
+    # renaming first made the branch plans differ and both branches
+    # re-shuffled the checkpoint (plan-verified: ShuffleQueryStage 2 is
+    # now `ReusedExchange` in the executed plan)
+    a = kept.alias("A")
+    b = kept.alias("B")
     t = F.lit(float(threshold))
     # sort-merge, not broadcast and not shuffle-hash: the witness index
     # is still O(shared postings) so broadcast is out, and the
@@ -275,13 +274,18 @@ def ngram_jaccard_pairs(
         a.hint("merge")
         .join(
             b,
-            (F.col("h1") == F.col("g1"))
-            & (F.col("h2") == F.col("g2"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("size_b").cast("double") >= t * F.col("size_a"))
-            & (F.col("size_a").cast("double") >= t * F.col("size_b")),
+            (F.col("A.h1") == F.col("B.h1"))
+            & (F.col("A.h2") == F.col("B.h2"))
+            & (F.col("A.doc") < F.col("B.doc"))
+            & (F.col("B.set_size").cast("double") >= t * F.col("A.set_size"))
+            & (F.col("A.set_size").cast("double") >= t * F.col("B.set_size")),
         )
-        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .groupBy(
+            F.col("A.doc").alias("doc_a"),
+            F.col("B.doc").alias("doc_b"),
+            F.col("A.set_size").alias("size_a"),
+            F.col("B.set_size").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jacc = F.col("inter").cast("double") / (
@@ -396,16 +400,24 @@ def minhash_lsh_candidates(
     band_rows = _materialize(band_rows, materialize)
     if max_bucket_df is not None:
         band_rows = _drop_hot_buckets(band_rows, max_bucket_df)
-    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
     # merge not shuffle-hash: same OOM hazard as the n-gram index join
     # (the band table is O(docs x bands)); SMJ spills, SHJ's build side
-    # must fit in task memory
+    # must fit in task memory. Branches renamed AFTER the join so they
+    # canonicalize equal and AQE reuses ONE (band, bucket) shuffle
+    # (r16, see ngram_jaccard_pairs)
+    a = band_rows.alias("A")
+    b = band_rows.alias("B")
     return (
         a.hint("merge")
-        .join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .join(
+            b,
+            (F.col("A.band") == F.col("B.band"))
+            & (F.col("A.bucket") == F.col("B.bucket"))
+            & (F.col("A.doc") < F.col("B.doc")),
+        )
+        .groupBy(
+            F.col("A.doc").alias("doc_a"), F.col("B.doc").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("bands_in_common"))
     )
 
@@ -457,13 +469,21 @@ def minhash_lsh_candidates_md5(
         "doc", f"explode(array({band_structs})) AS bb"
     ).select("doc", "bb.band", "bb.bucket")
     band_rows = _materialize(band_rows, materialize)
-    a = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    b = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    # rename after the join for AQE exchange reuse (r16, see
+    # minhash_lsh_candidates)
+    a = band_rows.alias("A")
+    b = band_rows.alias("B")
     return (
         a.hint("merge")
-        .join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .join(
+            b,
+            (F.col("A.band") == F.col("B.band"))
+            & (F.col("A.bucket") == F.col("B.bucket"))
+            & (F.col("A.doc") < F.col("B.doc")),
+        )
+        .groupBy(
+            F.col("A.doc").alias("doc_a"), F.col("B.doc").alias("doc_b")
+        )
         .agg(F.count(F.lit(1)).alias("bands_in_common"))
     )
 
@@ -1316,22 +1336,28 @@ def _hamming_pairs(chunked: DataFrame, max_hamming: int) -> DataFrame:
     verify shared by the xxhash64 and md5 SimHash faces: self-join the
     ``(doc, simhash, blk, chunk)`` rows per (blk, chunk), verify on
     bit_count(xor), dedupe pairs that share several chunks."""
-    a = chunked.select(
-        F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "blk", "chunk",
+    # rename after the join for AQE exchange reuse (r16, see
+    # ngram_jaccard_pairs); merge not shuffle-hash: spills under a hot
+    # chunk instead of OOMing the build-side hash map (sf10 lesson from
+    # the n-gram join)
+    a = chunked.alias("A")
+    b = chunked.alias("B")
+    hamming = F.bit_count(
+        F.col("A.simhash").bitwiseXOR(F.col("B.simhash"))
     )
-    b = chunked.select(
-        F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "blk", "chunk",
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    # merge not shuffle-hash: spills under a hot chunk instead of
-    # OOMing the build-side hash map (sf10 lesson from the n-gram join)
     return (
         a.hint("merge")
-        .join(b, ["blk", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .join(
+            b,
+            (F.col("A.blk") == F.col("B.blk"))
+            & (F.col("A.chunk") == F.col("B.chunk"))
+            & (F.col("A.doc") < F.col("B.doc")),
+        )
+        .select(
+            F.col("A.doc").alias("doc_a"),
+            F.col("B.doc").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
