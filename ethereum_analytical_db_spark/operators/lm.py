@@ -168,6 +168,20 @@ def train_unigram_lm(
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
+    return _fit_unigram_from_counts(counts, vocab_size, add_k, unpersist=counts)
+
+
+def _fit_unigram_from_counts(
+    counts: DataFrame,
+    vocab_size: int,
+    add_k: float,
+    unpersist: DataFrame | None = None,
+) -> UnigramLM:
+    """Fit the bounded unigram model from a (word, c) count table
+    (cached by the caller). ``unpersist`` is released once the model
+    table has materialized — ``train_unigram_lm`` passes ``counts``
+    itself; ``train_bigram_lm`` keeps its shared unigram+bigram count
+    cache alive for the bigram fit and releases it there."""
     top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size)
     # ONE job for both scalars (r16: v was a separate top.count() —
     # |top| == min(vocab_size, |counts|), and n_total is the corpus
@@ -186,7 +200,8 @@ def train_unigram_lm(
     p = (F.col("c") + F.lit(add_k)) / F.lit(denom)
     table = top.select("word", F.log(p).alias("logp"), p.alias("p")).cache()
     table.count()
-    counts.unpersist()
+    if unpersist is not None:
+        unpersist.unpersist()
     import math
 
     oov_p = add_k / denom if denom > 0 else 0.0
@@ -303,32 +318,61 @@ def train_bigram_lm(
     derived from ``bi_counts`` itself — sum of counts per prev — so the
     pair stream is generated and shuffled exactly once, and only the
     bounded top-B side is ever broadcast.
+
+    r16: the unigram token counts and the bigram pair counts come out
+    of ONE tokenize+explode+aggregate over the corpus (guide §2.4) —
+    each position emits a (NULL, word) unigram row plus, from position
+    2 on, a (prev, word) pair row, and one cached (prev, word, c)
+    aggregate serves both fits (unigram rows are the prev-IS-NULL
+    slice). Identical counts — the unigram slice groups by word over
+    the same filtered token multiset, the pair slice is the same
+    adjacent-position stream — so both model tables are unchanged
+    (pinned by the pure-Python replica tests and the DuckDB oracle);
+    the corpus is scanned and tokenized once instead of twice.
     """
-    uni = train_unigram_lm(df, text_col, vocab_size, add_k)
     ws = df.select(words(F.col(text_col)).alias("ws"))
-    pairs = (
+    empty = F.array().cast("array<struct<prev:string,word:string>>")
+    both = (
         ws.select(
             F.explode(
-                F.when(
-                    F.size("ws") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ws") - 2),
-                        lambda i: F.struct(
-                            F.element_at("ws", i + 1).alias("prev"),
-                            F.element_at("ws", i + 2).alias("word"),
+                F.concat(
+                    F.filter(
+                        F.transform(
+                            "ws",
+                            lambda w: F.struct(
+                                F.lit(None).cast("string").alias("prev"),
+                                w.alias("word"),
+                            ),
                         ),
+                        lambda s: s["word"] != "",
                     ),
-                ).otherwise(F.array().cast("array<struct<prev:string,word:string>>"))
+                    F.when(
+                        F.size("ws") >= 2,
+                        F.filter(
+                            F.transform(
+                                F.sequence(F.lit(0), F.size("ws") - 2),
+                                lambda i: F.struct(
+                                    F.element_at("ws", i + 1).alias("prev"),
+                                    F.element_at("ws", i + 2).alias("word"),
+                                ),
+                            ),
+                            lambda s: (s["prev"] != "") & (s["word"] != ""),
+                        ),
+                    ).otherwise(empty),
+                )
             ).alias("p")
         )
         .select("p.prev", "p.word")
-        .filter((F.col("prev") != "") & (F.col("word") != ""))
     )
-    # cached so top-B and the history totals both read the one shuffled
-    # aggregate instead of re-generating the pair stream from the corpus
-    bi_counts = pairs.groupBy("prev", "word").agg(
+    all_counts = both.groupBy("prev", "word").agg(
         F.count(F.lit(1)).alias("c")
     ).cache()
+    uni = _fit_unigram_from_counts(
+        all_counts.filter(F.col("prev").isNull()).select("word", "c"),
+        vocab_size,
+        add_k,
+    )
+    bi_counts = all_counts.filter(F.col("prev").isNotNull())
     top_bi = (
         bi_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
         .limit(bigram_size)
@@ -355,7 +399,7 @@ def train_bigram_lm(
         .cache()
     )
     table.count()
-    bi_counts.unpersist()
+    all_counts.unpersist()
     return BigramLM(unigram=uni, table=table, lam=lam)
 
 
