@@ -1204,3 +1204,22 @@ def test_exact_dedup_probe_registry_query(spark):
     pl._exact_cleanup()
     assert not os.path.exists(path)
     assert pl._EXACT_FROZEN == {}
+
+
+def test_self_join_branches_reuse_one_exchange(spark):
+    """r16: the banded/chunked self-joins rename their branches AFTER
+    the join so both branch plans canonicalize equal and AQE executes
+    ONE shuffle (the second branch is a ReusedExchange in the executed
+    plan). Renaming before the join silently re-shuffles the
+    materialized input once per branch — this pins the shape."""
+    df, _ = _corpus(spark)
+    for out in (
+        dedup.ngram_jaccard_pairs(df, n=3, threshold=0.2, max_shingle_df=64),
+        dedup.minhash_lsh_candidates(df, n=3),
+        dedup.simhash_near_duplicates(df),
+    ):
+        out.collect()
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert "ReusedExchange" in plan, plan[:2000]

@@ -315,3 +315,20 @@ def test_local_fs_path_rfc8089_forms():
     assert _local_fs_path("file://nas01/share/wh") == "file://nas01/share/wh"
     assert _local_fs_path("hdfs://nn/warehouse") == "hdfs://nn/warehouse"
     assert _local_fs_path("/plain/path") == "/plain/path"
+
+
+def test_bigram_fused_unigram_matches_standalone(spark, docs):
+    """r16: train_bigram_lm derives the unigram model from the fused
+    (prev, word) count pass; its table and scalars must equal the
+    standalone train_unigram_lm fit exactly."""
+    uni = train_unigram_lm(docs, vocab_size=V, add_k=K)
+    big = train_bigram_lm(docs, vocab_size=V, bigram_size=500, add_k=K)
+    got = sorted(map(tuple, big.unigram.table.collect()))
+    want = sorted(map(tuple, uni.table.collect()))
+    assert got == want
+    assert big.unigram.oov_logp == uni.oov_logp
+    assert big.unigram.vocab_size == uni.vocab_size
+    assert big.unigram.total_tokens == uni.total_tokens
+    assert big.unigram.oov_p == uni.oov_p
+    uni.release()
+    big.release()
