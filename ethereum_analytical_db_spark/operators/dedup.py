@@ -1914,10 +1914,19 @@ def connected_components(
         proj = _materialize(proj, materialize)
         rows = proj.limit(driver_max_edges + 1).collect()
         if len(rows) <= driver_max_edges:
+            # id type = the WIDENED type of src ∪ dst — exactly what the
+            # distributed loop's symmetrize union produces, so the two
+            # regimes return identical schemas even for mixed-width id
+            # columns (int src vs bigint dst; r16 advice). Driver-only
+            # schema analysis, no job.
+            widened = (
+                proj.select(F.col("s").alias("x"))
+                .unionAll(proj.select(F.col("d").alias("x")))
+                .schema["x"]
+                .dataType.simpleString()
+            )
             return _components_driver_local(
-                rows,
-                pairs.sparkSession,
-                pairs.schema[src_col].dataType.simpleString(),
+                rows, pairs.sparkSession, widened
             )
     edges = _materialize(
         proj.unionAll(

@@ -96,6 +96,7 @@ def dsir_log_weights(
     alpha: float = 1.0,
     _carry_cols: tuple[str, ...] = (),
     target_pred: Column | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Per raw document → (id, n_features, log_weight): the DSIR
     importance score under hashed-n-gram models fit on ``target_docs``
@@ -121,7 +122,15 @@ def dsir_log_weights(
     feature stream instead of two scans + two shuffles (guide §2.4; at
     100 TB this halves the corpus passes of the fit). Rows where the
     predicate is NULL belong to neither side, exactly like rows absent
-    from both input frames."""
+    from both input frames.
+
+    ``materialize``: how the shared (id, bucket) feature stream is
+    pinned — ``local`` | ``reliable`` (operators/materialize.py), the
+    same knob every other multi-consumer operator exposes. The stream
+    is O(total n-gram occurrences) — corpus-scale — so on a large
+    cluster where executor loss is routine, pass ``reliable`` to give
+    it a recompute path instead of failing the whole job on one lost
+    executor."""
     if (target_docs is None) == (target_pred is None):
         raise ValueError(
             "pass exactly one of target_docs (two-frame form) or "
@@ -145,7 +154,7 @@ def dsir_log_weights(
                 hashed_ngram_buckets(F.col(text_col), n_buckets)
             ).alias("bucket"),
         ),
-        "local",
+        materialize,
         eager=False,
     )
     cnt_t = F.coalesce(F.col("cnt_t"), F.lit(0))
@@ -243,6 +252,7 @@ def dsir_select(
     alpha: float = 1.0,
     salt: str = "dsir",
     target_pred: Column | None = None,
+    materialize: str = "local",
 ) -> DataFrame:
     """Gumbel top-k importance resampling: the k raw documents with the
     highest ``log_weight + Gumbel(md5(id))`` — a without-replacement
@@ -251,11 +261,11 @@ def dsir_select(
     (id, n_features, log_weight, gumbel_key) for the selected docs;
     join back on ``id_col`` for the text. Ties on the key (measure-zero
     with real weights) break on id for full determinism.
-    ``target_pred``: the fused single-source form — see
+    ``target_pred`` and ``materialize``: forwarded to
     :func:`dsir_log_weights`."""
     scored = dsir_log_weights(
         raw_docs, target_docs, text_col, id_col, n_buckets, alpha,
-        target_pred=target_pred,
+        target_pred=target_pred, materialize=materialize,
     )
     keyed = scored.withColumn(
         "gumbel_key", F.col("log_weight") + _gumbel_noise(F.col(id_col), salt)
@@ -287,7 +297,8 @@ def dsir_select_per_domain(
     scored = dsir_log_weights(
         raw_docs, target_docs, text_col, id_col,
         _carry_cols=(domain_col,), **kwargs
-    )  # kwargs may carry target_pred for the fused single-source form
+    )  # kwargs may carry target_pred (fused single-source form) and
+    # materialize (local | reliable) for dsir_log_weights
     keyed = scored.select(
         id_col, "n_features", "log_weight", domain_col
     ).withColumn(

@@ -447,6 +447,7 @@ def embedding_near_dup_lsh_md5(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: str = "local",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The LSH family's hash-checked face (COVERAGE fold #6): the exact
     hyperplane-bucket → within-bucket pair → exact-cosine pipeline of
@@ -488,7 +489,19 @@ def embedding_near_dup_lsh_md5(
     The signature/bucket projection is materialized once
     (``materialize=``: local | reliable, operators/materialize.py) so
     the self-join branches don't recompute the plane dots — the same
-    pattern the SimHash faces use."""
+    pattern the SimHash faces use.
+
+    ``max_bucket_size`` (r17): optional hot-bucket cap — drop every row
+    whose bucket holds more than this many vectors BEFORE the self-join.
+    Pair generation is O(bucket²): with 2^planes buckets, one degenerate
+    bucket (near-constant embedding field, skewed corpus) IS the job at
+    scale, the same hazard MinHash bounds with ``max_bucket_df``
+    (operators/dedup.py) and the production gemm twin with
+    ``sub_blocks``. Dropping a hot bucket loses ALL its pairs — a
+    single-table LSH has no second band to recover them through — so
+    this is an explicit recall trade for boundedness; the default
+    (None) keeps exact single-table LSH candidate semantics (and the
+    registry face's oracle contract)."""
     mat = md5_plane_ints(planes, dim, salt)
     src = embeddings.select(
         F.col(id_col).alias("vid"), _as_dec_vec(F.col(vec_col)).alias("dv")
@@ -522,6 +535,14 @@ def embedding_near_dup_lsh_md5(
         materialize,
         eager=False,
     )
+    if max_bucket_size is not None:
+        hot = (
+            base.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .drop("n")
+        )
+        base = base.join(hot, "bucket", "left_anti")
     a = base.select(
         F.col("vid").alias("id_a"),
         F.col("fv").alias("fva"),

@@ -22,31 +22,39 @@ from pyspark.sql import functions as F
 from ..compat import ClickHouseCompat
 from .registry import register, table
 
-_COMPAT_CACHE: dict[int, ClickHouseCompat] = {}
+# applicationId → (session, compat, sf_dir whose views are registered).
+# The eight view registrations are ~8 selectExpr constructions +
+# temp-view swaps of pure driver work per build; the views are a
+# deterministic function of (session, sf_dir), so re-running them for
+# every build of every compat query only re-creates identical objects
+# (r16 build-latency cut; re-registered whenever the requested sf_dir
+# differs from the one the session currently carries, so mixed-sf test
+# sessions stay correct). Keyed on applicationId AND validated against
+# the session OBJECT (r16 advice): temp views live in the SESSION
+# catalog, so a sibling spark.newSession() — same applicationId — must
+# not inherit the cache hit; and holding the session in the entry means
+# a recycled id() can never silently alias a fresh session. One entry
+# per application bounds the cache.
+_COMPAT_CACHE: dict[str, tuple[SparkSession, ClickHouseCompat, str | None]] = {}
 
 
 def _compat(spark: SparkSession) -> ClickHouseCompat:
-    key = id(spark)
-    if key not in _COMPAT_CACHE:
-        _COMPAT_CACHE[key] = ClickHouseCompat(spark)
-    return _COMPAT_CACHE[key]
-
-
-# id(spark) → sf_dir whose views are currently registered. The eight
-# view registrations are ~8 selectExpr constructions + temp-view swaps
-# of pure driver work per build; the views are a deterministic function
-# of (session, sf_dir), so re-running them for every build of every
-# compat query only re-creates identical objects (r16 build-latency cut;
-# re-registered whenever the requested sf_dir differs from the one the
-# session currently carries, so mixed-sf test sessions stay correct).
-_VIEWS_REGISTERED: dict[int, str] = {}
+    app_id = spark.sparkContext.applicationId
+    hit = _COMPAT_CACHE.get(app_id)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    c = ClickHouseCompat(spark)
+    _COMPAT_CACHE[app_id] = (spark, c, None)
+    return c
 
 
 def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
     """Shape the driver's events table into eth_* views (pseudo-addresses
     from ids, token = event_type) for the dialect queries."""
     c = _compat(spark)
-    if _VIEWS_REGISTERED.get(id(spark)) == sf_dir:
+    app_id = spark.sparkContext.applicationId
+    hit = _COMPAT_CACHE.get(app_id)
+    if hit is not None and hit[0] is spark and hit[2] == sf_dir:
         return c
     ev = table(spark, sf_dir, "events")
     c.register_table(
@@ -111,7 +119,7 @@ def _register_eth_views(spark: SparkSession, sf_dir: str) -> ClickHouseCompat:
         ev.selectExpr("CAST(event_id AS BIGINT) AS number", "ts AS timestamp"),
     )
     c.register_table("eth_events", ev.select("event_id", "ts", "event_type"))
-    _VIEWS_REGISTERED[id(spark)] = sf_dir
+    _COMPAT_CACHE[app_id] = (spark, c, sf_dir)
     return c
 
 

@@ -71,13 +71,19 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         model = train_gas_model(train, n_estimators=10, seed=7)
         score = lmfao(model, test)
         # ONE job for all three row counts (r16: three sequential
-        # count() jobs over the same cached frame became one aggregate —
-        # n_train/n_test are the split predicate's true/false counts,
-        # identical values by definition; guide §7.3 driver-side work)
+        # count() jobs over the same cached frame became one aggregate;
+        # guide §7.3 driver-side work). n_test counted explicitly with
+        # the split's own predicate (block > cut) rather than n −
+        # n_train, so a NULL-block row falls in NEITHER split — exactly
+        # split_by_block's semantics (r16 advice; identical values on
+        # the fixture, whose block is non-null derived arithmetic).
         sizes = features.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum((F.col("block") <= F.lit(float(cut))).cast("long")).alias(
                 "n_train"
+            ),
+            F.sum((F.col("block") > F.lit(float(cut))).cast("long")).alias(
+                "n_test"
             ),
         ).first()
         return spark.createDataFrame(
@@ -86,7 +92,7 @@ def gas_price_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         sizes["n"],
                         sizes["n_train"],
-                        sizes["n"] - sizes["n_train"],
+                        sizes["n_test"],
                         10,
                         round(float(score), 6),
                     )

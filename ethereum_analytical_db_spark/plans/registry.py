@@ -58,10 +58,17 @@ _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(f"{sf_dir}/{name}.parquet"))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(f"{sf_dir}/{name}.parquet"))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries from other applications: their plans are bound to
+    # stopped sessions and would otherwise accumulate for the life of
+    # the process across test sessions (r16 advice)
+    stale = [k for k in _TABLE_CACHE if k[0] != app_id]
+    for k in stale:
+        del _TABLE_CACHE[k]
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
         # map to its microsecond TimestampType; read nanos as long and

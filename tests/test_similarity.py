@@ -693,6 +693,44 @@ def test_embedding_near_dup_lsh_md5_face(spark):
         assert v == exact[k], (k, v, exact[k])  # bit-identical cosines
 
 
+def test_embedding_near_dup_lsh_md5_hot_bucket_cap(spark):
+    """r17: ``max_bucket_size`` bounds the O(bucket²) pair generation on
+    a degenerate corpus where every vector lands in ONE bucket (all
+    positive components → all sign bits 1). Pins: (a) default None keeps
+    exact semantics (the hot bucket's pairs all emitted); (b) a cap
+    below the hot bucket's size drops that bucket's pairs entirely while
+    buckets at/under the cap are untouched, and every surviving pair's
+    cosine is bit-identical to the uncapped run (the cap prunes
+    candidates, never rescores)."""
+    rng = random.Random(11)
+    rows = []
+    # 30 vectors in the all-ones orthant: one bucket of 30 → 435 pairs
+    for vid in range(30):
+        rows.append((vid, [rng.uniform(0.5, 1.0) for _ in range(8)]))
+    # a small cluster in the all-negative orthant: bucket of 3
+    for vid in range(100, 103):
+        rows.append((vid, [rng.uniform(-1.0, -0.5) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_lsh_md5(
+            df, dim=8, threshold=0.8, planes=4
+        ).collect()
+    }
+    hot_pairs = {k for k in uncapped if k[0] < 100}
+    small_pairs = {k for k in uncapped if k[0] >= 100}
+    assert len(hot_pairs) > 100 and small_pairs  # both buckets produced pairs
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup_lsh_md5(
+            df, dim=8, threshold=0.8, planes=4, max_bucket_size=10
+        ).collect()
+    }
+    assert set(capped) == small_pairs  # hot bucket dropped, small kept
+    for k, v in capped.items():
+        assert v == uncapped[k]  # surviving cosines bit-identical
+
+
 def test_embedding_near_dup_lsh_md5_duckdb_parity(spark):
     """Cross-engine check for the hash-checked registry entry (fold #6):
     the registry's own oracle SQL, run in DuckDB on the sf0.001
