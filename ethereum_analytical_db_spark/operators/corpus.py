@@ -284,6 +284,7 @@ def clean_corpus(
         if langs is not None:
             cur = mark("lang_filter", cur.filter(F.col("lang").isin(langs)))
 
+        decontam_score_src: DataFrame | None = None
         if max_perplexity is not None:
             # the LM trainer runs actions; cache the surviving prefix so
             # training, scoring, and the keep-join share one
@@ -294,6 +295,17 @@ def clean_corpus(
             if not collect_stats:
                 cur = cur.cache()
                 lazy_cached.append(cur)
+                # the decontamination stage below scores its overlap on
+                # THIS cached frame (a superset of its post-keep-join
+                # input with identical text — perplexity only drops
+                # rows): the anti-join otherwise references its input
+                # twice and a lazy plan re-executes the scorer +
+                # keep-join once per reference (guide §7.2; see
+                # decontaminate's score_docs contract). Stats mode needs
+                # none of this — there every stage is counted off its
+                # predecessor's cache, and mark() releases this frame
+                # before the decontamination stage would read it.
+                decontam_score_src = cur
             lm = train_unigram_lm(cur, text_col, vocab_size=lm_vocab_size)
             models.append(lm)
             scores = score_perplexity(cur, lm, text_col, id_col).filter(
@@ -307,7 +319,13 @@ def clean_corpus(
         if benchmark is not None:
             cur = mark(
                 "decontaminate",
-                decontaminate(cur, benchmark, text_col=text_col, id_col=id_col),
+                decontaminate(
+                    cur,
+                    benchmark,
+                    text_col=text_col,
+                    id_col=id_col,
+                    score_docs=decontam_score_src,
+                ),
             )
 
         if benchmark_embeddings is not None:

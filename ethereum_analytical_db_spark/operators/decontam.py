@@ -76,11 +76,29 @@ def decontaminate(
     max_overlap: float = 0.1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents whose benchmark overlap exceeds ``max_overlap``
     (keep-side of the standard decontamination filter). Returns the
-    surviving rows of ``docs`` unchanged."""
-    scores = benchmark_ngram_overlap(docs, benchmark, n, text_col, id_col)
+    surviving rows of ``docs`` unchanged.
+
+    ``score_docs`` (r17): optionally compute the contamination scores
+    over this frame instead of ``docs``. Intended for a SUPERSET of
+    ``docs`` with identical (id, text) values for every shared id —
+    e.g. an already-materialized upstream stage that ``docs`` was
+    filtered from. ``overlap_frac`` is a per-doc function of (text,
+    benchmark), so scoring extra rows only produces contaminated ids
+    the anti-join's left side does not contain — the surviving rows are
+    IDENTICAL (pinned by test_decontam's superset-parity test). Why it
+    exists: ``docs.join(contaminated(docs), anti)`` references ``docs``
+    TWICE, and in a lazy plan Spark executes the whole upstream once
+    per reference (no common-subtree reuse) — clean_corpus's perplexity
+    keep-join + scorer ran twice per build until the chain started
+    passing its cached prefix here (guide §7.2 duplicated subtrees)."""
+    scores = benchmark_ngram_overlap(
+        score_docs if score_docs is not None else docs,
+        benchmark, n, text_col, id_col,
+    )
     contaminated = scores.filter(F.col("overlap_frac") > max_overlap).select(
         F.col("doc").alias(id_col)
     )

@@ -52,6 +52,32 @@ def test_planted_contamination_flagged_and_dropped(spark):
     assert 102 in kept_ids and all(i in kept_ids for i in range(20))
 
 
+def test_decontaminate_score_docs_superset_parity(spark):
+    """r17: scoring contamination over a SUPERSET frame (identical
+    text for shared ids) must keep exactly the same rows — extra
+    superset rows only produce contaminated ids the anti-join's left
+    side doesn't contain. This is the clean_corpus wiring: the cached
+    pre-perplexity prefix scores the post-keep-join stream."""
+    corpus, bench, _, _ = _mk_corpus(spark)
+    # docs = a filtered slice of corpus that still contains planted
+    # contamination (drop doc 100, keep 101) plus clean rows
+    docs = corpus.filter(F.col("doc_id") != 100).filter(
+        F.col("doc_id") % 3 != 1
+    )
+    default = sorted(
+        map(tuple, decontam.decontaminate(docs, bench, n=8).collect())
+    )
+    superset = sorted(
+        map(
+            tuple,
+            decontam.decontaminate(
+                docs, bench, n=8, score_docs=corpus
+            ).collect(),
+        )
+    )
+    assert default == superset and len(default) > 0
+
+
 def test_overlap_matches_duckdb(spark):
     """Engine-vs-engine: the same shingle/overlap math in DuckDB SQL."""
     corpus, bench, bench_rows, docs = _mk_corpus(spark)
