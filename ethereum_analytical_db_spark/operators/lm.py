@@ -180,8 +180,8 @@ def _fit_unigram_from_counts(
     """Fit the bounded unigram model from a (word, c) count table
     (cached by the caller). ``unpersist`` is released once the model
     table has materialized — ``train_unigram_lm`` passes ``counts``
-    itself; ``train_bigram_lm`` keeps its shared unigram+bigram count
-    cache alive for the bigram fit and releases it there."""
+    itself; callers fitting from a shared count stream (e.g. the
+    scale-A/B harness's experimental forms) pass their own cache."""
     top = counts.orderBy(F.desc("c"), F.asc("word")).limit(vocab_size)
     # ONE job for both scalars (r16: v was a separate top.count() —
     # |top| == min(vocab_size, |counts|), and n_total is the corpus
@@ -319,60 +319,44 @@ def train_bigram_lm(
     pair stream is generated and shuffled exactly once, and only the
     bounded top-B side is ever broadcast.
 
-    r16: the unigram token counts and the bigram pair counts come out
-    of ONE tokenize+explode+aggregate over the corpus (guide §2.4) —
-    each position emits a (NULL, word) unigram row plus, from position
-    2 on, a (prev, word) pair row, and one cached (prev, word, c)
-    aggregate serves both fits (unigram rows are the prev-IS-NULL
-    slice). Identical counts — the unigram slice groups by word over
-    the same filtered token multiset, the pair slice is the same
-    adjacent-position stream — so both model tables are unchanged
-    (pinned by the pure-Python replica tests and the DuckDB oracle);
-    the corpus is scanned and tokenized once instead of twice.
+    r17: back to TWO tokenize passes (unigram fit + pair fit). The r16
+    one-pass form (every position re-emitted as a (NULL, word) struct
+    row, concatenated with the pair structs, one combined aggregate)
+    saved a corpus scan but was measured at 10x scale to cost ~2x the
+    executor CPU of the two-pass form (tools/bigram_trainer_ab.py at
+    /tmp/sf1: 61.5 s vs 31.4 s executor-time median, wall 5.7 vs 3.2 s;
+    models verified identical) — the per-word interpreted struct HOF
+    plus the wider (prev, word) shuffle key on the unigram slice dwarf
+    one extra columnar scan at any scale (guide §1.2: the scan it
+    removed was the cheap part). The pair stream itself is built with
+    ``zip_with`` over two shifted slices instead of
+    ``transform(sequence(...), element_at(...))`` — same values, ~10%
+    less executor time (no index array, no per-element lookups).
     """
+    uni = train_unigram_lm(df, text_col, vocab_size=vocab_size, add_k=add_k)
     ws = df.select(words(F.col(text_col)).alias("ws"))
-    empty = F.array().cast("array<struct<prev:string,word:string>>")
-    both = (
-        ws.select(
+    n1 = F.greatest(F.size("ws") - 1, F.lit(0))
+    pairs = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
             F.explode(
-                F.concat(
-                    F.filter(
-                        F.transform(
-                            "ws",
-                            lambda w: F.struct(
-                                F.lit(None).cast("string").alias("prev"),
-                                w.alias("word"),
-                            ),
+                F.filter(
+                    F.zip_with(
+                        F.slice("ws", F.lit(1), n1),
+                        F.slice("ws", F.lit(2), n1),
+                        lambda a, b: F.struct(
+                            a.alias("prev"), b.alias("word")
                         ),
-                        lambda s: s["word"] != "",
                     ),
-                    F.when(
-                        F.size("ws") >= 2,
-                        F.filter(
-                            F.transform(
-                                F.sequence(F.lit(0), F.size("ws") - 2),
-                                lambda i: F.struct(
-                                    F.element_at("ws", i + 1).alias("prev"),
-                                    F.element_at("ws", i + 2).alias("word"),
-                                ),
-                            ),
-                            lambda s: (s["prev"] != "") & (s["word"] != ""),
-                        ),
-                    ).otherwise(empty),
+                    lambda s: (s["prev"] != "") & (s["word"] != ""),
                 )
             ).alias("p")
         )
         .select("p.prev", "p.word")
     )
-    all_counts = both.groupBy("prev", "word").agg(
-        F.count(F.lit(1)).alias("c")
-    ).cache()
-    uni = _fit_unigram_from_counts(
-        all_counts.filter(F.col("prev").isNull()).select("word", "c"),
-        vocab_size,
-        add_k,
+    bi_counts = (
+        pairs.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c")).cache()
     )
-    bi_counts = all_counts.filter(F.col("prev").isNotNull())
     top_bi = (
         bi_counts.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
         .limit(bigram_size)
@@ -399,7 +383,7 @@ def train_bigram_lm(
         .cache()
     )
     table.count()
-    all_counts.unpersist()
+    bi_counts.unpersist()
     return BigramLM(unigram=uni, table=table, lam=lam)
 
 

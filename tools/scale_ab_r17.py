@@ -17,8 +17,14 @@ Claims covered (name → what the variants are):
                        iterations+1 times)
                     B: current persisted loop
 - ``bigram_onepass`` A: r15 two-pass trainer (separate unigram corpus
-                       pass + pair corpus pass) + current scorer
-                    B: r16 one-pass trainer + scorer (current)
+                       pass + sequence/element_at pair pass) + current
+                       scorer
+                    B: whatever train_bigram_lm currently is. When this
+                       was the r16 one-pass trainer it measured a
+                       NEGATIVE at sf1 (executor CPU ~3x; see
+                       tools/bigram_trainer_ab.py for the isolated
+                       3-variant run) and r17 reverted the trainer to
+                       two passes with a zip_with pair stream.
 - ``lm_scorer_fold`` A: pre-r16 §14 scorer (ids.distinct() re-scan +
                        left join back for token-less docs)
                     B: current explode_outer scorer
