@@ -6,13 +6,17 @@ per-element work on EVERY word, which at scale dwarfs the saved scan.
 This tool isolates the TRAINER (no scorer) across three variants and
 reports wall + per-round executor time from the UI REST API:
 
-- ``A_onepass``   current train_bigram_lm (one explode of unigram
-                  structs + pair structs, one groupBy)
+- ``A_onepass``   the r16 one-pass form, reconstructed verbatim here
+                  (one explode of unigram structs + pair structs, one
+                  groupBy) — train_bigram_lm WAS this when the decisive
+                  run was taken; r17 reverted it, so the tool keeps the
+                  shape re-runnable
 - ``B_twopass``   r15 shape: plain explode for unigram counts + the
                   sequence/element_at pair stream
 - ``C_twopass_zip`` two-pass with the pair stream built by
                   zip_with(slice, slice) (dsir's bigram idiom — no
-                  sequence allocation, no element_at lookups)
+                  sequence allocation, no element_at lookups). This is
+                  the form train_bigram_lm ships since the r17 revert.
 
 Model identity across variants is VERIFIED here (unigram + bigram
 tables collected and compared) before timing.
@@ -50,7 +54,6 @@ def trainer_variants(docs):
     from ethereum_analytical_db_spark.operators.lm import (
         BigramLM,
         _fit_unigram_from_counts,
-        train_bigram_lm,
         train_unigram_lm,
     )
     from ethereum_analytical_db_spark.operators.text import words
@@ -80,7 +83,51 @@ def trainer_variants(docs):
         return BigramLM(unigram=uni, table=table, lam=LAM)
 
     def onepass():
-        return train_bigram_lm(docs, vocab_size=V, bigram_size=B)
+        # the r16 one-pass form, verbatim (train_bigram_lm pre-revert)
+        ws = docs.select(words(F.col("text")).alias("ws"))
+        empty = F.array().cast("array<struct<prev:string,word:string>>")
+        both = (
+            ws.select(
+                F.explode(
+                    F.concat(
+                        F.filter(
+                            F.transform(
+                                "ws",
+                                lambda w: F.struct(
+                                    F.lit(None).cast("string").alias("prev"),
+                                    w.alias("word"),
+                                ),
+                            ),
+                            lambda s: s["word"] != "",
+                        ),
+                        F.when(
+                            F.size("ws") >= 2,
+                            F.filter(
+                                F.transform(
+                                    F.sequence(F.lit(0), F.size("ws") - 2),
+                                    lambda i: F.struct(
+                                        F.element_at("ws", i + 1).alias("prev"),
+                                        F.element_at("ws", i + 2).alias("word"),
+                                    ),
+                                ),
+                                lambda s: (s["prev"] != "")
+                                & (s["word"] != ""),
+                            ),
+                        ).otherwise(empty),
+                    )
+                ).alias("p")
+            ).select("p.prev", "p.word")
+        )
+        all_counts = (
+            both.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("c")).cache()
+        )
+        uni = _fit_unigram_from_counts(
+            all_counts.filter(F.col("prev").isNull()).select("word", "c"),
+            V,
+            K,
+        )
+        bi_counts = all_counts.filter(F.col("prev").isNotNull())
+        return finish(uni, bi_counts, all_counts)
 
     def twopass():
         uni = train_unigram_lm(docs, vocab_size=V, add_k=K)
