@@ -280,7 +280,9 @@ def clean_corpus(
         # column when absent. Either way `lang` drives the language
         # filter AND the stratified-balance key below.
         if "lang" not in cur.columns:
-            cur = cur.withColumn("lang", predicted_lang(F.col(text_col)))
+            # pass the NAME: predicted_lang memoizes the ~51 ms
+            # expression tree per column name (r17, guide §7.3)
+            cur = cur.withColumn("lang", predicted_lang(text_col))
         if langs is not None:
             cur = mark("lang_filter", cur.filter(F.col("lang").isin(langs)))
 

@@ -42,8 +42,13 @@ def benchmark_ngram_overlap(
     bench_col = bench_text_col or text_col
     # synthetic per-row id: _shingled needs one, and the benchmark's own
     # ids (if any) are irrelevant — identity is dropped before the join
+    # (the shingle set is DISTINCT across all benchmark rows). A literal
+    # 0, not monotonically_increasing_id(): the value is never read, and
+    # the non-deterministic expression costs ~70 ms of extra analyzer
+    # work per build (measured r17) plus blocks optimizer moves for
+    # nothing.
     bench = benchmark.select(F.col(bench_col).alias("_btext")).withColumn(
-        "_bid", F.monotonically_increasing_id()
+        "_bid", F.lit(0)
     )
     bench_shingles = (
         _shingled(bench, "_btext", "_bid", n)

@@ -19,6 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import logging
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -29,6 +30,18 @@ from .text import ngrams_from_words
 _LOG = logging.getLogger(__name__)
 
 
+@lru_cache(maxsize=None)
+def _ngrams_ws_expr(n: int):
+    """``ngrams_from_words`` over the fixed ``_ws`` projection name,
+    built once per process. Column objects are immutable unresolved
+    expression trees keyed by column NAME, so the same tree resolves
+    against every ``_shingled`` projection — and building the n=8 tree
+    costs ~56 ms of py4j round trips (measured r17), paid per BUILD by
+    every shingle pipeline (jaccard, minhash x2, simhash x2, decontam
+    x2 per call) without this memo. Guide §7.3 driver-side work."""
+    return ngrams_from_words(F.col("_ws"), n)
+
+
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(doc, ngrams) with the text split ONCE into a projected array
     column before n-gram assembly — element accesses inside the n-gram
@@ -36,7 +49,7 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     document per element (which is O(words²) and dominated runtime)."""
     return df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("_ws")
-    ).select("doc", ngrams_from_words(F.col("_ws"), n).alias("ngrams"))
+    ).select("doc", _ngrams_ws_expr(n).alias("ngrams"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

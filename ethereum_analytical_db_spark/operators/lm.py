@@ -25,11 +25,41 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import words
+
+
+@lru_cache(maxsize=64)
+def _nulled_tokens_expr(text_col: str) -> Column:
+    """The unigram scorer's token stream (words with empties NULLed, in
+    the array) over a NAMED column, built once per (process, name):
+    Columns are immutable unresolved trees, and the HOF construction is
+    tens of ms of py4j round trips per build (r17, guide §7.3)."""
+    return F.explode_outer(
+        F.transform(words(F.col(text_col)), lambda w: F.when(w != "", w))
+    )
+
+
+@lru_cache(maxsize=1)
+def _pair_structs_expr() -> Column:
+    """The bigram scorer's (word, prev) struct stream over the scorer's
+    fixed ``ws`` array projection — same memo rationale as
+    :func:`_nulled_tokens_expr`. Element accesses stay on the BOUND
+    array column (never an inlined ``words(...)``, which an interpreted
+    HOF lambda would re-evaluate per element)."""
+    return F.explode_outer(
+        F.transform(
+            "ws",
+            lambda w, i: F.struct(
+                F.when(w != "", w).alias("word"),
+                F.when(i > 0, F.get("ws", i - 1)).alias("prev"),
+            ),
+        )
+    )
 
 # detach(): model tables at or under this row count round-trip through
 # the driver (createDataFrame(collect()) — microseconds for real
@@ -233,11 +263,7 @@ def score_perplexity(
     # their NULL logp)
     toks = df.select(
         F.col(id_col),
-        F.explode_outer(
-            F.transform(
-                words(F.col(text_col)), lambda w: F.when(w != "", w)
-            )
-        ).alias("word"),
+        _nulled_tokens_expr(text_col).alias("word"),
     )
     scored = toks.join(F.broadcast(lm.table), "word", "left").select(
         F.col(id_col),
@@ -419,15 +445,7 @@ def score_perplexity_bigram(
     # skips it) — identical scores.
     toks = ws.select(
         F.col(id_col),
-        F.explode_outer(
-            F.transform(
-                "ws",
-                lambda w, i: F.struct(
-                    F.when(w != "", w).alias("word"),
-                    F.when(i > 0, F.get("ws", i - 1)).alias("prev"),
-                ),
-            )
-        ).alias("t"),
+        _pair_structs_expr().alias("t"),
     ).select(id_col, F.col("t.word").alias("word"), F.col("t.prev").alias("prev"))
     uni = lm.unigram
     j = (

@@ -18,6 +18,7 @@ for every element (O(words²) work; measured 20-40× slowdown at sf0.1).
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -150,7 +151,19 @@ def predicted_lang_from_text(text: Column | str) -> Column:
     return _argmax_lang(lang_scores_from_text(text))
 
 
+@lru_cache(maxsize=64)
+def _predicted_lang_named(col_name: str) -> Column:
+    """The lang-ID argmax tree over a NAMED column, built once per
+    (process, name): the 5-language regexp_count + struct-argmax tree
+    costs ~51 ms of py4j construction (measured r17) and is a pure
+    function of the column name — Columns are immutable unresolved
+    trees, so one instance resolves against every plan. Guide §7.3."""
+    return predicted_lang_from_text(F.col(col_name))
+
+
 def predicted_lang(text: Column | str) -> Column:
+    if isinstance(text, str):
+        return _predicted_lang_named(text)
     return predicted_lang_from_text(text)
 
 

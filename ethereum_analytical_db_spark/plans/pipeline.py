@@ -518,8 +518,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             default_fraction=0.05,
         ).alias("kept"),
         # regexp_count marker scoring on raw text: whole-stage codegen,
-        # vs the interpreted array-HOF form (F.filter lambdas) it replaced
-        text.predicted_lang_from_text(F.col("text")).alias("predicted_lang"),
+        # vs the interpreted array-HOF form (F.filter lambdas) it
+        # replaced; by NAME so the expression tree memoizes (r17 §7.3)
+        text.predicted_lang("text").alias("predicted_lang"),
         text.token_count("text").alias("n_words"),
         text.stopword_count("text", STOPWORDS).alias("n_stopwords"),
         text.stopword_ratio("text", STOPWORDS).alias("stopword_ratio"),
