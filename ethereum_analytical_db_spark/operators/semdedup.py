@@ -135,16 +135,22 @@ def semantic_dedup(
     splits = {
         c: -(-n // max_cluster_rows) for c, n in sizes.items()
     }  # ceil division
-    split_expr = F.lit(1)
-    for c, s in splits.items():
-        if s > 1:
-            split_expr = F.when(F.col("cluster") == c, F.lit(s)).otherwise(
-                split_expr
-            )
-    salted = assigned.withColumn(
-        "salt",
-        F.pmod(F.xxhash64(F.col(vec_col)), split_expr).cast("int"),
-    )
+    if any(s > 1 for s in splits.values()):
+        split_expr = F.lit(1)
+        for c, s in splits.items():
+            if s > 1:
+                split_expr = F.when(F.col("cluster") == c, F.lit(s)).otherwise(
+                    split_expr
+                )
+        salt_col = F.pmod(F.xxhash64(F.col(vec_col)), split_expr).cast("int")
+    else:
+        # no cluster exceeds max_cluster_rows: pmod(anything, 1) is 0
+        # for every row, so skip hashing the full vector per row (the
+        # salt hash reads every element of every embedding — pure
+        # per-task work, guide §8.3) and the WHEN chain outright.
+        # Identical grouping: salt was constant 0 anyway.
+        salt_col = F.lit(0).cast("int")
+    salted = assigned.withColumn("salt", salt_col)
 
     sc = embeddings.sparkSession.sparkContext
     cmat_bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
