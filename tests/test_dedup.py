@@ -1223,3 +1223,33 @@ def test_self_join_branches_reuse_one_exchange(spark):
             out._jdf.queryExecution(), "simple"
         )
         assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_memoized_ngram_expr_matches_fresh_tree(spark):
+    """r17: _shingled builds its n-gram HOF tree once per (process, n)
+    (lru_cache) — the memoized tree must produce the same shingles as a
+    freshly constructed ngrams_from_words on every frame it resolves
+    against, including the short-doc empty-array guard."""
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators.dedup import (
+        _ngrams_ws_expr,
+        _shingled,
+    )
+    from ethereum_analytical_db_spark.operators.text import ngrams_from_words
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "short doc"), (3, "x y z " * 5)],
+        "doc_id long, text string",
+    )
+    assert _ngrams_ws_expr(8) is _ngrams_ws_expr(8)
+    got = {
+        r["doc"]: sorted(r["ngrams"])
+        for r in _shingled(df, "text", "doc_id", 8).collect()
+    }
+    fresh = df.select(
+        F.col("doc_id").alias("doc"), F.split(F.col("text"), " ").alias("_ws")
+    ).select("doc", ngrams_from_words(F.col("_ws"), 8).alias("ngrams"))
+    want = {r["doc"]: sorted(r["ngrams"]) for r in fresh.collect()}
+    assert got == want
+    assert got[2] == []  # short-doc guard intact through the memo

@@ -90,3 +90,35 @@ def test_remove_duplicate_lines_metachar_separator(spark):
     }
     assert out[0] == "ab|cd|ef"
     assert out[1] == "x.y|z"
+
+
+def test_memoized_lang_expr_matches_fresh_tree(spark):
+    """r17: predicted_lang(name) returns a process-memoized Column; it
+    must resolve identically to a freshly built tree on ANY frame (the
+    memo returns the same immutable object across plans), and repeated
+    calls must not mutate it."""
+    from pyspark.sql import functions as F
+
+    from ethereum_analytical_db_spark.operators.text import (
+        predicted_lang,
+        predicted_lang_from_text,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "the of and this text"), (2, "der die und das ist")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "le la et les est"), (4, "el la y los es")],
+        "doc_id long, text string",
+    )
+    memo1 = predicted_lang("text")
+    memo2 = predicted_lang("text")
+    assert memo1 is memo2  # one tree per (process, name)
+    got_a = {r[0]: r[1] for r in a.select("doc_id", memo1.alias("l")).collect()}
+    got_b = {r[0]: r[1] for r in b.select("doc_id", memo2.alias("l")).collect()}
+    fresh = predicted_lang_from_text(F.col("text"))
+    want_a = {r[0]: r[1] for r in a.select("doc_id", fresh.alias("l")).collect()}
+    want_b = {r[0]: r[1] for r in b.select("doc_id", fresh.alias("l")).collect()}
+    assert got_a == want_a == {1: "en", 2: "de"}
+    assert got_b == want_b == {3: "fr", 4: "es"}
